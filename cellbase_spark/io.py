@@ -1,0 +1,96 @@
+"""Table IO: the engine's source/sink layer.
+
+The reference's core capability is spreadsheet ingestion — a 2-D grid whose
+first row names the columns, with cell strings coerced onto declared types
+(SURVEY.md §1). Here that is `read_csv_table` (header + explicit schema);
+parquet is the performance-native format the driver testdata uses.
+
+Scale notes:
+- `load_table` is a bare `spark.read.parquet`: Catalyst gets the relation
+  directly, so predicate pushdown / column pruning / partition pruning all
+  reach the scan. No caching or materialization at this layer.
+- events.ts (TIMESTAMP NANOS parquet) is normalized to microsecond
+  TimestampType with `timestamp_micros(ts div 1000)` — a pure JVM
+  projection, identical truncation to DuckDB's ns->us read, so oracle
+  comparisons agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cellbase_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy scan, no action)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read: convert ns-long -> us timestamp (truncating),
+        # matching DuckDB's TIMESTAMP_NS -> TIMESTAMP read of the same file.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql entry points."""
+    for name in schemas.TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """Spreadsheet-style ingestion: header row + declared schema.
+
+    Mirrors the reference's load path (CSV line -> typed row object): cell
+    strings are coerced to the declared types at scan time; the explicit
+    schema avoids an inference pass over the data (one job saved, and the
+    only correct option at 100 TB).
+    """
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_csv_table(df: DataFrame, path: str) -> None:
+    """CSV sink (header row first, like a spreadsheet export)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_parquet_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink; optional hive-style partitioning (the 100 TB layout:
+    e.g. events partitioned by event date -> static+dynamic partition
+    pruning on every time-ranged query)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_jsonl_table(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSON-lines source with optional declared schema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,8 @@
+"""Query modules — importing this package populates the registry.
+
+One module per SURVEY.md §2 family. Each module registers its query keys
+via cellbase_spark.registry.register.
+"""
+
+from cellbase_spark.queries import aggregates  # noqa: F401
+from cellbase_spark.queries import scans  # noqa: F401

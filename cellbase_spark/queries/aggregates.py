@@ -1,0 +1,95 @@
+"""Aggregation queries (SURVEY.md §2.4 A1-A9).
+
+The reference has no aggregation operators (game code loops and sums by
+hand, SURVEY.md §2.4); these are the engine's Spark-native equivalents.
+Spark executes every groupBy/agg here as a two-phase HashAggregate
+(partial map-side combine, then final after the key shuffle) — nothing is
+hand-implemented, so the same plan scales from 60k rows to 100 TB with the
+shuffle volume bounded by group cardinality, not input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from cellbase_spark.io import load_table
+from cellbase_spark.registry import register
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "q_agg_groupby",
+    family="agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 'sum_qty')},
+       {dsum_sql('l_extendedprice', 'sum_base_price')},
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {davg_sql('l_quantity', 'avg_qty')},
+       {davg_sql('l_extendedprice', 'avg_price')},
+       {davg_sql('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shape pricing summary (scan+filter+agg+sort).
+
+    Filter is pushed to the parquet scan; aggregation is partial+final
+    hash-agg on a 6-group key space (shuffle carries 6 rows per partition).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_global",
+    family="agg",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum_sql('o_totalprice', 'sum_price')},
+       {davg_sql('o_totalprice', 'avg_price')},
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (grand-total) aggregate over orders — no grouping keys; the
+    partial aggregate reduces each partition to one row before the single
+    final reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+        davg("o_totalprice", "avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

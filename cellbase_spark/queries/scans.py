@@ -1,0 +1,86 @@
+"""Source/sink queries (SURVEY.md §2.1 S1-S7).
+
+S2/S7 are the reference's core capability — spreadsheet (CSV with header
+row) ingestion and export with declared types (SURVEY.md §1.2); parquet is
+the engine's performance-native format.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark import schemas
+from cellbase_spark.io import load_table, read_csv_table, write_csv_table
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_scan_parquet",
+    family="scan",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_returnflag = 'R'
+""",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected+filtered parquet scan: Catalyst pushes both the column
+    subset (ReadSchema) and the predicate (PushedFilters) into the scan —
+    at 100 TB only matching row groups of 4 columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "q_point_lookup",
+    family="scan",
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key lookup — the reference's `get row by id` dictionary hit
+    (SURVEY.md §3.1). Spark-side it's an equality predicate pushed to
+    parquet: row-group statistics skip everything but the matching stripe,
+    so the 100 TB cost is one row group, not a scan."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") == 42)
+
+
+@register(
+    "q_scan_csv",
+    family="scan",
+    oracle="SELECT * FROM nation",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spreadsheet round-trip: export nation to CSV (header row first, the
+    reference's table-as-sheet layout), re-ingest with the declared schema,
+    and return it — cells come back coerced to the declared types exactly.
+    Oracle compares against the original parquet table: lossless."""
+    n = load_table(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_csv", "nation")
+    write_csv_table(n, out)
+    return read_csv_table(spark, out, schemas.NATION)
+
+
+@register(
+    "q_roundtrip_write",
+    family="scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_roundtrip_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip (filtered orders out, read back). Parquet
+    preserves types bit-exactly (incl. timestamps), so the oracle is the
+    original table under the same filter."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    o = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_pq", "orders_f")
+    o.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -1,0 +1,61 @@
+"""Query registry: the single source of truth wiring SURVEY.md §2 operator
+inventory to the driver contract in ``__spark_entry__.py``.
+
+Each registered query is a pair:
+- a builder ``fn(spark, sf_dir) -> DataFrame`` (the Spark-first
+  implementation), and
+- an optional ANSI-SQL oracle string DuckDB runs over the same parquet
+  (``None`` => the driver's weaker rows-only check, reserved for genuinely
+  non-SQL-expressible or randomized operators).
+
+Determinism rules enforced by convention here (SURVEY.md §5.2):
+- alias every computed column identically in both engines;
+- round floating aggregates on both sides;
+- make collected lists order-stable (sort_array / ORDER BY inside list());
+- break window/order ties with a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    family: str
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, family: str, doc: str = ""):
+    """Decorator: add a query builder + its oracle to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query key: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, family=family, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    import cellbase_spark.queries  # noqa: F401  (populates REGISTRY)
+
+    return {k: v.fn for k, v in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    import cellbase_spark.queries  # noqa: F401
+
+    return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}

@@ -1,0 +1,80 @@
+"""SparkSession builder tuned for this engine.
+
+Scale notes (100 TB design intent, local[32] test reality):
+- AQE on: runtime partition coalescing + skew-join splitting replaces any
+  hand-tuned static plan; at cluster scale AQE re-plans from shuffle stats.
+- shuffle.partitions: 32 locally (one per core); on a real cluster this is
+  set to ~2-3x total executor cores, and AQE coalesces small partitions.
+- UTC session timezone: parquet timestamps are naive; both the engine and
+  the DuckDB oracle must interpret them identically.
+- Arrow enabled: every Python<->JVM boundary (toPandas, pandas UDFs) is
+  Arrow-batched, never row-at-a-time pickling.
+- nanosAsLong: the events table carries TIMESTAMP(NANOS) parquet which
+  Spark does not natively read; io.load_table converts to a microsecond
+  TimestampType column (identical truncation to DuckDB's ns->us read).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "cellbase-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Works both when we own the session (tests, bench) and when the driver
+    hands us one (``__spark_entry__``): `getOrCreate` returns the active
+    session, and `configure_session` (below) applies the runtime-settable
+    subset of our config to it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    configure_session(spark)
+    return spark
+
+
+# Conf keys that are safe to set on an already-running session and that the
+# engine depends on for correctness (timezone) or for reading the testdata
+# (nanos timestamps). Applied defensively in case the driver built the session.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine config to an existing session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on foreign session
+            pass
+    return spark
