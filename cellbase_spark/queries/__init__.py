@@ -5,4 +5,7 @@ via cellbase_spark.registry.register.
 """
 
 from cellbase_spark.queries import aggregates  # noqa: F401
+from cellbase_spark.queries import filters  # noqa: F401
+from cellbase_spark.queries import joins  # noqa: F401
 from cellbase_spark.queries import scans  # noqa: F401
+from cellbase_spark.queries import setops  # noqa: F401

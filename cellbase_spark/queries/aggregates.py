@@ -93,3 +93,71 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@register(
+    "q_agg_count_distinct",
+    family="agg",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(DISTINCT c_custkey) AS n_keys,
+       COUNT(*) AS n_rows
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-shuffle expand+agg plan
+    (exact, unlike approx_count_distinct)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    family="agg",
+    # HLL estimates are engine-specific — no hash oracle (driver records
+    # the weaker rows-only check; tests assert the +-5% envelope vs exact).
+    oracle=None,
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): one pass, fixed memory per
+    group — the 100 TB substitute for exact COUNT(DISTINCT) whose expand
+    plan doubles shuffle volume."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_having",
+    family="agg",
+    oracle=f"""
+SELECT o_custkey,
+       {dsum_sql('o_totalprice', 'total_spent')},
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(CAST(o_totalprice AS DECIMAL(25,10))) > 1500000
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter (`.agg(...).where(...)`)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            dsum("o_totalprice", "total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,10)")).alias("_exact"),
+        )
+        .where(F.col("_exact") > 1500000)
+        .drop("_exact")
+    )

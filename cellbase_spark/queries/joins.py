@@ -1,0 +1,200 @@
+"""Join queries (SURVEY.md §2.3 J1-J6, J9; J7/J8 live in specialty.py).
+
+The reference has NO join operator — cross-table reference is a hand-rolled
+per-row id lookup in a loop (SURVEY.md §2.3). Here every join is declared
+via df.join and Catalyst/AQE picks the physical algorithm: broadcast-hash
+for dims under the threshold, sort-merge/shuffled-hash for fact-fact, with
+AQE skew-splitting at runtime — the property that makes the same code hold
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.functions.exact import dsum, dsum_sql
+from cellbase_spark.io import load_table
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    family="join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_totalprice > 100000
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join customer⋈orders; the o_totalprice filter is pushed
+    below the join so the shuffle only carries qualifying orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_left",
+    family="join",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (most customers have no huge order -> null side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    family="join",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 8000) c
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered subsets (nulls on both sides)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 8000)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_semi",
+    family="join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): probe side streams, no row duplication,
+    build side reduced to distinct keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    family="join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    family="join",
+    oracle="""
+SELECT n.n_name, r.r_name, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(25,10))), 2) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim joins with explicit broadcast(): nation (25 rows) and region
+    (5 rows) ship to every executor — zero shuffle of the customer fact,
+    the only correct plan when the fact side is 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    family="join",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two dims (5 x 25); Spark requires the
+    explicit crossJoin API — accidental cartesians don't type-check."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_star_join",
+    family="join",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (region->nation->customer->orders->lineitem),
+    revenue per nation. Dims broadcast; the single real shuffle is
+    lineitem⋈orders on orderkey; AQE reorders/coalesces at runtime."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
