@@ -1,0 +1,99 @@
+"""Specialty joins the reference-class engines special-case but Spark can
+express as compositions (SURVEY.md §2.3 J7/J8, §4.3).
+
+as-of join — the union+carry-forward formulation:
+    The naive formulation (range join + row_number) explodes: every left
+    row pairs with ALL earlier right rows before the filter, O(n*m) per
+    key worst-case — at 100 TB that is the job that never finishes.
+    Instead: union both sides on (key, ts), one shuffle, one sort, and a
+    last(ignorenulls) carry-forward window — O((n+m) log(n+m)) per key,
+    single Exchange, no blowup. This is the classic log-structured as-of
+    used by time-series engines, declared purely in DataFrame algebra so
+    Catalyst/Tungsten run it fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts within the same `on` key(s) (backward as-of,
+    inclusive). Unmatched left rows keep NULL right columns.
+
+    tie_break: a right-side column ordering equal timestamps (highest
+    wins) — required for determinism when (on, right_ts) is not unique.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [c for c in right.columns if c not in keys]
+
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload")
+    order_cols = [F.col("_ts").asc(), F.col("_side").asc()]
+    if tie_break:
+        # among right rows at the same ts, the highest tie_break must win:
+        # sort it ascending so it is the last one carried forward.
+        order_cols.append(F.col("_tie").asc_nulls_first())
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tie_break) if tie_break else F.lit(None)).alias("_tie"),
+        payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).alias("_tie"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        *keys,
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.col("_asof_match").getField(c).alias(c) for c in right_cols],
+    )
+    return out
+
+
+def band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str | Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Theta/range join: attach the band row where lo <= value < hi.
+
+    The bands side is broadcast (it is dimension-sized by construction),
+    so the non-equi condition runs as a BroadcastNestedLoopJoin — each
+    fact partition scans the in-memory band list; no shuffle of the fact.
+    At 100 TB with many bands, pre-bucketing the fact by floor(value/width)
+    and equi-joining on the bucket turns this into a hash join; for
+    dimension-sized band tables BNL-over-broadcast is already optimal.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    cond = (v >= bands[lo]) & (v < bands[hi])
+    return fact.join(F.broadcast(bands), cond, how)

@@ -1,0 +1,125 @@
+"""Vector similarity operators (ANN / KNN) over ArrayType(FloatType).
+
+All math runs as higher-order functions inside whole-stage codegen —
+`transform`/`zip_with`/`aggregate` on the JVM. No Python, no explode in
+the hot path; a row's 64-dim dot product is one codegen'd loop.
+
+Determinism: folds are sequential (left-to-right), so the IEEE result is
+bit-identical to DuckDB's list_reduce over the same order — scores need
+rounding ONLY where ranking cuts a top-k boundary (we round to 6dp before
+ranking so both engines rank identical values).
+
+Scale design:
+- brute-force cosine top-k: map + TakeOrderedAndProject; at 100 TB this
+  is one scan, no shuffle — the right baseline.
+- bucketed (IVF-style) ANN: assign each vector to its nearest coarse
+  centroid once (map), then restrict search to the query's bucket —
+  turning top-k into a partition-pruned scan. Centroids here are
+  deterministic formula vectors; a real system would k-means them.
+- KNN join per label: label = coarse partition; pairs form only within
+  a bucket (the LSH/IVF pattern), never across the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def qvec_expr(dim: int = DIM, a: int = 37, m: int = 101) -> str:
+    """Deterministic query vector: qv[i] = ((i*a) % m) / m, i = 1..dim.
+
+    Integer arithmetic + one division -> bit-identical in any engine;
+    used instead of a literal so oracles can re-derive it.
+    """
+    return f"transform(sequence(1, {dim}), i -> ((i * {a}) % {m}) / cast({m} as double))"
+
+
+def dot_expr(a_col: str, b_col: str) -> str:
+    return (
+        f"aggregate(zip_with({a_col}, {b_col},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a_col: str) -> str:
+    return f"sqrt({dot_expr(a_col, a_col)})"
+
+
+def cosine_expr(a_col: str, b_col: str) -> str:
+    return f"({dot_expr(a_col, b_col)} / ({norm_expr(a_col)} * {norm_expr(b_col)}))"
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against the deterministic query vector.
+    Score rounded to 6dp BEFORE ranking; id tiebreak."""
+    scored = embeddings.withColumn("qv", F.expr(qvec_expr())).select(
+        id_col,
+        F.round(F.expr(cosine_expr(vec_col, "qv")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """For every vector, its k nearest neighbours (squared euclidean)
+    within the same bucket. Bucketing bounds the pair space: the join
+    shuffles on bucket_col, never forming the global cross product."""
+    sq = (
+        f"aggregate(zip_with(a_vec, b_vec,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bkt"), F.col(vec_col).alias("_vec")
+    )
+    a = e.select(F.col("_id").alias("a_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("a_vec"))
+    b = e.select(F.col("_id").alias("b_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("b_vec"))
+    pairs = a.join(b, ["bkt"]).where(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", "bkt", F.round(F.expr(sq), 6).alias("dist2")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("dist2").asc(), F.col("b_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def centroid_expr(j_expr: str, dim: int = DIM) -> str:
+    """Deterministic pseudo-centroid c_j[i] = ((j*13 + i*7) % 29) / 29."""
+    return f"transform(sequence(1, {dim}), i -> (({j_expr} * 13 + i * 7) % 29) / cast(29 as double))"
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest deterministic centroid (IVF
+    coarse quantization). One map pass; emits `centroid_id`."""
+    d2 = (
+        f"aggregate(zip_with({vec_col}, {centroid_expr('j')},"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    # argmin over centroids: fold over (dist, j) pairs keeping the smaller
+    assign = F.expr(
+        f"""aggregate(
+  transform(sequence(0, {n_centroids - 1}), j -> struct(round({d2}, 6) as d, j as j)),
+  struct(cast(1e18 as double) as d, -1 as j),
+  (best, cur) -> if(cur.d < best.d or (cur.d = best.d and cur.j < best.j), cur, best)
+).j"""
+    )
+    return embeddings.withColumn("centroid_id", assign)

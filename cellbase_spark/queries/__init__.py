@@ -8,7 +8,11 @@ from cellbase_spark.queries import aggregates  # noqa: F401
 from cellbase_spark.queries import filters  # noqa: F401
 from cellbase_spark.queries import grouping  # noqa: F401
 from cellbase_spark.queries import joins  # noqa: F401
+from cellbase_spark.queries import llm_dedup  # noqa: F401
+from cellbase_spark.queries import llm_similarity  # noqa: F401
+from cellbase_spark.queries import llm_text  # noqa: F401
 from cellbase_spark.queries import scalars  # noqa: F401
 from cellbase_spark.queries import scans  # noqa: F401
 from cellbase_spark.queries import setops  # noqa: F401
+from cellbase_spark.queries import specialty  # noqa: F401
 from cellbase_spark.queries import windows  # noqa: F401

@@ -1,0 +1,175 @@
+"""Dedup queries over the documents table (SURVEY.md §2.8 L1-L3 + SimHash
+and char-n-gram variants mandated by the north star).
+
+Every key here INCLUDING MinHash and SimHash is fully oracle-checked:
+hashing is md5-derived, bit-identical in Spark and DuckDB (see
+operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash48,
+)
+from cellbase_spark.registry import register
+
+# DuckDB fragment: 16-seed minhash signature of list column `toks`
+_SIG_SQL = (
+    "list_transform(range(0, 16), i -> list_min(list_transform(toks,"
+    " t -> ('0x'||substr(md5(t||'#'||i), 1, 15))::BIGINT)))"
+)
+
+
+@register(
+    "q_dedup_exact",
+    family="llm-dedup",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groupBy, min-id winner.
+    One shuffle keyed on the hash; state per key is a single row."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "q_dedup_near",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), e AS (
+  SELECT id, source, len(toks) AS n, unnest(toks) AS tok FROM t
+)
+SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+       COUNT(*) AS n_shared,
+       COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
+FROM e a JOIN e b
+  ON a.tok = b.tok AND a.id < b.id AND a.source = b.source
+GROUP BY a.id, b.id, a.n, b.n
+HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.9
+""",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard near-dup pairs, blocked by source (metadata
+    blocking bounds the pair space; the global-scale path is MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    return jaccard_pairs(
+        t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.9
+    ).select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
+
+
+@register(
+    "q_dedup_minhash",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bd a JOIN bd b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+""",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (16 hashes, 2 bands x 8 rows), verified
+    with exact Jaccard. Candidate generation is an equi-join on band keys
+    — bucket-sized shuffle, never all-pairs. Fully oracle-checked because
+    the min-hashes are md5-derived (deterministic in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 48), k ->
+         CASE WHEN CAST(list_sum(list_transform(toks, t ->
+                ((('0x'||substr(md5(t), 1, 12))::BIGINT >> k) & 1) * 2 - 1)) AS BIGINT) > 0
+              THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash,
+       CAST(list_sum(list_transform(range(0, 48), k ->
+         CASE WHEN CAST(list_sum(list_transform(toks, t ->
+                ((('0x'||substr(md5(t), 1, 12))::BIGINT >> k) & 1) * 2 - 1)) AS BIGINT) > 0
+              THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) & 65535 AS band0
+FROM t
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document + low 16-bit band key (hamming-LSH
+    bucketing: near-identical docs collide on a band). Per-row fold, no
+    shuffle; oracle recomputes the identical md5-derived bit votes."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    return t.select(
+        "doc_id",
+        simhash48("toks").alias("simhash"),
+    ).withColumn("band0", F.col("simhash").bitwiseAND(F.lit(65535)))
+
+
+@register(
+    "q_ngram_jaccard",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS id, source,
+         list_distinct(list_transform(range(1, length(text) - 1),
+                                      i -> substring(text, i, 3))) AS toks
+  FROM documents
+), e AS (
+  SELECT id, source, len(toks) AS n, unnest(toks) AS tok FROM t
+)
+SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+       COUNT(*) AS n_shared,
+       COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
+FROM e a JOIN e b
+  ON a.tok = b.tok AND a.id < b.id AND a.source = b.source
+GROUP BY a.id, b.id, a.n, b.n
+HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.62
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-dup pairs (robust to token
+    reordering/typos vs token Jaccard), source-blocked."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+    )
+    t = d.select("doc_id", "source", grams.alias("toks"))
+    return jaccard_pairs(
+        t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.62
+    ).select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")

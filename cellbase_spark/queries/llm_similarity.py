@@ -1,0 +1,194 @@
+"""Similarity-search queries over the embeddings table (SURVEY.md §2.8
+L4/L5/L9 + IVF-bucketed ANN and embedding near-dup).
+
+Vector math is higher-order-function algebra (codegen'd JVM loops); the
+deterministic query vector / centroids are integer-formula-derived so the
+DuckDB oracle re-derives them exactly (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.similarity import (
+    cosine_expr,
+    cosine_topk,
+    ivf_assign,
+    knn_join,
+    norm_expr,
+    qvec_expr,
+)
+from cellbase_spark.registry import register
+
+# DuckDB fragments mirroring operators/similarity.py exactly
+_QV = "list_transform(range(1, 65), i -> ((i * 37) % 101) / CAST(101 AS DOUBLE))"
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sq_dist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_COS_Q = f"({_dot('embedding', 'qv')} / (sqrt({_dot('embedding', 'embedding')}) * sqrt({_dot('qv', 'qv')})))"
+
+
+@register(
+    "q_sim_topk",
+    family="llm-sim",
+    oracle=f"""
+WITH q AS (SELECT {_QV} AS qv)
+SELECT vec_id, round({_COS_Q}, 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against the deterministic query vector:
+    one scan + TakeOrderedAndProject (per-partition heaps), no shuffle —
+    the correct exact-search baseline at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, k=20)
+
+
+@register(
+    "q_knn_join",
+    family="llm-sim",
+    oracle=f"""
+SELECT a_id, b_id, bkt, dist2, rk FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS bkt,
+         round({_sq_dist('a.embedding', 'b.embedding')}, 6) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_sq_dist('a.embedding', 'b.embedding')}, 6) ASC,
+                                     b.vec_id ASC) AS rk
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+) WHERE rk <= 3
+""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN join within each label bucket (squared euclidean). Bucketing
+    is the scale pattern: pairs form only inside a label's partition, so
+    the shuffle is bucket-sized, not the global cross product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_join(e, k=3).select("a_id", "b_id", "bkt", "dist2", "rk")
+
+
+@register(
+    "q_embed_neardup",
+    family="llm-sim",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       round({_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_dot('a.embedding', 'a.embedding')})
+                * sqrt({_dot('b.embedding', 'b.embedding')})), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_dot('a.embedding', 'b.embedding')}
+            / (sqrt({_dot('a.embedding', 'a.embedding')})
+               * sqrt({_dot('b.embedding', 'b.embedding')})), 6) >= 0.25
+""",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.25) within label
+    buckets — semantic dedup for training corpora."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(F.expr(cosine_expr("ea", "eb")), 6)
+    return (
+        a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= 0.25)
+        .select("id_a", "id_b", "label", "cos_sim")
+    )
+
+
+@register(
+    "q_ann_ivf",
+    family="llm-sim",
+    oracle=f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+a AS (
+  SELECT vec_id, embedding, qv,
+         list_reduce(list_transform(range(0, 8), j -> {{'d': round(
+             list_reduce(list_transform(range(1, 65),
+               i -> (CAST(embedding[i] AS DOUBLE) - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))
+                  * (CAST(embedding[i] AS DOUBLE) - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))),
+               (x, y) -> x + y), 6), 'j': j}}),
+           (best, cur) -> CASE WHEN cur.d < best.d OR (cur.d = best.d AND cur.j < best.j)
+                               THEN cur ELSE best END).j AS centroid_id
+  FROM embeddings, cfg
+)
+SELECT centroid_id, vec_id, score, rk FROM (
+  SELECT centroid_id, vec_id,
+         round({_COS_Q}, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+                            ORDER BY round({_COS_Q}, 6) DESC, vec_id ASC) AS rk
+  FROM a
+) WHERE rk <= 5
+""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    deterministic centroid (one map pass), then rank top-5 per inverted
+    list by cosine to the query. At scale the table is written
+    partitioned by centroid_id, so a query probes only its bucket's
+    partitions (partition pruning) instead of the full 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e, n_centroids=8)
+    scored = assigned.withColumn("qv", F.expr(qvec_expr())).select(
+        "centroid_id",
+        "vec_id",
+        F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@register(
+    "q_multimodal_join",
+    family="llm-sim",
+    oracle=f"""
+SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+       len(e.embedding) AS dim,
+       round(sqrt({_dot('e.embedding', 'e.embedding')}), 6) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text metadata + embedding vector joined
+    by id into one wide row (the doc_id=vec_id contract), with a derived
+    vector feature. The join broadcasts whichever side is small; at scale
+    both sides bucket on the id."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(F.expr(norm_expr("embedding")), 6).alias("emb_norm"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.8 L6/L7 +
+language-ID, quality scoring, token counting, fingerprinting).
+
+All built-in expressions; integer counts and single IEEE divisions keep
+every output bit-identical to the DuckDB oracle without rounding fudge
+(ln() is the one libm call -> rounded to 6dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.text import (
+    LANG_MARKERS,
+    lang_id,
+    lang_scores,
+    quality_score,
+    regex_tokens,
+    rolling_fingerprint,
+    rolling_fingerprint_sql,
+    tokens,
+)
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_text_tokenfreq",
+    family="llm-text",
+    oracle="""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+""",
+)
+def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token frequency: explode -> two-phase hash count ->
+    TakeOrderedAndProject. The shuffle carries one row per distinct
+    token (map-side partial counts), not per occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_tfidf",
+    family="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6), 6) AS tfidf
+FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+WHERE tf.tf >= 2
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-doc term counts joined to document frequency (the df
+    side is token-cardinality-sized -> broadcast), idf = ln(N/df).
+    ln rounded at 6dp (libm ulps), then the product re-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one job, cached by Spark's local plan
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .where(F.col("tf") >= 2)
+        .select("doc_id", "tok", "tf", "df", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]" for lang, ms in LANG_MARKERS.items()
+}
+_SCORE_SQL = {
+    lang: f"len(list_intersect(list_distinct(string_split(text, ' ')), {arr}))"
+    for lang, arr in _MARKER_SQL.items()
+}
+# argmax with alphabetical tie-break: CASE over langs in sorted order,
+# each winning iff its score >= every following lang's score (matches the
+# Spark fold, which keeps the earlier lang on ties via strict >).
+_LANGS = sorted(LANG_MARKERS)
+_ARGMAX_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"{_SCORE_SQL[lang]} >= {_SCORE_SQL[other]}" for other in _LANGS[i + 1 :])
+    + f" THEN '{lang}'"
+    if i < len(_LANGS) - 1
+    else f"ELSE '{lang}' END"
+    for i, lang in enumerate(_LANGS)
+)
+
+
+@register(
+    "q_lang_id",
+    family="llm-text",
+    oracle=f"""
+SELECT doc_id, lang AS lang_meta,
+       {_SCORE_SQL['en']} AS en_score,
+       {_SCORE_SQL['de']} AS de_score,
+       {_ARGMAX_SQL} AS lang_pred
+FROM documents
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: per-language evidence scores ->
+    argmax with alphabetical tie-break. One map pass over the corpus;
+    the marker vocabulary is a broadcast literal."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", tokens("text"))
+    scores = lang_scores("toks")
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        scores["en"].alias("en_score"),
+        scores["de"].alias("de_score"),
+        lang_id("toks").alias("lang_pred"),
+    )
+
+
+@register(
+    "q_text_quality",
+    family="llm-text",
+    oracle="""
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_real,
+       0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+       + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      / length(text))
+       + 0.3 * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1))
+                           / len(string_split(text, ' '))) / 8.0) AS quality
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic: token count, digit ratio, average token length
+    folded into one [0,1] score (operators/text.py formula)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", tokens("text"))
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.length("text").alias("n_chars_real"),
+        quality_score("text", "toks").alias("quality"),
+    )
+
+
+@register(
+    "q_token_count",
+    family="llm-text",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_lex_tokens,
+       length(text) AS n_chars_real,
+       length(text) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish lexer
+    (letter runs | digit runs via regexp_extract_all)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(regex_tokens("text")).alias("n_lex_tokens"),
+        F.length("text").alias("n_chars_real"),
+        (F.length("text") / F.size(tokens("text"))).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    family="llm-text",
+    oracle=f"""
+SELECT doc_id,
+       {rolling_fingerprint_sql('text')} AS fp_rolling,
+       md5(text) AS fp_md5
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-sensitive polynomial rolling hash
+    (seed 7, base 31, mod 1e9+7) + md5. Byte-identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("fp_rolling"),
+        F.md5("text").alias("fp_md5"),
+    )

@@ -1,0 +1,96 @@
+"""Specialty join queries (SURVEY.md §2.3 J7 range, J8 as-of)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.joins import asof_join, band_join
+from cellbase_spark.registry import register
+
+_BANDS = [
+    ("debt", -100000.0, 0.0),
+    ("low", 0.0, 2500.0),
+    ("mid", 2500.0, 7000.0),
+    ("high", 7000.0, 100000.0),
+]
+_BAND_SCHEMA = StructType(
+    [
+        StructField("band", StringType()),
+        StructField("lo", DoubleType()),
+        StructField("hi", DoubleType()),
+    ]
+)
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@register(
+    "q_join_range",
+    family="join",
+    oracle=f"""
+SELECT c.c_custkey, c.c_acctbal, b.band
+FROM customer c
+JOIN (VALUES {_BANDS_SQL}) AS b(band, lo, hi)
+  ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: customer balances into literal bands via the
+    band_join operator (broadcast + BroadcastNestedLoopJoin)."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(_BANDS, _BAND_SCHEMA)
+    return band_join(c, bands, "c_acctbal").select("c_custkey", "c_acctbal", "band")
+
+
+@register(
+    "q_join_asof",
+    family="join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p_id, user_id, p_ts, p_value, c_id, c_ts, c_value
+FROM (
+  SELECT p.p_id, p.user_id, p.p_ts, p.p_value, c.c_id, c.c_ts, c.c_value,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+  FROM purchases p
+  LEFT JOIN clicks c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+) WHERE rn = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the latest prior-or-equal
+    click by the same user (asof_join operator: union + carry-forward
+    window — one shuffle, no range blowup; see operators/joins.py).
+    The oracle is the O(n*m) range-join+row_number algebra — identical
+    semantics, intentionally the formulation we do NOT run at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        right_cols=["c_id", "c_ts", "c_value"],
+        tie_break="c_id",
+    ).select("p_id", "user_id", "p_ts", "p_value", "c_id", "c_ts", "c_value")

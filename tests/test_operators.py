@@ -1,0 +1,117 @@
+"""Unit tests for the operator library (as-of join, dedup, similarity)
+on tiny hand-built frames with exact expected rows (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from cellbase_spark.operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs
+from cellbase_spark.operators.joins import asof_join, band_join
+from cellbase_spark.operators.similarity import cosine_topk, ivf_assign, knn_join
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "L1"), (1, ts("2024-01-01 09:00:00"), "L0"),
+         (2, ts("2024-01-01 10:00:00"), "L2")],
+        "k int, lts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), 10, "A"),   # equal ts -> included
+            (1, ts("2024-01-01 09:30:00"), 11, "B"),
+            (1, ts("2024-01-01 09:30:00"), 12, "C"),   # tie: higher rid wins
+            (1, ts("2024-01-01 11:00:00"), 13, "D"),   # future -> never matches
+        ],
+        "k int, rts timestamp, rid int, rval string",
+    )
+    out = {
+        r.lval: (r.rid, r.rval)
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", tie_break="rid"
+        ).collect()
+    }
+    assert out["L0"] == (10, "A")      # backward INCLUSIVE at equal ts
+    assert out["L1"] == (12, "C")      # latest ts, tie broken by max rid
+    assert out["L2"] == (None, None)   # no right rows for key 2
+
+
+def test_band_join_edges(spark):
+    fact = spark.createDataFrame([(1, 0.0), (2, 2499.99), (3, 2500.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 2500.0), ("mid", 2500.0, 7000.0)], "band string, lo double, hi double"
+    )
+    got = {r.id: r.band for r in band_join(fact, bands, "v").collect()}
+    assert got == {1: "low", 2: "low", 3: "mid"}  # [lo, hi) boundaries
+
+
+def test_exact_dedup_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello world "), (3, "other")], "doc_id long, text string"
+    )
+    d1 = exact_dedup(df, "text", "doc_id")
+    rows = {r.doc_id: r.n_copies for r in d1.collect()}
+    assert rows == {1: 2, 3: 1}  # normalized dup collapses to min id
+    d2 = exact_dedup(d1.select("doc_id", F.lit("x").alias("text")), "text", "doc_id")
+    assert d2.count() == 1  # dedup of deduped ids collapses fully
+
+
+def test_jaccard_pairs_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c", "e"]), (3, ["x", "y", "z", "w"])],
+        "doc_id long, toks array<string>",
+    )
+    rows = jaccard_pairs(df, "doc_id", "toks", threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.n_shared) == (1, 2, 3)
+    assert abs(r.jaccard - 3 / 5) < 1e-12
+
+
+def test_minhash_finds_exact_dupes_and_skips_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e"]), (2, ["a", "b", "c", "d", "e"]), (3, ["p", "q", "r", "s", "t"])],
+        "doc_id long, toks array<string>",
+    )
+    rows = minhash_lsh_pairs(df, "doc_id", "toks", threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard == 1.0
+
+
+def test_knn_join_k_and_symmetry(spark, sf_dir):
+    from cellbase_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(e, k=3)
+    per = out.groupBy("a_id").count().agg(F.min("count"), F.max("count")).first()
+    assert per[0] == 3 and per[1] == 3
+    # distances are non-negative and ranked ascending
+    bad = out.where(F.col("dist2") < 0).count()
+    assert bad == 0
+
+
+def test_cosine_topk_scores_bounded(spark, sf_dir):
+    from cellbase_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = cosine_topk(e, k=5).collect()
+    assert len(rows) == 5
+    assert all(-1.0 <= r.score <= 1.0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_assign_total_and_range(spark, sf_dir):
+    from cellbase_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = ivf_assign(e, n_centroids=8)
+    assert a.count() == e.count()
+    rng = a.agg(F.min("centroid_id"), F.max("centroid_id")).first()
+    assert 0 <= rng[0] and rng[1] <= 7
