@@ -15,4 +15,6 @@ from cellbase_spark.queries import scalars  # noqa: F401
 from cellbase_spark.queries import scans  # noqa: F401
 from cellbase_spark.queries import setops  # noqa: F401
 from cellbase_spark.queries import specialty  # noqa: F401
+from cellbase_spark.queries import streaming  # noqa: F401
+from cellbase_spark.queries import udfs  # noqa: F401
 from cellbase_spark.queries import windows  # noqa: F401

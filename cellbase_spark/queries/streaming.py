@@ -1,0 +1,120 @@
+"""Streaming-window queries (SURVEY.md §2.9 T1-T3, T5), batch-parity face.
+
+The reference has no streams (SURVEY.md §1.2: "Not present in cellbase:
+streams"); this family is the north-star extension, built on Spark's
+unified batch/stream API: each transformation lives in
+cellbase_spark.streaming.pipelines as a plain DataFrame->DataFrame
+function, applied here to the *static* events table (the DuckDB-oracle
+face) and in tests/test_streaming.py to a readStream file source with
+watermarks (the true streaming face). The logical plan is identical; only
+the sink/trigger differ — that's the point of Structured Streaming.
+
+Oracle notes:
+- events.ts is TIMESTAMP_NS parquet; both engines compare at us: Spark
+  truncates on load (io.load_table), the oracle CASTs to TIMESTAMP.
+- Sliding windows: an event at t belongs to exactly width/slide = 4
+  windows whose starts are floor(t/slide)*slide - i*slide, i in 0..3 —
+  the oracle generates them with an unnest cross join.
+- Session windows: Spark's session_window(ts, gap) closes a session when
+  the next event arrives >= gap after the previous one (end = last+gap);
+  the oracle is the classic gaps-and-islands rewrite (lag -> new-session
+  flag -> running sum as session id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cellbase_spark.functions.exact import dsum_sql
+from cellbase_spark.io import load_table
+from cellbase_spark.registry import register
+from cellbase_spark.streaming import pipelines
+
+
+@register(
+    "q_stream_tumbling",
+    family="stream",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'total', 4)}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour window x event_type counts + exact sums.
+
+    Streaming shape: state is one row per (window, type), evicted by the
+    watermark — bounded memory on an unbounded stream; batch shape: plain
+    partial+final hash-agg on (hour(ts), type).
+    """
+    return pipelines.tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_sliding",
+    family="stream",
+    oracle="""
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) - s.i) * 900)
+         AS wstart,
+       event_type,
+       COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+GROUP BY 1, 2
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 1-hour windows sliding every 15 min — each event contributes to
+    width/slide = 4 windows (Spark expands via an internal explode; state
+    and shuffle scale 4x a tumbling window, bounded by the watermark)."""
+    return pipelines.sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    family="stream",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value', 'total', 4)}
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: per-user session windows (30-min inactivity gap) via the native
+    session_window operator — state per open session, closed by watermark.
+    The oracle proves the semantics equal the gaps-and-islands SQL."""
+    return pipelines.session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_dedup",
+    family="stream",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: stateful key dedup. Streaming: dropDuplicates keeps
+    first-arrival per key with state bounded by the watermark; batch face
+    (this query) is DISTINCT on the key projection — same output set."""
+    return pipelines.stream_dedup_keys(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )

@@ -1,0 +1,84 @@
+"""Batch/stream-unified event pipelines.
+
+Scale notes:
+- Tumbling/sliding aggs shuffle on (window, keys) with partial aggregation
+  before the exchange; state per window x key is one row, evicted by the
+  watermark — bounded memory on an unbounded stream.
+- session_window state is per (user, open session); the 30-min gap +
+  watermark bound how long a session stays open.
+- Decimal accumulation keeps streamed sums bit-identical to the batch
+  oracle regardless of micro-batch boundaries (float sums would differ by
+  arrival order — the same partition-order issue, worse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark import schemas
+from cellbase_spark.functions.exact import DEC
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source streaming read of events parquet (ns timestamps arrive
+    as long under nanosAsLong; normalized exactly like io.load_table)."""
+    ns_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    reader = spark.readStream.schema(ns_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-hour x event_type counts and exact value sums."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total")
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (30-min inactivity gap): start = first
+    event, end = last event + gap, plus count and exact sum."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def stream_dedup_keys(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-projected dedup: distinct on the key columns only — the
+    batch-deterministic face of streaming dropDuplicates (which keeps
+    first-arrival state per key within the watermark)."""
+    return events.select(*keys).distinct()
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return events.withWatermark("ts", delay)

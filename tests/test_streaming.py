@@ -1,0 +1,191 @@
+"""Structured Streaming semantics (SURVEY.md §2.9 T1/T3/T4/T5).
+
+Batch-parity of the window transformations is already oracle-checked via
+q_stream_* (the unified API makes that a code-path no-op); these tests
+exercise the genuinely streaming behaviors: micro-batch incremental
+processing of a file source, watermark-driven late-data drop, and
+stateful dropDuplicates — none of which a batch oracle can see.
+
+Harness: parquet files dropped one at a time into a watched directory with
+``processAllAvailable()`` between drops — a deterministic micro-batch
+sequencer (each drop = one batch).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cellbase_spark.streaming import pipelines
+
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events_pdf(rows: list[tuple]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=EVENTS_COLS)
+    # ns parquet like the driver testdata (read via nanosAsLong -> long)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    return pdf
+
+
+def _write_batch(spark, pdf: pd.DataFrame, directory: str, n: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, f"{directory}/batch{n}.parquet")
+
+
+def _start(df, name: str):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=False, processingTime="0 seconds")
+        .start()
+    )
+
+
+@pytest.fixture
+def stream_dir(tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    return str(d)
+
+
+def test_watermark_drops_late_event(spark, stream_dir):
+    """T4: an event older than (max ts seen - delay) arriving after its
+    window was finalized must NOT change the emitted aggregate."""
+    agg = pipelines.tumbling_agg(
+        pipelines.with_watermark(
+            pipelines.read_events_stream(spark, stream_dir), "10 minutes"
+        )
+    )
+    q = agg.writeStream.format("memory").queryName("wm_sink").outputMode("append").start()
+    try:
+        # batch 1: two events in the 10:00 window, then one at 12:00 that
+        # advances the watermark to 11:50 — finalizing (and emitting) 10:00.
+        _write_batch(
+            spark,
+            _events_pdf(
+                [
+                    (1, "2024-01-01 10:00:30", 1, "click", 1.0, "{}"),
+                    (2, "2024-01-01 10:20:00", 1, "click", 2.0, "{}"),
+                    (3, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),
+                ]
+            ),
+            stream_dir,
+            1,
+        )
+        q.processAllAvailable()
+        # batch 2: a late click at 10:40 — behind the 11:50 watermark, dropped.
+        _write_batch(
+            spark,
+            _events_pdf([(4, "2024-01-01 10:40:00", 1, "click", 99.0, "{}")]),
+            stream_dir,
+            2,
+        )
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT n, total FROM wm_sink WHERE event_type = 'click'"
+        ).collect()
+        assert len(out) == 1  # one finalized 10:00 window row
+        assert out[0]["n"] == 2 and out[0]["total"] == 3.0  # late event absent
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_keeps_first_arrival(spark, stream_dir):
+    """T5: dropDuplicates on event_id holds per-key state across batches."""
+    stream = pipelines.with_watermark(
+        pipelines.read_events_stream(spark, stream_dir), "10 minutes"
+    ).dropDuplicates(["event_id"])
+    q = stream.writeStream.format("memory").queryName("dd_sink").outputMode("append").start()
+    try:
+        _write_batch(
+            spark,
+            _events_pdf(
+                [
+                    (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                    (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),  # same batch dup
+                ]
+            ),
+            stream_dir,
+            1,
+        )
+        q.processAllAvailable()
+        _write_batch(
+            spark,
+            _events_pdf(
+                [
+                    (1, "2024-01-01 10:01:00", 1, "click", 7.0, "{}"),  # cross-batch dup
+                    (2, "2024-01-01 10:02:00", 2, "view", 2.0, "{}"),
+                ]
+            ),
+            stream_dir,
+            2,
+        )
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dd_sink").collect())
+        assert ids == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_incremental_equals_batch(spark, stream_dir, sf_dir):
+    """T1 micro-batch parity: the same tumbling agg over the real events
+    table, fed file-by-file (maxFilesPerTrigger=1), converges to the batch
+    answer — aggregation must be arrival-order independent (exact decimal
+    sums; float sums would fail this exact check)."""
+    import glob
+    import shutil
+
+    from cellbase_spark.io import load_table
+
+    src = glob.glob(f"{sf_dir}/events.parquet")
+    assert src
+    shutil.copy(src[0], f"{stream_dir}/events.parquet")
+
+    agg = pipelines.tumbling_agg(pipelines.read_events_stream(spark, stream_dir, 1))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("parity_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["wstart"], r["event_type"]): (r["n"], r["total"])
+            for r in spark.sql("SELECT * FROM parity_sink").collect()
+        }
+        want = {
+            (r["wstart"], r["event_type"]): (r["n"], r["total"])
+            for r in pipelines.tumbling_agg(load_table(spark, sf_dir, "events")).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_session_window_gap_semantics(spark, stream_dir):
+    """T3: events < gap apart merge; >= gap starts a new session."""
+    from cellbase_spark.io import load_table  # noqa: F401  (import parity)
+
+    pdf = _events_pdf(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:29:59", 7, "click", 1.0, "{}"),  # merges (gap < 30m)
+            (3, "2024-01-01 11:10:00", 7, "click", 1.0, "{}"),  # new session
+        ]
+    )
+    _write_batch(spark, pdf, stream_dir, 1)
+    static = spark.read.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).parquet(stream_dir)
+    from pyspark.sql import functions as F
+
+    static = static.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    rows = pipelines.session_agg(static).orderBy("session_start").collect()
+    assert [r["n_events"] for r in rows] == [2, 1]
+    assert rows[0]["session_end"] == rows[0]["session_start"].replace(hour=10, minute=59, second=59)
