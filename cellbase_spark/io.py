@@ -42,6 +42,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Raise partition count to the cluster's parallelism when the input
+    scan is narrower (e.g. a small single-file table feeding a pair-join:
+    without this, the join's compute-heavy map side runs on one core).
+
+    No-op when the input is already wide — a 100 TB table never takes the
+    repartition branch. With `keys`, hash-partitions on them so a
+    downstream window/groupBy on the same keys reuses the exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql entry points."""
     for name in schemas.TABLE_NAMES:

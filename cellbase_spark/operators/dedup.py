@@ -50,6 +50,24 @@ def lsh_band_keys(sig_col: str, bands: int = 4, rows: int = 4) -> Column:
     return F.expr(f"transform(sequence(0, {bands - 1}), j -> md5(concat_ws(',', {parts})))")
 
 
+def lsh_band_keys_fused(tokens_col: str, n_hashes: int, bands: int) -> Column:
+    """Band keys computed directly from the token array in ONE expression.
+
+    Equivalent to lsh_band_keys(minhash_sig(...)) but immune to Catalyst's
+    CollapseProject inlining the whole signature expression into every
+    element_at reference (which turns 16 min-hash folds per row into 256):
+    each seed's min-hash belongs to exactly one band, so computing hashes
+    inside the band lambda evaluates each exactly once.
+    """
+    rows = n_hashes // bands
+    h = token_hash_expr("t", f"({rows} * j + r)")
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), j ->"
+        f" md5(concat_ws(',', transform(sequence(0, {rows - 1}),"
+        f" r -> cast(array_min(transform({tokens_col}, t -> {h})) as string)))))"
+    )
+
+
 def simhash48(tokens_col: str) -> Column:
     """48-bit SimHash of a token array: per-bit +-1 vote fold, sign, pack.
 
@@ -91,35 +109,95 @@ def jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs.
+    """Exact token-set Jaccard pairs >= threshold, via prefix filtering.
 
-    Pairs are generated within `block_col` groups (metadata blocking) or
-    globally when None — global all-pairs is only for small inputs; at
-    scale use minhash_lsh_pairs for candidate generation instead.
-    Output: (id_a, id_b, n_shared, n_a, n_b, jaccard), id_a < id_b.
+    Candidate generation is the PPJoin-family prefix filter (lossless for
+    Jaccard >= tau): under any global token order, J(A,B) >= tau implies
+    |A∩B| >= ceil(tau*|A|), and two sets with overlap >= alpha must share
+    a token inside their (|X| - alpha + 1)-prefixes. Ordering tokens by
+    ascending document frequency (rare first) makes those prefixes the
+    least-selective-possible join keys, so the token self-join fans out on
+    ~(1-tau)*|X| rare tokens per doc instead of every token — the
+    difference between quadratic-on-hot-tokens and near-linear at 100 TB.
+    Candidates then get an exact array_intersect verify (ids-only shuffle;
+    token arrays rejoin after distinct).
+
+    Output: (id_a, id_b, n_a, n_b, n_shared, jaccard), id_a < id_b.
     """
-    t = tokenized.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.col(tokens_col)).alias("_toks"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
+    from cellbase_spark.io import fan_out
+
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
+    t = fan_out(
+        tokenized.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(tokens_col)).alias("_toks"),
+            *blk,
+        )
     ).withColumn("_n", F.size("_toks"))
-    e = t.select("_id", "_n", *(["_blk"] if block_col else []), F.explode("_toks").alias("_tok"))
-    a, b = e.alias("a"), e.alias("b")
-    cond = (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id"))
+    # global document frequency -> the canonical token order (df asc, tok asc),
+    # shipped to every task as ONE broadcast map row so each doc sorts its
+    # tokens in a single per-row pass (no explode/join/collect round-trip).
+    # Scale note: this assumes the DISTINCT-token vocabulary fits in a
+    # broadcast (true for char-n-grams and natural-language tokens); for an
+    # unbounded key domain, rank via explode + shuffle join instead.
+    e = t.select(F.explode("_toks").alias("_tok"))
+    vmap = e.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df")).agg(
+        F.map_from_entries(F.collect_list(F.struct("_tok", "_df"))).alias("_vmap")
+    )
+    docs = (
+        t.crossJoin(F.broadcast(vmap))
+        .select(
+            "_id",
+            "_n",
+            *(["_blk"] if block_col else []),
+            F.expr(
+                "transform(array_sort(transform(_toks,"
+                " t -> struct(_vmap[t] as df, t as tok))), s -> s.tok)"
+            ).alias("_sorted_toks"),
+            # +1 safety margin over |X| - ceil(tau*|X|) + 1 absorbs any float
+            # ulp in tau*|X| (a too-long prefix is harmless, too-short loses pairs)
+            (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + F.lit(2)).alias(
+                "_p"
+            ),
+        )
+    )
+    pref = docs.select(
+        "_id",
+        "_n",
+        *(["_blk"] if block_col else []),
+        F.explode(F.slice("_sorted_toks", F.lit(1), F.col("_p"))).alias("_tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # prefix filter + length filter: J >= tau forces tau*|A| <= |B| <= |A|/tau
+    cond = (
+        (F.col("a._tok") == F.col("b._tok"))
+        & (F.col("a._id") < F.col("b._id"))
+        & (F.col("b._n") >= F.lit(threshold) * F.col("a._n"))
+        & (F.col("a._n") >= F.lit(threshold) * F.col("b._n"))
+    )
     if block_col:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
-    shared = (
+    cand = (
         a.join(b, cond)
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._n").alias("n_a"),
-            F.col("b._n").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return shared.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold)
+    ta = docs.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), F.col("_sorted_toks").alias("_ta")
+    )
+    tb = docs.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), F.col("_sorted_toks").alias("_tb")
+    )
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
 
 
 def minhash_lsh_pairs(
@@ -136,17 +214,20 @@ def minhash_lsh_pairs(
     2. band keys -> posexplode -> equi-join on (band_idx, key): candidates
     3. exact Jaccard verify on the (small) candidate set
     """
-    rows = n_hashes // bands
-    t = tokenized.select(
-        F.col(id_col).alias("_id"), F.array_distinct(F.col(tokens_col)).alias("_toks")
+    from cellbase_spark.io import fan_out
+
+    t = fan_out(
+        tokenized.select(
+            F.col(id_col).alias("_id"), F.array_distinct(F.col(tokens_col)).alias("_toks")
+        )
     )
-    sig = t.withColumn("_sig", minhash_sig("_toks", n_hashes)).withColumn(
-        "_bands", lsh_band_keys("_sig", bands, rows)
-    )
-    banded = sig.select(
-        "_id", "_toks", F.posexplode("_bands").alias("_bidx", "_bkey")
+    banded = t.select(
+        "_id",
+        F.posexplode(lsh_band_keys_fused("_toks", n_hashes, bands)).alias("_bidx", "_bkey"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # candidate ids only through the join + distinct: the dedup shuffle
+    # carries two longs per row, not two token arrays
     cand = (
         a.join(
             b,
@@ -154,18 +235,17 @@ def minhash_lsh_pairs(
             & (F.col("a._bkey") == F.col("b._bkey"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._toks").alias("_ta"),
-            F.col("b._toks").alias("_tb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
+    ta = t.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = t.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -84,11 +84,25 @@ def knn_join(
         " * (cast(x as double) - cast(y as double))),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
+    from cellbase_spark.io import fan_out
+
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bkt"), F.col(vec_col).alias("_vec")
     )
-    a = e.select(F.col("_id").alias("a_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("a_vec"))
-    b = e.select(F.col("_id").alias("b_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("b_vec"))
+    # Probe side: hash-partition on the id BEFORE the pair fan-out — the
+    # per-pair distance map then runs at full parallelism (a single-file
+    # scan would otherwise score every pair on one core), and the ranking
+    # window's partitionBy(a_id) reuses this exchange instead of adding one
+    # after the data has multiplied by the bucket size.
+    a = fan_out(e, ["_id"]).select(
+        F.col("_id").alias("a_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("a_vec")
+    )
+    # Build side: broadcast — pairs form map-side within each probe
+    # partition. (At 100 TB, swap for a bucket-co-partitioned sort-merge
+    # join on bkt; the scoring/ranking shape is unchanged.)
+    b = F.broadcast(
+        e.select(F.col("_id").alias("b_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("b_vec"))
+    )
     pairs = a.join(b, ["bkt"]).where(F.col("a_id") != F.col("b_id"))
     scored = pairs.select(
         "a_id", "b_id", "bkt", F.round(F.expr(sq), 6).alias("dist2")

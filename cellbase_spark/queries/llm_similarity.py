@@ -104,14 +104,30 @@ WHERE round({_dot('a.embedding', 'b.embedding')}
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.25) within label
     buckets — semantic dedup for training corpora."""
+    from cellbase_spark.io import fan_out
+    from cellbase_spark.operators.similarity import dot_expr
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    # Precompute each row's norm once (identical fold expression => the
+    # bit-identical value the per-pair form would produce) instead of
+    # re-deriving both norms inside every pair: 2 folds per row + 1 per
+    # pair, versus 3 per pair. Probe side fanned out for map parallelism,
+    # build side broadcast.
+    a = fan_out(e, ["vec_id"]).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.expr(norm_expr("embedding")).alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    b = F.broadcast(
+        e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("label"),
+            F.col("embedding").alias("eb"),
+            F.expr(norm_expr("embedding")).alias("nb"),
+        )
     )
-    cos = F.round(F.expr(cosine_expr("ea", "eb")), 6)
+    cos = F.round(F.expr(dot_expr("ea", "eb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, ["label"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -1,0 +1,45 @@
+"""Time the DuckDB oracle queries — the de-facto performance baseline.
+
+BASELINE.md's contract: Spark wall-clock must land within 2x of DuckDB on
+the identical query + data. This script produces the DuckDB side at any
+scale factor; bench.py produces the Spark side.
+
+    python scripts/bench_oracle.py [sf_dir]          # default sf0.1
+Prints one JSON line {"queries": {key: sec}, "sf_dir": ...} (best of 2).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+
+from cellbase_spark import registry, schemas  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    con = duckdb.connect()
+    for t in schemas.TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    out: dict[str, float] = {}
+    for key, sql in sorted(registry.oracle_sql().items()):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            best = min(best, time.time() - t0)
+        out[key] = round(best, 4)
+        print(f"{key}: {best:.3f}s", file=sys.stderr)
+    print(json.dumps({"queries": out, "sf_dir": SF_DIR}))
+
+
+if __name__ == "__main__":
+    main()
