@@ -9,6 +9,7 @@ from cellbase_spark.queries import filters  # noqa: F401
 from cellbase_spark.queries import grouping  # noqa: F401
 from cellbase_spark.queries import joins  # noqa: F401
 from cellbase_spark.queries import llm_dedup  # noqa: F401
+from cellbase_spark.queries import llm_multimodal  # noqa: F401
 from cellbase_spark.queries import llm_similarity  # noqa: F401
 from cellbase_spark.queries import llm_text  # noqa: F401
 from cellbase_spark.queries import scalars  # noqa: F401

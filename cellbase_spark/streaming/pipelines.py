@@ -82,3 +82,35 @@ def stream_dedup_keys(events: DataFrame, keys: list[str]) -> DataFrame:
 
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", delay)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count and value total, emitted once per micro-batch.
+
+    This is the escape hatch for stateful logic windowed aggs can't
+    express (custom accumulators, session machines, counters with
+    app-specific reset rules). State is one (count, total) pair per user —
+    bounded by key cardinality, partitioned across executors by the
+    groupBy key like any shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "total": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,89 @@
+"""Physical-plan assertions (the 100 TB scale contract, pinned in CI).
+
+Correctness says what a query returns; these tests say how Spark may
+execute it. Each assertion encodes a property that is invisible at sf0.001
+but decides feasibility at 100 TB: filters reaching the parquet scan,
+column pruning, dimension broadcasts instead of shuffles, top-k as
+TakeOrderedAndProject instead of a global sort, and the absence of
+nested-loop joins in the pair-forming operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cellbase_spark.registry import queries
+
+QS = queries()
+
+
+def plan_of(spark, key: str, sf_dir: str) -> str:
+    df = QS[key](spark, sf_dir)
+    jqe = df._jdf.queryExecution()
+    return jqe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "q_point_lookup", sf_dir)
+    assert "PushedFilters" in plan
+    # the key equality must reach the parquet reader, not sit in a Filter above it
+    assert "EqualTo(c_custkey" in plan
+
+
+def test_agg_prunes_scan_columns(spark, sf_dir):
+    # Q1 uses 7 of lineitem's 11 columns; the unused join keys must not be read
+    plan = plan_of(spark, "q_agg_groupby", sf_dir)
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_quantity" in read and "l_returnflag" in read
+    for pruned in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert pruned not in read
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, "q_join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, "q_star_join", sf_dir)
+    # region/nation/customer dims all under the broadcast threshold here;
+    # no BNL anywhere in the 5-table chain
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_groupby_agg_is_two_phase(spark, sf_dir):
+    plan = plan_of(spark, "q_agg_groupby", sf_dir)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    plan = plan_of(spark, "q_topk_global", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "q_knn_join", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_has_no_range_blowup(spark, sf_dir):
+    plan = plan_of(spark, "q_join_asof", sf_dir)
+    # union + carry-forward window: no join node at all in the physical plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("key", ["q_dedup_minhash", "q_ngram_jaccard"])
+def test_pair_ops_never_cartesian(spark, sf_dir, key):
+    plan = plan_of(spark, key, sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_compound_pushes_predicates(spark, sf_dir):
+    plan = plan_of(spark, "q_filter_compound", sf_dir)
+    assert "PushedFilters: []" not in plan.split("Scan parquet")[1].split("ReadSchema")[0]

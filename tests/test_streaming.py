@@ -168,6 +168,42 @@ def test_incremental_equals_batch(spark, stream_dir, sf_dir):
         q.stop()
 
 
+def test_stateful_running_totals(spark, stream_dir):
+    """Custom stateful operator: per-user state accumulates across
+    micro-batches (applyInPandasWithState, update mode)."""
+    stream = pipelines.running_user_totals(pipelines.read_events_stream(spark, stream_dir))
+    q = stream.writeStream.format("memory").queryName("state_sink").outputMode("update").start()
+    try:
+        _write_batch(
+            spark,
+            _events_pdf(
+                [
+                    (1, "2024-01-01 10:00:00", 1, "click", 1.5, "{}"),
+                    (2, "2024-01-01 10:01:00", 1, "click", 2.0, "{}"),
+                    (3, "2024-01-01 10:02:00", 2, "view", 5.0, "{}"),
+                ]
+            ),
+            stream_dir,
+            1,
+        )
+        q.processAllAvailable()
+        _write_batch(
+            spark,
+            _events_pdf([(4, "2024-01-01 10:03:00", 1, "click", 3.0, "{}")]),
+            stream_dir,
+            2,
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM state_sink WHERE user_id = 1 ORDER BY n_events DESC"
+        ).collect()
+        # batch 1 emitted (2, 3.5); batch 2 emitted the carried state (3, 6.5)
+        assert (rows[0]["n_events"], rows[0]["total"]) == (3, 6.5)
+        assert (rows[1]["n_events"], rows[1]["total"]) == (2, 3.5)
+    finally:
+        q.stop()
+
+
 def test_session_window_gap_semantics(spark, stream_dir):
     """T3: events < gap apart merge; >= gap starts a new session."""
     from cellbase_spark.io import load_table  # noqa: F401  (import parity)
