@@ -1,0 +1,92 @@
+"""User-facing facade with the reference's ergonomics on Spark's engine.
+
+The reference (imjp94/cellbase, SURVEY.md §1) exposes: a workbook of named
+tables, each backed by one spreadsheet file; rows materialized as typed
+objects; point lookup by the key column; callers iterate and filter in
+their own code. This facade keeps that mental model — `CellBase` is the
+workbook, `CellTable` a sheet, `get()` the id lookup — while every call
+compiles to a DataFrame plan that Catalyst optimizes and that scales to a
+cluster unchanged:
+
+- `get(id)` is a pushed-down parquet point lookup (row-group + page-index
+  skipping), not an in-memory dictionary — same API, 100 TB-safe.
+- `where(...)` / `select(...)` stay lazy; `rows()` is the only action.
+- the whole table never materializes on the driver unless the caller
+  explicitly asks for `rows()` on an unfiltered table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+
+from cellbase_spark import schemas
+from cellbase_spark.io import load_table, read_csv_table
+
+# reference convention: the first column is the row key (SURVEY.md §1.2);
+# for the driver testdata tables the key column is explicit:
+KEY_COLUMNS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "supplier": "s_suppkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+class CellTable:
+    """One table (the reference's 'sheet'), lazily backed by a DataFrame."""
+
+    def __init__(self, df: DataFrame, name: str, key_col: str | None = None):
+        self.df = df
+        self.name = name
+        self.key_col = key_col or KEY_COLUMNS.get(name) or df.columns[0]
+
+    def get(self, key) -> Row | None:
+        """Point lookup by the key column (pushed-down scan filter)."""
+        hits = self.df.where(self.df[self.key_col] == key).limit(2).collect()
+        if len(hits) > 1:
+            raise ValueError(f"key {key!r} is not unique in {self.name}")
+        return hits[0] if hits else None
+
+    def where(self, condition: Column | str) -> "CellTable":
+        return CellTable(self.df.where(condition), self.name, self.key_col)
+
+    def select(self, *cols) -> "CellTable":
+        return CellTable(self.df.select(*cols), self.name, self.key_col)
+
+    def rows(self) -> list[Row]:
+        """Materialize (the reference's load-all; here an explicit action)."""
+        return self.df.collect()
+
+    def __iter__(self) -> Iterator[Row]:
+        return iter(self.df.toLocalIterator())
+
+    def count(self) -> int:
+        return self.df.count()
+
+
+class CellBase:
+    """The workbook: named tables over a directory of parquet files."""
+
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.spark = spark
+        self.data_dir = data_dir
+
+    def table(self, name: str) -> CellTable:
+        if name not in schemas.TABLE_NAMES:
+            raise KeyError(f"unknown table {name!r}; have {sorted(schemas.TABLE_NAMES)}")
+        return CellTable(load_table(self.spark, self.data_dir, name), name)
+
+    def table_names(self) -> list[str]:
+        return sorted(schemas.TABLE_NAMES)
+
+    def import_csv(self, name: str, path: str, schema) -> CellTable:
+        """The reference's core ingestion path: spreadsheet CSV with a
+        header row, cells coerced to the declared schema at scan time."""
+        return CellTable(read_csv_table(self.spark, path, schema), name)
