@@ -1,0 +1,137 @@
+"""Property-based algebraic laws (SURVEY.md §5.2 layer 2).
+
+Hypothesis generates small adversarial inputs (nulls, duplicates, empty
+strings, negative values); each law is one the engine's rewrites and
+operators must preserve at any scale. Spark session startup dominates, so
+examples are kept small and deadline is disabled.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cellbase_spark.operators.dedup import exact_dedup, jaccard_pairs
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # key
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # val
+        st.sampled_from(["a", "b", "c", ""]),  # tag
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _sorted_rows(df):
+    """None-safe canonical row list for set comparison."""
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, tag string")
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_filter_project_commute(spark, rows):
+    """where(p).select(c) == select(c).where(p) when p only uses kept cols."""
+    df = _df(spark, rows)
+    a = df.where(F.col("k") > 10).select("k", "tag")
+    b = df.select("k", "tag").where(F.col("k") > 10)
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_running_sum_last_row_equals_group_sum(spark, rows):
+    """Window running sum at each group's last row == groupBy sum."""
+    from pyspark.sql import Window
+
+    df = _df(spark, rows).withColumn("rid", F.monotonically_increasing_id())
+    w = Window.partitionBy("tag").orderBy("rid").rowsBetween(Window.unboundedPreceding, 0)
+    last = (
+        df.withColumn("run", F.sum("v").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("tag").orderBy(F.col("rid").desc())),
+        )
+        .where(F.col("rn") == 1)
+        .select("tag", "run")
+    )
+    grouped = df.groupBy("tag").agg(F.sum("v").alias("run"))
+    assert _sorted_rows(last) == _sorted_rows(grouped)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_exact_dedup_idempotent(spark, rows):
+    """Deduplicating an already-deduplicated table is a no-op."""
+    df = _df(spark, rows).select(F.col("k").alias("doc_id"), F.col("tag").alias("text"))
+    once = exact_dedup(df, "text", "doc_id").select("content_hash", "doc_id")
+    again = exact_dedup(
+        once.withColumnRenamed("content_hash", "text"), "text", "doc_id"
+    )
+    assert once.count() == again.count()
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_union_distinct_absorbs_self(spark, rows):
+    """(A union A).distinct() == A.distinct()"""
+    df = _df(spark, rows)
+    a = df.unionByName(df).distinct()
+    b = df.distinct()
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_except_intersect_partition(spark, rows):
+    """|A| == |A exceptAll B| + |A intersectAll B| for any B (here B = evens)."""
+    df = _df(spark, rows)
+    b = df.where(F.col("k") % 2 == 0)
+    assert df.count() == df.exceptAll(b).count() + df.intersectAll(b).count()
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        ),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    tau=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@SETTINGS
+def test_prefix_filter_is_lossless(spark, docs, tau):
+    """jaccard_pairs (prefix-filtered) == brute-force pair enumeration."""
+    pdf = [(i, toks) for i, toks in docs]
+    df = spark.createDataFrame(pdf, "doc_id long, toks array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(df, "doc_id", "toks", threshold=tau).collect()
+    }
+    sets = {i: set(t) for i, t in pdf}
+    want = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if len(a | b) and len(a & b) / len(a | b) >= tau:
+                want.add((ids[x], ids[y]))
+    assert got == want
