@@ -68,6 +68,28 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_excel",
+    family="scan",
+    oracle="SELECT * FROM nation",
+)
+def q_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel round-trip — the reference's native format (SURVEY.md §2.1 S4,
+    previously out-of-scope; now in via the stdlib-only xlsx source in
+    sources/excel.py): export nation to an .xlsx workbook, re-ingest it
+    distributed (binaryFile + mapInPandas XML parse), cells coerced to the
+    declared schema. Oracle compares against the original table."""
+    from cellbase_spark.sources.excel import read_excel_table, write_xlsx
+
+    n = load_table(spark, sf_dir, "nation")
+    out_dir = os.path.join(tempfile.gettempdir(), "cellbase_spark_xlsx")
+    os.makedirs(out_dir, exist_ok=True)
+    rows = [[r["n_nationkey"], r["n_name"], r["n_regionkey"]] for r in n.collect()]
+    write_xlsx(rows, os.path.join(out_dir, "nation.xlsx"),
+               header=["n_nationkey", "n_name", "n_regionkey"])
+    return read_excel_table(spark, out_dir, schemas.NATION)
+
+
+@register(
     "q_roundtrip_write",
     family="scan",
     oracle="""

@@ -1,0 +1,55 @@
+"""Stdlib .xlsx source (sources/excel.py): writer/parser round-trips and
+the distributed binaryFile + mapInPandas scan path."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cellbase_spark.sources.excel import parse_xlsx_bytes, read_excel_table, write_xlsx
+
+
+def test_parse_roundtrip_types(tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        [[1, "alpha & <beta>", 1.5, True], [2, "", -3.25, False], [3, None, 0.0, True]],
+        path,
+        header=["id", "name", "score", "flag"],
+    )
+    grid = parse_xlsx_bytes(open(path, "rb").read())
+    assert grid[0] == ["id", "name", "score", "flag"]
+    assert grid[1] == ["1", "alpha & <beta>", "1.5", "true"]
+    assert grid[2][2] == "-3.25" and grid[2][3] == "false"
+    assert grid[3][1] is None  # gap cell stays a gap
+
+
+def test_distributed_scan_applies_schema(spark, tmp_path):
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+            StructField("flag", BooleanType()),
+        ]
+    )
+    # two workbooks in the directory -> two parse tasks, one union'd table
+    write_xlsx([[1, "a", 1.5, True]], str(tmp_path / "a.xlsx"), header=["id", "name", "score", "flag"])
+    write_xlsx([[2, "b", 2.5, False]], str(tmp_path / "b.xlsx"), header=["id", "name", "score", "flag"])
+    df = read_excel_table(spark, str(tmp_path), schema).orderBy("id")
+    assert [f.dataType for f in df.schema.fields] == [t for t in (LongType(), StringType(), DoubleType(), BooleanType())]
+    rows = df.collect()
+    assert [tuple(r) for r in rows] == [(1, "a", 1.5, True), (2, "b", 2.5, False)]
+
+
+def test_header_reorder_is_respected(spark, tmp_path):
+    # columns in the sheet in a different order than the declared schema
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    write_xlsx([["x", 7], ["y", 8]], str(tmp_path / "c.xlsx"), header=["name", "id"])
+    rows = read_excel_table(spark, str(tmp_path), schema).orderBy("id").collect()
+    assert [tuple(r) for r in rows] == [(7, "x"), (8, "y")]
