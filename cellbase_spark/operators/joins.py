@@ -77,6 +77,35 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigating equi-join: shard each left key into `salt` salted
+    sub-keys and replicate the right side across all shards, so a hot key
+    spreads over `salt` tasks instead of one straggler holding the stage.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; this is the explicit form for when skew is known up front
+    (e.g. a null-heavy or celebrity key) or AQE is unavailable. Cost:
+    right side shuffles salt× its size — use only when right ≪ left and
+    the left's key histogram is pathological. Result is identical to a
+    plain join (salts are disjoint shards of each key's rows).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # deterministic per-row shard: hash of the whole row spreads a hot
+    # key's rows even when the key column itself is constant
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = l.join(r, keys + ["_salt"], how)
+    return out.drop("_salt")
+
+
 def band_join(
     fact: DataFrame,
     bands: DataFrame,

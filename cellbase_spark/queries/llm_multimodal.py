@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cellbase_spark.io import fan_out, load_table
+from cellbase_spark.io import load_table
 from cellbase_spark.operators.multimodal import (
     decode_assets,
     sample_frames,
@@ -39,8 +39,11 @@ FROM documents
 def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset 'decode' to typed metadata: binary payload -> mapInPandas ->
     (n_bytes, head_byte, widthxheight). One Arrow round-trip per batch;
-    the byte arithmetic stands in for a codec's header parse."""
-    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    the byte arithmetic stands in for a codec's header parse. A real
+    (CPU-heavy) codec kernel should wrap the input in io.fan_out — for the
+    light byte kernel the repartition costs more than it buys, and on a
+    real multi-file corpus the scan is already wide."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_assets(d)
 
 
@@ -66,5 +69,5 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each binary asset expands to up to 4 fixed-stride
     byte slices with md5 fingerprints (the 1-row -> K-frame-rows shape of
     video pipelines), via a mapInPandas generator kernel."""
-    d = with_binary_payload(fan_out(load_table(spark, sf_dir, "documents")))
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(d, n_frames=4, frame_len=16)

@@ -115,3 +115,27 @@ def test_ivf_assign_total_and_range(spark, sf_dir):
     assert a.count() == e.count()
     rng = a.agg(F.min("centroid_id"), F.max("centroid_id")).first()
     assert 0 <= rng[0] and rng[1] <= 7
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is result-identical to a plain equi-join on skewed data."""
+    from cellbase_spark.operators.joins import salted_join
+
+    # one celebrity key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (7, "warm")], "k long, tag string")
+    got = sorted(map(tuple, salted_join(left, right, "k").collect()))
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want and len(got) > 100
+
+
+def test_salted_join_outer_keeps_unmatched(spark):
+    from cellbase_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "hot")], "k long, tag string")
+    got = sorted(map(tuple, salted_join(left, right, "k", how="left").collect()))
+    want = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    assert got == want

@@ -12,17 +12,14 @@ from __future__ import annotations
 
 import pytest
 
+from cellbase_spark.plans.inspect import formatted_plan
 from cellbase_spark.registry import queries
 
 QS = queries()
 
 
 def plan_of(spark, key: str, sf_dir: str) -> str:
-    df = QS[key](spark, sf_dir)
-    jqe = df._jdf.queryExecution()
-    return jqe.explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    return formatted_plan(QS[key](spark, sf_dir))
 
 
 def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
