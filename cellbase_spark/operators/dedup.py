@@ -108,6 +108,7 @@ def jaccard_pairs(
     tokens_col: str,
     block_col: str | None = None,
     threshold: float = 0.5,
+    bitmap_vocab_limit: int = 4096,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs >= threshold, via prefix filtering.
 
@@ -119,8 +120,18 @@ def jaccard_pairs(
     least-selective-possible join keys, so the token self-join fans out on
     ~(1-tau)*|X| rare tokens per doc instead of every token — the
     difference between quadratic-on-hot-tokens and near-linear at 100 TB.
-    Candidates then get an exact array_intersect verify (ids-only shuffle;
-    token arrays rejoin after distinct).
+
+    Verification is adaptive on vocabulary size (one tiny driver-side
+    count decides — the same shape as AQE's runtime re-planning):
+    - small vocab (<= bitmap_vocab_limit, the char-n-gram case): every doc
+      becomes a fixed-width bigint bitmap over integer token ids assigned
+      in canonical order; n_shared = sum of bit_count(a & b) — a few dozen
+      ALU ops per pair instead of a per-pair hash-set intersection, and
+      prefixes join on ints, not strings (the compressed-bitmap verify of
+      the set-similarity-join literature).
+    - large vocab: exact array_intersect on the token arrays.
+    Both paths shuffle candidate ids only and rejoin doc payloads after
+    the distinct.
 
     Output: (id_a, id_b, n_a, n_b, n_shared, jaccard), id_a < id_b.
     """
@@ -134,19 +145,62 @@ def jaccard_pairs(
             *blk,
         )
     ).withColumn("_n", F.size("_toks"))
-    # global document frequency -> the canonical token order (df asc, tok asc),
-    # shipped to every task as ONE broadcast map row so each doc sorts its
-    # tokens in a single per-row pass (no explode/join/collect round-trip).
-    # Scale note: this assumes the DISTINCT-token vocabulary fits in a
-    # broadcast (true for char-n-grams and natural-language tokens); for an
-    # unbounded key domain, rank via explode + shuffle join instead.
-    e = t.select(F.explode("_toks").alias("_tok"))
-    vmap = e.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df")).agg(
-        F.map_from_entries(F.collect_list(F.struct("_tok", "_df"))).alias("_vmap")
+    # Global document frequency -> the canonical token order (df asc, tok
+    # asc), shipped to every task as ONE broadcast map row so each doc
+    # orders its tokens in a single per-row pass (no explode/join/
+    # collect_list round-trip). Scale note: assumes the DISTINCT-token
+    # vocabulary fits in a broadcast (true for char-n-grams and natural-
+    # language tokens); for an unbounded key domain, rank via explode +
+    # shuffle join instead.
+    vocab = (
+        t.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
     )
-    docs = (
-        t.crossJoin(F.broadcast(vmap))
-        .select(
+    vocab_size = vocab.count()
+    use_bitmap = vocab_size <= bitmap_vocab_limit
+
+    prefix_len = (
+        F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + F.lit(2)
+    ).alias("_p")
+    # (+1 safety margin over |X| - ceil(tau*|X|) + 1 absorbs any float ulp
+    # in tau*|X|: a too-long prefix is harmless, a too-short one loses pairs)
+
+    if use_bitmap:
+        from pyspark.sql import Window
+
+        n_words = (vocab_size + 63) // 64 if vocab_size else 1
+        ranked_vocab = vocab.withColumn(
+            "_tid",
+            F.row_number().over(Window.orderBy(F.col("_df").asc(), F.col("_tok").asc())) - 1,
+        )
+        vmap = ranked_vocab.agg(
+            F.map_from_entries(F.collect_list(F.struct("_tok", "_tid"))).alias("_vmap")
+        )
+        docs = t.crossJoin(F.broadcast(vmap)).select(
+            "_id",
+            "_n",
+            *(["_blk"] if block_col else []),
+            F.expr("array_sort(transform(_toks, t -> _vmap[t]))").alias("_ids"),
+            prefix_len,
+        )
+        docs = docs.withColumn(
+            "_bits",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), w ->"
+                " aggregate(filter(_ids, i -> i div 64 = w), cast(0 as bigint),"
+                " (acc, i) -> acc | shiftleft(cast(1 as bigint), cast(i % 64 as int))))"
+            ),
+        )
+        join_tok, payload = "_ids", "_bits"
+        n_shared_expr = F.expr(
+            "aggregate(zip_with(_ta, _tb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
+        )
+    else:
+        vmap = vocab.agg(
+            F.map_from_entries(F.collect_list(F.struct("_tok", "_df"))).alias("_vmap")
+        )
+        docs = t.crossJoin(F.broadcast(vmap)).select(
             "_id",
             "_n",
             *(["_blk"] if block_col else []),
@@ -154,18 +208,16 @@ def jaccard_pairs(
                 "transform(array_sort(transform(_toks,"
                 " t -> struct(_vmap[t] as df, t as tok))), s -> s.tok)"
             ).alias("_sorted_toks"),
-            # +1 safety margin over |X| - ceil(tau*|X|) + 1 absorbs any float
-            # ulp in tau*|X| (a too-long prefix is harmless, too-short loses pairs)
-            (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + F.lit(2)).alias(
-                "_p"
-            ),
+            prefix_len,
         )
-    )
+        join_tok, payload = "_sorted_toks", "_sorted_toks"
+        n_shared_expr = F.size(F.array_intersect("_ta", "_tb"))
+
     pref = docs.select(
         "_id",
         "_n",
         *(["_blk"] if block_col else []),
-        F.explode(F.slice("_sorted_toks", F.lit(1), F.col("_p"))).alias("_tok"),
+        F.explode(F.slice(join_tok, F.lit(1), F.col("_p"))).alias("_tok"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     # prefix filter + length filter: J >= tau forces tau*|A| <= |B| <= |A|/tau
@@ -183,15 +235,15 @@ def jaccard_pairs(
         .distinct()
     )
     ta = docs.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), F.col("_sorted_toks").alias("_ta")
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), F.col(payload).alias("_ta")
     )
     tb = docs.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), F.col("_sorted_toks").alias("_tb")
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), F.col(payload).alias("_tb")
     )
     verified = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("n_shared", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("n_shared", n_shared_expr)
         .withColumn(
             "jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
         )
