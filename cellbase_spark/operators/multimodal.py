@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -102,6 +103,72 @@ def decode_assets(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         fake_decode_meta, schema=DECODED_META_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", IntegerType()),
+        StructField("resized_bytes", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("byte_min", IntegerType()),
+        StructField("byte_max", IntegerType()),
+        StructField("byte_mean", DoubleType()),
+    ]
+)
+
+
+def resize_assets(df: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' stub: keep every factor-th byte of the payload (the
+    byte-level stand-in for image downsampling), fingerprint the result.
+    Same mapInPandas shape a real resize kernel (PIL thumbnail) would use:
+    bytes in, smaller bytes out, per-batch vectorized."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = pdf["payload"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len),
+                    "resized_bytes": small.map(len),
+                    "resized_md5": small.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction stub: byte-level statistics per asset (numpy
+    vectorized inside the Arrow batch) — where a real pipeline computes
+    embeddings/spectrograms. Integer sums are exact, mean is one IEEE
+    division — oracle-reproducible."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "byte_min": [int(a.min()) if len(a) else 0 for a in arrs],
+                    "byte_max": [int(a.max()) if len(a) else 0 for a in arrs],
+                    "byte_mean": [
+                        (int(a.sum()) / len(a)) if len(a) else 0.0 for a in arrs
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4, frame_len: int = 16) -> DataFrame:

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from cellbase_spark.io import load_table
 from cellbase_spark.operators.multimodal import (
     decode_assets,
+    extract_features,
+    resize_assets,
     sample_frames,
     with_binary_payload,
 )
@@ -71,3 +73,51 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     video pipelines), via a mapInPandas generator kernel."""
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(d, n_frames=4, frame_len=16)
+
+
+@register(
+    "q_mm_resize",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+       CAST((octet_length(encode(text)) + 3) // 4 AS INT) AS resized_bytes,
+       md5(array_to_string(
+             list_transform(range(0, (octet_length(encode(text)) + 3) // 4),
+                            i -> substring(text, CAST(i * 4 + 1 AS INT), 1)),
+             '')) AS resized_md5
+FROM documents
+""",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset 'resize': keep every 4th payload byte (stand-in for image
+    downsampling) and fingerprint the smaller asset — bytes-in/bytes-out
+    mapInPandas, the exact shape of a real thumbnail kernel."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_assets(d, factor=4)
+
+
+@register(
+    "q_mm_features",
+    family="llm-multimodal",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, CAST(i AS INT), 1))) AS bytes_list
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(bytes_list) AS BIGINT) AS byte_sum,
+       CAST(list_min(bytes_list) AS INT) AS byte_min,
+       CAST(list_max(bytes_list) AS INT) AS byte_max,
+       CAST(list_sum(bytes_list) AS BIGINT) / len(bytes_list) AS byte_mean
+FROM b
+""",
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset feature extraction: numpy byte statistics per asset inside
+    the Arrow batch (where a real pipeline computes embeddings or
+    spectrograms). Integer sums exact; mean is one IEEE division."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(d)

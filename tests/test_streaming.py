@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cellbase_spark.streaming import pipelines
 
@@ -164,6 +165,38 @@ def test_incremental_equals_batch(spark, stream_dir, sf_dir):
             for r in pipelines.tumbling_agg(load_table(spark, sf_dir, "events")).collect()
         }
         assert got == want
+    finally:
+        q.stop()
+
+
+def test_stream_static_join(spark, stream_dir, sf_dir):
+    """T6: a streaming events feed joins the static customer dim per
+    micro-batch — the enrichment join of every event pipeline. The static
+    side is planned as a normal (broadcastable) relation each batch."""
+    from cellbase_spark.io import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = pipelines.read_events_stream(spark, stream_dir).join(dim, "user_id")
+    q = enriched.writeStream.format("memory").queryName("ss_sink").outputMode("append").start()
+    try:
+        _write_batch(
+            spark,
+            _events_pdf(
+                [
+                    (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                    (2, "2024-01-01 10:01:00", 2, "view", 2.0, "{}"),
+                    (3, "2024-01-01 10:02:00", 10**12, "view", 3.0, "{}"),  # no dim row
+                ]
+            ),
+            stream_dir,
+            1,
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id, c_mktsegment FROM ss_sink").collect()
+        assert sorted(r["event_id"] for r in rows) == [1, 2]  # inner join drops 3
+        assert all(r["c_mktsegment"] for r in rows)
     finally:
         q.stop()
 
