@@ -283,3 +283,27 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+@register(
+    "q_join_salted",
+    family="join",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (operators/joins.salted_join): orders'
+    custkey sharded 8 ways, the customer dim replicated across shards.
+    The oracle is the PLAIN join — proving salting changes the physical
+    distribution (no single hot-key straggler) but not one output row."""
+    from cellbase_spark.operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(o, c, "o_custkey", salt=8).select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )

@@ -106,3 +106,28 @@ def q_roundtrip_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "cellbase_spark_pq", "orders_f")
     o.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@register(
+    "q_scan_jsonl",
+    family="scan",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type IN ('click', 'purchase')
+""",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip (S3): export a filtered events projection to
+    JSONL, re-ingest with a declared schema (no inference pass), compare
+    against the source table. JSONL is the interchange format of LLM data
+    pipelines; the declared schema keeps the scan single-pass at scale."""
+    from cellbase_spark.io import read_jsonl_table
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "event_type", "value")
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_jsonl", "events")
+    e.write.mode("overwrite").json(out)
+    return read_jsonl_table(
+        spark, out, schema="event_id long, user_id long, event_type string, value double"
+    ).select("event_id", "user_id", "event_type", "value")
