@@ -86,6 +86,15 @@ class CellBase:
     def table_names(self) -> list[str]:
         return sorted(schemas.TABLE_NAMES)
 
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point (SURVEY.md §3.2 E3): registers every table as a
+        temp view (lazy relations, no materialization) and runs the query
+        through the same Catalyst pipeline as the DataFrame API."""
+        from cellbase_spark.io import register_temp_views
+
+        register_temp_views(self.spark, self.data_dir)
+        return self.spark.sql(query)
+
     def import_csv(self, name: str, path: str, schema) -> CellTable:
         """The reference's core ingestion path: spreadsheet CSV with a
         header row, cells coerced to the declared schema at scan time."""

@@ -51,6 +51,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable target for bucketed-table tests; keep out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/cellbase_spark_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -57,3 +57,11 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     total = back.count()
     pruned = q.count()
     assert 0 < pruned < total
+
+
+def test_sql_entry_point(spark, sf_dir):
+    cb = CellBase(spark, sf_dir)
+    rows = cb.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+    ).collect()
+    assert sum(r["n"] for r in rows) == cb.table("customer").count()

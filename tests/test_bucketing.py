@@ -1,0 +1,80 @@
+"""Bucketed co-located join (the 100 TB shuffle-elimination story).
+
+Writing both fact tables bucketed (and sorted) on the join key lets the
+sort-merge join read bucket i of each side into the same task — the
+physical plan contains NO Exchange for the join. At 100 TB this is the
+difference between re-shuffling both tables per query and a scan-local
+join; the engine's sink layer supports it via DataFrameWriter.bucketBy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.plans.inspect import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    import shutil
+
+    # a previous session's managed-table dirs survive the (in-memory)
+    # catalog; clear them or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/cellbase_spark_warehouse/{t}", ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable("b_lineitem")
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables, sf_dir):
+    bo, bl = bucketed_tables
+    # the merge hint pins SMJ (at test scale Catalyst would broadcast the
+    # tiny dim and never consult bucketing; at 100 TB SMJ is what you get)
+    j = (
+        spark.table(bl)
+        .hint("merge")
+        .join(spark.table(bo).hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(j)
+    # both scans bucketed, SMJ with no shuffle on either input: the only
+    # Exchange in the whole plan is the final tiny aggregation's
+    import re
+
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan[:1500]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"join shuffled a bucketed side:\n{plan[:1500]}"
+    # and the answer matches the plain (shuffling) join
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        (r["o_orderstatus"], r["n"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["o_orderstatus"], r["n"]) for r in j.collect()}
+    assert got == want

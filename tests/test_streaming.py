@@ -169,6 +169,50 @@ def test_incremental_equals_batch(spark, stream_dir, sf_dir):
         q.stop()
 
 
+def test_file_sink_with_checkpoint_resumes(spark, stream_dir, tmp_path):
+    """Durable sink: parquet writeStream with a checkpoint. After a stop/
+    restart, the checkpoint prevents reprocessing batch 1 (exactly-once
+    file output), and new data still flows."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            pipelines.read_events_stream(spark, stream_dir)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        _write_batch(
+            spark,
+            _events_pdf([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")]),
+            stream_dir,
+            1,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q = start()  # restart from checkpoint
+    try:
+        _write_batch(
+            spark,
+            _events_pdf([(2, "2024-01-01 10:01:00", 2, "view", 2.0, "{}")]),
+            stream_dir,
+            2,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]  # batch 1 exactly once, batch 2 picked up
+
+
 def test_stream_static_join(spark, stream_dir, sf_dir):
     """T6: a streaming events feed joins the static customer dim per
     micro-batch — the enrichment join of every event pipeline. The static
