@@ -161,3 +161,76 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_exact") > 1500000)
         .drop("_exact")
     )
+
+
+@register(
+    "q_agg_median",
+    family="agg",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS med_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90) per group via the exact
+    `percentile` aggregate — both engines sort the group and linearly
+    interpolate between the same order statistics, so results match
+    bit-for-bit. At 100 TB prefer approx_percentile (t-digest, one pass,
+    fixed memory); the exact form is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    family="agg",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,10))), 4) AS DOUBLE) AS sum_price,
+       (CAST(ROUND(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))), 0) AS DOUBLE)
+        - CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,10))), 4) AS DOUBLE)
+          * CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,10))), 4) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1) AS var_price,
+       sqrt((CAST(ROUND(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))), 0) AS DOUBLE)
+             - CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,10))), 4) AS DOUBLE)
+               * CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,10))), 4) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) AS std_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible variance/stddev: built from EXACT decimal moments
+    (sum x, sum x^2 — per-row x*x is IEEE-identical everywhere, the
+    decimal sums are order-independent) and one fixed IEEE formula.
+    Native var_samp/stddev use streaming (Welford/merge) accumulation
+    whose low bits depend on partitioning — this formulation gives the
+    same answer on 1 core or 1000 executors, which is what makes the
+    statistic trustworthy across reruns at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    # Scale choices are load-bearing (see functions/exact.py): squares
+    # cast to DECIMAL at scale 4 (a scale-10 cast of a ~1e10 double rounds
+    # differently per engine in the last digits), and each sum is ROUNDed
+    # so that value*10^scale < 2^53 before the decimal->double cast —
+    # beyond that, DuckDB's hugeint-based conversion loses ulps the JVM's
+    # exact BigDecimal conversion keeps (sum x^2 ~ 2.5e14 -> scale 0).
+    s1 = F.round(F.sum(price.cast("decimal(25,10)")), 4).cast("double")
+    s2 = F.round(F.sum((price * price).cast("decimal(30,4)")), 0).cast("double")
+    n = F.count(F.lit(1))
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return o.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        s1.alias("sum_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+    )
