@@ -221,3 +221,35 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "q_window_dist",
+    family="window",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       cume_dist() OVER w AS cdist,
+       nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                                     ORDER BY s_acctbal ASC, s_suppkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS second_low
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+""",
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value (explicit full frame — engines default value-
+    function frames differently); unique (acctbal, suppkey) sort keys make
+    both deterministic."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.cume_dist().over(w).alias("cdist"),
+        F.nth_value("s_acctbal", 2).over(wfull).alias("second_low"),
+    )
