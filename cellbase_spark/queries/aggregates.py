@@ -234,3 +234,46 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_price"),
         F.sqrt(var).alias("std_price"),
     )
+
+
+@register(
+    "q_agg_corr",
+    family="agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       (COUNT(*) * CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))), 0) AS DOUBLE)
+        - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,10))), 4) AS DOUBLE)
+          * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,10))), 4) AS DOUBLE))
+       / (sqrt(COUNT(*) * CAST(ROUND(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))), 0) AS DOUBLE)
+               - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,10))), 4) AS DOUBLE)
+                 * CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,10))), 4) AS DOUBLE))
+          * sqrt(COUNT(*) * CAST(ROUND(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))), 0) AS DOUBLE)
+                 - CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,10))), 4) AS DOUBLE)
+                   * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,10))), 4) AS DOUBLE)))
+         AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible Pearson correlation from exact decimal moments
+    (sum x, sum y, sum xy, sum x^2, sum y^2) + one fixed IEEE formula —
+    partitioning-independent, unlike native corr()'s streaming
+    co-moment accumulation. Same scale rules as q_agg_stats: per-row
+    products cast at scale 4, each sum ROUNDed so value*10^scale < 2^53
+    before the decimal->double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum_sc(c, cast_prec, round_scale):
+        return F.round(F.sum(c.cast(cast_prec)), round_scale).cast("double")
+
+    n = F.count(F.lit(1))
+    sx = dsum_sc(x, "decimal(25,10)", 4)
+    sy = dsum_sc(y, "decimal(25,10)", 4)
+    sxy = dsum_sc(x * y, "decimal(30,4)", 0)
+    sxx = dsum_sc(x * x, "decimal(30,4)", 0)
+    syy = dsum_sc(y * y, "decimal(30,4)", 0)
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return li.groupBy("l_returnflag").agg(n.alias("n"), corr.alias("corr_qty_price"))

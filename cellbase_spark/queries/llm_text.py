@@ -205,3 +205,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint("text").alias("fp_rolling"),
         F.md5("text").alias("fp_md5"),
     )
+
+
+@register(
+    "q_fuzzy_name_match",
+    family="llm-text",
+    oracle="""
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_nationkey AS nk,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: nation-blocked supplier-name pairs within
+    edit distance 2. Levenshtein is a well-defined integer metric —
+    bit-identical across engines, no rounding needed. Blocking bounds the
+    pair space exactly like the dedup operators (never a global cross
+    product); at 100 TB add a length/prefix filter before the distance."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_nationkey").alias("nk"),
+        F.col("s_name").alias("name_a"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_nationkey").alias("nk"),
+        F.col("s_name").alias("name_b"),
+    )
+    return (
+        a.join(F.broadcast(b), ["nk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "nk", "edit_dist")
+    )
