@@ -252,6 +252,62 @@ def jaccard_pairs(
     return verified.select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: every node
+    ends with cluster_id = min node id reachable from it — the grouping
+    step that turns near-dup PAIRS into dedup CLUSTERS with a canonical
+    (min-id) representative.
+
+    Iterative Spark shape: each round takes the min over neighbor labels
+    and then applies PATH HALVING (label := label(label)), so convergence
+    needs O(log diameter) rounds instead of O(diameter) — chain-shaped
+    near-dup clusters (diameter 10+) converge in ~4 rounds. Each round is
+    two shuffle joins + an aggregate; localCheckpoint truncates the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1, and
+    the (possibly expensive) edge pipeline is materialized once up front.
+    """
+    e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")).localCheckpoint(
+        eager=True
+    )
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["_v"] == labels["_id"])
+            .groupBy("_u")
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        stepped = labels.join(neighbor_min, labels["_id"] == neighbor_min["_u"], "left").select(
+            "_id",
+            F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_mid"),
+            "_lbl",
+        )
+        # path halving: resolve each label one more hop (labels are node
+        # ids, so join the step result onto itself)
+        hop = stepped.select(F.col("_id").alias("_k"), F.col("_mid").alias("_kl"))
+        updated = (
+            stepped.join(hop, stepped["_mid"] == hop["_k"], "left")
+            .select("_id", F.coalesce("_kl", "_mid").alias("_new"), "_lbl")
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("_new") < F.col("_lbl")).count()
+        labels = updated.select("_id", F.col("_new").alias("_lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_id").alias(id_col),
+        F.col("_lbl").alias("cluster_id"),
+        (F.col("_id") == F.col("_lbl")).alias("is_canonical"),
+    )
+
+
 def minhash_lsh_pairs(
     tokenized: DataFrame,
     id_col: str,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cellbase_spark.io import load_table
 from cellbase_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -173,3 +174,55 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
         t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.62
     ).select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
+
+
+@register(
+    "q_dedup_clusters",
+    family="llm-dedup",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bd a JOIN bd b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+  WHERE len(list_intersect(ta.toks, tb.toks))
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  -- transitive closure (UNION dedups, so it terminates)
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT t.id AS doc_id,
+       least(t.id, coalesce(MIN(r.v), t.id)) AS cluster_id,
+       least(t.id, coalesce(MIN(r.v), t.id)) = t.id AS is_canonical
+FROM t LEFT JOIN reach r ON t.id = r.u
+GROUP BY t.id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (the dedup deliverable): MinHash-LSH pairs at
+    Jaccard >= 0.95 -> connected components -> every document labeled
+    with its cluster's canonical (min) doc_id. The oracle re-derives the
+    same clusters with a recursive-CTE transitive closure — feasible at
+    oracle scale, while the Spark side is the iterative label-propagation
+    loop that scales (operators/dedup.connected_components)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95
+    )
+    return connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id"
+    )

@@ -24,6 +24,17 @@ from cellbase_spark import registry, schemas  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
+# Oracles that are correct at the sf0.01 gate but computationally
+# infeasible for DuckDB at bench scale — skipped here with the reason
+# recorded (the Spark side handles these sizes; see BASELINE.md).
+INFEASIBLE_AT_BENCH = {
+    "q_dedup_clusters": (
+        "recursive-CTE transitive closure is O(sum cluster_size^2) rows; "
+        "DNF (>10 min) at sf0.1 — Spark's path-halving label propagation "
+        "finishes in ~9 s"
+    ),
+}
+
 
 def main() -> None:
     con = duckdb.connect()
@@ -31,6 +42,9 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     out: dict[str, float] = {}
     for key, sql in sorted(registry.oracle_sql().items()):
+        if key in INFEASIBLE_AT_BENCH:
+            print(f"{key}: SKIPPED ({INFEASIBLE_AT_BENCH[key]})", file=sys.stderr)
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
