@@ -122,3 +122,31 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segs_set"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_agg_grouping_sets",
+    family="agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary subtotal combinations — rollup
+    and cube are special cases): one Expand node feeds a single two-phase
+    hash aggregate, so N grouping sets cost one pass, not N."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("cb_orders_gs")
+    return spark.sql(
+        f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total')}
+FROM cb_orders_gs
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+"""
+    )
