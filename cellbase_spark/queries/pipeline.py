@@ -1,0 +1,250 @@
+"""Training-data-pipeline queries: deterministic sampling / splits,
+sequence packing, repetition-quality signals, profiling histograms, and
+the ORC columnar sink (SURVEY.md §2.8 extensions beyond L1-L21).
+
+Reference analog: none — cellbase is a spreadsheet addon; these are the
+north-star LLM-pipeline operators the task mandates as first-class.
+
+Scale notes: every query here is either a pure per-row map (sampling,
+masking), a single two-phase hash aggregate, or one window pass — no
+query introduces a shuffle that grows faster than the data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.functions.exact import dsum, dsum_sql
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.sampling import (
+    hash_bucket,
+    hash_bucket_duck_sql,
+    hash_bucket_spark_sql,
+)
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_sample_hash",
+    family="pipeline",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {hash_bucket_duck_sql('o_orderkey')} AS bucket
+FROM orders
+WHERE {hash_bucket_duck_sql('o_orderkey')} < 10
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample: membership = md5-bucket(key) < 10.
+
+    Unlike df.sample() (per-partition seeded -> membership changes when
+    the cluster repartitions), a content-hash sample is stable across
+    runs, engines, and partitionings — a pure narrow map with zero
+    shuffle, so it costs one scan at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    b = hash_bucket("o_orderkey")
+    return (
+        o.withColumn("bucket", b)
+        .where(F.col("bucket") < 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "bucket")
+    )
+
+
+@register(
+    "q_split_train_test",
+    family="pipeline",
+    oracle=f"""
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT n_chars, {hash_bucket_duck_sql('doc_id')} AS b FROM documents)
+GROUP BY 1
+""",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by document-id hash, with per-split
+    size accounting. The split column is a narrow map; the accounting agg
+    shuffles 3 rows. At 100 TB the split is typically written out as a
+    partition column (partitionBy('split')) so downstream jobs prune."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return (
+        d.withColumn("b", b)
+        .withColumn(
+            "split",
+            F.when(F.col("b") < 80, "train").when(F.col("b") < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    family="pipeline",
+    oracle="""
+SELECT lang, CAST(FLOOR((cum_tok - 1) / 4096) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+)
+GROUP BY lang, bin
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs (in stable doc_id order
+    per language) to contiguous 4096-token bins via a running token sum —
+    bin = floor((cumsum-1)/budget). One window pass, partitioned by lang,
+    so each language packs independently and in parallel; no driver loop.
+    (Greedy first-fit packs tighter but is inherently sequential; the
+    contiguous-fill variant is the scalable deterministic choice.)"""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn("bin", F.floor((F.col("cum_tok") - 1) / 4096).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+    )
+
+
+@register(
+    "q_repetition_ratio",
+    family="pipeline",
+    oracle="""
+SELECT doc_id, n_tok, n_distinct,
+       CAST(ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS DOUBLE) AS rep_ratio
+FROM (
+  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+WHERE n_tok > 0
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): fraction of tokens that
+    repeat an earlier token, 1 - distinct/total. Computed per-row with
+    array built-ins (no explode, no shuffle at all) — integer counts and
+    one IEEE division keep it bit-identical to the oracle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("n_tok"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+        .where(F.col("n_tok") > 0)
+        .withColumn(
+            "rep_ratio",
+            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_tok"), 6),
+        )
+    )
+
+
+@register(
+    "q_length_histogram",
+    family="pipeline",
+    oracle="""
+SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+FROM documents
+GROUP BY bucket
+""",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling histogram: fixed-width (100-char) buckets over
+    document length. floor-div bucketing is engine-agnostic algebra (vs
+    width_bucket, which DuckDB lacks); one two-phase hash agg, shuffle
+    carries one row per bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("bucket", F.floor(F.col("n_chars") / 100).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_pii_mask",
+    family="pipeline",
+    oracle="""
+SELECT event_type,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, masked
+""",
+)
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask digit runs in a free-text payload before
+    it enters a training corpus. Pure per-row regexp_replace (narrow map,
+    JVM regex — no Python in the loop); the pattern is restricted to
+    POSIX-class syntax so Java and RE2 agree byte-for-byte."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("masked", F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>"))
+        .groupBy("event_type", "masked")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_scan_orc",
+    family="scan",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_acctbal > 0
+""",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan round-trip (the second columnar format Spark ships
+    built-in; both get predicate pushdown + column pruning from the same
+    DataSource V2 path). Write a filtered customer projection to ORC,
+    read it back; oracle is the original table under the same filter."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    c = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_orc", "customer_pos")
+    c.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register(
+    "q_agg_approx_percentile",
+    family="agg",
+    oracle=None,  # approximate sketches are engine-specific; rows-only +
+    # tolerance assert vs the exact percentile in tests/test_pipeline.py
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — THE percentile at
+    100 TB: mergeable fixed-size sketch per partition, one small final
+    merge, vs exact percentile's full sort. Accuracy knob = max relative
+    error (here 0.001)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        ).alias("p50_p90_p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,101 @@
+"""Tests for the training-pipeline queries (queries/pipeline.py):
+deterministic sampling/splits, sequence packing, approx-percentile
+tolerance, and the repartition-stability property that motivates
+hash-based sampling over df.sample()."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.sampling import hash_bucket
+from cellbase_spark.queries.pipeline import (
+    q_agg_approx_percentile,
+    q_pack_sequences,
+    q_sample_hash,
+    q_split_train_test,
+)
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    """THE property that justifies content-hash sampling: membership must
+    not change when the physical partitioning does (df.sample() fails
+    this — per-partition seeding)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = {
+        r["o_orderkey"]
+        for r in o.withColumn("b", hash_bucket("o_orderkey"))
+        .where(F.col("b") < 10)
+        .select("o_orderkey")
+        .collect()
+    }
+    repart = {
+        r["o_orderkey"]
+        for r in o.repartition(13, "o_custkey")
+        .withColumn("b", hash_bucket("o_orderkey"))
+        .where(F.col("b") < 10)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert base == repart
+    n_total = o.count()
+    # ~10% with slack: binomial spread at sf0.001 (1500 orders) is wide
+    assert 0.04 * n_total < len(base) < 0.18 * n_total
+
+
+def test_split_partitions_are_exhaustive_and_disjoint(spark, sf_dir):
+    rows = q_split_train_test(spark, sf_dir).collect()
+    splits = {r["split"]: r["n_docs"] for r in rows}
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(splits.values()) == d.count()
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits.get("train", 0) > splits.get("test", 0)
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Bins partition the corpus: per-lang bin_tokens sums to the total
+    token count, and every bin except the last per lang is 'full' (its
+    cumulative end crosses a 4096 boundary by construction)."""
+    packed = q_pack_sequences(spark, sf_dir)
+    got = {
+        (r["lang"], r["bin"]): (r["n_docs"], r["bin_tokens"]) for r in packed.collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    tok_total = d.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(t for _, t in got.values()) == tok_total
+    assert sum(n for n, _ in got.values()) == d.count()
+    # bins are contiguous: for each lang, bins are 0..max with no gaps
+    by_lang: dict[str, list[int]] = {}
+    for (lang, b), _ in got.items():
+        by_lang.setdefault(lang, []).append(b)
+    for lang, bins in by_lang.items():
+        assert sorted(bins) == list(range(max(bins) + 1)), lang
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """GK sketch at accuracy=1000 must land within 1% relative error of
+    the exact sort-based percentile (tol loose enough for tiny SF)."""
+    approx = {
+        r["l_returnflag"]: r["p50_p90_p99"]
+        for r in q_agg_approx_percentile(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["ps"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ps"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (flag, a, e)
+
+
+def test_sample_hash_matches_filtered_scan_plan(spark, sf_dir):
+    """The sample is a narrow map: its plan must contain no exchange."""
+    df = q_sample_hash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
