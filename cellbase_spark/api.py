@@ -70,6 +70,58 @@ class CellTable:
     def count(self) -> int:
         return self.df.count()
 
+    # -- mutation verbs (reference: set_value / add_row / remove_row /
+    # save on the in-memory sheet). Spark DataFrames are immutable, so
+    # each verb is copy-on-write: it returns a NEW CellTable whose plan
+    # encodes the edit. Nothing materializes until save()/rows(); a chain
+    # of edits stays one Catalyst plan (narrow maps — no shuffle), so the
+    # 100 TB cost of N edits is one scan + one write, not N passes. -----
+
+    def set_value(self, key, column: str, value) -> "CellTable":
+        """The reference's cell edit: table[key][column] = value."""
+        from pyspark.sql import functions as F
+
+        if column not in self.df.columns:
+            raise KeyError(f"no column {column!r} in {self.name}")
+        edited = self.df.withColumn(
+            column,
+            F.when(F.col(self.key_col) == key, F.lit(value)).otherwise(
+                F.col(column)
+            ).cast(self.df.schema[column].dataType),
+        )
+        return CellTable(edited, self.name, self.key_col)
+
+    def add_row(self, row: dict) -> "CellTable":
+        """Append one row (reference: add_row). Missing columns -> NULL;
+        the single-row side unions by name without a shuffle."""
+        unknown = set(row) - set(self.df.columns)
+        if unknown:
+            raise KeyError(f"unknown columns {sorted(unknown)} in {self.name}")
+        new = self.df.sparkSession.createDataFrame(
+            [tuple(row.get(c) for c in self.df.columns)], schema=self.df.schema
+        )
+        return CellTable(
+            self.df.unionByName(new), self.name, self.key_col
+        )
+
+    def remove_row(self, key) -> "CellTable":
+        """Delete by key (reference: remove_row) — an anti-filter."""
+        return CellTable(
+            self.df.where(self.df[self.key_col] != key), self.name, self.key_col
+        )
+
+    def save(self, path: str, fmt: str = "parquet") -> None:
+        """Persist the edited sheet (reference: save back to file)."""
+        writer = self.df.write.mode("overwrite")
+        if fmt == "csv":
+            from cellbase_spark.io import write_csv_table
+
+            write_csv_table(self.df, path)
+        elif fmt == "parquet":
+            writer.parquet(path)
+        else:
+            raise ValueError(f"unsupported save format {fmt!r}")
+
 
 class CellBase:
     """The workbook: named tables over a directory of parquet files."""

@@ -65,3 +65,53 @@ def test_sql_entry_point(spark, sf_dir):
         "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
     ).collect()
     assert sum(r["n"] for r in rows) == cb.table("customer").count()
+
+
+def test_mutation_verbs_copy_on_write(spark, sf_dir, tmp_path):
+    """set_value / add_row / remove_row compose as one lazy plan and only
+    affect the targeted rows; the original table is untouched
+    (copy-on-write, like the reference's in-memory edits before save)."""
+    cb = CellBase(spark, sf_dir)
+    nation = cb.table("nation")
+    n0 = nation.count()
+
+    edited = (
+        nation.set_value(3, "n_name", "RENAMED")
+        .remove_row(7)
+        .add_row({"n_nationkey": 999, "n_name": "ATLANTIS", "n_regionkey": 0})
+    )
+    # plan-only so far; one action materializes the composed edit chain
+    rows = {r["n_nationkey"]: r for r in edited.rows()}
+    assert rows[3]["n_name"] == "RENAMED"
+    assert 7 not in rows
+    assert rows[999]["n_name"] == "ATLANTIS"
+    assert len(rows) == n0  # -1 removed, +1 added
+    # original unchanged (immutability)
+    assert nation.get(3)["n_name"] != "RENAMED"
+    assert nation.get(7) is not None
+
+    # save -> reload round-trip preserves the edits and the schema
+    out = str(tmp_path / "nation_edited")
+    edited.save(out)
+    back = spark.read.parquet(out)
+    assert back.schema == nation.df.schema
+    assert back.where(F.col("n_nationkey") == 999).count() == 1
+
+
+def test_set_value_preserves_column_type(spark, sf_dir):
+    """A cell edit must not widen/retype the column (the reference's
+    sheets are typed per SURVEY §1.3)."""
+    cb = CellBase(spark, sf_dir)
+    cust = cb.table("customer")
+    edited = cust.set_value(1, "c_acctbal", 42)  # int literal into double col
+    assert edited.df.schema["c_acctbal"].dataType == cust.df.schema["c_acctbal"].dataType
+    assert edited.get(1)["c_acctbal"] == 42.0
+
+
+def test_add_row_rejects_unknown_column(spark, sf_dir):
+    cb = CellBase(spark, sf_dir)
+    try:
+        cb.table("nation").add_row({"bogus": 1})
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
