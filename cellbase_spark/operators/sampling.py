@@ -41,3 +41,17 @@ def hash_bucket_duck_sql(key_expr: str, buckets: int = 100) -> str:
         f"(('0x' || substr(md5(cast({key_expr} as varchar)), 1, 15))::BIGINT"
         f" % {buckets})"
     )
+
+
+def hash_u60_spark_sql(key_expr: str) -> str:
+    """Raw 60-bit hash — a tie-free pseudorandom sort key for exact-k
+    deterministic sampling (order by hash == order by a reproducible
+    uniform draw)."""
+    return (
+        f"cast(conv(substr(md5(cast({key_expr} as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+
+
+def hash_u60_duck_sql(key_expr: str) -> str:
+    return f"('0x' || substr(md5(cast({key_expr} as varchar)), 1, 15))::BIGINT"

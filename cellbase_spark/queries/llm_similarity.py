@@ -208,3 +208,44 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(norm_expr("embedding")), 6).alias("emb_norm"),
         )
     )
+
+
+@register(
+    "q_embed_quantize",
+    family="llm-sim",
+    oracle="""
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       list_transform(embedding,
+                      x -> CAST(floor(127 * CAST(x AS DOUBLE) / scale + 0.5) AS INT)
+       ) AS codes
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+WHERE scale > 0
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x memory cut for ANN at
+    100 TB): per-vector scale = max|x|, code = floor(127*x/scale + 0.5).
+    Pure higher-order-function map, zero shuffle; floor(+0.5) instead of
+    round() because float round ties break differently across engines
+    while floor is exact IEEE in both."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn(
+            "scale",
+            F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))"),
+        )
+        .where(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            F.round(F.col("scale"), 6).alias("scale"),
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(floor(127 * cast(x as double) / scale + 0.5) as int))"
+            ).alias("codes"),
+        )
+    )

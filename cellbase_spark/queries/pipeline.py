@@ -24,6 +24,8 @@ from cellbase_spark.operators.sampling import (
     hash_bucket,
     hash_bucket_duck_sql,
     hash_bucket_spark_sql,
+    hash_u60_duck_sql,
+    hash_u60_spark_sql,
 )
 from cellbase_spark.registry import register
 
@@ -228,6 +230,97 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "cellbase_spark_orc", "customer_pos")
     c.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "q_sample_stratified",
+    family="pipeline",
+    oracle=f"""
+SELECT c_nationkey, c_custkey, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY {hash_u60_duck_sql('c_custkey')}, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 5
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: 5 customers per nation, chosen by
+    ordering each stratum by a content hash — a reproducible uniform
+    draw, so the same rows win on every engine/run/partitioning (the
+    deterministic analog of reservoir sampling). One window pass
+    partitioned by the stratum key."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.expr(hash_u60_spark_sql("c_custkey")), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+# MERGE delta, derived deterministically from customer itself so both
+# engines rebuild it byte-identically: every 10th key is an UPDATE
+# (+100 balance), every 97th key spawns an INSERT under key+1_000_000.
+_DELTA_DUCK = """
+SELECT c_custkey, c_name, c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR), CAST(0 AS DOUBLE)
+FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+@register(
+    "q_merge_upsert",
+    family="pipeline",
+    oracle=f"""
+WITH delta AS ({_DELTA_DUCK})
+SELECT COALESCE(d.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(d.c_name, b.c_name) AS c_name,
+       COALESCE(d.c_acctbal, b.c_acctbal) AS c_acctbal,
+       CASE WHEN d.c_custkey IS NULL THEN 'kept'
+            WHEN b.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) b
+FULL OUTER JOIN delta d USING (c_custkey)
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a relational op (warehouse table maintenance —
+    updates win, unmatched delta rows insert, unmatched base rows keep):
+    one full-outer shuffle join on the key + per-column COALESCE. At
+    100 TB the delta side is typically small -> Spark picks a broadcast
+    or AQE-optimized join; the rewrite is the same plan Delta/Iceberg
+    MERGE compiles to under copy-on-write."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+    )
+    inserts = c.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    delta = updates.unionByName(inserts)
+    b, d = c.alias("b"), delta.alias("d")
+    j = b.join(d, on=F.col("b.c_custkey") == F.col("d.c_custkey"), how="full_outer")
+    return j.select(
+        F.coalesce("d.c_custkey", "b.c_custkey").alias("c_custkey"),
+        F.coalesce("d.c_name", "b.c_name").alias("c_name"),
+        F.coalesce("d.c_acctbal", "b.c_acctbal").alias("c_acctbal"),
+        F.when(F.col("d.c_custkey").isNull(), "kept")
+        .when(F.col("b.c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
 
 
 @register(

@@ -99,3 +99,38 @@ def test_sample_hash_matches_filtered_scan_plan(spark, sf_dir):
     df = q_sample_hash(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_merge_upsert_action_accounting(spark, sf_dir):
+    """Every base row survives (kept/updated), every synthetic insert
+    lands, and updated rows actually changed."""
+    from cellbase_spark.queries.pipeline import q_merge_upsert
+
+    merged = q_merge_upsert(spark, sf_dir).cache()
+    c = load_table(spark, sf_dir, "customer")
+    n_base = c.count()
+    n_upd = c.where(F.col("c_custkey") % 10 == 0).count()
+    n_ins = c.where(F.col("c_custkey") % 97 == 0).count()
+    actions = {r["merge_action"]: r["n"] for r in
+               merged.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert actions.get("updated", 0) == n_upd
+    assert actions.get("inserted", 0) == n_ins
+    assert actions.get("kept", 0) == n_base - n_upd
+    merged.unpersist()
+
+
+def test_embed_quantize_reconstruction_error(spark, sf_dir):
+    """int8 codes must reconstruct each vector within half a quant step
+    (scale/254 per component... conservatively scale/127)."""
+    from cellbase_spark.queries.llm_similarity import q_embed_quantize
+
+    rows = q_embed_quantize(spark, sf_dir).limit(50).collect()
+    orig = {r["vec_id"]: r["embedding"] for r in
+            load_table(spark, sf_dir, "embeddings").collect()}
+    assert rows
+    for r in rows:
+        scale = r["scale"]
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        recon = [c * scale / 127.0 for c in r["codes"]]
+        for a, b in zip(recon, orig[r["vec_id"]]):
+            assert abs(a - b) <= scale / 127.0 + 1e-6
