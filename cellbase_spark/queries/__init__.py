@@ -5,9 +5,11 @@ via cellbase_spark.registry.register.
 """
 
 from cellbase_spark.queries import aggregates  # noqa: F401
+from cellbase_spark.queries import corpus  # noqa: F401
 from cellbase_spark.queries import filters  # noqa: F401
 from cellbase_spark.queries import grouping  # noqa: F401
 from cellbase_spark.queries import joins  # noqa: F401
+from cellbase_spark.queries import layout  # noqa: F401
 from cellbase_spark.queries import llm_dedup  # noqa: F401
 from cellbase_spark.queries import llm_multimodal  # noqa: F401
 from cellbase_spark.queries import llm_similarity  # noqa: F401
@@ -18,5 +20,6 @@ from cellbase_spark.queries import scans  # noqa: F401
 from cellbase_spark.queries import setops  # noqa: F401
 from cellbase_spark.queries import specialty  # noqa: F401
 from cellbase_spark.queries import streaming  # noqa: F401
+from cellbase_spark.queries import timeseries  # noqa: F401
 from cellbase_spark.queries import udfs  # noqa: F401
 from cellbase_spark.queries import windows  # noqa: F401

@@ -1,0 +1,200 @@
+"""Corpus-preparation operators over ``documents``/``orders`` (SURVEY.md
+§2.8 extensions L31-L34): benchmark-contamination detection, fixed-stride
+token chunking, weighted reservoir sampling, and a text-source round-trip.
+
+No cellbase analog (the reference has no text pipeline at all); these are
+the remaining ops a training-data pipeline needs beyond the dedup /
+similarity / quality battery already registered in llm_*.py.
+
+Determinism: n-grams are exact strings (no hashing needed cross-engine);
+the weighted sample's randomness is md5-derived (operators/dedup.py
+convention: first 13 hex chars -> 52-bit uniform), so both engines draw
+the *same* pseudo-random keys.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.registry import register
+
+@register(
+    "q_contamination",
+    family="corpus",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), idx AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(1, len(toks) - 4)) AS i
+  FROM t
+), g AS (
+  SELECT doc_id, source, array_to_string(toks[i:i+4], ' ') AS gram FROM idx
+), eval_grams AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+), hit AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS grams, COUNT(e.gram) AS hits
+  FROM g LEFT JOIN eval_grams e ON g.gram = e.gram
+  WHERE g.doc_id % 50 <> 0
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       COUNT(*) AS docs_scanned,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_contaminated,
+       CAST(SUM(grams) AS BIGINT) AS grams_total,
+       CAST(SUM(hits) AS BIGINT) AS grams_hit
+FROM hit GROUP BY source
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every held-out doc (doc_id % 50 = 0
+    plays the eval set) contributes its distinct word 5-grams; each
+    training doc is scored by how many of its 5-grams appear in that set.
+    Output: per-source contamination tallies (docs with >= 1 overlapping
+    5-gram, and the gram-level hit count).
+
+    Plan: the eval-gram set is ~2% of the corpus' grams after distinct —
+    small enough to broadcast at any sane eval size, so the probe side
+    never shuffles (left join carries the hit flag). The per-doc regroup
+    shuffles (doc_id, source) counts only, not gram strings; at 100 TB
+    swap exact grams for 64-bit md5 gram hashes (operators/dedup.py) to
+    shrink both the broadcast and the probe width."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    eval_grams = g.where(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    train = g.where(F.col("doc_id") % 50 != 0)
+    hit = (
+        train.join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("grams"), F.count("hit").alias("hits"))
+    )
+    return hit.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_scanned"),
+        F.sum((F.col("hits") > 0).cast("bigint")).alias("docs_contaminated"),
+        F.sum("grams").alias("grams_total"),
+        F.sum("hits").alias("grams_hit"),
+    )
+
+
+@register(
+    "q_chunk_documents",
+    family="corpus",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start:start+31]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[start:start+31], ' ')) AS chunk_hash
+FROM s
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token chunking for context-window packing: 32-token
+    windows every 24 tokens (8-token overlap), one output row per chunk
+    with its token count and content hash.
+
+    Pure narrow map — sequence/transform/posexplode, zero shuffles; the
+    explode multiplies rows ~len/stride-fold but Spark pipelines it into
+    the same stage as the scan. Contrast with q_pack_sequences (which
+    *joins* chunks into bins and needs a window)."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')), 24),"
+                " s -> struct(slice(split(text, ' '), s, 32) AS toks))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("chunk.toks").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk.toks"))).alias("chunk_hash"),
+    )
+
+
+@register(
+    "q_sample_weighted",
+    family="corpus",
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         ln(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0) / o_totalprice AS k
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice
+FROM keyed ORDER BY k DESC, o_orderkey LIMIT 100
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    each row draws u ~ U(0,1) from md5(orderkey) and keeps key
+    ln(u)/weight; the top-k keys are the sample, so selection probability
+    is proportional to o_totalprice. Deterministic: both engines derive
+    the identical 52-bit uniform from the same md5 prefix.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    top-k heaps, only k rows per partition reach the driver; no global
+    sort, no shuffle of the data. This is the distributed reservoir."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 13), 16, 10) as bigint)"
+        )
+        / F.lit(4503599627370496.0)
+    )
+    keyed = o.select(
+        "o_orderkey", "o_totalprice", (F.log(u) / F.col("o_totalprice")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_scan_text",
+    family="scan",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source round-trip: serialize documents as
+    `doc_id<TAB>text` lines via the text sink, re-ingest with
+    spark.read.text, and re-parse the two fields (split at the FIRST tab;
+    the corpus itself is tab-free). Covers the last built-in file format
+    (parquet/csv/jsonl/orc/xlsx/text) in SURVEY.md §2.1."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_text", "documents")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.expr("cast(substring_index(value, '\t', 1) as bigint)").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
