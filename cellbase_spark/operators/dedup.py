@@ -265,46 +265,64 @@ def connected_components(
     step that turns near-dup PAIRS into dedup CLUSTERS with a canonical
     (min-id) representative.
 
-    Iterative Spark shape: each round takes the min over neighbor labels
-    and then applies PATH HALVING (label := label(label)), so convergence
-    needs O(log diameter) rounds instead of O(diameter) — chain-shaped
-    near-dup clusters (diameter 10+) converge in ~4 rounds. Each round is
-    two shuffle joins + an aggregate; localCheckpoint truncates the
-    growing lineage so round N's plan doesn't replay rounds 1..N-1, and
-    the (possibly expensive) edge pipeline is materialized once up front.
+    Iterative Spark shape, tuned for the dedup workload where most of the
+    corpus is ISOLATED (no near-dup edge at all):
+    - only edge-touching nodes enter the loop; isolated docs are
+      re-attached at the end with cluster_id = own id via one left join.
+      At 100 TB this iterates over the dup-involved fraction (typically
+      10-30% of docs), not the whole corpus, every round.
+    - self-loops fold the node's own label into the neighbor-min, so a
+      round is ONE groupBy-min plus the PATH HALVING join
+      (label := label(label)); halving keeps convergence at
+      O(log diameter) rounds instead of O(diameter).
+    - labels only ever decrease, so "no label changed" ⟺ "sum(labels)
+      unchanged" — the convergence probe is a cheap agg on the
+      just-checkpointed round output, no join against the previous state.
+    localCheckpoint truncates lineage each round so round N's plan doesn't
+    replay rounds 1..N-1, and the (possibly expensive) edge pipeline is
+    materialized once up front.
     """
     e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")).localCheckpoint(
         eager=True
     )
-    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
+    active = (
+        e.select("_u")
+        .unionByName(e.select(F.col("_v").alias("_u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # symmetric closure + self-loops: groupBy(_u).min covers min(own ∪ neighbors)
+    sym = (
+        e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        .unionByName(active.select("_u", F.col("_u").alias("_v")))
+    )
+    labels = active.select(F.col("_u").alias("_id"), F.col("_u").alias("_lbl"))
+    prev_sum: object = object()
     for _ in range(max_iters):
-        neighbor_min = (
+        stepped = (
             sym.join(labels, sym["_v"] == labels["_id"])
             .groupBy("_u")
-            .agg(F.min("_lbl").alias("_nlbl"))
-        )
-        stepped = labels.join(neighbor_min, labels["_id"] == neighbor_min["_u"], "left").select(
-            "_id",
-            F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_mid"),
-            "_lbl",
+            .agg(F.min("_lbl").alias("_mid"))
         )
         # path halving: resolve each label one more hop (labels are node
         # ids, so join the step result onto itself)
-        hop = stepped.select(F.col("_id").alias("_k"), F.col("_mid").alias("_kl"))
-        updated = (
+        hop = stepped.select(F.col("_u").alias("_k"), F.col("_mid").alias("_kl"))
+        labels = (
             stepped.join(hop, stepped["_mid"] == hop["_k"], "left")
-            .select("_id", F.coalesce("_kl", "_mid").alias("_new"), "_lbl")
+            .select(F.col("_u").alias("_id"), F.coalesce("_kl", "_mid").alias("_lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = updated.where(F.col("_new") < F.col("_lbl")).count()
-        labels = updated.select("_id", F.col("_new").alias("_lbl"))
-        if changed == 0:
+        label_sum = labels.agg(F.sum("_lbl")).first()[0]
+        if label_sum == prev_sum:
             break
-    return labels.select(
-        F.col("_id").alias(id_col),
-        F.col("_lbl").alias("cluster_id"),
-        (F.col("_id") == F.col("_lbl")).alias("is_canonical"),
+        prev_sum = label_sum
+    out = nodes.select(F.col(id_col).alias("_nid")).join(
+        labels, F.col("_nid") == F.col("_id"), "left"
+    )
+    return out.select(
+        F.col("_nid").alias(id_col),
+        F.coalesce("_lbl", "_nid").alias("cluster_id"),
+        (F.coalesce("_lbl", "_nid") == F.col("_nid")).alias("is_canonical"),
     )
 
 
@@ -315,12 +333,22 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    bitmap_vocab_limit: int = 0,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
     1. per-row signature (map only)
     2. band keys -> posexplode -> equi-join on (band_idx, key): candidates
-    3. exact Jaccard verify on the (small) candidate set
+    3. exact Jaccard verify on the candidate set. With
+       bitmap_vocab_limit > 0 and a distinct-token vocabulary within it
+       (one driver-side count decides), the verify takes the same bitmap
+       fast path as jaccard_pairs: each doc compresses to a few bigint
+       words and a pair verify is bit_count(a & b) instead of a
+       string-array intersection, so the verify join ships 8-byte words,
+       not token arrays. Worth the extra vocab-count job only when the
+       band join yields MANY candidates (low bands/high threshold — the
+       clustering workload); for a loose threshold with few candidates,
+       leave it 0 and verify the arrays directly.
     """
     from cellbase_spark.io import fan_out
 
@@ -346,6 +374,50 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    vocab_size = (
+        t.select(F.explode("_toks").alias("_tok")).distinct().count()
+        if bitmap_vocab_limit
+        else 0
+    )
+    if 0 < vocab_size <= bitmap_vocab_limit:
+        vocab = t.select(F.explode("_toks").alias("_tok")).distinct()
+        from pyspark.sql import Window
+
+        n_words = (vocab_size + 63) // 64
+        ranked = vocab.withColumn(
+            "_tid", F.row_number().over(Window.orderBy("_tok")) - 1
+        )
+        vmap = ranked.agg(
+            F.map_from_entries(F.collect_list(F.struct("_tok", "_tid"))).alias("_vmap")
+        )
+        docs = t.crossJoin(F.broadcast(vmap)).select(
+            "_id",
+            F.size("_toks").alias("_n"),
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), w ->"
+                " aggregate(filter(transform(_toks, t -> _vmap[t]), i -> i div 64 = w),"
+                " cast(0 as bigint),"
+                " (acc, i) -> acc | shiftleft(cast(1 as bigint), cast(i % 64 as int))))"
+            ).alias("_bits"),
+        )
+        ta = docs.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("_na"), F.col("_bits").alias("_ta")
+        )
+        tb = docs.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), F.col("_bits").alias("_tb")
+        )
+        inter = F.expr(
+            "aggregate(zip_with(_ta, _tb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
+        )
+        union = F.col("_na") + F.col("_nb") - F.col("_inter")
+        return (
+            cand.join(ta, "id_a")
+            .join(tb, "id_b")
+            .withColumn("_inter", inter)
+            .withColumn("jaccard", F.col("_inter") / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     ta = t.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     tb = t.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))

@@ -152,9 +152,10 @@ def q_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    bucket_of = lambda c: F.expr(
-        f"pmod(cast(conv(substr(md5(cast({c} as string)), 1, 13), 16, 10) as bigint), 1024)"
-    )
+    # Bucket hash is engine-internal (the oracle is the PLAIN semi join —
+    # any hash gives the identical result), so use JVM-native xxhash64
+    # instead of the md5 string path reserved for cross-engine randomness.
+    bucket_of = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(1024))
     buckets = urgent.select(bucket_of("o_orderkey").alias("_b")).distinct()
     prefiltered = li.withColumn("_b", bucket_of("l_orderkey")).join(
         F.broadcast(buckets), "_b", "left_semi"

@@ -107,7 +107,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return minhash_lsh_pairs(
-        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096,
     )
 
 
@@ -221,7 +222,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
-        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096,
     )
     return connected_components(
         d.select("doc_id"), pairs, id_col="doc_id"
