@@ -116,6 +116,28 @@ def centroid_expr(j_expr: str, dim: int = DIM) -> str:
     return f"transform(sequence(1, {dim}), i -> (({j_expr} * 13 + i * 7) % 29) / cast(29 as double))"
 
 
+def lsh_bucket_expr(vec_col: str, n_planes: int = 8, dim: int = DIM) -> str:
+    """Random-hyperplane (cosine) LSH bucket of a vector column: bit p is
+    the sign of the dot product with pseudo-random plane
+    r_p[i] = ((p*31 + i*17) % 23)/23 - 0.5, all integer-derived so any
+    engine re-derives the identical planes. The dot is a sequential fold
+    (same order both engines) rounded to 6dp before the sign test, so a
+    near-zero projection can't flip buckets across engines.
+
+    One expression per row — each plane's dot product is computed in
+    exactly one inner fold (the CollapseProject expression-blowup trap
+    from BASELINE.md does not apply)."""
+    dot_p = (
+        f"aggregate(sequence(1, {dim}), cast(0 as double),"
+        f" (s, i) -> s + cast(element_at({vec_col}, i) as double)"
+        f" * (((p * 31 + i * 17) % 23) / cast(23 as double) - 0.5))"
+    )
+    return (
+        f"aggregate(transform(sequence(0, {n_planes - 1}), p ->"
+        f" if(round({dot_p}, 6) >= 0, shiftleft(1, p), 0)), 0, (a, b) -> a + b)"
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 8,

@@ -17,6 +17,7 @@ from cellbase_spark.operators.similarity import (
     cosine_topk,
     ivf_assign,
     knn_join,
+    lsh_bucket_expr,
     norm_expr,
     qvec_expr,
 )
@@ -177,6 +178,67 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("centroid_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+def _duck_lsh_bucket(col: str, n_planes: int = 8) -> str:
+    """DuckDB mirror of operators/similarity.lsh_bucket_expr (same plane
+    formula, same sequential fold, same 6dp rounding before the sign)."""
+    dot_p = (
+        f"list_reduce(list_transform(range(1, 65),"
+        f" i -> CAST({col}[i] AS DOUBLE)"
+        f" * (((p * 31 + i * 17) % 23) / CAST(23 AS DOUBLE) - 0.5)), (x, y) -> x + y)"
+    )
+    return (
+        f"list_reduce(list_transform(range(0, {n_planes}), p ->"
+        f" CASE WHEN round({dot_p}, 6) >= 0 THEN (1 << p) ELSE 0 END), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "q_ann_lsh",
+    family="llm-sim",
+    oracle=f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+q AS (SELECT qv, {_duck_lsh_bucket('qv')} AS qb FROM cfg),
+b AS (SELECT vec_id, embedding, qv, qb,
+             {_duck_lsh_bucket('embedding')} AS bucket
+      FROM embeddings, q)
+SELECT vec_id, hamming, score FROM (
+  SELECT vec_id, CAST(bit_count(xor(bucket, qb)) AS INTEGER) AS hamming,
+         round({_COS_Q}, 6) AS score
+  FROM b WHERE bit_count(xor(bucket, qb)) <= 1
+) ORDER BY score DESC, vec_id ASC LIMIT 20
+""",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the cosine-metric dual of q_ann_ivf's
+    IVF): every vector maps to an 8-bit sign bucket; the query probes its
+    own bucket plus all hamming-1 neighbors (multi-probe, recall without
+    extra tables), then exact-cosine-ranks the candidates top-20.
+
+    Plan shape: bucket assignment is a narrow map (one fused expression,
+    codegen), the probe is a FILTER — no shuffle touches the data; the
+    final top-20 is TakeOrderedAndProject. At 100 TB write the table
+    partitioned by bucket and the probe becomes partition pruning of
+    9/256 buckets (vs IVF's 1/8 lists but coarser geometry)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cfg = (
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("qv"))
+        .select("qv", F.expr(lsh_bucket_expr("qv")).alias("qb"))
+    )
+    b = e.crossJoin(F.broadcast(cfg)).withColumn(
+        "bucket", F.expr(lsh_bucket_expr("embedding"))
+    )
+    cand = b.withColumn(
+        "hamming", F.expr("cast(bit_count(bucket ^ qb) as int)")
+    ).where(F.col("hamming") <= 1)
+    scored = cand.select(
+        "vec_id",
+        "hamming",
+        F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
 
 
 @register(

@@ -84,3 +84,48 @@ def test_pair_ops_never_cartesian(spark, sf_dir, key):
 def test_filter_compound_pushes_predicates(spark, sf_dir):
     plan = plan_of(spark, "q_filter_compound", sf_dir)
     assert "PushedFilters: []" not in plan.split("Scan parquet")[1].split("ReadSchema")[0]
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    # Fixed-stride chunking is a narrow map: explode in the scan stage,
+    # no Exchange anywhere.
+    plan = plan_of(spark, "q_chunk_documents", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_zorder_key_is_shuffle_free_codegen(spark, sf_dir):
+    plan = plan_of(spark, "q_zorder", sf_dir)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # bit-interleave runs inside whole-stage codegen
+
+
+def test_ann_lsh_probe_is_filter_plus_topk(spark, sf_dir):
+    # Bucket probe must be a filter + TakeOrderedAndProject: no shuffle
+    # of the embeddings, no join to form candidates.
+    plan = plan_of(spark, "q_ann_lsh", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == 0 or "BroadcastExchange" in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    plan = plan_of(spark, "q_sample_weighted", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_gap_fill_broadcasts_spine(spark, sf_dir):
+    # The dense grid side (types x hours) is tiny and must broadcast into
+    # the join against the hourly aggregate.
+    plan = plan_of(spark, "q_gap_fill", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefilter_join_double_broadcast(spark, sf_dir):
+    # Both phases (bucket membership + exact keys) must broadcast; the
+    # probe table never shuffles before the aggregate.
+    plan = plan_of(spark, "q_join_prefilter", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
