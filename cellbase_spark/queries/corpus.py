@@ -68,10 +68,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "doc_id",
         "source",
+        # let-binding emulation: wrap split() in a 1-element array and
+        # lambda-bind it, so the tokenization runs ONCE per row instead of
+        # once per gram (CollapseProject would otherwise inline it into
+        # the per-element lambda — the expression-blowup trap in
+        # BASELINE.md; measured 2x on this explode).
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+                "flatten(transform(array(split(text, ' ')), toks ->"
+                " transform(sequence(1, greatest(size(toks) - 4, 0)),"
+                " i -> concat_ws(' ', slice(toks, i, 5)))))"
             )
         ).alias("gram"),
     )
@@ -121,10 +127,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     chunks = d.select(
         "doc_id",
+        # same let-binding trick as q_contamination: tokenize once per row
         F.posexplode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')), 24),"
-                " s -> struct(slice(split(text, ' '), s, 32) AS toks))"
+                "flatten(transform(array(split(text, ' ')), toks ->"
+                " transform(sequence(1, size(toks), 24),"
+                " s -> struct(slice(toks, s, 32) AS toks))))"
             )
         ).alias("chunk_idx", "chunk"),
     )

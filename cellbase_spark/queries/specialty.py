@@ -94,3 +94,54 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["c_id", "c_ts", "c_value"],
         tie_break="c_id",
     ).select("p_id", "user_id", "p_ts", "p_value", "c_id", "c_ts", "c_value")
+
+
+@register(
+    "q_sql_recursive",
+    family="specialty",
+    oracle="""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, cur // 7 AS cur, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT a.node AS c_custkey,
+       count(*) AS n_ancestors,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS chain_bal
+FROM anc a JOIN customer c ON a.cur = c.c_custkey
+WHERE a.depth > 0
+GROUP BY a.node
+""",
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark >= 4.0): ancestor-chain
+    aggregation over the derived 7-ary hierarchy parent(k) = k div 7 —
+    each customer's data-dependent chain of ancestors (depth varies by
+    key) joined back to customer and decimal-summed. Exercises the one
+    SQL surface the DataFrame API can't express: iteration to a
+    data-dependent depth inside ONE declarative query (contrast with
+    operators/dedup.connected_components, which drives the loop from the
+    driver). Spark plans each recursive step as a UnionLoop over the
+    previous level — rows per level shrink geometrically here, so the
+    loop is ~log7(maxkey) cheap narrow steps.
+
+    The only cross-engine syntax delta is integer division (`div` vs
+    `//`); everything else is shared ANSI."""
+    from cellbase_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, cur div 7 AS cur, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT a.node AS c_custkey,
+       count(*) AS n_ancestors,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS chain_bal
+FROM anc a JOIN customer c ON a.cur = c.c_custkey
+WHERE a.depth > 0
+GROUP BY a.node
+"""
+    )
