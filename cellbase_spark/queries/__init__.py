@@ -5,6 +5,7 @@ via cellbase_spark.registry.register.
 """
 
 from cellbase_spark.queries import aggregates  # noqa: F401
+from cellbase_spark.queries import analytics  # noqa: F401
 from cellbase_spark.queries import corpus  # noqa: F401
 from cellbase_spark.queries import filters  # noqa: F401
 from cellbase_spark.queries import grouping  # noqa: F401

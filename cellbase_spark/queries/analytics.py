@@ -1,0 +1,153 @@
+"""Product-analytics operators over ``events``/``orders`` (SURVEY.md §2
+extensions A10-A12): ordered funnel analysis, retention cohorts, and
+equi-depth histograms — the classic event-analytics battery a cellbase
+user graduating to an analytics engine expects.
+
+Scale notes: the funnel is the textbook one-shuffle design (collect each
+user's events once, fold the step machine over the sorted array) instead
+of one join per funnel step; retention is two hash aggs + a per-user
+broadcast join; the histogram's global ntile is the exact form of what
+approx_percentile boundaries replace at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_funnel",
+    family="analytics",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id, v.vt AS view_ts, c.ct AS click_ts, p.pt AS purchase_ts,
+       (CASE WHEN v.vt IS NULL THEN 0 WHEN c.ct IS NULL THEN 1
+             WHEN p.pt IS NULL THEN 2 ELSE 3 END) AS funnel_depth
+FROM u LEFT JOIN v ON u.user_id = v.user_id
+       LEFT JOIN c ON u.user_id = c.user_id
+       LEFT JOIN p ON u.user_id = p.user_id
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase): per user, the
+    first view, the first click strictly after it, and the first purchase
+    strictly after that, plus the reached depth.
+
+    ONE shuffle total: collect each user's (ts, type) events, sort the
+    array, and fold a 3-state step machine over it — versus the oracle's
+    one-join-per-step algebra (which at 100 TB would shuffle the events
+    table once per funnel step). Adding a step here is one more branch in
+    the fold, not another join. Funnels over long histories: cap the
+    collected array with a time-window filter first."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    fold = F.expr(
+        """aggregate(
+  evs,
+  struct(cast(null as timestamp) AS vt, cast(null as timestamp) AS ct,
+         cast(null as timestamp) AS pt),
+  (s, e) -> CASE
+    WHEN e.event_type = 'view' AND s.vt IS NULL
+      THEN struct(e.ts AS vt, s.ct AS ct, s.pt AS pt)
+    WHEN e.event_type = 'click' AND s.ct IS NULL AND s.vt IS NOT NULL AND e.ts > s.vt
+      THEN struct(s.vt AS vt, e.ts AS ct, s.pt AS pt)
+    WHEN e.event_type = 'purchase' AND s.pt IS NULL AND s.ct IS NOT NULL AND e.ts > s.ct
+      THEN struct(s.vt AS vt, s.ct AS ct, e.ts AS pt)
+    ELSE s END)"""
+    )
+    out = per_user.select("user_id", fold.alias("f")).select(
+        "user_id",
+        F.col("f.vt").alias("view_ts"),
+        F.col("f.ct").alias("click_ts"),
+        F.col("f.pt").alias("purchase_ts"),
+        F.when(F.col("f.vt").isNull(), 0)
+        .when(F.col("f.ct").isNull(), 1)
+        .when(F.col("f.pt").isNull(), 2)
+        .otherwise(3)
+        .alias("funnel_depth"),
+    )
+    return out
+
+
+@register(
+    "q_retention",
+    family="analytics",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+)
+SELECT c.cohort_day, date_diff('day', c.cohort_day, a.d) AS day_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort grid: users bucketed by first-seen day, counted on
+    every later active day as an offset from their cohort. Two hash aggs
+    (first-seen per user; distinct user-days) + a join on user_id; the
+    cohort side is one row per user, so at scale it broadcasts or
+    co-partitions with the activity agg (both keyed by user_id — Spark
+    reuses the exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_histogram_equidepth",
+    family="analytics",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM t GROUP BY decile
+""",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order value: exact ntile over the
+    global order (ties broken by key so both engines split identically),
+    then per-bucket count/min/max. The exact global sort is the toy-SF
+    form; at 100 TB the same output comes from approx_percentile
+    boundaries (q_agg_approx_percentile) + one hash agg over
+    width_bucket-style assignment — swap noted here so the intent is
+    pinned."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

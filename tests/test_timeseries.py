@@ -147,3 +147,55 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
     # clearly above the population mean.
     assert mean_picked > mean_all * 1.1
     assert picked.count() == 100
+
+
+def test_funnel_step_order_and_depth(spark, sf_dir):
+    from cellbase_spark.queries.analytics import q_funnel
+
+    f = q_funnel(spark, sf_dir).cache()
+    try:
+        # Step timestamps must be strictly increasing where present, and
+        # depth must agree with which steps are populated.
+        assert f.where(
+            F.col("click_ts").isNotNull() & (F.col("click_ts") <= F.col("view_ts"))
+        ).count() == 0
+        assert f.where(
+            F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") <= F.col("click_ts"))
+        ).count() == 0
+        assert f.where(
+            (F.col("funnel_depth") == 3) & F.col("purchase_ts").isNull()
+        ).count() == 0
+        assert f.where(
+            (F.col("funnel_depth") < 3) & F.col("purchase_ts").isNotNull()
+        ).count() == 0
+        # funnel counts are monotone non-increasing by step
+        d = {r["funnel_depth"]: r["n"] for r in
+             f.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n")).collect()}
+        reached = [sum(v for k, v in d.items() if k >= s) for s in (1, 2, 3)]
+        assert reached[0] >= reached[1] >= reached[2]
+    finally:
+        f.unpersist()
+
+
+def test_retention_day0_equals_cohort_sizes(spark, sf_dir):
+    from cellbase_spark.queries.analytics import q_retention
+
+    r = q_retention(spark, sf_dir)
+    # offset 0 row exists for every cohort and sums to the user count
+    day0 = r.where(F.col("day_offset") == 0).agg(F.sum("n_users")).first()[0]
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert day0 == n_users
+    assert r.where(F.col("day_offset") < 0).count() == 0
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    from cellbase_spark.queries.analytics import q_histogram_equidepth
+
+    h = q_histogram_equidepth(spark, sf_dir).orderBy("decile").collect()
+    counts = [r["n"] for r in h]
+    assert max(counts) - min(counts) <= 1  # ntile balance
+    for a, b in zip(h, h[1:]):
+        assert a["hi"] <= b["lo"]  # buckets tile the value range in order
