@@ -252,6 +252,119 @@ def jaccard_pairs(
     return verified.select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
 
 
+def blocked_bitmap_jaccard_pairs(
+    tokenized: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    bitmap_vocab_limit: int = 4096,
+) -> DataFrame:
+    """Exact within-block Jaccard pairs for SMALL vocabularies: compress
+    every doc to a fixed few bigint words (token-id bitmap), materialize
+    that table ONCE (localCheckpoint — the self-join would otherwise
+    re-run the whole tokenize+vocab pipeline for each side), and compare
+    every same-block pair with an unrolled bit_count(a & b) chain plus
+    the Jaccard length filter (tau*|A| <= |B| <= |A|/tau) applied inside
+    the join.
+
+    When to prefer this over jaccard_pairs' prefix filter: blocked
+    corpora with modest block sizes, where the prefix join's candidate
+    set degenerates to ~all within-block pairs anyway (tiny vocab => all
+    prefixes collide) — then candidate generation buys nothing and the
+    all-pairs bitmap compare is pure codegen ALU work (a 250-doc block is
+    ~31k pair compares of ~6 words each). At 100 TB the same shape holds
+    per block; skewed block sizes get the salted-join treatment
+    (operators/joins.salted_join) before the pair join. Falls back to
+    jaccard_pairs (prefix filtering) when the vocabulary outgrows the
+    bitmap budget.
+
+    Bitmap build is the codegen-friendly shape: explode RAW tokens ->
+    broadcast-join the (token -> id) dim -> hash-agg with per-word bit_or
+    (map-side partial agg). Two deliberate non-choices: no per-row
+    higher-order lambda over a map literal (interpreted, O(vocab) per
+    lookup), and NO array_distinct anywhere — array_distinct on string
+    arrays is quadratic-ish per row (measured 6x the whole tokenize cost)
+    and redundant here because bit_or dedups for free and
+    sum(bit_count(words)) IS the distinct-token count.
+
+    Output: (id_a, id_b, n_a, n_b, n_shared, jaccard), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    from cellbase_spark.io import fan_out
+
+    # One materialization of the exploded token stream feeds the vocab
+    # count, the broadcast dim build, AND the bitmap agg — without it the
+    # tokenize+explode pipeline would run three times (once per consumer).
+    ex = (
+        fan_out(
+            tokenized.select(
+                F.col(id_col).alias("_id"),
+                F.col(block_col).alias("_blk"),
+                F.col(tokens_col).alias("_toks"),
+            )
+        )
+        .select("_id", "_blk", F.explode("_toks").alias("_tok"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = ex.select("_tok").distinct()
+    vocab_size = vocab.count()
+    if not vocab_size or vocab_size > bitmap_vocab_limit:
+        return jaccard_pairs(
+            tokenized,
+            id_col=id_col,
+            tokens_col=tokens_col,
+            block_col=block_col,
+            threshold=threshold,
+            bitmap_vocab_limit=bitmap_vocab_limit,
+        )
+    n_words = (vocab_size + 63) // 64
+    ranked = vocab.withColumn("_tid", F.row_number().over(Window.orderBy("_tok")) - 1)
+    word_aggs = [
+        F.expr(
+            f"bit_or(if(_tid div 64 = {w},"
+            " shiftleft(cast(1 as bigint), cast(_tid % 64 as int)),"
+            " cast(0 as bigint)))"
+        ).alias(f"_w{w}")
+        for w in range(n_words)
+    ]
+    docs = (
+        ex.join(F.broadcast(ranked), "_tok")
+        .groupBy("_id", "_blk")
+        .agg(*word_aggs)
+        .withColumn(
+            "_n", F.expr(" + ".join(f"bit_count(_w{w})" for w in range(n_words)))
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    tau = F.lit(threshold)
+    shared = " + ".join(f"bit_count(a._w{w} & b._w{w})" for w in range(n_words))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("b._n") >= tau * F.col("a._n"))
+            & (F.col("a._n") >= tau * F.col("b._n")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+            F.expr(shared).alias("n_shared"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -11,8 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cellbase_spark.io import load_table
+from cellbase_spark.io import fan_out, load_table
 from cellbase_spark.operators.dedup import (
+    blocked_bitmap_jaccard_pairs,
     connected_components,
     exact_dedup,
     jaccard_pairs,
@@ -68,7 +69,7 @@ HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.9
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-Jaccard near-dup pairs, blocked by source (metadata
     blocking bounds the pair space; the global-scale path is MinHash)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
     return jaccard_pairs(
         t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.9
@@ -104,7 +105,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard. Candidate generation is an equi-join on band keys
     — bucket-sized shuffle, never all-pairs. Fully oracle-checked because
     the min-hashes are md5-derived (deterministic in both engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -166,13 +167,20 @@ HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.62
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram Jaccard near-dup pairs (robust to token
-    reordering/typos vs token Jaccard), source-blocked."""
-    d = load_table(spark, sf_dir, "documents")
+    reordering/typos vs token Jaccard), source-blocked. The trigram
+    vocabulary is tiny, so the prefix filter degenerates (every pair
+    shares a prefix gram) — the blocked bitmap all-pairs operator is the
+    right plan here (see blocked_bitmap_jaccard_pairs for the adaptive
+    fallback to prefix filtering on big vocabularies)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # raw (possibly duplicated) grams: the bitmap operator dedups via
+    # bit_or, and its jaccard_pairs fallback array_distincts internally —
+    # never pay array_distinct's quadratic string path here
     grams = F.expr(
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
     )
     t = d.select("doc_id", "source", grams.alias("toks"))
-    return jaccard_pairs(
+    return blocked_bitmap_jaccard_pairs(
         t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.62
     ).select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
 
@@ -219,7 +227,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same clusters with a recursive-CTE transitive closure — feasible at
     oracle scale, while the Spark side is the iterative label-propagation
     loop that scales (operators/dedup.connected_components)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
