@@ -241,3 +241,112 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "nk", "edit_dist")
     )
+
+
+@register(
+    "q_token_entropy",
+    family="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(c * ln(c), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sclnc
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n, ROUND(ln(n) - sclnc / n, 5) AS entropy
+FROM s
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (a diversity
+    / boilerplate quality signal: near-zero = one token repeated, high =
+    uniform). Algebra: H = ln(n) - (sum c_i ln c_i)/n with each ln-term
+    rounded to 6dp and decimal-summed, so partial-aggregation order can't
+    move the result and the one libm call matches DuckDB (the
+    registry's ln-rounding rule, same as q_tfidf).
+
+    Two map-side-combinable hash aggs keyed (doc_id, tok) then doc_id —
+    the shuffle carries per-doc distinct-token counts, not occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.round(F.col("c") * F.log("c"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sclnc"),
+    )
+    return s.select(
+        "doc_id",
+        "n",
+        F.round(F.log("n") - F.col("sclnc") / F.col("n"), 5).alias("entropy"),
+    )
+
+
+@register(
+    "q_kl_source_drift",
+    family="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), g AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS gc FROM st GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(gc) AS BIGINT) AS n FROM g
+), per AS (
+  SELECT st.source, CAST(SUM(st.c) AS BIGINT) AS ns,
+         CAST(SUM(CAST(ROUND(st.c * (ln(st.c) - ln(g.gc)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+  FROM st JOIN g ON st.tok = g.tok
+  GROUP BY st.source
+)
+SELECT source, ns, ROUND(s / ns - ln(ns) + ln(tot.n), 5) AS kl_vs_corpus
+FROM per, tot
+""",
+)
+def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the whole
+    corpus — the drift/contamination monitor a data pipeline runs per
+    ingest batch (a source whose language suddenly shifts spikes here).
+    KL(p_s || p) = sum_t p ln(p/q) rearranged to integer counts:
+    (1/n_s) * sum c_st (ln c_st - ln C_t) - ln n_s + ln N, with the same
+    rounded-ln decimal-sum determinism as q_token_entropy.
+
+    The per-(source, token) agg reuses one shuffle; the global token
+    counts broadcast back onto it (token dim is the corpus vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = st.groupBy("tok").agg(F.sum("c").alias("gc"))
+    n_total = g.agg(F.sum("gc").alias("n"))
+    per = (
+        st.join(F.broadcast(g), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("ns"),
+            F.sum(
+                F.round(F.col("c") * (F.log("c") - F.log("gc")), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    return per.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        "ns",
+        F.round(
+            F.col("s") / F.col("ns") - F.log("ns") + F.log("n"), 5
+        ).alias("kl_vs_corpus"),
+    )
