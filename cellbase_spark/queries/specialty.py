@@ -145,3 +145,113 @@ WHERE a.depth > 0
 GROUP BY a.node
 """
     )
+
+
+@register(
+    "q_subquery_correlated",
+    family="specialty",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+FROM orders
+""",
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: per order, the decimal-summed lineitem
+    quantity. Catalyst's RewriteCorrelatedScalarSubquery de-correlates
+    this into an aggregate + LEFT OUTER join — i.e., the executed plan is
+    a join, never a per-row re-scan (check: one Aggregate feeding a Join
+    in the physical plan). That rewrite is exactly why the declarative
+    form scales; the oracle runs the identical SQL."""
+    from cellbase_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderkey, o_totalprice,
+       (SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+FROM orders
+"""
+    )
+
+
+@register(
+    "q_lateral_topk",
+    family="specialty",
+    oracle="""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+""",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 customers per nation): the SQL
+    spelling of q_topk_per_group. Spark plans the lateral as a
+    de-correlated window/join, not a per-nation re-scan; identical SQL in
+    DuckDB. Tie-broken by c_custkey so both engines pick the same rows."""
+    from cellbase_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+"""
+    )
+
+
+@register(
+    "q_unpivot",
+    family="specialty",
+    oracle="""
+WITH wide AS (
+  SELECT user_id,
+         CAST(ROUND(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS click,
+         CAST(ROUND(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view,
+         CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, total FROM (
+  SELECT user_id, 'click' AS event_type, click AS total FROM wide
+  UNION ALL SELECT user_id, 'view', view FROM wide
+  UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+) WHERE total IS NOT NULL
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q_pivot): wide per-user sums of three
+    event types back to long (user_id, event_type, total), NULL cells
+    dropped — df.unpivot (Spark >= 3.4) compiles to a single Expand node
+    (each input row emits k rows in-place, no shuffle beyond the agg);
+    the oracle spells the same thing as UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cell(t: str) -> F.Column:
+        return (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == t,
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias(t)
+        )
+
+    wide = ev.groupBy("user_id").agg(cell("click"), cell("view"), cell("purchase"))
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "view", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="total",
+    ).where(F.col("total").isNotNull())
