@@ -487,41 +487,51 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    vocab_size = (
-        t.select(F.explode("_toks").alias("_tok")).distinct().count()
+    ex = (
+        t.select("_id", F.explode("_toks").alias("_tok")).localCheckpoint(eager=True)
         if bitmap_vocab_limit
-        else 0
+        else None
     )
+    vocab_size = ex.select("_tok").distinct().count() if ex is not None else 0
     if 0 < vocab_size <= bitmap_vocab_limit:
-        vocab = t.select(F.explode("_toks").alias("_tok")).distinct()
+        # same codegen bitmap build as blocked_bitmap_jaccard_pairs:
+        # explode -> broadcast (token -> id) dim -> per-word bit_or agg
+        # (never a per-row lambda over a map literal — interpreted and
+        # O(vocab) per lookup)
         from pyspark.sql import Window
 
         n_words = (vocab_size + 63) // 64
-        ranked = vocab.withColumn(
+        ranked = ex.select("_tok").distinct().withColumn(
             "_tid", F.row_number().over(Window.orderBy("_tok")) - 1
         )
-        vmap = ranked.agg(
-            F.map_from_entries(F.collect_list(F.struct("_tok", "_tid"))).alias("_vmap")
-        )
-        docs = t.crossJoin(F.broadcast(vmap)).select(
-            "_id",
-            F.size("_toks").alias("_n"),
+        word_aggs = [
             F.expr(
-                f"transform(sequence(0, {n_words - 1}), w ->"
-                " aggregate(filter(transform(_toks, t -> _vmap[t]), i -> i div 64 = w),"
-                " cast(0 as bigint),"
-                " (acc, i) -> acc | shiftleft(cast(1 as bigint), cast(i % 64 as int))))"
-            ).alias("_bits"),
+                f"bit_or(if(_tid div 64 = {w},"
+                " shiftleft(cast(1 as bigint), cast(_tid % 64 as int)),"
+                " cast(0 as bigint)))"
+            ).alias(f"_w{w}")
+            for w in range(n_words)
+        ]
+        docs = (
+            ex.join(F.broadcast(ranked), "_tok")
+            .groupBy("_id")
+            .agg(*word_aggs)
+            .withColumn(
+                "_n", F.expr(" + ".join(f"bit_count(_w{w})" for w in range(n_words)))
+            )
+            .localCheckpoint(eager=True)
         )
         ta = docs.select(
-            F.col("_id").alias("id_a"), F.col("_n").alias("_na"), F.col("_bits").alias("_ta")
+            F.col("_id").alias("id_a"),
+            F.col("_n").alias("_na"),
+            *[F.col(f"_w{w}").alias(f"_a{w}") for w in range(n_words)],
         )
         tb = docs.select(
-            F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), F.col("_bits").alias("_tb")
+            F.col("_id").alias("id_b"),
+            F.col("_n").alias("_nb"),
+            *[F.col(f"_w{w}").alias(f"_b{w}") for w in range(n_words)],
         )
-        inter = F.expr(
-            "aggregate(zip_with(_ta, _tb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
-        )
+        inter = F.expr(" + ".join(f"bit_count(_a{w} & _b{w})" for w in range(n_words)))
         union = F.col("_na") + F.col("_nb") - F.col("_inter")
         return (
             cand.join(ta, "id_a")
