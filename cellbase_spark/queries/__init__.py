@@ -8,6 +8,7 @@ from cellbase_spark.queries import aggregates  # noqa: F401
 from cellbase_spark.queries import analytics  # noqa: F401
 from cellbase_spark.queries import corpus  # noqa: F401
 from cellbase_spark.queries import filters  # noqa: F401
+from cellbase_spark.queries import graph  # noqa: F401
 from cellbase_spark.queries import grouping  # noqa: F401
 from cellbase_spark.queries import joins  # noqa: F401
 from cellbase_spark.queries import layout  # noqa: F401
