@@ -1,0 +1,74 @@
+"""Empty-input robustness: operators with driver-side adaptivity
+(vocab counts, checkpointed edge lists, iterative loops) must degrade to
+empty/identity results instead of crashing when their input collapses to
+zero rows — the oracle gate never exercises this because the testdata is
+never empty."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.dedup import (
+    blocked_bitmap_jaccard_pairs,
+    connected_components,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+
+
+def _empty_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.lit(False)).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+
+
+def test_connected_components_no_edges(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).where(F.lit(False))
+    out = connected_components(d, edges, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    assert all(r["cluster_id"] == r["doc_id"] and r["is_canonical"] for r in rows)
+
+
+def test_jaccard_operators_empty_input(spark, sf_dir):
+    t = _empty_docs(spark, sf_dir)
+    assert (
+        jaccard_pairs(
+            t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.5
+        ).count()
+        == 0
+    )
+    assert (
+        blocked_bitmap_jaccard_pairs(
+            t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.5
+        ).count()
+        == 0
+    )
+
+
+def test_minhash_empty_input(spark, sf_dir):
+    t = _empty_docs(spark, sf_dir).select("doc_id", "toks")
+    assert (
+        minhash_lsh_pairs(
+            t, id_col="doc_id", tokens_col="toks", bitmap_vocab_limit=4096
+        ).count()
+        == 0
+    )
+
+
+def test_singleton_block_yields_no_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    one = d.orderBy("doc_id").limit(1).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    assert (
+        blocked_bitmap_jaccard_pairs(
+            one, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.5
+        ).count()
+        == 0
+    )
