@@ -114,3 +114,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 successor of running_user_totals: the same per-user running
+    (count, total) accumulator on transformWithStateInPandas — the
+    StatefulProcessor API with named state variables (ValueState here;
+    ListState/MapState and timers exist for richer machines). Unlike
+    applyInPandasWithState's single opaque state tuple, state is declared
+    per-variable with its own schema, and the processor object carries
+    the lifecycle (init/handleInputRows/close) — the shape new stateful
+    operators should take on Spark >= 4.0.
+
+    Runtime dependency: the TWS driver worker requires `protobuf`
+    (google.protobuf) — absent from this container, so the cross-batch
+    test skips; running on a cluster with protobuf installed is the
+    production path, and applyInPandasWithState (running_user_totals)
+    remains the verified-here equivalent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "count long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((count, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [count], "total": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -302,3 +302,53 @@ def test_session_window_gap_semantics(spark, stream_dir):
     rows = pipelines.session_agg(static).orderBy("session_start").collect()
     assert [r["n_events"] for r in rows] == [2, 1]
     assert rows[0]["session_end"] == rows[0]["session_start"].replace(hour=10, minute=59, second=59)
+
+
+def test_stateful_running_totals_tws(spark, stream_dir):
+    """U5 (Spark 4 API): transformWithStateInPandas keeps named state
+    across micro-batches, matching the applyInPandasWithState semantics.
+
+    The TWS runtime speaks protobuf between the JVM and its Python driver
+    worker; skip (don't fail) where google.protobuf isn't installed —
+    this container ships pyspark without it and installs are barred."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="transformWithStateInPandas needs protobuf")
+    stream = pipelines.running_user_totals_tws(pipelines.read_events_stream(spark, stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write_batch(
+            spark,
+            _events_pdf(
+                [
+                    (1, "2024-01-01 00:00:00", 7, "click", 2.0, "{}"),
+                    (2, "2024-01-01 00:01:00", 7, "view", 3.0, "{}"),
+                    (3, "2024-01-01 00:02:00", 9, "click", 5.0, "{}"),
+                ]
+            ),
+            stream_dir,
+            0,
+        )
+        q.processAllAvailable()
+        _write_batch(
+            spark,
+            _events_pdf([(4, "2024-01-01 00:03:00", 7, "purchase", 10.0, "{}")]),
+            stream_dir,
+            1,
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM tws_sink ORDER BY n_events, user_id"
+        ).collect()
+        # batch0: u7 (2, 5.0), u9 (1, 5.0); batch1: u7 (3, 15.0)
+        latest = {}
+        for r in rows:
+            latest[r["user_id"]] = (r["n_events"], r["total"])
+        assert latest[7] == (3, 15.0)
+        assert latest[9] == (1, 5.0)
+    finally:
+        q.stop()
