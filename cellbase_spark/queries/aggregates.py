@@ -277,3 +277,40 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = dsum_sc(y * y, "decimal(30,4)", 0)
     corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
     return li.groupBy("l_returnflag").agg(n.alias("n"), corr.alias("corr_qty_price"))
+
+
+@register(
+    "q_agg_mode",
+    family="agg",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty ASC) AS rk
+  FROM c
+)
+SELECT l_returnflag, qty AS mode_qty, n AS mode_n FROM r WHERE rk = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent quantity per return
+    flag): count + row_number with an explicit tie-break instead of the
+    native mode() aggregate, whose tie winner is engine- and
+    partitioning-dependent. Two map-combinable aggs + one tiny window
+    (|groups x distinct values| rows)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("qty").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_n"))
+    )
