@@ -77,6 +77,75 @@ class CellTable:
     # of edits stays one Catalyst plan (narrow maps — no shuffle), so the
     # 100 TB cost of N edits is one scan + one write, not N passes. -----
 
+    # -- pipeline verbs: the LLM-data operators exposed where a reference
+    # user would look for them. Each delegates to the tested operator in
+    # cellbase_spark.operators (same plans as the q_* registry keys). ---
+
+    def dedup_exact(self, text_col: str) -> "CellTable":
+        """Drop exact duplicates of normalized text, keeping the min-key
+        row per content hash (operators/dedup.exact_dedup plan shape)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        h = F.md5(F.lower(F.trim(F.col(text_col))))
+        w = Window.partitionBy(h).orderBy(F.col(self.key_col).asc())
+        out = (
+            self.df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return CellTable(out, self.name, self.key_col)
+
+    def near_dup_pairs(
+        self, text_col: str, threshold: float = 0.9, block_col: str | None = None
+    ) -> DataFrame:
+        """Near-duplicate pairs by token Jaccard (prefix-filtered join;
+        see operators/dedup.jaccard_pairs for the scale notes)."""
+        from pyspark.sql import functions as F
+
+        from cellbase_spark.operators.dedup import jaccard_pairs
+
+        t = self.df.select(
+            self.key_col,
+            *( [block_col] if block_col else [] ),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        return jaccard_pairs(
+            t,
+            id_col=self.key_col,
+            tokens_col="_toks",
+            block_col=block_col,
+            threshold=threshold,
+        )
+
+    def dedup_clusters(self, text_col: str, threshold: float = 0.95) -> DataFrame:
+        """Cluster near-duplicates (MinHash-LSH pairs -> connected
+        components); returns (key, cluster_id, is_canonical) per row."""
+        from pyspark.sql import functions as F
+
+        from cellbase_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+
+        t = self.df.select(
+            self.key_col, F.split(F.col(text_col), " ").alias("_toks")
+        )
+        pairs = minhash_lsh_pairs(
+            t, id_col=self.key_col, tokens_col="_toks", bands=2,
+            threshold=threshold, bitmap_vocab_limit=4096,
+        )
+        return connected_components(
+            self.df.select(self.key_col), pairs, id_col=self.key_col
+        )
+
+    def similar_topk(self, vec_col: str, k: int = 20) -> DataFrame:
+        """Top-k rows by cosine similarity to the deterministic query
+        vector (operators/similarity.cosine_topk)."""
+        from cellbase_spark.operators.similarity import cosine_topk
+
+        return cosine_topk(self.df, k=k, vec_col=vec_col, id_col=self.key_col)
+
     def set_value(self, key, column: str, value) -> "CellTable":
         """The reference's cell edit: table[key][column] = value."""
         from pyspark.sql import functions as F

