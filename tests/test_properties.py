@@ -135,3 +135,51 @@ def test_prefix_filter_is_lossless(spark, docs, tau):
             if len(a | b) and len(a & b) / len(a | b) >= tau:
                 want.add((ids[x], ids[y]))
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # doc id (dups possible -> dedup below)
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=8,
+        ),  # token multiset over a tiny alphabet
+        st.sampled_from(["s0", "s1"]),  # block
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(docs=docs_strategy, threshold=st.sampled_from([0.34, 0.5, 0.75]))
+@SETTINGS
+def test_bitmap_and_prefix_jaccard_agree(spark, docs, threshold):
+    """Differential law: blocked_bitmap_jaccard_pairs (all-pairs bitmap
+    compare) and jaccard_pairs (PPJoin prefix filter) are two physical
+    strategies for the SAME operator — on any corpus they must emit the
+    identical pair set with identical (n_a, n_b, n_shared, jaccard)."""
+    from cellbase_spark.operators.dedup import blocked_bitmap_jaccard_pairs
+
+    uniq = {}
+    for i, toks, blk in docs:
+        uniq[i] = (i, toks, blk)
+    rows = list(uniq.values())
+    if not rows:
+        return
+    t = spark.createDataFrame(rows, "id long, toks array<string>, blk string")
+    a = blocked_bitmap_jaccard_pairs(
+        t, id_col="id", tokens_col="toks", block_col="blk", threshold=threshold
+    )
+    b = jaccard_pairs(
+        t, id_col="id", tokens_col="toks", block_col="blk", threshold=threshold
+    )
+
+    def canon(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_a"], r["n_b"], r["n_shared"],
+             round(r["jaccard"], 9))
+            for r in df.collect()
+        )
+
+    assert canon(a) == canon(b)
