@@ -183,3 +183,50 @@ def test_bitmap_and_prefix_jaccard_agree(spark, docs, threshold):
         )
 
     assert canon(a) == canon(b)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=edges_strategy)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Differential law: the distributed label-propagation CC must match a
+    driver-side union-find on any small graph (chains, cliques, isolated
+    nodes, self-loops, duplicate edges)."""
+    from cellbase_spark.operators.dedup import connected_components
+
+    nodes = list(range(12))
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical min-id label per component
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {n: min(members) for root, members in expected.items() for n in members}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges or [], "id_a long, id_b long") if edges else \
+        ndf.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")).where(F.lit(False))
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(ndf, edf, id_col="id").collect()
+    }
+    assert got == want
