@@ -1,0 +1,356 @@
+"""TPC-H query-shape battery (SURVEY.md §2.3 continuation, J14-J19).
+
+The classic decision-support shapes beyond the Q1/Q3/Q5 already shipped
+in queries/{grouping,joins}.py. The driver testdata omits a few TPC-H
+columns (l_commitdate, l_shipmode, p_container, o_shippriority), so Q4,
+Q12 and Q19 are *adapted shapes*: the same plan skeleton (semi-join
+priority count, lag-bucketed distribution, disjunctive multi-predicate
+join) over the columns that exist. Cellbase has no analog for any of
+these (SURVEY.md §2.3 [HIGH]: no join operator at all) — they are
+north-star extensions proving the engine runs full decision-support SQL.
+
+Scale notes (100 TB): every query below keeps the one unavoidable big
+shuffle (lineitem⋈orders or a lineitem group-by) and broadcasts every
+dimension side; predicates sit directly on the scan so parquet row-group
+pruning and column pruning apply (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark.functions.exact import davg_sql, dsum, dsum_sql
+from cellbase_spark.io import load_table
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_tpch_q6",
+    family="tpch",
+    oracle=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): a pure scan-filter-aggregate —
+    zero joins, zero wide shuffles; the global agg is a two-phase partial
+    + final over one row per partition. All three predicates push into
+    the parquet scan (PushedFilters), so at 100 TB this reads only the
+    row groups whose min/max straddle the ship-date year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q4",
+    family="tpch",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS becomes a LEFT
+    SEMI join — Spark never materializes the matching lineitem rows, and
+    the semi join's build side carries only (orderkey, shipdate). The
+    adapted late-line predicate is l_shipdate > o_orderdate (testdata has
+    no l_commitdate/l_receiptdate). One shuffle on orderkey, then a
+    5-group hash agg."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    family="tpch",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter-filtered orders join
+    returnflag-filtered lineitem on orderkey (the one big shuffle), then
+    customer and nation ride in as broadcasts. Top-20 by exact decimal
+    revenue via TakeOrderedAndProject — no global sort materializes."""
+    q_start = F.lit("1996-01-01").cast("timestamp")
+    q_end = F.lit("1996-04-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= q_start) & (F.col("o_orderdate") < q_end)
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q12",
+    family="tpch",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(SUM(CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) > 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(SUM(CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) <= 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS prompt_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o.o_orderpriority
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay distribution): conditional-SUM
+    bucketing inside one hash agg, after the single orderkey shuffle
+    join. Adapted to ship-lag > 60 days vs o_orderdate bucketed by
+    o_orderpriority (testdata has no l_shipmode/l_commitdate). datediff
+    on day-truncated timestamps is integer-exact in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(lag_days > 60, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(lag_days <= 60, 1).otherwise(0)).alias("prompt_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    family="tpch",
+    oracle=f"""
+SELECT CAST(ROUND(
+         100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(25,10))
+                           ELSE CAST(0 AS DECIMAL(25,10)) END)
+         / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,10))), 6) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): month-filtered lineitem joins the
+    part dim as a broadcast (part is ~1/30 of lineitem at every SF), one
+    global conditional agg. Both the numerator and denominator sum in
+    DECIMAL so the ratio is order-independent; the quotient rounds at 6
+    digits *in decimal* before the double cast on both engines."""
+    dec = "decimal(25,10)"
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(dec))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    family="tpch",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(25,10))) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {dsum_sql('l.l_quantity', 'total_qty')}
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 25
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING subquery is a
+    lineitem self-aggregation whose survivor set (orders over 150 units)
+    is tiny — Spark broadcasts it back against lineitem, so the heavy
+    table shuffles ONCE for the group-by and the re-join is map-side.
+    Decimal quantity sums keep the >150 cut and the output identical
+    across engines."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,10)")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "q_tpch_q19",
+    family="tpch",
+    oracle=f"""
+SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    OR-of-ANDs mixing join-side columns — Catalyst keeps the equi-join on
+    partkey (broadcast-hash, part is the small side) and evaluates the
+    disjunction as a post-join filter, while the derivable common
+    conjuncts (p_size >= 1) still push to the part scan. Adapted to
+    brand/size/quantity bands (testdata has no p_container/l_shipmode)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return joined.where(
+        band("Brand#1", 15, 1, 11) | band("Brand#11", 25, 10, 20) | band("Brand#21", 35, 20, 30)
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_tpch_q22",
+    family="tpch",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {davg_sql('c_acctbal', 'a')} FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey AS cntry, COUNT(*) AS numcust,
+       {dsum_sql('c.c_acctbal', 'totacctbal')}
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): a scalar-subquery
+    threshold (average positive balance) feeds a filter, then NOT EXISTS
+    becomes a LEFT ANTI join against orders' custkey projection, grouped
+    by nation. The scalar aggregate is a one-row broadcast; the anti
+    join's build side is a single deduplicated long column. Adapted to
+    group by c_nationkey and to "no RECENT order" — every custkey has
+    *some* order in this testdata, so the classic no-order-at-all filter
+    would be vacuously empty (testdata also has no c_phone codes)."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(25,10)")), 4).cast("double")
+            / F.count("c_acctbal")
+        ).alias("a")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
