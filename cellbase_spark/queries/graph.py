@@ -85,3 +85,81 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_PR_ITERS = 3
+
+# One recursive step rendered as a CTE pair: contributions flow along the
+# symmetric adjacency, are summed EXACTLY in decimal (order-independent),
+# and the damping update is per-row IEEE (bit-identical across engines).
+_PR_STEP_SQL = """
+r{next} AS (
+  SELECT a.dst AS node,
+         0.15 + 0.85 * CAST(ROUND(SUM(CAST(r{cur}.rank / d.degree
+                                           AS DECIMAL(25,10))), 6)
+                            AS DOUBLE) AS rank
+  FROM adj a
+  JOIN r{cur} ON a.src = r{cur}.node
+  JOIN deg d ON a.src = d.node
+  GROUP BY a.dst
+)"""
+
+
+def _pagerank_oracle() -> str:
+    steps = ",".join(
+        _PR_STEP_SQL.format(cur=i, next=i + 1) for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH e AS ({_EDGES_SQL}),
+adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS degree FROM adj GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+{steps}
+SELECT node, ROUND(rank, 8) AS rank FROM r{_PR_ITERS}
+"""
+
+
+@register("q_pagerank", family="graph", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {n} unrolled power iterations over the symmetric derived
+    graph (damping 0.85, unnormalized teleport 0.15, r0 = 1). The oracle
+    is the SAME {n} iterations as chained SQL CTEs — proving an iterative
+    algorithm bit-matches when each iteration's sum goes through exact
+    decimal and the damping update stays per-row IEEE.
+
+    Spark plan: adjacency+degree computed once and localCheckpointed (the
+    iteration input must not re-derive the edge set per round), then each
+    round is one shuffle join rank⋈adj plus a dst-keyed hash agg. At
+    100 TB: pre-partition adj and ranks by the SAME key so every round's
+    join is exchange-free, checkpoint every ~5 rounds to cut lineage, and
+    let AQE coalesce the rank-side (node-cardinality) shuffle."""
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    # adjacency annotated with the source degree once, reused every round
+    adj_deg = adj.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            adj_deg.join(ranks, adj_deg.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    0.15
+                    + 0.85
+                    * F.round(
+                        F.sum(
+                            (F.col("rank") / F.col("degree")).cast("decimal(25,10)")
+                        ),
+                        6,
+                    ).cast("double")
+                ).alias("rank")
+            )
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(n=_PR_ITERS)
