@@ -268,3 +268,109 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing"),
         (k > 50).alias("k_gt50"),
     )
+
+
+# Soundex-style consonant classes, identically spelled in both engines via
+# translate(). Letters -> digit classes; vowels/h/w/y -> 0 (dropped later).
+_SDX_FROM = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_SDX_TO = "11112222222233455600000000"
+
+
+@register(
+    "q_phonetic_key",
+    family="scalar",
+    oracle=f"""
+WITH tok AS (
+  SELECT UPPER(string_split(text, ' ')[1]) AS t FROM documents
+),
+keyed AS (
+  SELECT t,
+         SUBSTRING(t, 1, 1) ||
+         RPAD(SUBSTRING(REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(
+               TRANSLATE(SUBSTRING(t, 2), '{_SDX_FROM}', '{_SDX_TO}'),
+             '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+             '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g'),
+           '0', ''), 1, 3), 3, '0') AS pkey
+  FROM tok
+)
+SELECT pkey, COUNT(*) AS n_docs,
+       list_sort(list(DISTINCT t)) AS words
+FROM keyed GROUP BY pkey
+""",
+)
+def q_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking key (Soundex variant, L37): first-letter +
+    3-digit consonant-class code, built ONLY from engine-portable
+    primitives — translate / per-class regexp run-collapse (DuckDB's RE2
+    has no backreferences, so runs collapse class-by-class) / rpad.
+    Native soundex() exists in Spark but not DuckDB; spelling the algebra
+    out keeps the oracle exact AND keeps the whole key inside JVM codegen
+    (zero Python). The fuzzy-match use: group/block candidate names by
+    pkey before an expensive pairwise metric — at 100 TB this is the
+    shuffle-key that turns O(n^2) matching into per-block work."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.upper(F.split(F.col("text"), " ").getItem(0))
+    tail = F.expr(
+        f"translate(substring(upper(split(text, ' ')[0]), 2), "
+        f"'{_SDX_FROM}', '{_SDX_TO}')"
+    )
+    for d_ in "123456":
+        tail = F.regexp_replace(tail, d_ + "+", d_)
+    code = F.rpad(F.substring(F.replace(tail, F.lit("0"), F.lit("")), 1, 3), 3, "0")
+    return (
+        d.select(t.alias("t"), F.concat(F.substring(t, 1, 1), code).alias("pkey"))
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_set("t")).alias("words"),
+        )
+    )
+
+
+@register(
+    "q_map_functions",
+    family="scalar",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS c,
+         COUNT(DISTINCT DATE_TRUNC('day', ts)) AS d
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, CAST(c * 10 + d AS BIGINT) AS score
+FROM cnt WHERE c * 10 + d >= 25
+""",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface battery (F6 upgrade): per-user maps
+    event_type -> count and event_type -> active-days are built with
+    map_from_entries over order-stabilized entry lists, combined with
+    map_zip_with (same key set by construction), thresholded with
+    map_filter, then exploded back to rows. The relational oracle proves
+    the map algebra is semantics-preserving — the map hop costs no extra
+    shuffle (one user-keyed agg in, one explode out), and all four map
+    higher-order functions stay JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m_cnt"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "d")))
+        ).alias("m_days"),
+    )
+    scored = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with("m_cnt", "m_days", lambda k, c, d: c * 10 + d),
+            lambda k, v: v >= 25,
+        ).alias("m_score"),
+    )
+    ex = scored.select("user_id", F.explode("m_score").alias("event_type", "score"))
+    return ex.select("user_id", "event_type", "score")

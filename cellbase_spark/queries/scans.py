@@ -131,3 +131,37 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl_table(
         spark, out, schema="event_id long, user_id long, event_type string, value double"
     ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "q_partitioned_write",
+    family="scan",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""",
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan (S10): lineitem
+    written partitionBy(l_returnflag), read back with an equality filter
+    on the partition column. The filter resolves at PLANNING time against
+    directory names — the 'A' and 'N' partitions are never opened
+    (PartitionFilters in the scan node, asserted in tests/test_plans.py).
+    At 100 TB this is the difference between scanning 1/3 of the lake and
+    all of it; the oracle proves pruning loses no rows."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "lineitem")
+    l.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(25,10)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -129,3 +129,61 @@ def test_prefilter_join_double_broadcast(spark, sf_dir):
     plan = plan_of(spark, "q_join_prefilter", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_readback_prunes_partitions(spark, sf_dir):
+    # q_partitioned_write's read-back filter is on the partition column:
+    # it must resolve against directory names (PartitionFilters), leaving
+    # nothing for PushedFilters, and never appear as a post-scan Filter.
+    QS["q_partitioned_write"](spark, sf_dir)  # materialize the sink
+    import os, tempfile
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "lineitem")
+    from pyspark.sql import functions as F
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf_line
+
+
+def test_tpch_q6_filters_reach_scan(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q6", sf_dir)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read  # 4-column query never reads the keys
+
+
+def test_tpch_q18_having_set_broadcasts_back(spark, sf_dir):
+    # the >150-qty survivor set must re-join lineitem as a broadcast,
+    # keeping the heavy table to its single group-by shuffle
+    plan = plan_of(spark, "q_tpch_q18", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q14_broadcasts_part_dim(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q14", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_semi_join_never_materializes_matches(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q4", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_pagerank_rounds_are_hash_joins(spark, sf_dir):
+    plan = plan_of(spark, "q_pagerank", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_map_battery_maps_add_no_shuffle(spark, sf_dir):
+    # exactly the relational exchanges: the COUNT(DISTINCT day) dedup, the
+    # (user_id, event_type) agg, and the user_id map-build agg — the map
+    # zip/filter/explode hop itself must add none
+    import re
+
+    plan = plan_of(spark, "q_map_functions", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
