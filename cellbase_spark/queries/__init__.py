@@ -17,6 +17,7 @@ from cellbase_spark.queries import llm_multimodal  # noqa: F401
 from cellbase_spark.queries import llm_similarity  # noqa: F401
 from cellbase_spark.queries import llm_text  # noqa: F401
 from cellbase_spark.queries import pipeline  # noqa: F401
+from cellbase_spark.queries import quality  # noqa: F401
 from cellbase_spark.queries import scalars  # noqa: F401
 from cellbase_spark.queries import scans  # noqa: F401
 from cellbase_spark.queries import setops  # noqa: F401

@@ -206,3 +206,45 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(substring_index(value, '\t', 1) as bigint)").alias("doc_id"),
         F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
     )
+
+
+@register(
+    "q_bpe_pairs",
+    family="corpus",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+pairs AS (
+  SELECT substring(t, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
+        FROM tok WHERE length(t) >= 2)
+)
+SELECT pair, COUNT(*) AS cnt FROM pairs
+GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge-candidate scan (L38): count adjacent CHARACTER
+    pairs inside every token corpus-wide and rank the top merges — the
+    inner loop of byte-pair-encoding vocabulary induction. The pair set
+    per token is built with transform(sequence(...)) (one codegen'd
+    projection, no Python, no join); the only shuffle carries (pair,
+    partial_count) thanks to map-side combine — at 100 TB the exchange
+    is bounded by the pair-vocabulary (~1k rows), not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t")).where(F.length("t") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )

@@ -296,3 +296,46 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("double").alias("mad_cents"),
         )
     )
+
+
+@register(
+    "q_ewma",
+    family="timeseries",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       list_reduce(CAST(vals AS DOUBLE[]),
+                   (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+FROM ordered
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (T11), alpha = 0.5.
+    EWMA is a sequential recurrence — not a windowable sum — so it runs
+    as ONE ordered fold per key: collect the user's series sorted by
+    (ts, event_id) and fold acc = 0.5*acc + 0.5*x left-to-right with
+    Spark's aggregate() higher-order function (JVM codegen, no Python).
+    alpha = 0.5 is an exact binary fraction and each fold step is a
+    per-row IEEE op, so the result is BIT-identical to DuckDB's
+    list_reduce replaying the same fold (both seed with element 1).
+    At 100 TB: one shuffle on user_id; series length is bounded by
+    per-user activity, not corpus size — skewed power-users are the
+    AQE-skew case, not a plan change."""
+    e = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.col("vals").getItem(0).cast("double"),
+        lambda acc, x: 0.5 * acc + 0.5 * x,
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .select("user_id", fold.alias("ewma"))
+    )
