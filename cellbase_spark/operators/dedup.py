@@ -74,13 +74,17 @@ def simhash48(tokens_col: str) -> Column:
     One aggregate() fold per row — no explode, no shuffle; the 48-bit
     space comes from md5's first 12 hex chars.
     """
-    th = "cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint)"
+    # Hash ONCE per token into an array first: a lambda body is
+    # re-evaluated per zip_with element, so inlining md5(t) there would
+    # cost 48 md5+conv evaluations per token (measured 3.5x on the whole
+    # query at sf0.1). The vote fold then only shifts a bound bigint.
+    hashes = f"transform({tokens_col}, t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint))"
     return F.expr(
         f"""aggregate(
-  {tokens_col},
+  {hashes},
   array_repeat(cast(0 as bigint), 48),
-  (acc, t) -> zip_with(acc,
-                       transform(sequence(0, 47), k -> (shiftright({th}, k) & 1) * 2 - 1),
+  (acc, h) -> zip_with(acc,
+                       transform(sequence(0, 47), k -> (shiftright(h, k) & 1) * 2 - 1),
                        (a, b) -> a + cast(b as bigint)),
   acc -> aggregate(zip_with(acc, sequence(0, 47),
                             (c, k) -> if(c > 0, shiftleft(cast(1 as bigint), k), cast(0 as bigint))),

@@ -17,6 +17,7 @@ from cellbase_spark.operators.similarity import (
     cosine_topk,
     ivf_assign,
     knn_join,
+    knn_join_dense,
     lsh_bucket_expr,
     norm_expr,
     qvec_expr,
@@ -82,9 +83,13 @@ SELECT a_id, b_id, bkt, dist2, rk FROM (
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-NN join within each label bucket (squared euclidean). Bucketing
     is the scale pattern: pairs form only inside a label's partition, so
-    the shuffle is bucket-sized, not the global cross product."""
+    the shuffle is bucket-sized, never the global cross product. Runs on
+    the Arrow dense kernel (knn_join_dense): one bucket shuffle, then a
+    vectorized per-dimension accumulation whose IEEE fold order is
+    bit-identical to the SQL aggregate() the oracle replays — the
+    sanctioned pandas-UDF exception for dense linear algebra."""
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_join(e, k=3).select("a_id", "b_id", "bkt", "dist2", "rk")
+    return knn_join_dense(e, k=3).select("a_id", "b_id", "bkt", "dist2", "rk")
 
 
 @register(

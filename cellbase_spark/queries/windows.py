@@ -179,19 +179,80 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame: for each order, how many orders of the
     same priority are priced within 10k below it. Range frames are
     defined on the order value, so no unique tiebreak is needed (all
-    peers share the frame)."""
+    peers share the frame).
+
+    NOT executed as a literal sliding range frame: Spark's
+    SlidingWindowFunctionFrame re-aggregates the whole frame per output
+    row — O(n x band) per partition (9.4 s at sf0.1 vs DuckDB's 0.5 s
+    segment tree). Instead the band decomposes into two O(n) cumulative
+    prefixes: agg[p-10000, p] = agg(<= p) - agg(< p-10000). Pass 1 is a
+    cumulative RANGE-unbounded window (streaming frame, peers share
+    values). Pass 2 resolves agg(< p-10000) with the as-of union trick:
+    probe rows at key p-10000 sort BEFORE point rows at the same key
+    (strict inequality), and last(value, ignorenulls) carries the latest
+    prefix forward. Exact decimal prefixes make the subtraction
+    bit-identical to the direct band sum. Same rewrite DuckDB does
+    internally; at 100 TB both passes stay one shuffle each."""
     o = load_table(spark, sf_dir, "orders")
-    w = (
+    w_cum = (
         Window.partitionBy("o_orderpriority")
         .orderBy(F.col("o_totalprice").asc())
-        .rangeBetween(-10000, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
+    cum = o.select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_in_band"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(25,2)").alias("band_total"),
+        F.count(F.lit(1)).over(w_cum).alias("own_cnt"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w_cum).alias("own_sum"),
+    )
+    # IEEE p - 10000 is exactly the boundary Spark/DuckDB's range frame
+    # computes, so comparisons against point keys are bit-identical.
+    points = cum.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("k"),
+        F.lit(1).alias("is_pt"),
+        F.col("own_cnt").alias("pt_cnt"),
+        F.col("own_sum").alias("pt_sum"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("long").alias("own_cnt_p"),
+        F.lit(None).cast(DEC).alias("own_sum_p"),
+    )
+    probes = cum.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") - 10000).alias("k"),
+        F.lit(0).alias("is_pt"),
+        F.lit(None).cast("long").alias("pt_cnt"),
+        F.lit(None).cast(DEC).alias("pt_sum"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("own_cnt").alias("own_cnt_p"),
+        F.col("own_sum").alias("own_sum_p"),
+    )
+    w_asof = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("k").asc(), F.col("is_pt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = points.unionByName(probes).select(
+        "*",
+        F.last("pt_cnt", ignorenulls=True).over(w_asof).alias("excl_cnt"),
+        F.last("pt_sum", ignorenulls=True).over(w_asof).alias("excl_sum"),
+    )
+    return u.where(F.col("is_pt") == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("own_cnt_p") - F.coalesce(F.col("excl_cnt"), F.lit(0))).alias(
+            "n_in_band"
+        ),
+        (
+            F.col("own_sum_p")
+            - F.coalesce(F.col("excl_sum"), F.lit(0).cast(DEC))
+        )
+        .cast("decimal(25,2)")
+        .alias("band_total"),
     )
 
 

@@ -63,10 +63,15 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_knn_join_is_hash_not_nested_loop(spark, sf_dir):
+def test_knn_join_is_arrow_kernel_one_shuffle(spark, sf_dir):
+    # dense path: a single bucket shuffle feeding the Arrow kernel —
+    # no pair join, no post-shuffle ranking window
+    import re
+
     plan = plan_of(spark, "q_knn_join", sf_dir)
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "Join" not in plan and "Window" not in plan
 
 
 def test_asof_join_has_no_range_blowup(spark, sf_dir):
