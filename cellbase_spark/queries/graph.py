@@ -95,9 +95,9 @@ _PR_ITERS = 3
 _PR_STEP_SQL = """
 r{next} AS (
   SELECT a.dst AS node,
-         0.15 + 0.85 * CAST(ROUND(SUM(CAST(r{cur}.rank / d.degree
-                                           AS DECIMAL(25,10))), 6)
-                            AS DOUBLE) AS rank
+         0.15 + 0.85 * (CAST((SUM(CAST(CAST(r{cur}.rank / d.degree AS DECIMAL(25,10))
+                                       * 10000000000 AS BIGINT)) + 5000) // 10000
+                             AS DOUBLE) / 1e6) AS rank
   FROM adj a
   JOIN r{cur} ON a.src = r{cur}.node
   JOIN deg d ON a.src = d.node
@@ -143,19 +143,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_deg = adj.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
+        # Contributions sum in a LONG accumulator, not a wide decimal
+        # (BigDecimal-backed, ~7x slower): the scale-10 cast is the same
+        # half-up rounding, * 1e10 is exact, and the scale-6 re-round is
+        # integer (s + 5000) div 10000. Bounds: per-edge uc <= rank*1e10
+        # (~1e12), summed over |E| edges — int64-safe through ~1e6 edges
+        # per dst; beyond that, split lanes as in q_agg_corr.
+        uc = (
+            (F.col("rank") / F.col("degree")).cast("decimal(25,10)") * 10000000000
+        ).cast("bigint")
         ranks = (
             adj_deg.join(ranks, adj_deg.src == ranks.node)
+            .select(F.col("dst"), uc.alias("uc"))
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
                     0.15
                     + 0.85
-                    * F.round(
-                        F.sum(
-                            (F.col("rank") / F.col("degree")).cast("decimal(25,10)")
-                        ),
-                        6,
-                    ).cast("double")
+                    * (F.expr("(sum(uc) + 5000) div 10000").cast("double") / 1e6)
                 ).alias("rank")
             )
         )
