@@ -25,5 +25,6 @@ from cellbase_spark.queries import specialty  # noqa: F401
 from cellbase_spark.queries import streaming  # noqa: F401
 from cellbase_spark.queries import timeseries  # noqa: F401
 from cellbase_spark.queries import tpch  # noqa: F401
+from cellbase_spark.queries import tpch_full  # noqa: F401
 from cellbase_spark.queries import udfs  # noqa: F401
 from cellbase_spark.queries import windows  # noqa: F401

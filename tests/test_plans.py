@@ -192,3 +192,45 @@ def test_map_battery_maps_add_no_shuffle(spark, sf_dir):
 
     plan = plan_of(spark, "q_map_functions", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_tpch_q7_nation_filters_broadcast_prefilter(spark, sf_dir):
+    # the two-nation supplier/customer dims broadcast; the only
+    # SortMergeJoin allowed is lineitem x orders on orderkey
+    plan = plan_of(spark, "q_tpch_q7", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_single_pass_conditional_agg(spark, sf_dir):
+    # numerator and denominator must share one hash-agg (no union of
+    # two scans): exactly one partial/final agg pair over the join
+    plan = plan_of(spark, "q_tpch_q8", sf_dir)
+    assert plan.count("Union") == 0
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q2_min_is_window_not_rescan(spark, sf_dir):
+    # the correlated MIN runs as a window over the grouped pairs — the
+    # lineitem scan must appear once, not once per subquery
+    plan = plan_of(spark, "q_tpch_q2", sf_dir)
+    assert plan.count("lineitem.parquet") == 1  # no per-subquery re-scan
+    assert "Window" in plan
+
+
+def test_tpch_q21_uses_aggregates_not_self_joins(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair is compiled away: no anti/semi self-join
+    # of lineitem against itself, and no nested-loop fallback
+    plan = plan_of(spark, "q_tpch_q21", sf_dir)
+    assert "LeftAnti" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_threshold_broadcasts_back(spark, sf_dir):
+    # per-part thresholds ride back onto lineitem as a broadcast, and the
+    # part filter broadcasts onto lineitem: zero big-table shuffles
+    plan = plan_of(spark, "q_tpch_q17", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
