@@ -13,6 +13,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,17 +23,45 @@ from cellbase_spark import schemas
 from cellbase_spark.functions.exact import DEC
 
 
+def _events_ts_arrives_as_long(path: str) -> bool:
+    """Peek at an existing parquet file to learn how Spark will surface
+    `ts`: TIMESTAMP(NANOS) parquet arrives as LongType (nanosAsLong=true),
+    while us/ms timestamps arrive as TimestampType. File-source streams
+    need the schema declared up front, so we inspect the footer of the
+    first file already in the watched directory (cheap: footer-only read,
+    one file, once at stream definition). An empty directory defaults to
+    TimestampType — the driver testdata and this repo's writers are all
+    timestamp[us]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return False
+    t = pq.read_schema(files[0]).field("ts").type
+    return pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns")
+
+
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source streaming read of events parquet (ns timestamps arrive
-    as long under nanosAsLong; normalized exactly like io.load_table)."""
-    ns_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    reader = spark.readStream.schema(ns_schema)
+    """File-source streaming read of events parquet, normalized exactly
+    like io.load_table: whatever the parquet timestamp physical unit, the
+    stream carries a microsecond TimestampType `ts`."""
+    as_long = _events_ts_arrives_as_long(path)
+    ts_decl = "long" if as_long else "timestamp"
+    schema = (
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if as_long:
+        # ns-as-long -> us timestamp (truncating), same as DuckDB's ns read.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:

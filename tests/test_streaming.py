@@ -24,8 +24,8 @@ EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 def _events_pdf(rows: list[tuple]) -> pd.DataFrame:
     pdf = pd.DataFrame(rows, columns=EVENTS_COLS)
-    # ns parquet like the driver testdata (read via nanosAsLong -> long)
-    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    # timestamp[us] parquet like the driver testdata
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
     return pdf
 
 
@@ -293,12 +293,7 @@ def test_session_window_gap_semantics(spark, stream_dir):
         ]
     )
     _write_batch(spark, pdf, stream_dir, 1)
-    static = spark.read.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).parquet(stream_dir)
-    from pyspark.sql import functions as F
-
-    static = static.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    static = spark.read.parquet(stream_dir)  # timestamp[us] -> TimestampType
     rows = pipelines.session_agg(static).orderBy("session_start").collect()
     assert [r["n_events"] for r in rows] == [2, 1]
     assert rows[0]["session_end"] == rows[0]["session_start"].replace(hour=10, minute=59, second=59)
