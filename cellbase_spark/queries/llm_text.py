@@ -68,18 +68,26 @@ WHERE tf.tf >= 2
 """,
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: per-doc term counts joined to document frequency (the df
-    side is token-cardinality-sized -> broadcast), idf = ln(N/df).
-    ln rounded at 6dp (libm ulps), then the product re-rounded."""
+    """TF-IDF: per-doc term counts joined to document frequency,
+    idf = ln(N/df), ln rounded at 6dp (libm ulps), product re-rounded.
+
+    Scale shape: `df` is derived FROM `tf` (tf rows are already distinct
+    per (doc_id, tok), so df = count per tok) — one explode of the corpus,
+    no countDistinct. The tok-keyed join is a plain shuffle join: the df
+    side is distinct-token-cardinality-sized, which at 100 TB is GBs —
+    never broadcast; AQE's skew-join splitting covers the stopword keys.
+    N arrives as a broadcast 1-row count relation (no driver-side
+    collect/count job)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: one job, cached by Spark's local plan
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     return (
-        tf.join(F.broadcast(df), "tok")
-        .where(F.col("tf") >= 2)
+        tf.where(F.col("tf") >= 2)
+        .join(df, "tok")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "tok", "tf", "df", F.round(F.col("tf") * idf, 6).alias("tfidf"))
     )
 
