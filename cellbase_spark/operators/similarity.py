@@ -98,8 +98,8 @@ def knn_join(
         F.col("_id").alias("a_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("a_vec")
     )
     # Build side: broadcast — pairs form map-side within each probe
-    # partition. (At 100 TB, swap for a bucket-co-partitioned sort-merge
-    # join on bkt; the scoring/ranking shape is unchanged.)
+    # partition. At 100 TB use knn_join_smj (below): identical results,
+    # no broadcast, spillable sort-merge pair join.
     b = F.broadcast(
         e.select(F.col("_id").alias("b_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("b_vec"))
     )
@@ -174,6 +174,109 @@ def knn_join_dense(
         )
         .groupBy(bucket_col)
         .applyInPandas(per_bucket, out_schema)
+    )
+
+
+def knn_join_smj(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """knn_join's 100 TB form: NO broadcast anywhere. Both sides are
+    hash-partitioned on the bucket key and pair-joined with a sort-merge
+    join (merge hint), whose per-key match buffer spills to disk — a
+    bucket larger than executor memory still completes, where a broadcast
+    build side would OOM. Scoring stays the codegen'd sequential fold
+    (bit-identical to knn_join/knn_join_dense), ranking is the same
+    window, so all three forms hash-match the same oracle."""
+    sq = (
+        f"aggregate(zip_with(a_vec, b_vec,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bkt"), F.col(vec_col).alias("_vec")
+    )
+    a = e.select(
+        F.col("_id").alias("a_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("a_vec")
+    )
+    b = e.select(
+        F.col("_id").alias("b_id"), F.col("_bkt").alias("bkt"), F.col("_vec").alias("b_vec")
+    )
+    pairs = a.hint("merge").join(b.hint("merge"), ["bkt"]).where(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select("a_id", "b_id", "bkt", F.round(F.expr(sq), 6).alias("dist2"))
+    w = Window.partitionBy("a_id").orderBy(F.col("dist2").asc(), F.col("b_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def knn_join_dense_sub(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_sub: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """knn_join_dense with the worker-memory cap the plain dense kernel
+    lacks: each applyInPandas group used to be a whole bucket, holding an
+    (n_b, n_b) distance matrix — quadratic in bucket size. Here the probe
+    rows are sliced into n_sub sub-buckets by id hash and the build rows
+    replicated into every slice (explode over sequence), then the two
+    sides are cogrouped on (bucket, slice): the worker's matrix is
+    (n_b/n_sub, n_b), and n_sub scales it down linearly — pick
+    n_sub ~ ceil(n_b * row_bytes / worker_budget) at deploy time.
+
+    Cost model: build replication multiplies shuffle volume by n_sub,
+    the classic fragment-replicate trade for bounded memory + more
+    parallelism (n_bkt * n_sub tasks). Results are EXACTLY knn_join's:
+    every probe still sees its full bucket, the kernel accumulates
+    per-dimension left-to-right (IEEE order of the SQL fold), and ranking
+    happens in-kernel via lexsort — no post-shuffle window."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "a_id long, b_id long, bkt int, dist2 double, rk int"
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in
+         [("a_id", "int64"), ("b_id", "int64"), ("bkt", "int32"),
+          ("dist2", "float64"), ("rk", "int32")]}
+    )
+
+    def per_slice(probe: "pd.DataFrame", build: "pd.DataFrame") -> "pd.DataFrame":
+        if probe.empty or len(build) < 2:
+            return empty
+        ids_a = probe[id_col].to_numpy()
+        ids_b = build[id_col].to_numpy()
+        va = np.stack(probe[vec_col].to_numpy()).astype(np.float64)
+        vb = np.stack(build[vec_col].to_numpy()).astype(np.float64)
+        dim = va.shape[1]
+        acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+        for i in range(dim):  # dimension-ordered: the SQL fold's order
+            d = va[:, i, None] - vb[None, :, i]
+            acc += d * d
+        dist = np.round(acc, 6)
+        dist[ids_a[:, None] == ids_b[None, :]] = np.inf  # a_id <> b_id
+        kk = min(k, len(ids_b) - 1)
+        bkt = int(probe[bucket_col].iloc[0])
+        rows = []
+        for a in range(len(ids_a)):
+            order = np.lexsort((ids_b, dist[a]))[:kk]
+            for r, b in enumerate(order, start=1):
+                rows.append((int(ids_a[a]), int(ids_b[b]), bkt, float(dist[a][b]), r))
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "bkt", "dist2", "rk"])
+
+    e = embeddings.select(id_col, bucket_col, vec_col)
+    probe = e.withColumn("_sub", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)))
+    build = e.withColumn(
+        "_sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)).cast("array<long>"))
+    )
+    return (
+        probe.groupBy(bucket_col, "_sub")
+        .cogroup(build.groupBy(bucket_col, "_sub"))
+        .applyInPandas(per_slice, out_schema)
     )
 
 

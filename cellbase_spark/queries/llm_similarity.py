@@ -18,6 +18,8 @@ from cellbase_spark.operators.similarity import (
     ivf_assign,
     knn_join,
     knn_join_dense,
+    knn_join_dense_sub,
+    knn_join_smj,
     lsh_bucket_expr,
     norm_expr,
     qvec_expr,
@@ -84,12 +86,38 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-NN join within each label bucket (squared euclidean). Bucketing
     is the scale pattern: pairs form only inside a label's partition, so
     the shuffle is bucket-sized, never the global cross product. Runs on
-    the Arrow dense kernel (knn_join_dense): one bucket shuffle, then a
-    vectorized per-dimension accumulation whose IEEE fold order is
-    bit-identical to the SQL aggregate() the oracle replays — the
-    sanctioned pandas-UDF exception for dense linear algebra."""
+    the sub-bucketed Arrow dense kernel (knn_join_dense_sub): probe rows
+    sliced by id-hash with a replicated build side, so a worker holds an
+    (n_b/n_sub, n_b) block instead of the full (n_b, n_b) matrix — the
+    bounded-memory form of the sanctioned pandas-UDF dense-linear-algebra
+    exception. The per-dimension accumulation's IEEE fold order stays
+    bit-identical to the SQL aggregate() the oracle replays."""
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_join_dense(e, k=3).select("a_id", "b_id", "bkt", "dist2", "rk")
+    return knn_join_dense_sub(e, k=3).select("a_id", "b_id", "bkt", "dist2", "rk")
+
+
+@register(
+    "q_knn_join_smj",
+    family="llm-sim",
+    oracle=f"""
+SELECT a_id, b_id, bkt, dist2, rk FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS bkt,
+         round({_sq_dist('a.embedding', 'b.embedding')}, 6) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_sq_dist('a.embedding', 'b.embedding')}, 6) ASC,
+                                     b.vec_id ASC) AS rk
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+) WHERE rk <= 3
+""",
+)
+def q_knn_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_knn_join's no-broadcast form: both sides shuffle on the bucket
+    key into a sort-merge pair join whose match buffer spills to disk —
+    the shape for buckets (or tables) too big for any broadcast. Same
+    scoring fold, same ranking window, same oracle as q_knn_join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_join_smj(e, k=3).select("a_id", "b_id", "bkt", "dist2", "rk")
 
 
 @register(

@@ -96,6 +96,23 @@ def test_knn_join_k_and_symmetry(spark, sf_dir):
     assert bad == 0
 
 
+def test_knn_all_three_forms_agree(spark, sf_dir):
+    """broadcast join, smj join, and sub-bucketed dense kernel are three
+    physical strategies for ONE operator — identical (a,b,dist,rk) sets."""
+    from cellbase_spark.io import load_table
+    from cellbase_spark.operators.similarity import knn_join_dense_sub, knn_join_smj
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = ["a_id", "b_id", "bkt", "dist2", "rk"]
+
+    def rows(df):
+        return sorted(map(tuple, df.select(cols).collect()))
+
+    base = rows(knn_join(e, k=3))
+    assert base == rows(knn_join_smj(e, k=3))
+    assert base == rows(knn_join_dense_sub(e, k=3, n_sub=3))
+
+
 def test_cosine_topk_scores_bounded(spark, sf_dir):
     from cellbase_spark.io import load_table
 

@@ -63,15 +63,24 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_knn_join_is_arrow_kernel_one_shuffle(spark, sf_dir):
-    # dense path: a single bucket shuffle feeding the Arrow kernel —
-    # no pair join, no post-shuffle ranking window
+def test_knn_join_is_arrow_kernel_bounded_memory(spark, sf_dir):
+    # sub-bucketed dense path: probe slices cogrouped with a replicated
+    # build side feed the Arrow kernel — one exchange per cogroup side,
+    # no pair join, no post-shuffle ranking window (ranking is in-kernel)
     import re
 
     plan = plan_of(spark, "q_knn_join", sf_dir)
-    assert "FlatMapGroupsInPandas" in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_knn_join_smj_never_broadcasts(spark, sf_dir):
+    # the 100 TB form: spillable sort-merge pair join, zero broadcasts —
+    # survives buckets (and tables) too large for any build side
+    plan = plan_of(spark, "q_knn_join_smj", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "Broadcast" not in plan
 
 
 def test_asof_join_has_no_range_blowup(spark, sf_dir):
