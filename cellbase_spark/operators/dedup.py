@@ -113,6 +113,7 @@ def jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     bitmap_vocab_limit: int = 4096,
+    vocab_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs >= threshold, via prefix filtering.
 
@@ -150,12 +151,12 @@ def jaccard_pairs(
         )
     ).withColumn("_n", F.size("_toks"))
     # Global document frequency -> the canonical token order (df asc, tok
-    # asc), shipped to every task as ONE broadcast map row so each doc
-    # orders its tokens in a single per-row pass (no explode/join/
-    # collect_list round-trip). Scale note: assumes the DISTINCT-token
-    # vocabulary fits in a broadcast (true for char-n-grams and natural-
-    # language tokens); for an unbounded key domain, rank via explode +
-    # shuffle join instead.
+    # asc). Three ranking strategies by measured vocabulary size (one tiny
+    # driver-side count decides, the same shape as AQE's runtime re-plan):
+    # bitmap ids (tiny vocab), ONE broadcast map row so each doc orders
+    # its tokens in a single per-row pass (vocab fits a broadcast), or —
+    # for an unbounded key domain where a vocab broadcast would OOM —
+    # explode + shuffle join on the token + re-collect (below).
     vocab = (
         t.select(F.explode("_toks").alias("_tok"))
         .groupBy("_tok")
@@ -200,7 +201,7 @@ def jaccard_pairs(
         n_shared_expr = F.expr(
             "aggregate(zip_with(_ta, _tb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
         )
-    else:
+    elif vocab_size <= vocab_broadcast_limit:
         vmap = vocab.agg(
             F.map_from_entries(F.collect_list(F.struct("_tok", "_df"))).alias("_vmap")
         )
@@ -213,6 +214,34 @@ def jaccard_pairs(
                 " t -> struct(_vmap[t] as df, t as tok))), s -> s.tok)"
             ).alias("_sorted_toks"),
             prefix_len,
+        )
+        join_tok, payload = "_sorted_toks", "_sorted_toks"
+        n_shared_expr = F.size(F.array_intersect("_ta", "_tb"))
+    else:
+        # Unbounded vocabulary: no broadcast anywhere. Each doc's tokens
+        # go through an explode -> shuffle join against the df table ->
+        # re-collect; array_sort on (df, tok) structs restores the exact
+        # canonical order the broadcast path produces (collect_list order
+        # is nondeterministic, the sort makes it irrelevant). Costs one
+        # extra shuffle keyed by token (AQE skew-split covers hot tokens)
+        # — the price of never materializing the vocab in one place.
+        ex = t.select("_id", "_n", *(["_blk"] if block_col else []), F.explode("_toks").alias("_tok"))
+        docs = (
+            ex.join(vocab, "_tok")
+            .groupBy("_id", "_n", *(["_blk"] if block_col else []))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_df as df, _tok as tok))),"
+                    " s -> s.tok)"
+                ).alias("_sorted_toks")
+            )
+            .select(
+                "_id",
+                "_n",
+                *(["_blk"] if block_col else []),
+                "_sorted_toks",
+                prefix_len,
+            )
         )
         join_tok, payload = "_sorted_toks", "_sorted_toks"
         n_shared_expr = F.size(F.array_intersect("_ta", "_tb"))

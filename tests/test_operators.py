@@ -74,6 +74,30 @@ def test_jaccard_pairs_exact_values(spark):
     assert abs(r.jaccard - 3 / 5) < 1e-12
 
 
+def test_jaccard_ranking_paths_agree(spark, sf_dir):
+    """The three vocab-ranking strategies (bitmap ids / broadcast map /
+    explode+shuffle-join) are physical variants of one operator: identical
+    pair sets on the real documents corpus. Limits forced to 0 route the
+    same input down each branch."""
+    from cellbase_spark.io import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+
+    def pairs(**kw):
+        out = jaccard_pairs(toks, "doc_id", "toks", threshold=0.6, **kw)
+        return sorted(
+            (r.id_a, r.id_b, r.n_shared, round(r.jaccard, 9)) for r in out.collect()
+        )
+
+    bitmap = pairs(bitmap_vocab_limit=10**9)
+    bcast = pairs(bitmap_vocab_limit=0)
+    shuffled = pairs(bitmap_vocab_limit=0, vocab_broadcast_limit=0)
+    assert bitmap == bcast == shuffled
+    assert len(shuffled) > 0  # corpus has known near-dups
+
+
 def test_minhash_finds_exact_dupes_and_skips_disjoint(spark):
     df = spark.createDataFrame(
         [(1, ["a", "b", "c", "d", "e"]), (2, ["a", "b", "c", "d", "e"]), (3, ["p", "q", "r", "s", "t"])],
