@@ -90,6 +90,50 @@ def q_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_workbook",
+    family="scan",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def q_scan_workbook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sheet workbook ingestion — the reference's core unit of work
+    is a workbook of several named sheets loaded as a database. Authors
+    one .xlsx with `region` and `nation` sheets, loads it back via
+    read_workbook (name-resolved through workbook.xml + rels, parsed
+    distributed per sheet), and joins the two sheets — proving each named
+    sheet round-trips as an independent typed table. Oracle: the same
+    join on the original parquet tables."""
+    from cellbase_spark.sources.excel import read_workbook, write_xlsx_workbook
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    out_dir = os.path.join(tempfile.gettempdir(), "cellbase_spark_workbook")
+    os.makedirs(out_dir, exist_ok=True)
+    write_xlsx_workbook(
+        {
+            "region": (
+                ["r_regionkey", "r_name"],
+                [[x["r_regionkey"], x["r_name"]] for x in r.collect()],
+            ),
+            "nation": (
+                ["n_nationkey", "n_name", "n_regionkey"],
+                [[x["n_nationkey"], x["n_name"], x["n_regionkey"]] for x in n.collect()],
+            ),
+        },
+        os.path.join(out_dir, "dims.xlsx"),
+    )
+    sheets = read_workbook(
+        spark, out_dir, {"region": schemas.REGION, "nation": schemas.NATION}
+    )
+    return sheets["nation"].join(
+        sheets["region"],
+        sheets["nation"]["n_regionkey"] == sheets["region"]["r_regionkey"],
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
     "q_roundtrip_write",
     family="scan",
     oracle="""

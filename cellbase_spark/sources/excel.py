@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
@@ -44,8 +45,42 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
-def parse_xlsx_bytes(data: bytes, sheet_index: int = 0) -> list[list[str | None]]:
-    """Parse one workbook's bytes into a dense 2-D grid of cell strings.
+def sheet_paths(zf: zipfile.ZipFile) -> dict[str, str]:
+    """Workbook sheet inventory: user-facing sheet name -> worksheet zip
+    part, in workbook order. Resolution goes through xl/workbook.xml's
+    <sheets> and the workbook rels (the OOXML contract — file numbering
+    like sheet10.xml does NOT sort like workbook order). Falls back to
+    positional sheetN.xml naming for minimal writers without rels."""
+    names = zf.namelist()
+    if "xl/workbook.xml" not in names:
+        found = sorted(
+            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        return {f"Sheet{i + 1}": p for i, p in enumerate(found)}
+    rels: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        for rel in ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels")):
+            rels[rel.get("Id") or ""] = rel.get("Target") or ""
+    out: dict[str, str] = {}
+    wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+    for i, sh in enumerate(wb.iter(f"{_NS}sheet")):
+        target = rels.get(sh.get(f"{_R}id") or "", f"worksheets/sheet{i + 1}.xml")
+        if not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        out[sh.get("name") or f"Sheet{i + 1}"] = target
+    return out
+
+
+def list_sheets(data: bytes) -> list[str]:
+    """Sheet names of one workbook's bytes, in workbook order."""
+    return list(sheet_paths(zipfile.ZipFile(_io.BytesIO(data))))
+
+
+def parse_xlsx_bytes(
+    data: bytes, sheet_index: int = 0, sheet_name: str | None = None
+) -> list[list[str | None]]:
+    """Parse one workbook sheet's bytes into a dense 2-D grid of cell
+    strings — by name if given, else by workbook-order index.
 
     Supports shared strings, inline strings, booleans, and numeric cells —
     the cell types spreadsheet exports actually contain. Everything is
@@ -58,12 +93,17 @@ def parse_xlsx_bytes(data: bytes, sheet_index: int = 0) -> list[list[str | None]
         root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
         for si in root.iter(f"{_NS}si"):
             shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-    sheet_names = sorted(
-        n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-    )
-    if sheet_index >= len(sheet_names):
-        raise IndexError(f"workbook has {len(sheet_names)} sheets, wanted {sheet_index}")
-    root = ElementTree.fromstring(zf.read(sheet_names[sheet_index]))
+    sheets = sheet_paths(zf)
+    if sheet_name is not None:
+        if sheet_name not in sheets:
+            raise KeyError(f"workbook sheets {list(sheets)}, wanted {sheet_name!r}")
+        part = sheets[sheet_name]
+    else:
+        parts = list(sheets.values())
+        if sheet_index >= len(parts):
+            raise IndexError(f"workbook has {len(parts)} sheets, wanted {sheet_index}")
+        part = parts[sheet_index]
+    root = ElementTree.fromstring(zf.read(part))
     rows: list[list[str | None]] = []
     width = 0
     for row_el in root.iter(f"{_NS}row"):
@@ -100,9 +140,11 @@ def read_excel_table(
     schema: StructType,
     sheet_index: int = 0,
     header: bool = True,
+    sheet_name: str | None = None,
 ) -> DataFrame:
     """Distributed .xlsx scan: binaryFile source -> per-executor stdlib
-    parse -> header-mapped cells cast to the declared schema."""
+    parse -> header-mapped cells cast to the declared schema. `sheet_name`
+    selects a named worksheet (workbook-order `sheet_index` otherwise)."""
     field_names = [f.name for f in schema.fields]
     raw_schema = ", ".join(f"`{n}` string" for n in field_names)
 
@@ -110,7 +152,7 @@ def read_excel_table(
         for pdf in batches:
             out: list[list[str | None]] = []
             for content in pdf["content"]:
-                grid = parse_xlsx_bytes(bytes(content), sheet_index)
+                grid = parse_xlsx_bytes(bytes(content), sheet_index, sheet_name)
                 if not grid:
                     continue
                 if header:
@@ -135,9 +177,29 @@ def read_excel_table(
     )
 
 
-def write_xlsx(rows: list[list], path: str, header: list[str] | None = None) -> None:
-    """Minimal .xlsx writer (inline strings + numbers) for round-trip
-    tests and exports — stdlib only, one sheet."""
+def read_workbook(
+    spark: SparkSession,
+    path: str,
+    schemas: dict[str, StructType],
+    header: bool = True,
+) -> dict[str, DataFrame]:
+    """The reference's core unit of work: a workbook of several named
+    sheets loaded as a database — one DataFrame per sheet name.
+
+    `schemas` maps sheet name -> declared schema (cellbase's model: every
+    sheet is a typed table; the declaration IS the contract, so no
+    inference pass). Each returned DataFrame is an independent lazy scan
+    of only its sheet — Spark reads the workbook bytes per sheet actually
+    used, and sheets never used are never parsed.
+    """
+    return {
+        name: read_excel_table(spark, path, schema, header=header, sheet_name=name)
+        for name, schema in schemas.items()
+    }
+
+
+def _sheet_xml(rows: list[list], header: list[str] | None) -> str:
+    """One worksheet part: inline strings + numbers + booleans."""
 
     def esc(s: str) -> str:
         return (
@@ -169,10 +231,35 @@ def write_xlsx(rows: list[list], path: str, header: list[str] | None = None) -> 
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{esc(val)}</t></is></c>'
                 )
         row_xml.append(f'<row r="{rn}">{"".join(cells)}</row>')
-    sheet = (
+    return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         f'<sheetData>{"".join(row_xml)}</sheetData></worksheet>'
+    )
+
+
+def write_xlsx_workbook(
+    sheets: dict[str, tuple[list[str] | None, list[list]]], path: str
+) -> None:
+    """Multi-sheet .xlsx writer (stdlib only): `sheets` maps sheet name ->
+    (header, rows), written in dict order — the reference's
+    several-named-sheets-per-workbook unit, with real workbook.xml + rels
+    so any OOXML reader resolves names to parts correctly."""
+    names = list(sheets)
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(names))
+    )
+    sheet_decls = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(names)
+    )
+    sheet_rels = "".join(
+        f'<Relationship Id="rId{i + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(names))
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(
@@ -182,8 +269,7 @@ def write_xlsx(rows: list[list], path: str, header: list[str] | None = None) -> 
             '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
-            "</Types>",
+            f"{overrides}</Types>",
         )
         zf.writestr(
             "_rels/.rels",
@@ -197,13 +283,19 @@ def write_xlsx(rows: list[list], path: str, header: list[str] | None = None) -> 
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
             'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>',
+            f"<sheets>{sheet_decls}</sheets></workbook>",
         )
         zf.writestr(
             "xl/_rels/workbook.xml.rels",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
-            "</Relationships>",
+            f"{sheet_rels}</Relationships>",
         )
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        for i, name in enumerate(names):
+            header, rows = sheets[name]
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(rows, header))
+
+
+def write_xlsx(rows: list[list], path: str, header: list[str] | None = None) -> None:
+    """Single-sheet .xlsx writer (the common export case)."""
+    write_xlsx_workbook({"Sheet1": (header, rows)}, path)

@@ -12,7 +12,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from cellbase_spark.sources.excel import parse_xlsx_bytes, read_excel_table, write_xlsx
+from cellbase_spark.sources.excel import (
+    list_sheets,
+    parse_xlsx_bytes,
+    read_excel_table,
+    read_workbook,
+    write_xlsx,
+    write_xlsx_workbook,
+)
 
 
 def test_parse_roundtrip_types(tmp_path):
@@ -45,6 +52,42 @@ def test_distributed_scan_applies_schema(spark, tmp_path):
     assert [f.dataType for f in df.schema.fields] == [t for t in (LongType(), StringType(), DoubleType(), BooleanType())]
     rows = df.collect()
     assert [tuple(r) for r in rows] == [(1, "a", 1.5, True), (2, "b", 2.5, False)]
+
+
+def test_multisheet_workbook_roundtrip(spark, tmp_path):
+    """Several named sheets per workbook — cellbase's core unit — load as
+    independent typed tables, resolved by NAME through workbook.xml/rels
+    (not file numbering), in workbook order."""
+    path = str(tmp_path / "wb.xlsx")
+    write_xlsx_workbook(
+        {
+            "people": (["id", "name"], [[1, "ada"], [2, "bob"]]),
+            "scores": (["id", "score"], [[1, 9.5], [2, 7.25]]),
+        },
+        path,
+    )
+    assert list_sheets(open(path, "rb").read()) == ["people", "scores"]
+    # by-name parse picks the right part
+    assert parse_xlsx_bytes(open(path, "rb").read(), sheet_name="scores")[1] == ["1", "9.5"]
+
+    tables = read_workbook(
+        spark,
+        str(tmp_path),
+        {
+            "people": StructType(
+                [StructField("id", LongType()), StructField("name", StringType())]
+            ),
+            "scores": StructType(
+                [StructField("id", LongType()), StructField("score", DoubleType())]
+            ),
+        },
+    )
+    people = sorted(tuple(r) for r in tables["people"].collect())
+    scores = sorted(tuple(r) for r in tables["scores"].collect())
+    assert people == [(1, "ada"), (2, "bob")]
+    assert scores == [(1, 9.5), (2, 7.25)]
+    joined = tables["people"].join(tables["scores"], "id").orderBy("id").collect()
+    assert [(r.id, r.name, r.score) for r in joined] == [(1, "ada", 9.5), (2, "bob", 7.25)]
 
 
 def test_header_reorder_is_respected(spark, tmp_path):
