@@ -432,32 +432,38 @@ def connected_components(
         eager=True
     )
     active = (
-        e.select("_u")
-        .unionByName(e.select(F.col("_v").alias("_u")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        e.select("_u").unionByName(e.select(F.col("_v").alias("_u"))).distinct()
     )
-    # symmetric closure + self-loops: groupBy(_u).min covers min(own ∪ neighbors)
+    # symmetric closure + self-loops (groupBy(_u).min covers min(own ∪
+    # neighbors)), materialized ONCE — every round's join probes these
+    # cached partitions instead of replaying union+distinct.
     sym = (
         e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
         .unionByName(active.select("_u", F.col("_u").alias("_v")))
+        .localCheckpoint(eager=True)
     )
-    labels = active.select(F.col("_u").alias("_id"), F.col("_u").alias("_lbl"))
-    prev_sum: object = object()
-    for _ in range(max_iters):
+
+    def halve(stepped: DataFrame) -> DataFrame:
+        # path halving: resolve each label one more hop (labels are node
+        # ids, so join the step result onto itself)
+        hop = stepped.select(F.col("_u").alias("_k"), F.col("_mid").alias("_kl"))
+        return (
+            stepped.join(hop, stepped["_mid"] == hop["_k"], "left")
+            .select(F.col("_u").alias("_id"), F.coalesce("_kl", "_mid").alias("_lbl"))
+            .localCheckpoint(eager=True)
+        )
+
+    # Round 1 specialized: the initial labeling is the identity, so
+    # min-of-neighbor-labels is just min(_v) over sym — no join needed.
+    labels = halve(sym.groupBy("_u").agg(F.min("_v").alias("_mid")))
+    prev_sum = labels.agg(F.sum("_lbl")).first()[0]
+    for _ in range(max_iters - 1):
         stepped = (
             sym.join(labels, sym["_v"] == labels["_id"])
             .groupBy("_u")
             .agg(F.min("_lbl").alias("_mid"))
         )
-        # path halving: resolve each label one more hop (labels are node
-        # ids, so join the step result onto itself)
-        hop = stepped.select(F.col("_u").alias("_k"), F.col("_mid").alias("_kl"))
-        labels = (
-            stepped.join(hop, stepped["_mid"] == hop["_k"], "left")
-            .select(F.col("_u").alias("_id"), F.coalesce("_kl", "_mid").alias("_lbl"))
-            .localCheckpoint(eager=True)
-        )
+        labels = halve(stepped)
         label_sum = labels.agg(F.sum("_lbl")).first()[0]
         if label_sum == prev_sum:
             break
