@@ -1,0 +1,85 @@
+"""Scale-trend measurement for the perf-flagged keys.
+
+The flagged ratios (BASELINE.md / VERDICT round 1) are claimed to be
+overhead-bound: Spark's fixed per-query cost dominates at small data and
+amortizes as data grows. This measures that directly — each flagged key
+runs in Spark AND DuckDB at every available scale factor (best of 2,
+steady state) and prints the ratio trend. A genuinely algorithmic gap
+would hold or grow with scale; an overhead-bound one shrinks.
+
+    python scripts/bench_trend.py          # all three sf dirs
+Prints a markdown table + one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+
+from cellbase_spark import registry, schemas  # noqa: E402
+from cellbase_spark.session import get_spark  # noqa: E402
+
+FLAGGED = [
+    "q_sql_recursive",
+    "q_tfidf",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_ngram_jaccard",
+]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in schemas.TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def best_of_2(fn) -> float:
+    fn()
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench-trend")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    oracles = registry.oracle_sql() if hasattr(registry, "oracle_sql") else None
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    out: dict[str, dict[str, dict[str, float]]] = {}
+    for sf_dir in SF_DIRS:
+        con = duck_con(sf_dir)
+        for key in FLAGGED:
+            s = best_of_2(
+                lambda: qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            )
+            d = best_of_2(lambda: con.sql(oracles[key]).fetchall())
+            out.setdefault(key, {})[sf_dir.rsplit("/", 1)[-1]] = {
+                "spark": round(s, 3),
+                "duck": round(d, 3),
+                "ratio": round(s / d, 2) if d > 0 else float("inf"),
+            }
+            print(f"{key} @ {sf_dir}: spark={s:.3f}s duck={d:.3f}s", file=sys.stderr)
+    sfs = [p.rsplit("/", 1)[-1] for p in SF_DIRS]
+    print("| key | " + " | ".join(f"{sf} ratio" for sf in sfs) + " |")
+    print("|---|" + "---|" * len(sfs))
+    for key in FLAGGED:
+        cells = " | ".join(f"{out[key][sf]['ratio']}x" for sf in sfs)
+        print(f"| `{key}` | {cells} |")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
