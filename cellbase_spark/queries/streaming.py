@@ -23,6 +23,10 @@ Oracle notes:
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from cellbase_spark.functions.exact import dsum_sql
@@ -104,6 +108,71 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window operator — state per open session, closed by watermark.
     The oracle proves the semantics equal the gaps-and-islands SQL."""
     return pipelines.session_agg(load_table(spark, sf_dir, "events"))
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """A file stream source watches a DIRECTORY; the testdata table is a
+    single file. Stage a per-sf temp directory holding a symlink to
+    events.parquet — zero data copied, and the watched dir has exactly
+    the table's files."""
+    d = os.path.join(
+        tempfile.gettempdir(), "cb_stream_src_" + re.sub(r"\W", "_", sf_dir)
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+@register(
+    "q_stream_run_tumbling",
+    family="stream",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'total', 4)}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/S6 genuinely STREAMED: the same tumbling agg as
+    q_stream_tumbling, but executed by the streaming engine end-to-end —
+    readStream file source over the events parquet, micro-batch planner,
+    windowed state store, availableNow trigger, memory sink. The oracle
+    hash-checking this against DuckDB proves stream execution converges
+    to the batch answer on real data (exact decimal sums make it
+    arrival-order independent); tests/test_streaming.py additionally
+    proves multi-batch incremental arrival (maxFilesPerTrigger=1) and
+    watermark semantics the oracle can't see."""
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    return pipelines.run_stream_to_memory(
+        pipelines.tumbling_agg(events), "cb_stream_tumbling_sink"
+    )
+
+
+@register(
+    "q_stream_run_dedup",
+    family="stream",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 genuinely STREAMED: stateful dropDuplicates over the event
+    stream (watermarked key state, first-arrival wins), run to completion
+    by the streaming engine. The emitted key set equals batch DISTINCT
+    regardless of arrival order — which is exactly what the oracle
+    checks."""
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    deduped = (
+        pipelines.with_watermark(events, "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return pipelines.run_stream_to_memory(
+        deduped, "cb_stream_dedup_sink", output_mode="append"
+    )
 
 
 @register(

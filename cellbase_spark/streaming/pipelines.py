@@ -35,7 +35,10 @@ def _events_ts_arrives_as_long(path: str) -> bool:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
         return False
     t = pq.read_schema(files[0]).field("ts").type
@@ -62,6 +65,30 @@ def read_events_stream(
         # ns-as-long -> us timestamp (truncating), same as DuckDB's ns read.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over its (bounded)
+    source and return the materialized result: availableNow trigger +
+    memory sink, awaited. The streaming-native face of 'run this query':
+    micro-batch planner, state store, sink commit — the full streaming
+    engine, not the batch fast path. Restartable: a previous run under
+    the same name is stopped and its sink replaced."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
