@@ -161,7 +161,7 @@ def q_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(buckets), "_b", "left_semi"
     )
     joined = prefiltered.join(
-        F.broadcast(urgent), prefiltered.l_orderkey == urgent.o_orderkey, "left_semi"
+        urgent, prefiltered.l_orderkey == urgent.o_orderkey, "left_semi"
     )
     return joined.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -145,21 +145,21 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Precompute each row's norm once (identical fold expression => the
     # bit-identical value the per-pair form would produce) instead of
     # re-deriving both norms inside every pair: 2 folds per row + 1 per
-    # pair, versus 3 per pair. Probe side fanned out for map parallelism,
-    # build side broadcast.
+    # pair, versus 3 per pair. Probe side fanned out for map parallelism.
+    # No forced broadcast: the build side is the FULL table (unbounded at
+    # corpus scale) — size-based planning broadcasts it while it fits and
+    # shuffles on label past that; AQE skew-split covers hot labels.
     a = fan_out(e, ["vec_id"]).select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),
         F.col("embedding").alias("ea"),
         F.expr(norm_expr("embedding")).alias("na"),
     )
-    b = F.broadcast(
-        e.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("label"),
-            F.col("embedding").alias("eb"),
-            F.expr(norm_expr("embedding")).alias("nb"),
-        )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.expr(norm_expr("embedding")).alias("nb"),
     )
     cos = F.round(F.expr(dot_expr("ea", "eb")) / (F.col("na") * F.col("nb")), 6)
     return (

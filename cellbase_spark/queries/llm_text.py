@@ -243,7 +243,7 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name_b"),
     )
     return (
-        a.join(F.broadcast(b), ["nk"])
+        a.join(b, ["nk"])  # full-table side: no forced broadcast
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("edit_dist") <= 2)
@@ -338,7 +338,7 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = st.groupBy("tok").agg(F.sum("c").alias("gc"))
     n_total = g.agg(F.sum("gc").alias("n"))
     per = (
-        st.join(F.broadcast(g), "tok")
+        st.join(g, "tok")  # token-keyed dim is vocabulary-sized: no forced broadcast
         .groupBy("source")
         .agg(
             F.sum("c").alias("ns"),

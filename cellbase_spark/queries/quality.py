@@ -129,7 +129,7 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")  # customer scales with SF
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
     checks = agg.selectExpr(

@@ -131,7 +131,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: no forced broadcast
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -211,7 +211,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(dec))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF: size-based planning decides
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
             .cast("double")
@@ -256,9 +256,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        l.join(F.broadcast(big), "l_orderkey")
+        l.join(big, "l_orderkey")  # orderkey-keyed agg scales with SF; AQE converts when small
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -290,7 +290,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand/size/quantity bands (testdata has no p_container/l_shipmode)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF: size-based planning decides
     band = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)

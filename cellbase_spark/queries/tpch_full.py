@@ -97,8 +97,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
         l.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(eu, F.col("l_suppkey") == eu.s_suppkey)  # supplier-derived scales with SF
+        .join(p, F.col("l_partkey") == p.p_partkey)
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -166,9 +166,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .where(
             (
                 (F.col("supp_nation") == wanted[0])
@@ -246,10 +246,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp_n), l.l_suppkey == supp_n.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(supp_n, l.l_suppkey == supp_n.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_am), o.o_custkey == cust_am.c_custkey)
+        .join(cust_am, o.o_custkey == cust_am.c_custkey)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             dsum(
@@ -307,8 +307,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp_n), l.l_suppkey == supp_n.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(supp_n, l.l_suppkey == supp_n.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(dsum(profit, "sum_profit"))
@@ -357,7 +357,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     sval = (
-        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        l.join(supp, l.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "stock_value"))
     )
@@ -461,7 +461,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -505,8 +505,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -546,14 +546,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    lp = l.join(p, l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresholds = lp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * davg("l_quantity", "aq")).alias("qty_threshold")
     )
     return (
-        lp.join(F.broadcast(thresholds), lp.l_partkey == F.col("t_partkey"))
+        lp.join(thresholds, lp.l_partkey == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             dsum(F.col("l_extendedprice"), "sum_small_qty_rev"),
@@ -612,7 +612,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     excess = (
-        pq.join(F.broadcast(p), pq.l_partkey == p.p_partkey)
+        pq.join(p, pq.l_partkey == p.p_partkey)
         .where(F.col("qty96") > F.lit(0.5) * F.col("qty_all"))
         .select("l_suppkey")
     )
@@ -620,7 +620,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(excess), s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -711,7 +711,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"l_orderkey": "p_orderkey", "l_suppkey": "p_suppkey"}
     )
     l1 = (
-        l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        l.join(sn, l.l_suppkey == sn.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(
             pp,
