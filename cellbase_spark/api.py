@@ -220,3 +220,20 @@ class CellBase:
         """The reference's core ingestion path: spreadsheet CSV with a
         header row, cells coerced to the declared schema at scan time."""
         return CellTable(read_csv_table(self.spark, path, schema), name)
+
+    def import_workbook(
+        self, path: str, sheet_schemas: dict, key_cols: dict | None = None
+    ) -> dict[str, CellTable]:
+        """The reference's open-a-workbook flow: every named sheet of the
+        .xlsx file(s) at `path` becomes a CellTable, typed by its declared
+        schema — the full 'author tables in spreadsheet software, load
+        them as a database' loop. Each sheet stays an independent lazy
+        distributed scan (sources/excel.read_workbook)."""
+        from cellbase_spark.sources.excel import read_workbook
+
+        dfs = read_workbook(self.spark, path, sheet_schemas)
+        key_cols = key_cols or {}
+        return {
+            name: CellTable(df, name, key_cols.get(name))
+            for name, df in dfs.items()
+        }

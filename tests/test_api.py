@@ -150,3 +150,42 @@ def test_facade_similar_topk(spark, sf_dir):
     assert len(top) == 5
     scores = [r["score"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_facade_import_workbook(spark, tmp_path):
+    """Reference parity: open a workbook of named sheets as a database —
+    each sheet a typed CellTable with point lookup."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.sources.excel import write_xlsx_workbook
+
+    write_xlsx_workbook(
+        {
+            "people": (["id", "name"], [[1, "ada"], [2, "bob"]]),
+            "scores": (["id", "score"], [[1, 9.5], [2, 7.25]]),
+        },
+        str(tmp_path / "wb.xlsx"),
+    )
+    cb = CellBase(spark, str(tmp_path))
+    tables = cb.import_workbook(
+        str(tmp_path),
+        {
+            "people": StructType(
+                [StructField("id", LongType()), StructField("name", StringType())]
+            ),
+            "scores": StructType(
+                [StructField("id", LongType()), StructField("score", DoubleType())]
+            ),
+        },
+    )
+    assert sorted(tables) == ["people", "scores"]
+    assert tables["people"].get(1)["name"] == "ada"
+    assert tables["scores"].get(2)["score"] == 7.25
+    assert tables["people"].count() == 2
