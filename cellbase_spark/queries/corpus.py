@@ -248,3 +248,72 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_boilerplate",
+    family="corpus",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 5)) AS i FROM t
+), g AS (
+  SELECT doc_id, array_to_string(toks[i:i+5], ' ') AS gram FROM idx
+), b AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+  ) WHERE df >= 3
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(b.gram) AS n_boiler,
+       CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*) AS boiler_ratio
+FROM g LEFT JOIN b ON g.gram = b.gram
+GROUP BY g.doc_id
+""",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus boilerplate detection: word 6-grams appearing in >= 3
+    DISTINCT documents are 'boilerplate' (repeated headers/footers/
+    templates); each doc is scored by the fraction of its 6-grams that
+    are boilerplate — the rm-repeated-passages signal of training-data
+    cleaning (distinct from q_contamination, which probes an EXTERNAL
+    eval set).
+
+    Plan: one gram explode feeds both sides — doc-frequency counts one
+    row per distinct (gram, doc) pre-aggregated map-side, and the
+    boilerplate set joins back WITHOUT a forced broadcast (its size is
+    corpus-dependent; size-based planning/AQE decide). Per-doc regroup
+    ships (doc_id, flag) only."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(split(text, ' ')), toks ->"
+                " transform(sequence(1, greatest(size(toks) - 5, 0)),"
+                " i -> concat_ws(' ', slice(toks, i, 6)))))"
+            )
+        ).alias("gram"),
+    )
+    df_per_gram = (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = df_per_gram.where(F.col("df") >= 3).select(
+        "gram", F.lit(1).alias("is_boiler")
+    )
+    return (
+        g.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+            (F.count("is_boiler").cast("double") / F.count(F.lit(1))).alias(
+                "boiler_ratio"
+            ),
+        )
+    )

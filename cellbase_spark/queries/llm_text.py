@@ -358,3 +358,55 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s") / F.col("ns") - F.log("ns") + F.log("n"), 5
         ).alias("kl_vs_corpus"),
     )
+
+
+@register(
+    "q_vocab_oov",
+    family="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), v AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 20
+  )
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) - COUNT(v.tok) AS n_oov,
+       CAST(COUNT(*) - COUNT(v.tok) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM tok LEFT JOIN v ON tok.tok = v.tok
+GROUP BY tok.doc_id
+""",
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    against the corpus top-20 tokens (ties broken by token asc — the
+    same deterministic cut both engines make). The signal a tokenizer
+    change is evaluated with before retraining.
+
+    Plan: the vocab side is top-k BOUNDED (k rows) -> broadcast by
+    construction; the probe never shuffles gram strings, only the
+    per-doc regroup ships (doc_id, flag)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("in_v")).alias("n_oov"),
+            (
+                (F.count(F.lit(1)) - F.count("in_v")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

@@ -341,3 +341,54 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_p90_p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_mix_reweight",
+    family="pipeline",
+    oracle=f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n,
+         1 + (CAST(substr(source, 4) AS INT) % 3) AS w
+  FROM documents GROUP BY source
+), r AS (
+  SELECT MIN(CAST(n AS DOUBLE) / w) AS r FROM c
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c ON d.source = c.source CROSS JOIN r
+WHERE {hash_u60_duck_sql('d.doc_id')}
+      < CAST(floor(r.r * c.w / c.n * 1152921504606846976) AS BIGINT)
+""",
+)
+def q_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: subsample each source so the kept corpus
+    matches target mixture weights w_s (here the deterministic formula
+    w = 1 + (source_number % 3)) at the largest feasible total — the
+    'mix web/code/books to a recipe' op of LLM corpus assembly.
+    Feasibility: T * w_s/W <= n_s for all s, so the binding source keeps
+    everything (rate 1) and every other source keeps r * w_s / n_s where
+    r = min_s(n_s / w_s). Membership is the md5-u60 content hash
+    (engine-identical, repartition-stable), so both engines keep exactly
+    the same rows.
+
+    Plan: per-source counts are one small agg; the rate rides back on a
+    source-keyed join (source cardinality-bounded; no forced broadcast)
+    plus a broadcast 1-row min. The sample itself is a narrow filter —
+    one scan at any scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.expr("1 + pmod(cast(substring(source, 4, 8) as int), 3)"))
+    )
+    r = counts.agg(F.min(F.col("n").cast("double") / F.col("w")).alias("r"))
+    u60 = F.expr(hash_u60_spark_sql("doc_id"))
+    return (
+        d.join(counts, "source")
+        .crossJoin(F.broadcast(r))
+        .where(
+            u60
+            < F.expr("cast(floor(r * w / n * 1152921504606846976) as bigint)")
+        )
+        .select("doc_id", "source")
+    )
