@@ -7,19 +7,21 @@ Arrow ships each partition to Python in record batches, pandas/numpy works
 on the raw bytes vectorized, and the iterator contract keeps memory
 bounded per batch regardless of table size.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernel is split:
-- `decode_image_real` raises NotImplementedError behind an import-try —
-  the documented seam where a real deployment plugs PIL/torchvision in;
-- `fake_decode_meta` / `sample_frames` are deterministic byte-level
-  kernels (length, head byte, md5 fingerprints of frame slices) so the
-  plumbing — schema, batching, one-row-to-many-frames expansion,
-  partition-parallelism — is real and oracle-checkable end to end.
+Codec reality in this container: compressed formats (JPEG/PNG/video/
+audio) need PIL/ffmpeg/librosa, which are absent — `decode_image` keeps
+that seam (PIL import-try, NotImplementedError with a clear message).
+UNCOMPRESSED images are decoded for real: `decode_bmp`/`decode_ppm`
+(stdlib struct + numpy) parse 24-bit BI_RGB BMP (bottom-up rows, BGR,
+4-byte row padding) and binary P6 PPM, and `encode_bmp` writes the
+format so round-trips are testable end to end. `fake_decode_meta` /
+`sample_frames` remain the deterministic byte-level kernels that keep
+the Arrow plumbing oracle-checkable for arbitrary payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,16 +65,94 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8").cast(BinaryType()))
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - no codec libs here
-    """The real-decoder seam. Plug PIL in where available."""
-    try:
-        from PIL import Image  # noqa: F401
+def encode_bmp(img) -> bytes:
+    """Write an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BI_RGB): bottom-up row order, BGR channel order, rows padded to
+    4-byte boundaries — the format as real writers emit it."""
+    h, w, _ = img.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    data_size = (row_raw + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    bgr = img[:, :, ::-1]
+    rows = [bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes):
+    """Parse a 24-bit BI_RGB BMP into an (H, W, 3) uint8 RGB array —
+    real header parsing, row padding, bottom-up flip, BGR->RGB."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    _hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB supported (got bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_raw = w * 3
+    row_size = row_raw + (4 - row_raw % 4) % 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(data, np.uint8, row_raw, off + i * row_size).reshape(w, 3)
+        out[h - 1 - i if bottom_up else i] = row[:, ::-1]
+    return out
+
+
+def decode_ppm(data: bytes):
+    """Parse a binary P6 PPM (maxval 255) into (H, W, 3) uint8 RGB."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace before the raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    return np.frombuffer(data, np.uint8, h * w * 3, i).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes):
+    """Real image decode: uncompressed formats natively (BMP, P6 PPM),
+    compressed formats through the PIL seam where available."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    try:  # pragma: no cover - no codec libs in this container
+        import io as _io
+
+        import numpy as np
+        from PIL import Image
+
+        return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "use fake_decode_meta for the byte-level pipeline"
+            "compressed-image codecs (PIL) are not available in this "
+            "environment; BMP and P6 PPM decode natively"
         ) from exc
-    raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
 
 
 def fake_decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,6 +182,51 @@ def decode_assets(df: DataFrame) -> DataFrame:
     row per asset; partition-parallel, memory bounded per Arrow batch)."""
     return df.select("doc_id", "payload").mapInPandas(
         fake_decode_meta, schema=DECODED_META_SCHEMA
+    )
+
+
+DECODED_PIXELS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def decode_images_to_stats(df: DataFrame) -> DataFrame:
+    """REAL decode path: parse each binary payload as an image
+    (decode_image: native BMP/PPM, PIL seam otherwise) and emit true
+    pixel statistics. Integer channel sums over uint8 pixels are exact;
+    one IEEE division per mean keeps the output oracle-reproducible.
+    Same mapInPandas shape as the byte-level kernels: partition-parallel,
+    memory bounded per Arrow batch."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(int(sums[0]) / n)
+                out["mean_g"].append(int(sums[1]) / n)
+                out["mean_b"].append(int(sums[2]) / n)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, schema=DECODED_PIXELS_SCHEMA
     )
 
 

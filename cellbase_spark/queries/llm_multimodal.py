@@ -26,6 +26,54 @@ from cellbase_spark.registry import register
 
 
 @register(
+    "q_mm_decode_real",
+    family="llm-multimodal",
+    oracle="""
+WITH px AS (SELECT unnest(range(24)) AS i)
+SELECT d.doc_id,
+       6 AS width, 4 AS height,
+       CAST(SUM((d.doc_id * 31 + px.i) % 256) AS DOUBLE) / 24 AS mean_r,
+       CAST(SUM((d.doc_id * 31 + px.i + 7) % 256) AS DOUBLE) / 24 AS mean_g,
+       CAST(SUM((d.doc_id * 31 + px.i + 14) % 256) AS DOUBLE) / 24 AS mean_b
+FROM documents d CROSS JOIN px
+GROUP BY d.doc_id
+""",
+)
+def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: each doc gets a deterministic 6x4
+    RGB image (pixel[y,x,c] = (doc_id*31 + y*6+x + c*7) % 256), ENCODED
+    as a genuine 24-bit BMP (bottom-up, BGR, padded rows — width 6
+    forces a nonzero pad), then DECODED by the native BMP parser and
+    reduced to true pixel stats. Encoder and decoder are independent
+    code paths, so a padding/flip/channel-order bug breaks the hash; the
+    oracle re-derives the channel means from the pixel formula directly.
+    This is the uncompressed-codec half of the decode seam made real —
+    compressed formats still route through the PIL import-try."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import (
+        decode_images_to_stats,
+        encode_bmp,
+    )
+
+    def author(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(24, dtype=np.int64)
+                px = np.stack(
+                    [(doc_id * 31 + i + c * 7) % 256 for c in range(3)], axis=1
+                ).astype(np.uint8).reshape(4, 6, 3)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select("doc_id").mapInPandas(author, "doc_id long, payload binary")
+    return decode_images_to_stats(assets)
+
+
+@register(
     "q_mm_decode_meta",
     family="llm-multimodal",
     oracle="""

@@ -54,5 +54,56 @@ def test_frame_sample_expansion_and_fingerprint(assets):
 
 
 def test_real_decoder_seam_raises_without_codecs():
+    # covered in more detail by test_decode_image_compressed_needs_pil;
+    # kept as the minimal seam contract: compressed bytes either decode
+    # (PIL present) or raise NotImplementedError, never garbage.
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_bmp_roundtrip_including_padding():
+    """Encoder and decoder are independent paths: pixel-exact round-trip
+    for widths that do and don't need row padding."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_bmp, decode_image, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(4, 6), (3, 4), (5, 7), (1, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = encode_bmp(img)
+        assert data[:2] == b"BM"
+        out = decode_bmp(data)
+        assert out.shape == (h, w, 3)
+        assert (out == img).all()
+        assert (decode_image(data) == img).all()  # dispatch path
+
+
+def test_ppm_decode():
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_image
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    out = decode_image(data)
+    assert out.shape == (2, 3, 3)
+    assert (out == img).all()
+
+
+def test_decode_image_compressed_needs_pil():
+    import pytest
+
+    from cellbase_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; compressed path exercised elsewhere")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        mm.decode_image_real(b"\x89PNG\r\n")
+        decode_image(b"\x89PNG\r\n\x1a\nnot-really-a-png")
