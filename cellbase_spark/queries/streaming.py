@@ -176,6 +176,36 @@ def q_stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_run_stateful",
+    family="stream",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_run_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 genuinely STREAMED and oracle-gated: the custom
+    applyInPandasWithState operator (per-user running count/total with
+    explicit state updates) run to completion by the streaming engine.
+    The bounded source arrives as ONE micro-batch under availableNow, so
+    the final emission per user equals the batch aggregate — which is
+    exactly what the oracle checks; multi-batch state carry-over is
+    pinned separately in tests/test_streaming.py. The kernel's float
+    accumulation is per-user sequential within the single batch
+    (pandas sum over the user's rows), matching DuckDB's per-group sum
+    order after the 4dp round."""
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    return pipelines.run_stream_to_memory(
+        pipelines.running_user_totals(events),
+        "cb_stream_stateful_sink",
+        output_mode="update",
+    )
+
+
+@register(
     "q_stream_dedup",
     family="stream",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
