@@ -62,13 +62,18 @@ def get_spark(
 
 
 # Conf keys that are safe to set on an already-running session and that the
-# engine depends on for correctness (timezone) or for reading the testdata
-# (nanos timestamps). Applied defensively in case the driver built the session.
+# engine depends on for correctness (timezone), for reading the testdata
+# (nanos timestamps), or for sane shuffle sizing (a foreign session's
+# default 200 partitions means 200 tasks — and 200 streaming state-store
+# instances — per 25 MB shuffle at test scale; AQE coalesces batch reads
+# but not the state store). Applied defensively in case the driver built
+# the session.
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
 }
 
 
