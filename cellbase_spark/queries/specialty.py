@@ -127,9 +127,11 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The only cross-engine syntax delta is integer division (`div` vs
     `//`); everything else is shared ANSI."""
-    from cellbase_spark.io import register_temp_views
+    from cellbase_spark.io import load_table
 
-    register_temp_views(spark, sf_dir)
+    # only relation the query touches — registering the full catalog
+    # costs ~10 schema reads of pure overhead on this fixed-cost key
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
 WITH RECURSIVE anc AS (
@@ -164,9 +166,10 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     a join, never a per-row re-scan (check: one Aggregate feeding a Join
     in the physical plan). That rewrite is exactly why the declarative
     form scales; the oracle runs the identical SQL."""
-    from cellbase_spark.io import register_temp_views
+    from cellbase_spark.io import load_table
 
-    register_temp_views(spark, sf_dir)
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
 SELECT o_orderkey, o_totalprice,
@@ -193,9 +196,10 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling of q_topk_per_group. Spark plans the lateral as a
     de-correlated window/join, not a per-nation re-scan; identical SQL in
     DuckDB. Tie-broken by c_custkey so both engines pick the same rows."""
-    from cellbase_spark.io import register_temp_views
+    from cellbase_spark.io import load_table
 
-    register_temp_views(spark, sf_dir)
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
 SELECT n.n_name, c.c_name, c.c_acctbal
