@@ -9,10 +9,11 @@ Scale notes:
 - `load_table` is a bare `spark.read.parquet`: Catalyst gets the relation
   directly, so predicate pushdown / column pruning / partition pruning all
   reach the scan. No caching or materialization at this layer.
-- events.ts (TIMESTAMP NANOS parquet) is normalized to microsecond
-  TimestampType with `timestamp_micros(ts div 1000)` — a pure JVM
-  projection, identical truncation to DuckDB's ns->us read, so oracle
-  comparisons agree.
+- events.ts arrives as TimestampType directly (the testdata is
+  timestamp[us] parquet); the dtype guard below also accepts
+  TIMESTAMP(NANOS) files, which surface as long under nanosAsLong and
+  are normalized with `timestamp_micros(ts div 1000)` — a pure JVM
+  projection, identical truncation to DuckDB's ns->us read.
 """
 
 from __future__ import annotations

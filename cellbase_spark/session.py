@@ -9,9 +9,11 @@ Scale notes (100 TB design intent, local[32] test reality):
   the DuckDB oracle must interpret them identically.
 - Arrow enabled: every Python<->JVM boundary (toPandas, pandas UDFs) is
   Arrow-batched, never row-at-a-time pickling.
-- nanosAsLong: the events table carries TIMESTAMP(NANOS) parquet which
-  Spark does not natively read; io.load_table converts to a microsecond
-  TimestampType column (identical truncation to DuckDB's ns->us read).
+- nanosAsLong: tolerance for TIMESTAMP(NANOS) parquet inputs (which
+  Spark does not natively read); io.load_table and the streaming reader
+  detect such files and convert to microsecond TimestampType (identical
+  truncation to DuckDB's ns->us read). The driver testdata itself is
+  timestamp[us] and takes the native path.
 """
 
 from __future__ import annotations
