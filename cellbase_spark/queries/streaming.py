@@ -154,6 +154,43 @@ def q_stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_run_session",
+    family="stream",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value', 'total', 4)}
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def q_stream_run_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 genuinely STREAMED: session_window state (per open session —
+    the one state type that MERGES entries as late events bridge two
+    sessions) run end-to-end by the streaming engine, hash-matched
+    against the gaps-and-islands batch oracle."""
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    return pipelines.run_stream_to_memory(
+        pipelines.session_agg(events), "cb_stream_session_sink"
+    )
+
+
+@register(
     "q_stream_run_dedup",
     family="stream",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
