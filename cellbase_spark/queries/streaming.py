@@ -154,6 +154,30 @@ def q_stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_run_sliding",
+    family="stream",
+    oracle="""
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) - s.i) * 900)
+         AS wstart,
+       event_type,
+       COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+GROUP BY 1, 2
+""",
+)
+def q_stream_run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 genuinely STREAMED: overlapping-window state (each event lands
+    in width/slide = 4 windows; 4x the state rows of tumbling) run
+    end-to-end by the streaming engine against the offset-expansion
+    batch oracle."""
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    return pipelines.run_stream_to_memory(
+        pipelines.sliding_agg(events), "cb_stream_sliding_sink"
+    )
+
+
+@register(
     "q_stream_run_session",
     family="stream",
     oracle=f"""

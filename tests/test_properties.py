@@ -230,3 +230,27 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(ndf, edf, id_col="id").collect()
     }
     assert got == want
+
+
+def test_bmp_codec_roundtrip_property():
+    """Property: encode_bmp/decode_bmp are exact inverses for any image
+    shape (incl. every row-padding class) and any pixel content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cellbase_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=9),
+        w=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    check()
