@@ -3,16 +3,100 @@
 One module per SURVEY.md §2 family. Each module registers its query keys
 via cellbase_spark.registry.register.
 
-Import order IS registry order, and the per-round correctness gate
-records a bounded prefix of it (round 1 recorded exactly the first 50
-keys). The order therefore ROTATES each round so every key accumulates
-an official gate row across rounds — round 1 officially covered
-aggregates..llm_dedup (minus q_dedup_clusters); round 2 leads with the
-families that round missed. The full battery always passes locally
-(scripts/check_oracle.py runs all keys regardless of order).
+The per-round correctness gate records a bounded prefix (~50 keys) of
+registry order. GATE_PRIORITY below pins that prefix explicitly each
+round so every key accumulates an official oracle row across rounds:
+round 1 covered aggregates..llm_dedup, round 2 covered scans/scalars/
+setops/windows/specialty/timeseries/llm_dedup/llm_similarity (95 unique
+keys so far). The full battery always runs locally regardless of order
+(scripts/check_oracle.py).
 """
 
-# Round-2 rotation head: families without official gate rows yet.
+# Round-3 gate priority: (a) the four keys red/landmined in round 2,
+# now fixed (decimal->double casts; array outputs stringified), then
+# (b) every family with zero official rows yet: streaming, UDFs, TPC-H,
+# llm_text, plus the first multimodal keys. pipeline/quality/remaining
+# multimodal spill past the ~50-key budget and lead round 4.
+GATE_PRIORITY = [
+    # round-2 red rows, re-check first
+    "q_window_running_sum",
+    "q_window_range_frame",
+    "q_phonetic_key",
+    "q_embed_quantize",
+    # streaming family (no official rows yet)
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_run_tumbling",
+    "q_stream_run_sliding",
+    "q_stream_run_session",
+    "q_stream_run_dedup",
+    "q_stream_run_stateful",
+    "q_stream_run_late",
+    # UDF surface
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udtf_bigrams",
+    # TPC-H (19 keys, none official yet)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # llm_text family
+    "q_text_tokenfreq",
+    "q_tfidf",
+    "q_lang_id",
+    "q_text_quality",
+    "q_token_count",
+    "q_fingerprint",
+    "q_fuzzy_name_match",
+    "q_token_entropy",
+    "q_kl_source_drift",
+    "q_vocab_oov",
+    "q_boilerplate",
+    # first multimodal + ANN stragglers (~keys 50-53)
+    "q_ann_lsh",
+    "q_mm_decode_real",
+    "q_mm_decode_meta",
+    "q_multimodal_join",
+    # round-4 head: rest of multimodal, pipeline, quality
+    "q_mm_frame_sample",
+    "q_mm_resize",
+    "q_mm_features",
+    "q_scan_orc",
+    "q_merge_upsert",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_split_train_test",
+    "q_pack_sequences",
+    "q_repetition_ratio",
+    "q_length_histogram",
+    "q_pii_mask",
+    "q_agg_approx_percentile",
+    "q_mix_reweight",
+    "q_profile_table",
+    "q_quality_checks",
+]
+
+# Import order populates the registry; GATE_PRIORITY (not import order)
+# decides the gate prefix via registry._ordered_keys().
 from cellbase_spark.queries import scans  # noqa: F401
 from cellbase_spark.queries import scalars  # noqa: F401
 from cellbase_spark.queries import setops  # noqa: F401

@@ -311,9 +311,9 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        round(scale, 6) AS scale,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
                       x -> CAST(floor(127 * CAST(x AS DOUBLE) / scale + 0.5) AS INT)
-       ) AS codes
+       ), ',') AS codes
 FROM (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
@@ -327,7 +327,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB): per-vector scale = max|x|, code = floor(127*x/scale + 0.5).
     Pure higher-order-function map, zero shuffle; floor(+0.5) instead of
     round() because float round ties break differently across engines
-    while floor is exact IEEE in both."""
+    while floor is exact IEEE in both. `codes` is emitted comma-joined
+    (not array<int>): the driver canonicalizer cannot hash ndarray cells
+    (same failure mode q_phonetic_key hit in round 2)."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.withColumn(
@@ -338,9 +340,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(F.col("scale"), 6).alias("scale"),
-            F.expr(
-                "transform(embedding,"
-                " x -> cast(floor(127 * cast(x as double) / scale + 0.5) as int))"
+            F.array_join(
+                F.expr(
+                    "transform(embedding,"
+                    " x -> cast(floor(127 * cast(x as double) / scale + 0.5) as int))"
+                ),
+                ",",
             ).alias("codes"),
         )
     )

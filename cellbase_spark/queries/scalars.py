@@ -296,7 +296,7 @@ keyed AS (
   FROM tok
 )
 SELECT pkey, COUNT(*) AS n_docs,
-       list_sort(list(DISTINCT t)) AS words
+       array_to_string(list_sort(list(DISTINCT t)), ',') AS words
 FROM keyed GROUP BY pkey
 """,
 )
@@ -309,7 +309,11 @@ def q_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     out keeps the oracle exact AND keeps the whole key inside JVM codegen
     (zero Python). The fuzzy-match use: group/block candidate names by
     pkey before an expensive pairwise metric — at 100 TB this is the
-    shuffle-key that turns O(n^2) matching into per-block work."""
+    shuffle-key that turns O(n^2) matching into per-block work.
+
+    `words` is emitted as a comma-joined string, not array<string>: the
+    driver's canonicalizer sort_values over an object column of ndarrays
+    raises `unhashable type: 'numpy.ndarray'` (round-2 ERR)."""
     d = load_table(spark, sf_dir, "documents")
     t = F.upper(F.split(F.col("text"), " ").getItem(0))
     tail = F.expr(
@@ -324,7 +328,7 @@ def q_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pkey")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_set("t")).alias("words"),
+            F.array_join(F.sort_array(F.collect_set("t")), ",").alias("words"),
         )
     )
 

@@ -97,11 +97,11 @@ def q_window_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="window",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10)))
             OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate ASC, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(25,2)) AS running_spend,
+            AS DECIMAL(25,2)) AS DOUBLE) AS running_spend,
        COUNT(*) OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
@@ -111,8 +111,11 @@ FROM orders
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer running spend (rows frame). Decimal accumulation:
     windowed float sums are engine-order-dependent; decimal is exact.
-    Output stays DECIMAL(25,2) (2-dp data -> rescale never rounds, and
-    both engines hand pandas a Decimal)."""
+    The FINAL column is cast to double on both sides: the driver's canon
+    compares pandas reprs, and Spark hands it Decimal('...0') while
+    DuckDB's .df() hands float64 — numerically equal, string-unequal
+    (round-2 hash FAIL). 2-dp sums stay exactly representable in double
+    far past 100 TB row counts, so the cast loses nothing."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -123,7 +126,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(25,2)").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(25,2)").cast("double").alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
 
@@ -168,10 +171,10 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey, o_orderpriority, o_totalprice,
        COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10)))
             OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
-            AS DECIMAL(25,2)) AS band_total
+            AS DECIMAL(25,2)) AS DOUBLE) AS band_total
 FROM orders
 """,
 )
@@ -252,6 +255,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("excl_sum"), F.lit(0).cast(DEC))
         )
         .cast("decimal(25,2)")
+        .cast("double")  # driver canon: Decimal repr != float64 repr (r2 hash FAIL)
         .alias("band_total"),
     )
 

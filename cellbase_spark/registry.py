@@ -49,13 +49,34 @@ def register(name: str, oracle: str | None, family: str, doc: str = ""):
     return deco
 
 
+def _ordered_keys() -> list[str]:
+    """Registry keys with the per-round gate-priority prefix first.
+
+    The driver's correctness gate records only a bounded prefix (~50 keys)
+    of this order each round, so the priority list rotates per round to
+    give every key an official oracle row across rounds (the full battery
+    always runs locally via scripts/check_oracle.py regardless of order).
+    Unknown/stale names in the priority list are ignored; unlisted keys
+    keep their registration order after the prioritized ones.
+    """
+    from cellbase_spark.queries import GATE_PRIORITY
+
+    head = [k for k in GATE_PRIORITY if k in REGISTRY]
+    seen = set(head)
+    return head + [k for k in REGISTRY if k not in seen]
+
+
 def queries() -> dict[str, QueryFn]:
     import cellbase_spark.queries  # noqa: F401  (populates REGISTRY)
 
-    return {k: v.fn for k, v in REGISTRY.items()}
+    return {k: REGISTRY[k].fn for k in _ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     import cellbase_spark.queries  # noqa: F401
 
-    return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}
+    return {
+        k: REGISTRY[k].oracle
+        for k in _ordered_keys()
+        if REGISTRY[k].oracle is not None
+    }

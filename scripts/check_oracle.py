@@ -69,8 +69,13 @@ def _norm_obj(v):
         return "NULL"
     if isinstance(v, float):
         return _norm_float(v)
+    # Decimal-STRICT on purpose: the driver string-compares cell reprs, so
+    # Spark Decimal('3343155.50') vs DuckDB float64 3343155.5 is a driver
+    # hash FAIL even though the values are numerically equal (round-2
+    # q_window_running_sum/q_window_range_frame). Keep the exact string so
+    # the local gate predicts the driver instead of masking it.
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return str(v)
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(str(_norm_obj(x)) for x in v) + "]"
     if isinstance(v, datetime.datetime):
@@ -80,8 +85,30 @@ def _norm_obj(v):
     return str(v)
 
 
+def _hostile_cells(df: pd.DataFrame, side: str) -> list[str]:
+    """Driver-canon-hostile cell types. The driver's _canon sort_values
+    dies with `unhashable type: 'numpy.ndarray'` on container cells
+    (round-2 q_phonetic_key ERR), so ANY list/ndarray/dict cell in a
+    hash-gated result is an automatic driver ERR — flag it here."""
+    import numpy as np
+
+    hostile = []
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].iloc[0]
+            if isinstance(v, (list, tuple, np.ndarray, dict, set)):
+                hostile.append(f"{side}.{c}={type(v).__name__}")
+    return hostile
+
+
 def compare(key: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
+    hostile = _hostile_cells(spark_df, "spark") + _hostile_cells(duck_df, "duck")
+    if hostile:
+        problems.append(
+            "driver-canon-hostile container cells (driver would ERR): "
+            + ", ".join(hostile)
+        )
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)

@@ -130,7 +130,9 @@ def test_embed_quantize_reconstruction_error(spark, sf_dir):
     assert rows
     for r in rows:
         scale = r["scale"]
-        assert all(-127 <= c <= 127 for c in r["codes"])
-        recon = [c * scale / 127.0 for c in r["codes"]]
+        # codes are comma-joined (driver canon can't hash array cells)
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        recon = [c * scale / 127.0 for c in codes]
         for a, b in zip(recon, orig[r["vec_id"]]):
             assert abs(a - b) <= scale / 127.0 + 1e-6
