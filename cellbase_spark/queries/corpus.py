@@ -75,8 +75,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BASELINE.md; measured 2x on this explode).
         F.explode(
             F.expr(
+                # CASE guard: sequence(1, 0) in Spark yields DESCENDING
+                # [1, 0], and slice(toks, 0, 5) then raises — so docs
+                # shorter than the gram width must map to array(), which
+                # is also what the oracle's generate_series(1, len-4)
+                # produces (empty -> doc omitted by the explode).
                 "flatten(transform(array(split(text, ' ')), toks ->"
-                " transform(sequence(1, greatest(size(toks) - 4, 0)),"
+                " transform(CASE WHEN size(toks) >= 5"
+                "   THEN sequence(1, size(toks) - 4) ELSE array() END,"
                 " i -> concat_ws(' ', slice(toks, i, 5)))))"
             )
         ).alias("gram"),
@@ -291,8 +297,12 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
+                # Same guard as q_contamination: sequence(1, 0) yields
+                # descending [1, 0] and slice(toks, 0, 6) raises for
+                # docs with < 6 tokens; CASE keeps them empty.
                 "flatten(transform(array(split(text, ' ')), toks ->"
-                " transform(sequence(1, greatest(size(toks) - 5, 0)),"
+                " transform(CASE WHEN size(toks) >= 6"
+                "   THEN sequence(1, size(toks) - 5) ELSE array() END,"
                 " i -> concat_ws(' ', slice(toks, i, 6)))))"
             )
         ).alias("gram"),

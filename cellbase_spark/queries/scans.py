@@ -81,8 +81,10 @@ def q_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.sources.excel import read_excel_table, write_xlsx
 
     n = load_table(spark, sf_dir, "nation")
-    out_dir = os.path.join(tempfile.gettempdir(), "cellbase_spark_xlsx")
-    os.makedirs(out_dir, exist_ok=True)
+    # Fresh private dir per call: read_excel_table scans the whole
+    # directory via binaryFile, so a shared fixed path would race with a
+    # concurrent run (or union in stray .xlsx) and break the hash.
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_xlsx_")
     rows = [[r["n_nationkey"], r["n_name"], r["n_regionkey"]] for r in n.collect()]
     write_xlsx(rows, os.path.join(out_dir, "nation.xlsx"),
                header=["n_nationkey", "n_name", "n_regionkey"])
@@ -109,8 +111,9 @@ def q_scan_workbook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
-    out_dir = os.path.join(tempfile.gettempdir(), "cellbase_spark_workbook")
-    os.makedirs(out_dir, exist_ok=True)
+    # Fresh private dir per call — same directory-scan race as
+    # q_scan_excel above.
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_workbook_")
     write_xlsx_workbook(
         {
             "region": (

@@ -221,15 +221,17 @@ def q_stream_run_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 genuinely STREAMED: stateful dropDuplicates over the event
-    stream (watermarked key state, first-arrival wins), run to completion
-    by the streaming engine. The emitted key set equals batch DISTINCT
-    regardless of arrival order — which is exactly what the oracle
-    checks."""
+    stream (key state, first-arrival wins), run to completion by the
+    streaming engine. NO watermark on purpose: with one, a key first
+    seen BELOW the advanced watermark in a later micro-batch would be
+    silently dropped, diverging from the batch DISTINCT oracle under
+    multi-batch arrival — order-independence requires unexpired key
+    state, and this bounded source needs no state eviction. (Watermarked
+    dedup-with-eviction semantics are pinned separately in
+    tests/test_streaming.py.)"""
     events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
-    deduped = (
-        pipelines.with_watermark(events, "10 minutes")
-        .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type")
+    deduped = events.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
     )
     return pipelines.run_stream_to_memory(
         deduped, "cb_stream_dedup_sink", output_mode="append"

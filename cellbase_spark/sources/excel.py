@@ -53,8 +53,11 @@ def sheet_paths(zf: zipfile.ZipFile) -> dict[str, str]:
     positional sheetN.xml naming for minimal writers without rels."""
     names = zf.namelist()
     if "xl/workbook.xml" not in names:
+        # Positional fallback must sort by the NUMERIC suffix: lexical
+        # order puts sheet10.xml before sheet2.xml.
         found = sorted(
-            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
         return {f"Sheet{i + 1}": p for i, p in enumerate(found)}
     rels: dict[str, str] = {}

@@ -54,7 +54,6 @@ def main() -> None:
     spark = get_spark("bench-trend")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    oracles = registry.oracle_sql() if hasattr(registry, "oracle_sql") else None
     import __spark_entry__ as entry
 
     oracles = entry.oracle_sql()

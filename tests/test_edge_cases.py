@@ -72,3 +72,34 @@ def test_singleton_block_yields_no_pairs(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_gram_explode_guards_short_docs(spark):
+    """Docs shorter than the gram width must yield ZERO grams, not crash:
+    Spark's sequence(1, 0) produces descending [1, 0] and slice(toks, 0, n)
+    then raises — the CASE guard in corpus.py keeps short docs empty
+    (matching the oracle's empty generate_series)."""
+    from cellbase_spark.queries.corpus import q_boilerplate, q_contamination
+
+    rows = [(i, "s", t) for i, t in enumerate(
+        ["one two three", "a", "", "w x y z v u t s r q"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.createOrReplaceTempView("___short_docs")
+    # Exercise the exact gram expression both keys use (6-gram form).
+    from pyspark.sql import functions as F
+
+    g = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(split(text, ' ')), toks ->"
+                " transform(CASE WHEN size(toks) >= 6"
+                "   THEN sequence(1, size(toks) - 5) ELSE array() END,"
+                " i -> concat_ws(' ', slice(toks, i, 6)))))"
+            )
+        ).alias("gram"),
+    )
+    out = g.collect()
+    assert {r["doc_id"] for r in out} == {3}  # only the 10-token doc
+    assert len(out) == 5  # 10 - 6 + 1

@@ -96,3 +96,25 @@ def test_header_reorder_is_respected(spark, tmp_path):
     write_xlsx([["x", 7], ["y", 8]], str(tmp_path / "c.xlsx"), header=["name", "id"])
     rows = read_excel_table(spark, str(tmp_path), schema).orderBy("id").collect()
     assert [tuple(r) for r in rows] == [(7, "x"), (8, "y")]
+
+
+def test_fallback_sheet_order_numeric(tmp_path):
+    """Minimal workbooks without workbook.xml fall back to positional
+    sheetN.xml naming — ordered by NUMERIC suffix (sheet2 before
+    sheet10), not lexically."""
+    import zipfile
+
+    from cellbase_spark.sources.excel import sheet_paths
+
+    p = tmp_path / "minimal.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        for i in (1, 2, 10, 11):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", "<worksheet/>")
+    with zipfile.ZipFile(p) as zf:
+        order = list(sheet_paths(zf).values())
+    assert order == [
+        "xl/worksheets/sheet1.xml",
+        "xl/worksheets/sheet2.xml",
+        "xl/worksheets/sheet10.xml",
+        "xl/worksheets/sheet11.xml",
+    ]
