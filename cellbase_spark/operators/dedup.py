@@ -106,6 +106,45 @@ def exact_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
     )
 
 
+def _exact_distinct(tok_df: DataFrame, col: str) -> int:
+    """Exact distinct count (full scan; shuffle is tiny when the true
+    domain is small thanks to map-side partial agg). Split out so tests
+    can pin that the over-limit path never calls it."""
+    return tok_df.agg(F.count_distinct(col).alias("_n")).first()["_n"]
+
+
+def _bounded_vocab_size(
+    tok_df: DataFrame, col: str, limit: int, sample_fraction: float = 0.05
+) -> int | None:
+    """Vocabulary-size probe for adaptive strategy selection: the exact
+    distinct count if it is <= limit, else None ("over limit").
+
+    The 100 TB concern is paying a full-token shuffle just to learn the
+    vocab is huge. So probe a row sample first: the sample's distinct
+    set is a subset of the true one, so a sampled approx_count_distinct
+    already over the limit PROVES the true count is over — return None
+    after scanning only the sample. Only when the sample looks small
+    (which implies the exact count's shuffle is small too — a bounded
+    key domain partial-aggregates map-side) do we pay the exact count,
+    which the bitmap builders need anyway to size their words.
+
+    The 1.05 slack absorbs approx_count_distinct's ~2% HLL error; a
+    borderline vocab that lands on the fallback path is a strategy
+    choice, never a correctness one.
+    """
+    if limit <= 0:
+        return None
+    est = (
+        tok_df.sample(fraction=sample_fraction, seed=7)
+        .agg(F.approx_count_distinct(col).alias("_e"))
+        .first()["_e"]
+    )
+    if est > limit * 1.05:
+        return None
+    n = _exact_distinct(tok_df, col)
+    return n if n <= limit else None
+
+
 def jaccard_pairs(
     tokenized: DataFrame,
     id_col: str,
@@ -151,19 +190,23 @@ def jaccard_pairs(
         )
     ).withColumn("_n", F.size("_toks"))
     # Global document frequency -> the canonical token order (df asc, tok
-    # asc). Three ranking strategies by measured vocabulary size (one tiny
-    # driver-side count decides, the same shape as AQE's runtime re-plan):
-    # bitmap ids (tiny vocab), ONE broadcast map row so each doc orders
-    # its tokens in a single per-row pass (vocab fits a broadcast), or —
-    # for an unbounded key domain where a vocab broadcast would OOM —
-    # explode + shuffle join on the token + re-collect (below).
+    # asc). Three ranking strategies by measured vocabulary size (a
+    # sample-first bounded probe decides, the same shape as AQE's runtime
+    # re-plan — see _bounded_vocab_size: the over-limit verdict costs a
+    # sample scan, never a full token shuffle): bitmap ids (tiny vocab),
+    # ONE broadcast map row so each doc orders its tokens in a single
+    # per-row pass (vocab fits a broadcast), or — for an unbounded key
+    # domain where a vocab broadcast would OOM — explode + shuffle join
+    # on the token + re-collect (below).
     vocab = (
         t.select(F.explode("_toks").alias("_tok"))
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    vocab_size = vocab.count()
-    use_bitmap = vocab_size <= bitmap_vocab_limit
+    vocab_size = _bounded_vocab_size(
+        t.select(F.explode("_toks").alias("_tok")), "_tok", vocab_broadcast_limit
+    )
+    use_bitmap = vocab_size is not None and vocab_size <= bitmap_vocab_limit
 
     prefix_len = (
         F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + F.lit(2)
@@ -201,7 +244,7 @@ def jaccard_pairs(
         n_shared_expr = F.expr(
             "aggregate(zip_with(_ta, _tb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
         )
-    elif vocab_size <= vocab_broadcast_limit:
+    elif vocab_size is not None:
         vmap = vocab.agg(
             F.map_from_entries(F.collect_list(F.struct("_tok", "_df"))).alias("_vmap")
         )
@@ -342,8 +385,8 @@ def blocked_bitmap_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
     vocab = ex.select("_tok").distinct()
-    vocab_size = vocab.count()
-    if not vocab_size or vocab_size > bitmap_vocab_limit:
+    vocab_size = _bounded_vocab_size(ex, "_tok", bitmap_vocab_limit)
+    if not vocab_size:
         return jaccard_pairs(
             tokenized,
             id_col=id_col,
@@ -531,8 +574,10 @@ def minhash_lsh_pairs(
         if bitmap_vocab_limit
         else None
     )
-    vocab_size = ex.select("_tok").distinct().count() if ex is not None else 0
-    if 0 < vocab_size <= bitmap_vocab_limit:
+    vocab_size = (
+        _bounded_vocab_size(ex, "_tok", bitmap_vocab_limit) if ex is not None else None
+    )
+    if vocab_size:
         # same codegen bitmap build as blocked_bitmap_jaccard_pairs:
         # explode -> broadcast (token -> id) dim -> per-word bit_or agg
         # (never a per-row lambda over a map literal — interpreted and

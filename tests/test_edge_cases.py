@@ -103,3 +103,26 @@ def test_gram_explode_guards_short_docs(spark):
     out = g.collect()
     assert {r["doc_id"] for r in out} == {3}  # only the 10-token doc
     assert len(out) == 5  # 10 - 6 + 1
+
+
+def test_bounded_vocab_probe_small_vocab_exact(spark):
+    """Under the limit, the probe returns the EXACT distinct count (the
+    bitmap builders size their words with it)."""
+    from cellbase_spark.operators import dedup
+
+    df = spark.range(0, 2000).select((F.col("id") % 37).cast("string").alias("_tok"))
+    assert dedup._bounded_vocab_size(df, "_tok", limit=100, sample_fraction=0.5) == 37
+
+
+def test_bounded_vocab_probe_large_vocab_never_full_counts(spark, monkeypatch):
+    """Over the limit, the probe must decide from the SAMPLE alone — the
+    100 TB contract is that a huge vocabulary is detected without a full
+    token shuffle. _exact_distinct is forbidden via monkeypatch."""
+    from cellbase_spark.operators import dedup
+
+    def _boom(*a, **k):
+        raise AssertionError("exact distinct count ran on the over-limit path")
+
+    monkeypatch.setattr(dedup, "_exact_distinct", _boom)
+    df = spark.range(0, 50_000).select(F.col("id").cast("string").alias("_tok"))
+    assert dedup._bounded_vocab_size(df, "_tok", limit=64, sample_fraction=0.2) is None
