@@ -28,6 +28,7 @@ import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cellbase_spark.functions.exact import dsum_sql
 from cellbase_spark.io import load_table
@@ -266,6 +267,130 @@ def q_stream_run_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb_stream_stateful_sink",
         output_mode="update",
     )
+
+
+def _late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as four parquet files whose mtime order
+    forces a deterministic out-of-order micro-batch arrival (the file
+    source reads oldest-mtime first; maxFilesPerTrigger=1 makes each file
+    one batch):
+
+    - batch0 "bulk":      tmin+2h <= ts < H-2h   (H = date_trunc(hour, tmax))
+    - batch1 "mixed late": ts < tmin+2h  (DROPPED: their window ends sit
+      weeks below the watermark advanced by batch0)  UNION  H-2h <= ts <
+      H-1h (ACCEPTED: window end H-1h is above that watermark)
+    - batch2 "tail":      ts >= H-1h  (advances the watermark to tmax-10m)
+    - batch3 "flush":     a re-delivery of the max-ts event — processing
+      it emits every window finalized by batch2's watermark, and its own
+      window [H, H+1h) can never finalize (end > tmax-10m always), so the
+      duplicate is invisible in the emitted result at any SF.
+
+    The driver-side footprint is two scalars (min/max ts); the splits are
+    written by Spark. Margins are hours-vs-weeks, so the drop/accept
+    verdicts are data-independent for any corpus spanning > ~5 hours.
+
+    Returns (pending_dir, watch_dir): batch files staged under pending/,
+    to be moved one-by-one into watch/ between triggers. Sequenced
+    single-file triggers are REQUIRED, not a convenience: under
+    Trigger.AvailableNow (+maxFilesPerTrigger) the engine reports an
+    advancing watermark per inner batch but does NOT apply it to
+    late-row filtering, so a one-shot availableNow run admits the late
+    slice (verified empirically on Spark 4.1; separate triggers drop it).
+    """
+    import datetime
+    import glob as _glob
+    import shutil
+
+    out = tempfile.mkdtemp(prefix="cb_stream_late_")
+    pending = os.path.join(out, "pending")
+    watch = os.path.join(out, "watch")
+    os.makedirs(pending)
+    os.makedirs(watch)
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax")).first()
+    tmin, tmax = b["tmin"], b["tmax"]
+    h = tmax.replace(minute=0, second=0, microsecond=0)
+    cut_old = tmin + datetime.timedelta(hours=2)
+    h1, h2 = h - datetime.timedelta(hours=1), h - datetime.timedelta(hours=2)
+    ts = F.col("ts")
+    splits = [
+        (ts >= F.lit(cut_old)) & (ts < F.lit(h2)),
+        (ts < F.lit(cut_old)) | ((ts >= F.lit(h2)) & (ts < F.lit(h1))),
+        ts >= F.lit(h1),
+    ]
+    batches = [e.where(c) for c in splits]
+    batches.append(e.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1))
+    for i, df in enumerate(batches):
+        stage = os.path.join(out, f"_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(pending, f"batch{i}.parquet"))
+        shutil.rmtree(stage)
+    return pending, watch
+
+
+@register(
+    "q_stream_run_late",
+    family="stream",
+    oracle=f"""
+WITH b AS (
+  SELECT min(CAST(ts AS TIMESTAMP)) AS tmin,
+         max(CAST(ts AS TIMESTAMP)) AS tmax
+  FROM events
+)
+SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS wstart,
+       e.event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'total', 4)}
+FROM events e, b
+WHERE CAST(e.ts AS TIMESTAMP) >= b.tmin + INTERVAL 2 HOUR
+  AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+      <= b.tmax - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+""",
+)
+def q_stream_run_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 oracle-gated: watermark late-data semantics through the REAL
+    micro-batch engine. The staged source (_late_arrival_dir) re-orders
+    the events table so a crafted slice arrives a batch AFTER the
+    watermark passed its windows: those rows must be dropped, while
+    equally-late-arriving rows whose windows are still open must be
+    kept. Append mode emits only finalized windows.
+
+    The oracle is the pure batch statement of that contract: aggregate
+    everything EXCEPT (a) the dropped slice (ts < tmin+2h — their hour
+    windows ended weeks below the watermark when they arrived) and
+    (b) windows not finalized by the final watermark
+    (window end > tmax - 10min). Hash equality proves drop, keep, AND
+    emission match the engine exactly — the one streaming behavior the
+    batch-parity q_stream_* keys cannot see."""
+    import shutil
+
+    pending, watch = _late_arrival_dir(spark, sf_dir)
+    events = pipelines.read_events_stream(spark, watch)
+    agg = pipelines.tumbling_agg(pipelines.with_watermark(events, "10 minutes"))
+    name = "cb_stream_late_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # One file per trigger, awaited: each move is one micro-batch, so
+        # the watermark advanced by batch N filters batch N+1's input —
+        # the semantics under test (see _late_arrival_dir on why a single
+        # availableNow run cannot express this).
+        for f in sorted(os.listdir(pending)):
+            shutil.move(os.path.join(pending, f), os.path.join(watch, f))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 @register(
