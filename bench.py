@@ -9,10 +9,16 @@ line; the full per-key battery is written to BENCH_FULL.json next to this
 script (and to stderr). Set SPARK_GRAFT_BENCH_ALL=1 to time every
 registered key (still summarized compactly on stdout).
 
-Timing protocol (BASELINE.md): steady-state — each query is run twice and
-the second (post-JIT, post-shuffle-service-warmup) run is reported; session
-startup is excluded. `value` is the sum of per-query steady-state seconds
-over the headline set.
+Timing protocol (BASELINE.md, hardened round 3): steady-state best-of-N —
+one untimed warm-up (JIT, shuffle-service, file-index caches), then up to
+3 timed runs per key (early-stop once a key's timed runs exceed an ~8 s
+budget, so slow keys cost 1-2 runs and sub-second keys get the full 3);
+the MINIMUM is reported — for repeated identical work, min is the
+lowest-noise location estimate, and round-over-round diffs on sub-second
+keys were previously dominated by scheduler jitter (BASELINE.md's ±2-3 s
+noise floor). Per-key run lists land in BENCH_FULL.json ("runs") so any
+consumer can judge variance; session startup is excluded. `value` is the
+sum of per-query steady-state seconds over the headline set.
 """
 
 from __future__ import annotations
@@ -77,6 +83,20 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def run_steady_state(
+    fn, spark, sf_dir: str, max_runs: int = 3, budget_sec: float = 8.0
+) -> list[float]:
+    """One untimed warm-up, then up to max_runs timed runs (early-stop on
+    the per-key budget). Caller takes min() as the steady-state figure."""
+    run_query(fn, spark, sf_dir)  # warm-up
+    times: list[float] = []
+    for _ in range(max_runs):
+        times.append(run_query(fn, spark, sf_dir))
+        if sum(times) >= budget_sec:
+            break
+    return times
+
+
 def main() -> None:
     # Nothing but the final JSON line may reach the real stdout: park fd 1
     # on stderr for the whole run (Spark banners, stray prints, warnings all
@@ -95,14 +115,17 @@ def main() -> None:
         n for n in HEADLINE if n in qs
     ]
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
         fn = qs[name]
         try:
-            run_query(fn, spark, SF_DIR)  # warm-up run
-            timings[name] = round(run_query(fn, spark, SF_DIR), 4)
+            ts = run_steady_state(fn, spark, SF_DIR)
+            runs[name] = [round(t, 4) for t in ts]
+            timings[name] = round(min(ts), 4)
         except Exception as exc:  # never let one query kill the bench
             print(f"bench error {name}: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
+            runs[name] = []
     headline = {n: t for n, t in timings.items() if n in HEADLINE}
     total = round(sum(t for t in headline.values() if t >= 0), 4)
     result = {
@@ -114,7 +137,9 @@ def main() -> None:
         "n_headline": len(headline),
         "n_timed": len(timings),
     }
-    full = dict(result, queries=timings, metric="sum_headline_steady_state_sec_full")
+    full = dict(
+        result, queries=timings, runs=runs, metric="sum_headline_steady_state_sec_full"
+    )
     try:
         with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)

@@ -251,3 +251,19 @@ def test_tpch_q17_threshold_rides_back_without_forced_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 2
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q3_broadcasts_filtered_dims(spark, sf_dir):
+    # Q3's scale contract: lineitem is the only fact-sized input; the
+    # date-filtered orders side and segment-filtered customer side must
+    # join as broadcasts (size-based, not forced — AQE may swap to SMJ
+    # only when a filtered side outgrows the threshold), with the
+    # shipdate filter pushed into the lineitem scan.
+    plan = plan_of(spark, "q_tpch_q3", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    li_scan = next(
+        l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l
+    )
+    assert "GreaterThan(l_shipdate" in li_scan
