@@ -114,19 +114,22 @@ def _exact_distinct(tok_df: DataFrame, col: str) -> int:
 
 
 def _bounded_vocab_size(
-    tok_df: DataFrame, col: str, limit: int, sample_fraction: float = 0.05
+    tok_df: DataFrame, col: str, limit: int, probe_df: DataFrame | None = None
 ) -> int | None:
     """Vocabulary-size probe for adaptive strategy selection: the exact
     distinct count if it is <= limit, else None ("over limit").
 
     The 100 TB concern is paying a full-token shuffle just to learn the
-    vocab is huge. So probe a row sample first: the sample's distinct
-    set is a subset of the true one, so a sampled approx_count_distinct
-    already over the limit PROVES the true count is over — return None
-    after scanning only the sample. Only when the sample looks small
-    (which implies the exact count's shuffle is small too — a bounded
-    key domain partial-aggregates map-side) do we pay the exact count,
-    which the bitmap builders need anyway to size their words.
+    vocab is huge. So estimate from a cheap probe first: probe_df must be
+    a SUBSET of tok_df's rows (callers pass a doc-level sample exploded,
+    or a sample of an already-checkpointed token stream — either way the
+    probe never tokenizes the full corpus). A subset's distinct set is a
+    subset of the true one, so a probe approx_count_distinct already over
+    the limit PROVES the true count is over — return None after scanning
+    only the probe. Only when the probe looks small (which implies the
+    exact count's shuffle is small too — a bounded key domain
+    partial-aggregates map-side) do we pay the exact count, which the
+    bitmap builders need anyway to size their words.
 
     The 1.05 slack absorbs approx_count_distinct's ~2% HLL error; a
     borderline vocab that lands on the fallback path is a strategy
@@ -134,11 +137,9 @@ def _bounded_vocab_size(
     """
     if limit <= 0:
         return None
-    est = (
-        tok_df.sample(fraction=sample_fraction, seed=7)
-        .agg(F.approx_count_distinct(col).alias("_e"))
-        .first()["_e"]
-    )
+    if probe_df is None:
+        probe_df = tok_df.sample(fraction=0.05, seed=7)
+    est = probe_df.agg(F.approx_count_distinct(col).alias("_e")).first()["_e"]
     if est > limit * 1.05:
         return None
     n = _exact_distinct(tok_df, col)
@@ -203,9 +204,36 @@ def jaccard_pairs(
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    vocab_size = _bounded_vocab_size(
-        t.select(F.explode("_toks").alias("_tok")), "_tok", vocab_broadcast_limit
+    # Three-step size probe, cheapest-first (the 100 TB contract: strategy
+    # selection never shuffles the token domain):
+    # 1. 5% of DOCS, exploded + HLL — tokenization stays sampled, so a
+    #    hugely-over-limit vocab is detected from the sample alone;
+    # 2. full-stream HLL — map-side sketches only (one row crosses the
+    #    wire), decides bitmap-plausible vs broadcast vs shuffle-join;
+    # 3. exact distinct count ONLY when the HLL says bitmap-plausible —
+    #    the one consumer that needs exactness (word sizing), and then by
+    #    construction the count's shuffle is <= ~bitmap_limit keys.
+    # The broadcast tier runs on the HLL estimate: its vocab_size is used
+    # only for the limit comparison, never for sizing, and a 2% HLL error
+    # at the 2M boundary is a strategy choice, not a correctness one.
+    toks = t.select(F.explode("_toks").alias("_tok"))
+    probe_est = (
+        t.sample(fraction=0.05, seed=7)
+        .select(F.explode("_toks").alias("_tok"))
+        .agg(F.approx_count_distinct("_tok").alias("_e"))
+        .first()["_e"]
     )
+    vocab_size: int | None
+    if probe_est > vocab_broadcast_limit * 1.05:
+        vocab_size = None
+    else:
+        full_est = toks.agg(F.approx_count_distinct("_tok").alias("_e")).first()["_e"]
+        if full_est > vocab_broadcast_limit * 1.05:
+            vocab_size = None
+        elif full_est <= bitmap_vocab_limit * 1.05:
+            vocab_size = _exact_distinct(toks, "_tok")
+        else:
+            vocab_size = full_est
     use_bitmap = vocab_size is not None and vocab_size <= bitmap_vocab_limit
 
     prefix_len = (

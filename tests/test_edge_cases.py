@@ -111,7 +111,7 @@ def test_bounded_vocab_probe_small_vocab_exact(spark):
     from cellbase_spark.operators import dedup
 
     df = spark.range(0, 2000).select((F.col("id") % 37).cast("string").alias("_tok"))
-    assert dedup._bounded_vocab_size(df, "_tok", limit=100, sample_fraction=0.5) == 37
+    assert dedup._bounded_vocab_size(df, "_tok", limit=100) == 37
 
 
 def test_bounded_vocab_probe_large_vocab_never_full_counts(spark, monkeypatch):
@@ -125,4 +125,7 @@ def test_bounded_vocab_probe_large_vocab_never_full_counts(spark, monkeypatch):
 
     monkeypatch.setattr(dedup, "_exact_distinct", _boom)
     df = spark.range(0, 50_000).select(F.col("id").cast("string").alias("_tok"))
-    assert dedup._bounded_vocab_size(df, "_tok", limit=64, sample_fraction=0.2) is None
+    assert (
+        dedup._bounded_vocab_size(df, "_tok", limit=64, probe_df=df.sample(0.2, seed=7))
+        is None
+    )
