@@ -71,6 +71,7 @@ GATE_PRIORITY = [
     "q_kl_source_drift",
     "q_vocab_oov",
     "q_boilerplate",
+    "q_quality_gopher",
     # first multimodal + ANN stragglers (~keys 50-53)
     "q_ann_lsh",
     "q_mm_decode_real",

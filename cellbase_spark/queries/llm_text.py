@@ -170,6 +170,65 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_gopher",
+    family="llm-text",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')), 6) AS mean_word_len,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS uniq_frac,
+       round((length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+       (len(string_split(text, ' ')) BETWEEN 10 AND 10000)
+         AND ((length(text) - (len(string_split(text, ' ')) - 1))
+              / len(string_split(text, ' ')) BETWEEN 2 AND 12)
+         AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.3)
+         AND ((length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')))
+              / CAST(length(text) AS DOUBLE) < 0.2) AS passes
+FROM documents
+""",
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document filter in the Gopher/MassiveText style —
+    the complement of q_text_quality's soft score: HARD per-rule bounds
+    whose AND decides keep/drop, the shape production corpus cleaning
+    actually runs. Rules (engine-portable arithmetic only):
+    word-count in [10, 10000]; mean word length in [2, 12] chars;
+    distinct-word fraction >= 0.3 (kills lexical loops); digit-char
+    ratio < 0.2. Per-rule diagnostics are emitted alongside the verdict
+    so a pipeline can report WHY documents fail.
+
+    Zero shuffle: one narrow codegen map over the scan — at 100 TB this
+    runs at IO speed and the filter composes with any downstream op."""
+    d = load_table(spark, sf_dir, "documents")
+    words = tokens("text")
+    n_words = F.size(words).cast("bigint")
+    mean_wlen = (F.length("text") - (n_words - 1)) / n_words
+    uniq_frac = F.size(F.array_distinct(words)).cast("double") / n_words
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ) / F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(uniq_frac, 6).alias("uniq_frac"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        (
+            n_words.between(10, 10000)
+            & mean_wlen.between(2, 12)
+            & (uniq_frac >= 0.3)
+            & (digit_ratio < 0.2)
+        ).alias("passes"),
+    )
+
+
+@register(
     "q_token_count",
     family="llm-text",
     oracle="""
