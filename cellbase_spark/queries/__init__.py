@@ -72,6 +72,7 @@ GATE_PRIORITY = [
     "q_vocab_oov",
     "q_boilerplate",
     "q_quality_gopher",
+    "q_contain_fuzzy",
     # first multimodal + ANN stragglers (~keys 50-53)
     "q_ann_lsh",
     "q_mm_decode_real",

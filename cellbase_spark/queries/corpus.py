@@ -327,3 +327,73 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_contain_fuzzy",
+    family="corpus",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), ev AS (
+  SELECT doc_id AS eval_id, unnest(toks) AS tok, len(toks) AS n_eval
+  FROM t WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id AS train_id, unnest(toks) AS tok
+  FROM t WHERE doc_id % 50 <> 0
+), shared AS (
+  SELECT tr.train_id, ev.eval_id, ev.n_eval, COUNT(*) AS n_shared
+  FROM tr JOIN ev USING (tok)
+  GROUP BY tr.train_id, ev.eval_id, ev.n_eval
+)
+SELECT train_id, eval_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_eval AS BIGINT) AS n_eval,
+       round(CAST(n_shared AS DOUBLE) / n_eval, 6) AS containment
+FROM shared
+WHERE CAST(n_shared AS DOUBLE) / n_eval >= 0.8
+""",
+)
+def q_contain_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination by token-set CONTAINMENT: an eval doc counts
+    as leaked into a training doc when >= 80% of its distinct tokens
+    appear in that doc — |eval ∩ train| / |eval| — which catches
+    reworded/reordered overlap that q_contamination's exact 5-gram match
+    misses (containment, not Jaccard: a long train doc that embeds a
+    short eval doc must score 1.0, not be diluted by its own length).
+
+    Plan: the eval side (here doc_id % 50 = 0, ~2% of the corpus; in
+    production the benchmark suite, KBs not TBs) explodes to a
+    (token, eval_id, n_eval) table that broadcasts; the train side
+    explodes and hash-joins it token-by-token WITHOUT shuffling the
+    corpus — the only shuffle is the (train_id, eval_id) pair count,
+    whose row count is bounded by matched-token pairs. At 100 TB the
+    eval broadcast is the decontamination pattern of record (the same
+    inverted-index shape every corpus pipeline ships)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    ev = (
+        t.where(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.size("toks").alias("n_eval"),
+            F.explode("toks").alias("tok"),
+        )
+    )
+    tr = t.where(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("toks").alias("tok")
+    )
+    shared = (
+        tr.join(F.broadcast(ev), "tok")
+        .groupBy("train_id", "eval_id", "n_eval")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.select(
+        "train_id",
+        "eval_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        F.round(F.col("n_shared").cast("double") / F.col("n_eval"), 6).alias(
+            "containment"
+        ),
+    ).where(F.col("n_shared").cast("double") / F.col("n_eval") >= 0.8)
