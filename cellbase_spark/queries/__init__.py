@@ -34,6 +34,8 @@ GATE_PRIORITY = [
     "q_stream_run_dedup",
     "q_stream_run_stateful",
     "q_stream_run_late",
+    "q_stream_run_join",
+    "q_stream_run_join_interval",
     # UDF surface
     "q_udf_scalar",
     "q_udf_pandas",

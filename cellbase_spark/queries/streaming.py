@@ -394,6 +394,95 @@ def q_stream_run_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_run_join",
+    family="stream",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, n.n_name
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def q_stream_run_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 genuinely STREAMED: the enrichment join of every event pipeline
+    — a streaming events feed inner-joined per micro-batch against the
+    static customer->nation dim chain — run end-to-end by the streaming
+    engine and hash-matched against the batch join oracle. The static
+    side is planned as a normal (broadcastable) relation inside each
+    micro-batch: at 100 TB of stream the dim broadcast happens once per
+    executor per batch, and no stream-side state is kept at all
+    (stateless join — contrast q_stream_run_join_interval)."""
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "n_name"
+    )
+    enriched = events.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "n_name"
+    )
+    return pipelines.run_stream_to_memory(
+        enriched, "cb_stream_join_sink", output_mode="append"
+    )
+
+
+@register(
+    "q_stream_run_join_interval",
+    family="stream",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+       a.event_type AS type_a, b.event_type AS type_b
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+""",
+)
+def q_stream_run_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval self-join, genuinely streamed: pairs of
+    same-user events where b follows a within 5 minutes — the
+    correlation join (click->purchase, request->response) that needs
+    BOTH sides buffered in state. Each side carries a watermark, and the
+    range predicate on event time lets the engine bound how long a row
+    waits for its match (state eviction = watermark minus the interval);
+    the join itself runs in the micro-batch engine with two-sided join
+    state — the one join shape batch execution cannot emulate
+    incrementally. Bounded source => the emitted pair set equals the
+    batch interval self-join, which is exactly what the oracle checks.
+    The event_id inequality both de-mirrors the pair and breaks the
+    a==b self-match."""
+    src = _events_stream_dir(sf_dir)
+    a = pipelines.with_watermark(
+        pipelines.read_events_stream(spark, src), "10 minutes"
+    ).select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = pipelines.with_watermark(
+        pipelines.read_events_stream(spark, src), "10 minutes"
+    ).select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("id_a", "id_b", "user_id", "type_a", "type_b")
+    return pipelines.run_stream_to_memory(
+        joined, "cb_stream_joinint_sink", output_mode="append"
+    )
+
+
+@register(
     "q_stream_dedup",
     family="stream",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
