@@ -80,7 +80,8 @@ GATE_PRIORITY = [
     "q_mm_decode_real",
     "q_mm_decode_meta",
     "q_multimodal_join",
-    # round-4 head: rest of multimodal, pipeline, quality
+    # round-4 head: new sources, rest of multimodal, pipeline, quality
+    "q_scan_xlsx_pyds",
     "q_mm_frame_sample",
     "q_mm_resize",
     "q_mm_features",

@@ -137,6 +137,35 @@ def q_scan_workbook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_xlsx_pyds",
+    family="scan",
+    oracle="SELECT * FROM nation",
+)
+def q_scan_xlsx_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source face of the xlsx capability (S4c):
+    the same nation round-trip as q_scan_excel, but ingested through a
+    REGISTERED DataSource — format('cellbase_xlsx') with explicit
+    partition planning (one InputPartition per workbook file) instead of
+    the binaryFile+mapInPandas composition. Proves the engine speaks the
+    modern pluggable-source API end-to-end: registration, schema
+    contract, partition planning, executor-side typed reads."""
+    from cellbase_spark.sources.excel import write_xlsx
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    n = load_table(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_pyds_")
+    rows = [[r["n_nationkey"], r["n_name"], r["n_regionkey"]] for r in n.collect()]
+    write_xlsx(rows, os.path.join(out_dir, "nation.xlsx"),
+               header=["n_nationkey", "n_name", "n_regionkey"])
+    register_pyds(spark)
+    return (
+        spark.read.format("cellbase_xlsx")
+        .schema(schemas.NATION)
+        .load(out_dir)
+    )
+
+
+@register(
     "q_roundtrip_write",
     family="scan",
     oracle="""

@@ -1,0 +1,120 @@
+"""Spark 4 Python Data Source exposing the stdlib xlsx parser as a real
+``spark.read.format("cellbase_xlsx")`` source.
+
+Where sources/excel.py wires workbook parsing through binaryFile +
+mapInPandas (the Spark-3-era pattern), this is the Spark-4-native face of
+the same capability: a registered DataSource with explicit partition
+planning — ONE InputPartition per workbook file, so a directory of 10k
+workbooks fans out as 10k independently-scheduled scan tasks with no
+driver-side parsing. Cell grids come from sources/excel.parse_xlsx_bytes
+(shared strings, inline strings, booleans, numerics); values are coerced
+executor-side to the user-declared schema (the reference's model: the
+declaration IS the contract — no inference pass).
+
+Usage:
+    spark.dataSource.register(XlsxDataSource)
+    df = (spark.read.format("cellbase_xlsx")
+          .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+          .option("sheet", "nation")      # optional; first sheet otherwise
+          .option("header", "true")       # default true
+          .load("/path/to/dir-or-file.xlsx"))
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+def _coerce(value: str | None, spark_type: str):
+    """Cell string -> declared type. Numeric cells surface as '3' or
+    '3.5'; int() via float() accepts both spellings."""
+    if value is None or value == "":
+        return None
+    if spark_type in ("bigint", "int", "smallint", "tinyint", "long"):
+        return int(float(value))
+    if spark_type in ("double", "float"):
+        return float(value)
+    if spark_type == "boolean":
+        return value.strip().lower() in ("1", "true")
+    if spark_type.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(value)
+    if spark_type == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(value)
+    return value
+
+
+class XlsxDataSource(DataSource):
+    """format("cellbase_xlsx"): distributed typed scan of .xlsx files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cellbase_xlsx"
+
+    def schema(self) -> StructType | str:
+        # The declared schema is the contract (no inference): Spark calls
+        # this only when the user didn't pass .schema(...).
+        raise ValueError(
+            "cellbase_xlsx requires an explicit .schema(...): sheets are "
+            "typed tables, the declaration is the contract (no inference)"
+        )
+
+    def reader(self, schema: StructType) -> "XlsxReader":
+        return XlsxReader(schema, self.options)
+
+
+class XlsxReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cellbase_xlsx needs .load(<file-or-dir>)")
+        self._sheet = options.get("sheet")  # None -> first sheet
+        self._header = str(options.get("header", "true")).lower() == "true"
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per workbook FILE: the unit a single task can
+        # parse independently. Planned driver-side from a listing only —
+        # no bytes are read until executors run read().
+        if os.path.isdir(self._path):
+            files = sorted(glob.glob(os.path.join(self._path, "*.xlsx")))
+        else:
+            files = [self._path]
+        if not files:
+            raise FileNotFoundError(f"no .xlsx under {self._path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # Executor-side: parse one workbook, map header names to the
+        # declared fields, coerce cell strings to the declared types.
+        from cellbase_spark.sources.excel import parse_xlsx_bytes
+
+        with open(partition.value, "rb") as f:
+            grid = parse_xlsx_bytes(f.read(), sheet_name=self._sheet)
+        if not grid:
+            return
+        fields = [(f.name, f.dataType.simpleString()) for f in self._schema.fields]
+        if self._header:
+            head, body = grid[0], grid[1:]
+            pos = {name: head.index(name) for name, _ in fields}
+        else:
+            body = grid
+            pos = {name: i for i, (name, _) in enumerate(fields)}
+        for row in body:
+            yield tuple(
+                _coerce(row[pos[name]] if pos[name] < len(row) else None, t)
+                for name, t in fields
+            )
+
+
+def register(spark) -> None:
+    """Idempotent registration of format('cellbase_xlsx')."""
+    spark.dataSource.register(XlsxDataSource)

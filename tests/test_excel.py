@@ -118,3 +118,29 @@ def test_fallback_sheet_order_numeric(tmp_path):
         "xl/worksheets/sheet10.xml",
         "xl/worksheets/sheet11.xml",
     ]
+
+
+def test_python_datasource_xlsx(spark, tmp_path):
+    """Spark 4 Python Data Source face: registered format('cellbase_xlsx')
+    plans one partition per file and coerces to the declared schema."""
+    from pyspark.sql.types import LongType, StructField, StructType, StringType
+
+    from cellbase_spark.sources.excel import write_xlsx
+    from cellbase_spark.sources.pyds import register
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("name", StringType()),
+            StructField("x", LongType()),
+        ]
+    )
+    write_xlsx([[1, "a", 10], [2, "b", 20]], str(tmp_path / "one.xlsx"),
+               header=["k", "name", "x"])
+    write_xlsx([[3, "c", 30]], str(tmp_path / "two.xlsx"),
+               header=["k", "name", "x"])
+    register(spark)
+    df = spark.read.format("cellbase_xlsx").schema(schema).load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2  # one partition per workbook
+    rows = {(r["k"], r["name"], r["x"]) for r in df.collect()}
+    assert rows == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
