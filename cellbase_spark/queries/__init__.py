@@ -36,6 +36,7 @@ GATE_PRIORITY = [
     "q_stream_run_late",
     "q_stream_run_join",
     "q_stream_run_join_interval",
+    "q_stream_run_replay",
     # UDF surface
     "q_udf_scalar",
     "q_udf_pandas",

@@ -394,6 +394,60 @@ def q_stream_run_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_run_replay",
+    family="stream",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'total', 4)}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_run_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING SOURCE end-to-end: the events table
+    replayed through the registered format('cellbase_replay') data
+    source (sources/pyds.py) in 4 deterministic micro-batches — unlike
+    the file source, multi-batch arrival is guaranteed by the source
+    itself — aggregated by the same tumbling window pipeline and
+    hash-matched against the batch oracle. Proves the pluggable
+    streaming-source API (offsets, read, replay) composes with the
+    engine's windowed state exactly like a built-in source; exact
+    decimal sums make the result independent of the batch boundaries."""
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    events = (
+        spark.readStream.format("cellbase_replay")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batches", "4")
+        .load()
+    )
+    name = "cb_stream_replay_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        pipelines.tumbling_agg(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "q_stream_run_join",
     family="stream",
     oracle="""

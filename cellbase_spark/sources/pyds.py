@@ -26,7 +26,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -115,6 +120,74 @@ class XlsxReader(DataSourceReader):
             )
 
 
+class ReplayDataSource(DataSource):
+    """format("cellbase_replay"): STREAMING source that replays a parquet
+    table in N deterministic micro-batches (rows in file order, split
+    into contiguous slices) — the custom-source face of stream testing:
+    unlike the file source, arrival is multi-batch by construction, so
+    cross-batch state/watermark behavior is exercised on a single file.
+
+    Uses the Simple stream-reader API (driver-side reads, rows shipped to
+    executors) — the documented shape for bounded replay/test feeds; a
+    production-scale source would implement DataSourceStreamReader with
+    partitions() so executors read. Offsets are {"batch": i}, replayable
+    via readBetweenOffsets for exactly-once recovery.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cellbase_replay"
+
+    def schema(self) -> StructType | str:
+        raise ValueError("cellbase_replay requires an explicit .schema(...)")
+
+    def simpleStreamReader(self, schema: StructType) -> "ReplayStreamReader":
+        return ReplayStreamReader(schema, self.options)
+
+
+class ReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cellbase_replay needs option('path', <parquet>)")
+        self._n_batches = int(options.get("batches", "4"))
+        self._fields = [f.name for f in schema.fields]
+        self._rows: list[tuple] | None = None
+
+    def _load(self) -> list[tuple]:
+        if self._rows is None:
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(self._path, columns=self._fields)
+            cols = [table.column(n).to_pylist() for n in self._fields]
+            self._rows = list(zip(*cols)) if cols else []
+        return self._rows
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def _slice(self, i: int) -> list[tuple]:
+        rows = self._load()
+        per = max(1, -(-len(rows) // self._n_batches))  # ceil div
+        return rows[i * per : (i + 1) * per]
+
+    def read(self, start: dict) -> tuple:
+        i = start["batch"]
+        if i >= self._n_batches:
+            return iter(()), start  # exhausted: offset unchanged
+        return iter(self._slice(i)), {"batch": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        out: list[tuple] = []
+        for i in range(start["batch"], end["batch"]):
+            out.extend(self._slice(i))
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the parquet file is immutable
+
+
 def register(spark) -> None:
-    """Idempotent registration of format('cellbase_xlsx')."""
+    """Idempotent registration of the cellbase Python data sources."""
     spark.dataSource.register(XlsxDataSource)
+    spark.dataSource.register(ReplayDataSource)

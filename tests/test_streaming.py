@@ -347,3 +347,44 @@ def test_stateful_running_totals_tws(spark, stream_dir):
         assert latest[9] == (1, 5.0)
     finally:
         q.stop()
+
+
+def test_replay_source_multi_batch(spark, stream_dir):
+    """Custom Python streaming source: the replay source must deliver its
+    rows across MULTIPLE micro-batches (that's its purpose — guaranteed
+    multi-batch arrival from a single file) and the summed counts must
+    equal the file's row count."""
+    from cellbase_spark.sources.pyds import register
+
+    pdf = _events_pdf(
+        [(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 1.0, "{}") for i in range(8)]
+    )
+    _write_batch(spark, pdf, stream_dir, 1)
+    register(spark)
+    stream = (
+        spark.readStream.format("cellbase_replay")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("path", f"{stream_dir}/batch1.parquet")
+        .option("batches", "4")
+        .load()
+    )
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("replay_sink")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 4  # 8 rows / 4 slices -> 4 data batches
+        out = spark.sql("SELECT * FROM replay_sink").collect()
+        assert {(r["event_type"], r["count"]) for r in out} == {("click", 8)}
+    finally:
+        q.stop()
