@@ -180,7 +180,10 @@ class CellTable:
         )
 
     def save(self, path: str, fmt: str = "parquet") -> None:
-        """Persist the edited sheet (reference: save back to file)."""
+        """Persist the edited sheet (reference: save back to file).
+        fmt='xlsx' writes one worksheet named after the table — the
+        spreadsheet face of the same data; sheet-sized tables only
+        (workbooks are a driver-side format by nature)."""
         writer = self.df.write.mode("overwrite")
         if fmt == "csv":
             from cellbase_spark.io import write_csv_table
@@ -188,6 +191,12 @@ class CellTable:
             write_csv_table(self.df, path)
         elif fmt == "parquet":
             writer.parquet(path)
+        elif fmt == "xlsx":
+            from cellbase_spark.sources.excel import write_xlsx_workbook
+
+            header = self.df.columns
+            body = [[row[c] for c in header] for row in self.df.collect()]
+            write_xlsx_workbook({self.name: (header, body)}, path)
         else:
             raise ValueError(f"unsupported save format {fmt!r}")
 
@@ -237,3 +246,19 @@ class CellBase:
             name: CellTable(df, name, key_cols.get(name))
             for name, df in dfs.items()
         }
+
+    def export_workbook(self, tables: dict[str, CellTable], path: str) -> None:
+        """The symmetric save-back flow: every CellTable becomes a named
+        worksheet of ONE .xlsx file — close the reference's round trip
+        (author in spreadsheet software -> query as a database -> export
+        the edited state back to a spreadsheet). Collects each sheet to
+        the driver: a workbook is a single small file by nature, so this
+        is the dim-table/export path, never a fact-table sink (those go
+        through save(fmt='parquet'|'csv') or any Spark writer)."""
+        from cellbase_spark.sources.excel import write_xlsx_workbook
+
+        sheets = {}
+        for name, t in tables.items():
+            header = t.df.columns
+            sheets[name] = (header, [[row[c] for c in header] for row in t.df.collect()])
+        write_xlsx_workbook(sheets, path)

@@ -189,3 +189,34 @@ def test_facade_import_workbook(spark, tmp_path):
     assert tables["people"].get(1)["name"] == "ada"
     assert tables["scores"].get(2)["score"] == 7.25
     assert tables["people"].count() == 2
+
+
+def test_export_import_workbook_roundtrip(spark, sf_dir, tmp_path):
+    """Reference loop closed both ways: tables -> one .xlsx workbook ->
+    tables, values identical."""
+    from cellbase_spark import schemas
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+    path = str(tmp_path / "export.xlsx")
+    cb.export_workbook(
+        {"region": cb.table("region"), "nation": cb.table("nation")}, path
+    )
+    back = cb.import_workbook(
+        path, {"region": schemas.REGION, "nation": schemas.NATION}
+    )
+    orig = {r["n_nationkey"]: r["n_name"] for r in cb.table("nation").rows()}
+    got = {r["n_nationkey"]: r["n_name"] for r in back["nation"].rows()}
+    assert got == orig
+    assert back["region"].count() == cb.table("region").count()
+
+
+def test_save_xlsx_single_sheet(spark, sf_dir, tmp_path):
+    from cellbase_spark import schemas
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+    path = str(tmp_path / "one.xlsx")
+    cb.table("region").save(path, fmt="xlsx")
+    back = cb.import_workbook(path, {"region": schemas.REGION})
+    assert back["region"].count() == 5
