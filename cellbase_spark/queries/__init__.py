@@ -83,6 +83,7 @@ GATE_PRIORITY = [
     "q_multimodal_join",
     # round-4 head: new sources, rest of multimodal, pipeline, quality
     "q_scan_xlsx_pyds",
+    "q_roundtrip_xlsx_pyds",
     "q_mm_frame_sample",
     "q_mm_resize",
     "q_mm_features",

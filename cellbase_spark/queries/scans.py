@@ -166,6 +166,37 @@ def q_scan_xlsx_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_roundtrip_xlsx_pyds",
+    family="scan",
+    oracle="SELECT * FROM nation",
+)
+def q_roundtrip_xlsx_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DISTRIBUTED xlsx round trip through the Spark 4 Python Data
+    Source (S4c write face): df.write.format('cellbase_xlsx') fans nation
+    out as one part-N.xlsx per partition (executor-side, no driver
+    collect), then the registered reader scans the directory back —
+    partition planning on the same files the sink just wrote. The whole
+    loop is the pluggable-source contract: writer, commit protocol,
+    reader, schema coercion."""
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    n = load_table(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_pyds_rt_")
+    (
+        n.repartition(3)
+        .write.format("cellbase_xlsx")
+        .mode("append")
+        .save(out_dir)
+    )
+    return (
+        spark.read.format("cellbase_xlsx")
+        .schema(schemas.NATION)
+        .load(out_dir)
+    )
+
+
+@register(
     "q_roundtrip_write",
     family="scan",
     oracle="""

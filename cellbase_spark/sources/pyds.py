@@ -29,8 +29,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -75,6 +77,9 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: StructType) -> "XlsxReader":
         return XlsxReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "XlsxWriter":
+        return XlsxWriter(schema, self.options, overwrite)
+
 
 class XlsxReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -118,6 +123,46 @@ class XlsxReader(DataSourceReader):
                 _coerce(row[pos[name]] if pos[name] < len(row) else None, t)
                 for name, t in fields
             )
+
+
+class XlsxWriter(DataSourceWriter):
+    """Distributed xlsx SINK: each partition writes one part-<N>.xlsx
+    workbook into the target directory — the same one-file-per-task
+    layout every Spark file sink uses, so a TB-scale export fans out
+    instead of funnelling through the driver (contrast
+    api.CellBase.export_workbook, the deliberate single-small-file
+    path). Commit is rename-free because workbook filenames embed the
+    partition id: tasks are idempotent under retry (same id -> same
+    file, last write wins)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._header = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cellbase_xlsx write needs .save(<dir>)")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        from cellbase_spark.sources.excel import write_xlsx
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        rows = [[row[c] for c in self._header] for row in iterator]
+        if rows:  # empty partitions write nothing, like the parquet sink
+            write_xlsx(
+                rows,
+                os.path.join(self._path, f"part-{pid:05d}.xlsx"),
+                header=self._header,
+            )
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        pass  # files are final where they were written (see class doc)
+
+    def abort(self, messages) -> None:
+        pass
 
 
 class ReplayDataSource(DataSource):

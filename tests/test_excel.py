@@ -144,3 +144,27 @@ def test_python_datasource_xlsx(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2  # one partition per workbook
     rows = {(r["k"], r["name"], r["x"]) for r in df.collect()}
     assert rows == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+
+
+def test_python_datasource_xlsx_distributed_write(spark, tmp_path):
+    """Writer face: each partition writes its own part-N.xlsx; reading
+    the directory back restores all rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cellbase_spark.sources.pyds import register
+
+    register(spark)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("name", StringType())]
+    )
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], schema)
+    out = str(tmp_path / "sink")
+    df.repartition(4).write.format("cellbase_xlsx").mode("append").save(out)
+    import glob
+
+    files = glob.glob(out + "/part-*.xlsx")
+    assert len(files) >= 2  # genuinely distributed: multiple part files
+    back = spark.read.format("cellbase_xlsx").schema(schema).load(out)
+    assert {(r["k"], r["name"]) for r in back.collect()} == {
+        (i, f"r{i}") for i in range(10)
+    }
