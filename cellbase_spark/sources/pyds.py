@@ -39,7 +39,10 @@ from pyspark.sql.types import StructType
 
 def _coerce(value: str | None, spark_type: str):
     """Cell string -> declared type. Numeric cells surface as '3' or
-    '3.5'; int() via float() accepts both spellings."""
+    '3.5'; int() via float() accepts both spellings. Empty cell == NULL
+    (the spreadsheet model: a cell holding '' is simply not written, so
+    '' and absent are indistinguishable by design — callers needing the
+    distinction must encode it)."""
     if value is None or value == "":
         return None
     if spark_type in ("bigint", "int", "smallint", "tinyint", "long"):

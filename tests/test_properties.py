@@ -254,3 +254,57 @@ def test_bmp_codec_roundtrip_property():
         assert (decode_bmp(encode_bmp(img)) == img).all()
 
     check()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            # min_size=1: an empty cell IS null in the spreadsheet model
+            # ('' is never materialized in xlsx), so '' would read back
+            # as None by design — see sources/pyds._coerce.
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7E
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=32,
+                min_value=-1e6, max_value=1e6,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pyds_xlsx_roundtrip_typed(spark, tmp_path_factory, rows):
+    """Property: any (long, string, double) table survives the Python
+    Data Source write -> read loop bit-exactly (numeric cells serialize
+    with repr-roundtrip precision; strings via sharedStrings)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cellbase_spark.sources.pyds import register
+
+    register(spark)
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("s", StringType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    out = str(tmp_path_factory.mktemp("pyds_prop"))
+    df = spark.createDataFrame(rows, schema)
+    df.write.format("cellbase_xlsx").mode("append").save(out)
+    back = spark.read.format("cellbase_xlsx").schema(schema).load(out)
+    got = sorted((r["k"], r["s"], r["x"]) for r in back.collect())
+    assert got == sorted(rows)
