@@ -37,6 +37,7 @@ GATE_PRIORITY = [
     "q_stream_run_join",
     "q_stream_run_join_interval",
     "q_stream_run_replay",
+    "q_stream_run_sink",
     # UDF surface
     "q_udf_scalar",
     "q_udf_pandas",

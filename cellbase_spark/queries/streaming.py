@@ -448,6 +448,36 @@ def q_stream_run_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_run_sink",
+    family="stream",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_stream_run_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURABLE streaming sink end-to-end: events stream -> parquet
+    writeStream with a checkpoint (offset log + commit log, the
+    exactly-once file-sink protocol) -> read the committed files back.
+    The memory-sink keys prove computation; this one proves the sink
+    side — file commit via the manifest (_spark_metadata), so readers
+    see only committed batches. Oracle: the projected events table
+    (append of a bounded source re-emits exactly the input)."""
+    src = _events_stream_dir(sf_dir)
+    out = tempfile.mkdtemp(prefix="cb_stream_sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="cb_stream_sink_ckpt_")
+    events = pipelines.read_events_stream(spark, src)
+    q = (
+        events.select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@register(
     "q_stream_run_join",
     family="stream",
     oracle="""
