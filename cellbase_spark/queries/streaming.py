@@ -311,6 +311,14 @@ def _late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
     tmin, tmax = b["tmin"], b["tmax"]
     h = tmax.replace(minute=0, second=0, microsecond=0)
     cut_old = tmin + datetime.timedelta(hours=2)
+    # ADVICE r3: the drop/keep verdicts assume the three splits are
+    # disjoint, i.e. cut_old < H-2h. Assert it rather than document it —
+    # a short-span corpus must fail loudly, not emit wrong verdicts.
+    if not cut_old < h - datetime.timedelta(hours=2):
+        raise ValueError(
+            f"events span too short for the late-arrival staging: need "
+            f"tmin+2h < trunc(tmax,hour)-2h, got tmin={tmin} tmax={tmax}"
+        )
     h1, h2 = h - datetime.timedelta(hours=1), h - datetime.timedelta(hours=2)
     ts = F.col("ts")
     splits = [
@@ -363,7 +371,13 @@ def q_stream_run_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b) windows not finalized by the final watermark
     (window end > tmax - 10min). Hash equality proves drop, keep, AND
     emission match the engine exactly — the one streaming behavior the
-    batch-parity q_stream_* keys cannot see."""
+    batch-parity q_stream_* keys cannot see.
+
+    Boundary note (probed empirically on Spark 4.1, round 4): append
+    mode DOES emit a window when the final watermark equals the window
+    end exactly (wm == end -> emitted), so the oracle's inclusive
+    `window end <= tmax - 10min` is the correct mirror; a strict `<`
+    would under-count whenever tmax lands on minute 50 of its hour."""
     import shutil
 
     pending, watch = _late_arrival_dir(spark, sf_dir)

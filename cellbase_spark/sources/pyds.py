@@ -117,6 +117,13 @@ class XlsxReader(DataSourceReader):
         fields = [(f.name, f.dataType.simpleString()) for f in self._schema.fields]
         if self._header:
             head, body = grid[0], grid[1:]
+            missing = [name for name, _ in fields if name not in head]
+            if missing:
+                raise ValueError(
+                    f"cellbase_xlsx: workbook {partition.value!r} "
+                    f"(sheet={self._sheet or '<first>'}) header {head!r} is "
+                    f"missing declared column(s) {missing}"
+                )
             pos = {name: head.index(name) for name, _ in fields}
         else:
             body = grid
@@ -128,6 +135,14 @@ class XlsxReader(DataSourceReader):
             )
 
 
+class XlsxCommitMessage(WriterCommitMessage):
+    """Carries the filename a task wrote (None for empty partitions) so
+    commit() can distinguish this job's parts from stale ones."""
+
+    def __init__(self, filename: str | None):
+        self.filename = filename
+
+
 class XlsxWriter(DataSourceWriter):
     """Distributed xlsx SINK: each partition writes one part-<N>.xlsx
     workbook into the target directory — the same one-file-per-task
@@ -136,7 +151,11 @@ class XlsxWriter(DataSourceWriter):
     api.CellBase.export_workbook, the deliberate single-small-file
     path). Commit is rename-free because workbook filenames embed the
     partition id: tasks are idempotent under retry (same id -> same
-    file, last write wins)."""
+    file, last write wins). mode("overwrite") is honoured at commit():
+    each task reports its filename in the commit message and commit
+    deletes any pre-existing part-*.xlsx NOT written by this job, so a
+    re-write with fewer partitions cannot leave stale parts behind
+    (previously overwrite silently behaved as append)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self._header = [f.name for f in schema.fields]
@@ -153,16 +172,26 @@ class XlsxWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         os.makedirs(self._path, exist_ok=True)
         rows = [[row[c] for c in self._header] for row in iterator]
+        name = f"part-{pid:05d}.xlsx"
         if rows:  # empty partitions write nothing, like the parquet sink
-            write_xlsx(
-                rows,
-                os.path.join(self._path, f"part-{pid:05d}.xlsx"),
-                header=self._header,
-            )
-        return WriterCommitMessage()
+            write_xlsx(rows, os.path.join(self._path, name), header=self._header)
+            return XlsxCommitMessage(name)
+        return XlsxCommitMessage(None)
 
     def commit(self, messages) -> None:
-        pass  # files are final where they were written (see class doc)
+        # Files are final where they were written (see class doc); the
+        # only commit-time work is overwrite cleanup: drop parts that
+        # belonged to a previous job and were not re-written by this one.
+        if not self._overwrite:
+            return
+        written = {
+            m.filename
+            for m in messages
+            if isinstance(m, XlsxCommitMessage) and m.filename
+        }
+        for old in glob.glob(os.path.join(self._path, "part-*.xlsx")):
+            if os.path.basename(old) not in written:
+                os.remove(old)
 
     def abort(self, messages) -> None:
         pass

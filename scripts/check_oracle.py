@@ -95,9 +95,15 @@ def _hostile_cells(df: pd.DataFrame, side: str) -> list[str]:
     hostile = []
     for c in df.columns:
         if df[c].dtype == object and len(df):
-            v = df[c].iloc[0]
-            if isinstance(v, (list, tuple, np.ndarray, dict, set)):
-                hostile.append(f"{side}.{c}={type(v).__name__}")
+            # ADVICE r3: iloc[0] alone misses a column whose first row is
+            # None but holds containers later — scan a bounded sample of
+            # non-null values (containers are all-or-nothing per column in
+            # practice; 64 rows bounds the cost on wide results).
+            sample = df[c].dropna().head(64)
+            for v in sample:
+                if isinstance(v, (list, tuple, np.ndarray, dict, set)):
+                    hostile.append(f"{side}.{c}={type(v).__name__}")
+                    break
     return hostile
 
 

@@ -168,3 +168,52 @@ def test_python_datasource_xlsx_distributed_write(spark, tmp_path):
     assert {(r["k"], r["name"]) for r in back.collect()} == {
         (i, f"r{i}") for i in range(10)
     }
+
+def test_python_datasource_xlsx_overwrite_drops_stale_parts(spark, tmp_path):
+    """mode('overwrite') must not leave parts from a wider previous write:
+    8-partition write then 2-partition overwrite -> only this job's files
+    remain and a read-back sees only the new rows (ADVICE r3: overwrite
+    previously behaved as append)."""
+    import glob
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cellbase_spark.sources.pyds import register
+
+    register(spark)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("name", StringType())]
+    )
+    out = str(tmp_path / "sink")
+    old = spark.createDataFrame([(i, f"old{i}") for i in range(8)], schema)
+    old.repartition(8).write.format("cellbase_xlsx").mode("append").save(out)
+    n_old = len(glob.glob(out + "/part-*.xlsx"))
+    assert n_old >= 2  # wider than the overwrite that follows
+    new = spark.createDataFrame([(100, "new0"), (101, "new1")], schema)
+    new.repartition(1).write.format("cellbase_xlsx").mode("overwrite").save(out)
+    assert len(glob.glob(out + "/part-*.xlsx")) == 1
+    back = spark.read.format("cellbase_xlsx").schema(schema).load(out)
+    assert {(r["k"], r["name"]) for r in back.collect()} == {
+        (100, "new0"), (101, "new1")
+    }
+
+
+def test_python_datasource_xlsx_missing_column_error(spark, tmp_path):
+    """A workbook whose header lacks a declared column fails with an error
+    naming the file and the missing field (ADVICE r3: was a bare
+    ValueError from list.index)."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.errors import PythonException
+
+    from cellbase_spark.sources.excel import write_xlsx
+    from cellbase_spark.sources.pyds import register
+
+    register(spark)
+    write_xlsx([[1, "a"]], str(tmp_path / "one.xlsx"), header=["k", "name"])
+    schema = StructType(
+        [StructField("k", LongType()), StructField("nope", StringType())]
+    )
+    df = spark.read.format("cellbase_xlsx").schema(schema).load(str(tmp_path))
+    with pytest.raises(PythonException, match="missing declared column.*nope"):
+        df.collect()
