@@ -53,6 +53,7 @@ GATE_PRIORITY = [
     # -- never officially gated: sketch key (rows-only check by design)
     "q_agg_approx_distinct",
     # -- NEW round-4 keys get inserted here as they land
+    "q_stream_run_tws",
     # -- bench-drift re-witness (r3 regressed ~15-19% vs r2; plans pinned)
     "q_dedup_near",
     "q_ngram_jaccard",

@@ -269,6 +269,38 @@ def q_stream_run_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_run_tws",
+    family="stream",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_run_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 genuinely STREAMED and oracle-gated: transformWithStateInPandas
+    (Spark 4 StatefulProcessor with a named ValueState) running the same
+    per-user (count, total) accumulator as U5 — same oracle, so the two
+    stateful APIs are pinned to identical semantics. Runs on the RocksDB
+    state store (TWS needs column families) and, in this container, on
+    the pure-Python protobuf shim (streaming/pbshim.py) that
+    streaming/tws.py installs for the JVM state-server protocol; with a
+    real google.protobuf on a cluster the shim steps aside untouched.
+    Single availableNow batch -> final emission per user == the batch
+    aggregate, exactly what the oracle states."""
+    from cellbase_spark.streaming import tws
+
+    events = pipelines.read_events_stream(spark, _events_stream_dir(sf_dir))
+    return pipelines.run_stream_to_memory(
+        tws.running_user_totals_tws(events),
+        "cb_stream_tws_sink",
+        output_mode="update",
+    )
+
+
 def _late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as four parquet files whose mtime order
     forces a deterministic out-of-order micro-batch arrival (the file

@@ -184,40 +184,12 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     the lifecycle (init/handleInputRows/close) — the shape new stateful
     operators should take on Spark >= 4.0.
 
-    Runtime dependency: the TWS driver worker requires `protobuf`
-    (google.protobuf) — absent from this container, so the cross-batch
-    test skips; running on a cluster with protobuf installed is the
-    production path, and applyInPandasWithState (running_user_totals)
-    remains the verified-here equivalent.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+    Runtime dependency, CLOSED in round 4: the TWS workers speak
+    protobuf to the JVM state server; where google.protobuf is absent
+    (this container; installs barred) streaming/tws.py installs the
+    pure-Python wire-format shim (streaming/pbshim.py) and the pipeline
+    runs for real — see test_stateful_running_totals_tws and the
+    oracle-gated q_stream_run_tws key."""
+    from cellbase_spark.streaming import tws
 
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "count long, total double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            count, total = (
-                self._totals.get() if self._totals.exists() else (0, 0.0)
-            )
-            for pdf in rows:
-                count += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((count, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [count], "total": [round(total, 4)]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType="user_id long, n_events long, total double",
-        outputMode="Update",
-        timeMode="None",
-    )
+    return tws.running_user_totals_tws(events)

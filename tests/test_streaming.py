@@ -300,14 +300,14 @@ def test_session_window_gap_semantics(spark, stream_dir):
 
 
 def test_stateful_running_totals_tws(spark, stream_dir):
-    """U5 (Spark 4 API): transformWithStateInPandas keeps named state
+    """U6 (Spark 4 API): transformWithStateInPandas keeps named state
     across micro-batches, matching the applyInPandasWithState semantics.
 
-    The TWS runtime speaks protobuf between the JVM and its Python driver
-    worker; skip (don't fail) where google.protobuf isn't installed —
-    this container ships pyspark without it and installs are barred."""
-    pytest.importorskip("google.protobuf.descriptor",
-                        reason="transformWithStateInPandas needs protobuf")
+    The TWS runtime speaks protobuf between the JVM and its Python
+    workers; with google.protobuf absent (this container), importing
+    streaming/tws.py installs the pure-Python wire-format shim
+    (streaming/pbshim.py) in every process that unpickles the processor,
+    so the pipeline runs for real — no capability skip since round 4."""
     stream = pipelines.running_user_totals_tws(pipelines.read_events_stream(spark, stream_dir))
     q = (
         stream.writeStream.format("memory")
