@@ -129,3 +129,22 @@ def test_bounded_vocab_probe_large_vocab_never_full_counts(spark, monkeypatch):
         dedup._bounded_vocab_size(df, "_tok", limit=64, probe_df=df.sample(0.2, seed=7))
         is None
     )
+
+
+def test_vocab_probe_cached_across_executions(spark, monkeypatch):
+    """The probe result is an engine-stats cache entry: a second call on
+    a semantically identical token stream must run ZERO probe jobs
+    (round 4 — the r3 tiered probe's per-call driver actions were the
+    whole q_dedup_near bench regression)."""
+    from cellbase_spark.operators import dedup
+
+    df = spark.range(0, 1000).select((F.col("id") % 21).cast("string").alias("_tok"))
+    dedup._VOCAB_STATS.clear()
+    assert dedup._bounded_vocab_size(df, "_tok", limit=100) == 21
+
+    def _boom(*a, **k):
+        raise AssertionError("probe re-ran despite cache")
+
+    monkeypatch.setattr(dedup, "_exact_distinct", _boom)
+    df2 = spark.range(0, 1000).select((F.col("id") % 21).cast("string").alias("_tok"))
+    assert dedup._bounded_vocab_size(df2, "_tok", limit=100) == 21

@@ -267,3 +267,36 @@ def test_tpch_q3_broadcasts_filtered_dims(spark, sf_dir):
         l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l
     )
     assert "GreaterThan(l_shipdate" in li_scan
+
+
+def test_dedup_near_plan_shape_pinned(spark, sf_dir):
+    """q_dedup_near (word-vocab PPJoin, broadcast tier at test SF): the
+    pair generation must stay equi-join-shaped — no CartesianProduct and
+    no SortMergeJoin at this scale; the only nested-loop joins are the
+    single-row vocab-map broadcasts (crossJoin(broadcast(vmap)), a 1-row
+    build side by construction). Exchange ceiling pins "no new shuffle"
+    round-over-round (r4 recorded 48 incl. reuse references)."""
+    plan = plan_of(spark, "q_dedup_near", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 48
+
+
+def test_ngram_jaccard_bitmap_tier_pinned(spark, sf_dir):
+    """q_ngram_jaccard (char-n-gram vocab): the adaptive chooser must
+    land on the BITMAP verify tier at test SF (bounded vocab -> bigint
+    bitmaps, bit_count intersections), with equi-join candidate
+    generation only and at most the two recorded exchanges."""
+    plan = plan_of(spark, "q_ngram_jaccard", sf_dir)
+    assert "bit_count" in plan  # bitmap tier, not array_intersect
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_dedup_simhash_is_narrow_map(spark, sf_dir):
+    """q_dedup_simhash's signature computation is embarrassingly
+    parallel: one parquet scan, zero exchanges, zero joins — the plan a
+    100 TB corpus needs (any shuffle here would be a regression)."""
+    plan = plan_of(spark, "q_dedup_simhash", sf_dir)
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
