@@ -5,7 +5,15 @@ algorithms, scan pushdown, top-k strategy, codegen coverage — and write
 PLANS.md. Keys whose plan shape is pinned by tests/test_plans.py get the
 stronger guarantee; this table is the full-surface snapshot.
 
-    python scripts/audit_plans.py [sf_dir]   # default sf0.001
+Delta gate (VERDICT r3 item 8): before overwriting PLANS.md, the new
+summaries are diffed against the previous round's table. A regression —
+a CartesianProduct or BroadcastNestedLoopJoin appearing in a key that had
+none, or (for the pinned keys) an exchange-count increase / lost scan
+pushdown / lost TakeOrderedAndProject — fails the run with exit 2 and
+leaves the previous PLANS.md in place, so plan damage surfaces in-round
+instead of via bench noise. `--force` writes anyway.
+
+    python scripts/audit_plans.py [sf_dir] [--force]   # default sf0.001
 """
 
 from __future__ import annotations
@@ -14,13 +22,42 @@ import re
 import sys
 from pathlib import Path
 
+# Keys whose plan shape is load-bearing for the 100 TB contract: any
+# exchange-count increase or lost pushdown/top-k here is a hard failure.
+# (New CART/BNL is gated for EVERY key, not just these.)
+PINNED_KEYS = [
+    "q_agg_groupby",
+    "q_point_lookup",
+    "q_join_broadcast",
+    "q_star_join",
+    "q_topk_global",
+    "q_knn_join",
+    "q_knn_join_smj",
+    "q_join_asof",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_chunk_documents",
+    "q_zorder",
+    "q_ann_lsh",
+    "q_sample_weighted",
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_tfidf",
+]
+
 _REPO = str(Path(__file__).resolve().parent.parent)
 sys.path.insert(0, _REPO)
 
 from cellbase_spark.registry import REGISTRY, queries  # noqa: E402
 from cellbase_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.001"
 
 JOIN_NODES = [
     "BroadcastHashJoin",
@@ -65,7 +102,49 @@ def summarize(plan: str) -> dict:
     }
 
 
+def parse_plans_md(text: str) -> dict[str, dict]:
+    """Parse a PLANS.md table back into {key: summary-dict}. Tolerant of
+    header/prose lines; only `| q_... |` rows are read."""
+    rows: dict[str, dict] = {}
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) == 9 and cells[0].startswith("q_"):
+            rows[cells[0]] = {
+                "exchanges": int(cells[2]),
+                "broadcasts": int(cells[3]),
+                "joins": cells[4],
+                "topk": cells[5],
+                "pushed": cells[6],
+                "codegen": cells[7],
+                "aggs": int(cells[8]),
+            }
+    return rows
+
+
+def diff_plans(old: dict[str, dict], new: dict[str, dict]) -> list[str]:
+    """Regressions between two audit snapshots. Pure for unit-testing."""
+    bad: list[str] = []
+    for key, n in new.items():
+        o = old.get(key)
+        if o is None:
+            continue  # new key this round: no baseline to regress from
+        for node in ("CART", "BNL"):
+            if node in n["joins"] and node not in o["joins"]:
+                bad.append(f"{key}: {node} appeared (was {o['joins']}, now {n['joins']})")
+        if key in PINNED_KEYS:
+            if n["exchanges"] > o["exchanges"]:
+                bad.append(
+                    f"{key}: exchanges {o['exchanges']} -> {n['exchanges']} (pinned)"
+                )
+            if o["pushed"] == "Y" and n["pushed"] != "Y":
+                bad.append(f"{key}: lost scan pushdown (pinned)")
+            if o["topk"] == "Y" and n["topk"] != "Y":
+                bad.append(f"{key}: lost TakeOrderedAndProject (pinned)")
+    return bad
+
+
 def main() -> None:
+    force = "--force" in sys.argv
     spark = get_spark("plan-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
@@ -92,6 +171,7 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|---|",
     ]
     failures = []
+    new_rows: dict[str, dict] = {}
     for key in sorted(qs):
         spec = REGISTRY[key]
         try:
@@ -103,6 +183,7 @@ def main() -> None:
             failures.append((key, str(e)[:80]))
             continue
         s = summarize(plan)
+        new_rows[key] = s
         lines.append(
             f"| {key} | {spec.family} | {s['exchanges']} | {s['broadcasts']} |"
             f" {s['joins']} | {s['topk']} | {s['pushed']} | {s['codegen']} | {s['aggs']} |"
@@ -111,8 +192,21 @@ def main() -> None:
         lines += ["", "Not explainable in this run:"] + [
             f"- {k}: {msg}" for k, msg in failures
         ]
-    Path(_REPO, "PLANS.md").write_text("\n".join(lines) + "\n")
-    print(f"wrote PLANS.md ({len(qs) - len(failures)} keys, {len(failures)} skipped)")
+    plans_path = Path(_REPO, "PLANS.md")
+    regressions: list[str] = []
+    if plans_path.exists():
+        regressions = diff_plans(parse_plans_md(plans_path.read_text()), new_rows)
+    if regressions and not force:
+        print("PLAN REGRESSIONS vs previous PLANS.md (not overwritten):")
+        for r in regressions:
+            print(f"  {r}")
+        sys.exit(2)
+    plans_path.write_text("\n".join(lines) + "\n")
+    note = f" ({len(regressions)} regressions overridden by --force)" if regressions else ""
+    print(
+        f"wrote PLANS.md ({len(qs) - len(failures)} keys, {len(failures)} skipped)"
+        + note
+    )
 
 
 if __name__ == "__main__":
