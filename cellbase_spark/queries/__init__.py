@@ -54,6 +54,10 @@ GATE_PRIORITY = [
     "q_agg_approx_distinct",
     # -- NEW round-4 keys get inserted here as they land
     "q_stream_run_tws",
+    "q_bm25",
+    "q_chunk_cdc",
+    "q_copurchase_lift",
+    "q_winsorize",
     # -- bench-drift re-witness (r3 regressed ~15-19% vs r2; plans pinned)
     "q_dedup_near",
     "q_ngram_jaccard",

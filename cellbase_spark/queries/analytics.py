@@ -151,3 +151,91 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "q_copurchase_lift",
+    family="analytics",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), marg AS (
+  SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey
+), total AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+)
+SELECT pair.p1, pair.p2, pair.n_pair,
+       round(CAST(pair.n_pair * total.n_orders AS DOUBLE)
+             / CAST(m1.n_part * m2.n_part AS DOUBLE), 6) AS lift
+FROM pair
+JOIN marg m1 ON pair.p1 = m1.l_partkey
+JOIN marg m2 ON pair.p2 = m2.l_partkey
+CROSS JOIN total
+WHERE pair.n_pair >= 2
+ORDER BY lift DESC, pair.p1 ASC, pair.p2 ASC
+LIMIT 20
+""",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs appearing in the
+    same order, scored by lift = P(p1,p2) / (P(p1)P(p2)) — the
+    association-rule mining shape (frequent-pair pass of Apriori).
+
+    Scale shape: the self-join is keyed by l_orderkey, so the pair
+    fan-out is bounded by lines-per-order (<= 17 here, so <= 136 pairs
+    per order — never quadratic in the table); pair counts shuffle one
+    row per distinct pair; the marginal joins are part-cardinality-sized
+    shuffle joins (size-based planning decides broadcast, never forced —
+    at 100 TB the part domain outgrows any broadcast); the 1-row total
+    broadcasts. Integer counts; lift is a single IEEE division of two
+    exact integer products, rounded at 6dp; full tie-break (p1, p2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    total = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pair.join(
+            marg.select(
+                F.col("l_partkey").alias("p1"), F.col("n_part").alias("n1")
+            ),
+            "p1",
+        )
+        .join(
+            marg.select(
+                F.col("l_partkey").alias("p2"), F.col("n_part").alias("n2")
+            ),
+            "p2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(20)
+    )

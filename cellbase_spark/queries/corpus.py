@@ -397,3 +397,96 @@ def q_contain_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     ).where(F.col("n_shared").cast("double") / F.col("n_eval") >= 0.8)
+
+
+@register(
+    "q_chunk_cdc",
+    family="corpus",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT % 8) = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+), chunked AS (
+  SELECT doc_id, tok, pos,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+         COUNT(*) AS chunk_len
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(chunk_len) AS chunk_len
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(*) >= 2
+ORDER BY n_occurrences DESC, chunk_hash ASC
+LIMIT 20
+""",
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup: split every document
+    at content-determined boundary tokens (md5(tok) % 8 == 0, ~8-token
+    average chunks), fingerprint each chunk, and surface the chunks that
+    repeat across the corpus — the rsync/LLM-dedup trick that finds
+    SHARED PASSAGES shift-invariantly (fixed-stride chunking, cf.
+    q_chunk_documents, breaks when one token is inserted upstream;
+    content-defined boundaries re-synchronize immediately).
+
+    Scale shape: one explode, ONE shuffle keyed by doc_id for the
+    running-sum window (each doc's tokens regroup; no pairwise joins),
+    then a chunk-hash-keyed agg whose shuffle carries one row per chunk.
+    The md5 boundary decision is per-token compute, no vocab state.
+    Determinism: boundaries and fingerprints are md5-derived (bit-equal
+    in both engines); ordered string_agg == sorted-struct concat."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "tok",
+        (F.col("pos") + 1).alias("pos"),  # 1-based like generate_subscripts
+        F.expr(
+            "case when pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint), 8) = 0"
+            " then 1 else 0 end"
+        ).alias("boundary"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunked = tok.withColumn("chunk_id", F.sum("boundary").over(w))
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), F.col("chunk_hash").asc())
+        .limit(20)
+    )

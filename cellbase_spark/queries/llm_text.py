@@ -469,3 +469,100 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "q_bm25",
+    family="llm-text",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len,
+         SUM(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS df_spark,
+         SUM(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END) AS df_stream,
+         SUM(CASE WHEN list_contains(toks, 'join')   THEN 1 ELSE 0 END) AS df_join
+  FROM d
+), scored AS (
+  SELECT d.doc_id,
+    ((round(ln((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0), 6)
+      * (len(list_filter(d.toks, x -> x = 'spark')) * 2.2)
+      / (len(list_filter(d.toks, x -> x = 'spark'))
+         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+     +
+      round(ln((s.n_docs - s.df_stream + 0.5) / (s.df_stream + 0.5) + 1.0), 6)
+      * (len(list_filter(d.toks, x -> x = 'stream')) * 2.2)
+      / (len(list_filter(d.toks, x -> x = 'stream'))
+         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs)))))
+     +
+      round(ln((s.n_docs - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0), 6)
+      * (len(list_filter(d.toks, x -> x = 'join')) * 2.2)
+      / (len(list_filter(d.toks, x -> x = 'join'))
+         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+    ) AS score
+  FROM d CROSS JOIN stats s
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query {spark, stream, join}
+    (k1=1.2, b=0.75), the standard retrieval scorer a training-data
+    pipeline uses for quality-weighted sampling and query-based corpus
+    slicing.
+
+    Scale shape — ZERO data shuffle: per-doc tf and doclen are array
+    built-ins on the split column (narrow map, no explode); corpus stats
+    (N, total length, per-term document frequency) are ONE global
+    conditional aggregate producing a 1-row relation that broadcasts
+    back; scoring is a narrow map over it and the top-k plans as
+    TakeOrderedAndProject (per-partition heaps). Works unchanged at
+    100 TB: the only aggregation state is one row.
+
+    Determinism: tf/df/dl/N are integers; idf's ln is rounded at 6dp
+    (libm ulps); every other step is per-row IEEE arithmetic in an
+    identical, explicitly-parenthesized expression tree in both engines
+    (the three term contributions add in fixed written order — this is
+    an expression, not a float SUM aggregate)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+    )
+    terms = ["spark", "stream", "join"]
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+    def contrib(t: str):
+        tf = F.expr(f"size(filter(toks, x -> x = '{t}'))").cast("double")
+        df = F.col(f"df_{t}")
+        idf = F.round(
+            F.log((F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)),
+            6,
+        )
+        avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+        denom = tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+        return idf * (tf * F.lit(2.2)) / denom
+
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        ((contrib("spark") + contrib("stream")) + contrib("join")).alias("score"),
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -147,3 +147,66 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.select(
         "chk", "violations", (F.col("violations") == 0).alias("pass")
     )
+
+
+@register(
+    "q_winsorize",
+    family="quality",
+    oracle="""
+WITH bounds AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.05) AS p05,
+         quantile_cont(c_acctbal, 0.95) AS p95
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN c.c_acctbal < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN c.c_acctbal > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       b.p05, b.p95,
+       CAST(ROUND(SUM(CAST(
+           least(greatest(c.c_acctbal, b.p05), b.p95) AS DECIMAL(25,10))), 4)
+         AS DOUBLE) AS sum_winsorized
+FROM customer c JOIN bounds b ON c.c_mktsegment = b.c_mktsegment
+GROUP BY c.c_mktsegment, b.p05, b.p95
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp c_acctbal to the segment's
+    [p05, p95] band and report per-segment clamp counts and the exact
+    sum of the winsorized values — the outlier-robust normalization pass
+    a feature/reward pipeline runs before training statistics.
+
+    Scale shape: pass 1 computes exact per-segment percentiles (5 rows;
+    at 100 TB swap `percentile` for approx_percentile — mergeable
+    sketch, same plan); the 5-row bounds relation broadcasts back onto
+    the fact scan; pass 2 is one conditional hash agg (partial+final).
+    Determinism: both engines linearly interpolate the same order
+    statistics bit-identically (cf. q_agg_median); min/max clamping is
+    exact; the winsorized sum aggregates through DECIMAL (order-free)."""
+    c = load_table(spark, sf_dir, "customer")
+    bounds = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("p05"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+    clamped = c.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_mktsegment",
+        "c_acctbal",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95")).alias(
+            "wins"
+        ),
+    )
+    return clamped.groupBy("c_mktsegment", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal") < F.col("p05"), 1).otherwise(0)).alias(
+            "n_low"
+        ),
+        F.sum(F.when(F.col("c_acctbal") > F.col("p95"), 1).otherwise(0)).alias(
+            "n_high"
+        ),
+        F.round(F.sum(F.col("wins").cast("decimal(25,10)")), 4)
+        .cast("double")
+        .alias("sum_winsorized"),
+    ).select("c_mktsegment", "n", "n_low", "n_high", "p05", "p95", "sum_winsorized")

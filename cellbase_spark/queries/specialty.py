@@ -132,6 +132,10 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only relation the query touches — registering the full catalog
     # costs ~10 schema reads of pure overhead on this fixed-cost key
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # the accumulated UnionLoop output is n_rows * chain_depth; the 1M-row
+    # default guardrail trips at ~150k customers even though each level
+    # still shrinks geometrically (runtime-settable, foreign-session safe)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     return spark.sql(
         """
 WITH RECURSIVE anc AS (

@@ -45,6 +45,9 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 _SF1 = Path(_REPO) / ".localdata" / "sf1"
 if _SF1.is_dir():
     SF_DIRS.append(str(_SF1))
+# explicit dirs on the command line override the default ladder
+if len(sys.argv) > 1:
+    SF_DIRS = sys.argv[1:]
 
 DUCK_BUDGET_SEC = 300.0
 

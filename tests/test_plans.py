@@ -300,3 +300,53 @@ def test_dedup_simhash_is_narrow_map(spark, sf_dir):
     plan = plan_of(spark, "q_dedup_simhash", sf_dir)
     assert plan.count("Exchange") == 0
     assert "Join" not in plan
+
+
+def test_bm25_is_zero_data_shuffle(spark, sf_dir):
+    """BM25: per-doc tf/dl are array built-ins (no explode of the corpus);
+    the only Exchange carries 1-row global-stats partials; top-k is
+    TakeOrderedAndProject. The BNL is against the broadcast 1-row stats
+    relation — the intended config-relation pattern."""
+    plan = plan_of(spark, "q_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("(1) Scan") or True  # formatted ids vary; count nodes below
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_chunk_cdc_shuffles_only_doc_and_chunkhash(spark, sf_dir):
+    """CDC chunking: one window pass keyed by doc_id + one chunk-hash agg;
+    no pairwise joins of any kind."""
+    plan = plan_of(spark, "q_chunk_cdc", sf_dir)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_copurchase_pair_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The order-keyed self-join must plan as a hash/merge equi-join with
+    the p1<p2 predicate attached — never a nested loop over the data.
+    (The one BNL is the 1-row totals broadcast.)"""
+    plan = plan_of(spark, "q_copurchase_lift", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    import re
+
+    bnl = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnl) <= 1  # only the 1-row count relation
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_bounds_broadcast_back(spark, sf_dir):
+    """Percentile bounds (5 rows) broadcast onto the fact scan; the clamp
+    aggregates in one partial+final pass."""
+    plan = plan_of(spark, "q_winsorize", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
