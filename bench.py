@@ -106,10 +106,11 @@ def measure_streaming(spark, sf_dir: str, runs: int = 2) -> dict:
     throughput number beside its correctness rows (VERDICT r3 item 7)."""
     import time as _time
 
+    from cellbase_spark.queries.streaming import _events_stream_dir
     from cellbase_spark.streaming import pipelines as sp
 
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    n_events = spark.read.parquet(ev_path).count()
+    ev_path = _events_stream_dir(sf_dir)  # file source needs a directory
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 
     def one_run() -> float:
         stream = sp.read_events_stream(spark, ev_path)
