@@ -9,8 +9,9 @@ sf0.1 via DuckDB on 2026-08-14):
 
 - all draws independent-uniform unless noted (the driver data shows no
   TPC-H-style correlations: corr(l_extendedprice, qty*retail) ~ 0)
-- l_quantity integer-valued 1..50 double; dates at midnight, ts[ms]
-- events.value ~ Exponential(mean 50); events.ts ns-precision over
+- l_quantity integer-valued 1..50 double; dates at midnight; every
+  timestamp column is timestamp[us] like the driver parquet footers
+- events.value ~ Exponential(mean 50); events.ts over
   2024-01-01..2024-01-30; props = {"k": randint(0,100)}
 - documents: 30-token analytics vocab, uniform 10..100 tokens/doc,
   ~5% near-dup rows (copy of a base doc with a 'dup' token spliced in),
@@ -52,15 +53,16 @@ VOCAB = [
     "row", "agg", "key", "query", "a", "scan", "batch",
 ]
 
-DAY_MS = 86_400_000
+DAY_US = 86_400_000_000
 
 
-def _dates_ms(rng: np.random.Generator, n: int, lo: str, hi: str) -> pa.Array:
-    """Uniform midnight dates in [lo, hi] as timestamp[ms]."""
+def _dates_us(rng: np.random.Generator, n: int, lo: str, hi: str) -> pa.Array:
+    """Uniform midnight dates in [lo, hi] as timestamp[us] (the unit the
+    driver parquet footers declare for every timestamp column)."""
     lo_d = np.datetime64(lo, "D").astype(np.int64)
     hi_d = np.datetime64(hi, "D").astype(np.int64)
     days = rng.integers(lo_d, hi_d + 1, n)
-    return pa.array(days * DAY_MS, type=pa.timestamp("ms"))
+    return pa.array(days * DAY_US, type=pa.timestamp("us"))
 
 
 def _write(out: Path, name: str, table: pa.Table) -> None:
@@ -119,7 +121,7 @@ def generate(sf: float, out: Path) -> None:
         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
         "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
-        "o_orderdate": _dates_ms(rng, n_ord, "1995-01-01", "2001-08-01"),
+        "o_orderdate": _dates_us(rng, n_ord, "1995-01-01", "2001-08-01"),
         "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
     }))
     _write(out, "lineitem", pa.table({
@@ -133,14 +135,14 @@ def generate(sf: float, out: Path) -> None:
         "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
         "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
         "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": _dates_ms(rng, n_li, "1995-01-02", "2001-11-04"),
+        "l_shipdate": _dates_us(rng, n_li, "1995-01-02", "2001-11-04"),
     }))
-    t0 = np.datetime64("2024-01-01", "ns").astype(np.int64)
-    t1 = np.datetime64("2024-01-31", "ns").astype(np.int64)
+    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    t1 = np.datetime64("2024-01-31", "us").astype(np.int64)
     ks = rng.integers(0, 100, n_ev)
     _write(out, "events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
-        "ts": pa.array(np.sort(rng.integers(t0, t1, n_ev)), pa.timestamp("ns")),
+        "ts": pa.array(np.sort(rng.integers(t0, t1, n_ev)), pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.exponential(50.0, n_ev), 2),
