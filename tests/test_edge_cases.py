@@ -148,3 +148,106 @@ def test_vocab_probe_cached_across_executions(spark, monkeypatch):
     monkeypatch.setattr(dedup, "_exact_distinct", _boom)
     df2 = spark.range(0, 1000).select((F.col("id") % 21).cast("string").alias("_tok"))
     assert dedup._bounded_vocab_size(df2, "_tok", limit=100) == 21
+
+
+# ---- round-4 operators: q_bm25 / q_chunk_cdc / q_copurchase_lift / q_winsorize
+
+
+def test_bm25_scores_monotone_in_tf(spark, sf_dir):
+    """A doc containing a query term must outscore one with none (same
+    length); BM25 of an all-absent doc is exactly 0."""
+    from cellbase_spark.registry import queries
+
+    out = queries()["q_bm25"](spark, sf_dir).collect()
+    assert len(out) == 20
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)  # query terms exist in the corpus
+
+
+def test_bm25_zero_when_no_terms(spark):
+    """Direct check of the formula's zero point on a hand-built corpus."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "spark spark spark")], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("tiny_docs")
+    # tf of absent terms is 0 -> contribution 0 regardless of idf
+    tf0 = df.select(
+        F.expr("size(filter(split(text,' '), x -> x = 'join'))").alias("tf")
+    ).collect()
+    assert [r["tf"] for r in tf0] == [0, 0]
+
+
+def test_chunk_cdc_rechunks_after_insertion(spark):
+    """The CDC property fixed-stride chunking lacks: inserting one token
+    BEFORE a boundary leaves every chunk after the boundary identical."""
+    from cellbase_spark.queries.corpus import q_chunk_cdc  # noqa: F401  (registered)
+    import pyspark.sql.functions as F
+
+    # find a boundary token of the real vocabulary (md5 % 8 == 0)
+    toks = ["spark", "window", "merge", "table", "column", "vector", "stream",
+            "value", "data", "small", "join", "filter", "big", "group", "hash"]
+    rows = spark.createDataFrame([(t,) for t in toks], ["tok"]).select(
+        "tok",
+        F.expr(
+            "pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint), 8)"
+        ).alias("b"),
+    ).collect()
+    boundary = [r["tok"] for r in rows if r["b"] == 0]
+    nonboundary = [r["tok"] for r in rows if r["b"] != 0]
+    assert boundary, "vocab must contain at least one boundary token"
+    bt, nb = boundary[0], nonboundary[0]
+    # doc A: x x B y y ; doc B: z x x B y y  -- the chunk after B is shared
+    base = f"{nb} {nb} {bt} {nb} {nb}"
+    shifted = f"{nb} {nb} {nb} {bt} {nb} {nb}"
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], ["doc_id", "text"]
+    )
+    tok = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select(
+        "doc_id", "tok", (F.col("pos") + 1).alias("pos"),
+        F.expr(
+            "case when pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint), 8) = 0"
+            " then 1 else 0 end"
+        ).alias("boundary"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunks = (
+        tok.withColumn("cid", F.sum("boundary").over(w))
+        .groupBy("doc_id", "cid")
+        .agg(F.concat_ws(" ", F.collect_list("tok")).alias("chunk"))
+        .collect()
+    )
+    a = {r["chunk"] for r in chunks if r["doc_id"] == 1}
+    b = {r["chunk"] for r in chunks if r["doc_id"] == 2}
+    # the boundary-started chunk re-synchronizes despite the upstream insert
+    assert f"{bt} {nb} {nb}" in a and f"{bt} {nb} {nb}" in b
+
+
+def test_copurchase_lift_bounds(spark, sf_dir):
+    from cellbase_spark.registry import queries
+
+    out = queries()["q_copurchase_lift"](spark, sf_dir).collect()
+    for r in out:
+        assert r["p1"] < r["p2"]
+        assert r["n_pair"] >= 2
+        assert r["lift"] > 0
+
+
+def test_winsorize_invariants(spark, sf_dir):
+    from cellbase_spark.registry import queries
+
+    out = queries()["q_winsorize"](spark, sf_dir).collect()
+    assert len(out) == 5  # one row per segment
+    for r in out:
+        assert r["p05"] <= r["p95"]
+        assert 0 <= r["n_low"] <= r["n"] and 0 <= r["n_high"] <= r["n"]
+        # clamped sum must lie within [n*p05, n*p95]
+        assert r["n"] * r["p05"] - 1e-6 <= r["sum_winsorized"] <= r["n"] * r["p95"] + 1e-6
