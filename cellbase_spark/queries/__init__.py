@@ -58,6 +58,8 @@ GATE_PRIORITY = [
     "q_chunk_cdc",
     "q_copurchase_lift",
     "q_winsorize",
+    "q_json_variant",
+    "q_max_concurrency",
     # -- bench-drift re-witness (r3 regressed ~15-19% vs r2; plans pinned)
     "q_dedup_near",
     "q_ngram_jaccard",

@@ -378,3 +378,41 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = scored.select("user_id", F.explode("m_score").alias("event_type", "score"))
     return ex.select("user_id", "event_type", "score")
+
+
+@register(
+    "q_json_variant",
+    family="scalar",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type:
+    `parse_json` shreds the JSON once into the binary variant encoding,
+    then typed `variant_get` paths extract without re-parsing — the
+    engine-native path for JSON-heavy event tables (vs per-expression
+    string re-parsing with get_json_object, cf. q_json_extract).
+
+    Scale: parse + extract are narrow per-row kernels ahead of one
+    two-phase hash agg; at 100 TB the variant binary columnar layout
+    (and shredded parquet variant subcolumns) replaces repeated string
+    JSON scans. Integer sums — exact, no float rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -339,3 +339,74 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(vals.alias("vals"))
         .select("user_id", fold.alias("ewma"))
     )
+
+
+@register(
+    "q_max_concurrency",
+    family="timeseries",
+    oracle="""
+WITH b AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 10 MINUTE AS t, -1 AS delta FROM events
+), r AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+)
+SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM r GROUP BY event_type
+""",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum interval overlap (peak concurrency) per event_type, each
+    event occupying [ts, ts+10min): the classic boundary sweep — +1 at
+    start, -1 at end, running sum, max — O(n log n) instead of the
+    O(n^2) self-join a naive overlap count would do.
+
+    Scale shape — TWO-PHASE SWEEP, no global single-partition window:
+    phase 1 buckets boundaries by hour and computes each bucket's local
+    running max and total delta in one hash-partitioned window pass
+    (parallel across (event_type, hour)); phase 2 prefix-sums the
+    BUCKET TOTALS (rows = #hours, thousands at 100 TB, not billions) to
+    get each bucket's starting offset, then max(offset + local_max).
+    The only ordered-by-time window runs over the tiny bucket summary.
+    Tie semantics: ends (-1) sort before starts (+1) at equal t in both
+    engines (delta ascending), so touching intervals don't overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionByName(ends).withColumn("bucket", F.date_trunc("hour", "t"))
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        b.withColumn("run", F.sum("delta").over(w_local))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max("run").alias("local_max"),
+            F.sum("delta").alias("total"),
+        )
+    )
+    w_bucket = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        local.withColumn("offset_after", F.sum("total").over(w_bucket))
+        .withColumn("offset_before", F.col("offset_after") - F.col("total"))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("offset_before") + F.col("local_max")).alias(
+                "max_concurrent"
+            )
+        )
+    )

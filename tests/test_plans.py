@@ -350,3 +350,24 @@ def test_winsorize_bounds_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, "q_winsorize", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_max_concurrency_no_global_single_partition_window(spark, sf_dir):
+    """The sweep must never sort ALL boundaries in one partition: the
+    boundary-level window partitions by (event_type, bucket); only the
+    bucket-summary window (rows = #hours) is single-ordered per type.
+    Detectable in the plan: no Exchange SinglePartition feeding a Sort
+    over the full boundary union, and no joins at all."""
+    plan = plan_of(spark, "q_max_concurrency", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the boundary window's exchange partitions by event_type#/bucket#
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_json_variant_is_narrow_plus_one_agg(spark, sf_dir):
+    plan = plan_of(spark, "q_json_variant", sf_dir)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "Join" not in plan
