@@ -235,11 +235,19 @@ def test_tpch_q2_min_is_window_not_rescan(spark, sf_dir):
 
 def test_tpch_q21_uses_aggregates_not_self_joins(spark, sf_dir):
     # the EXISTS/NOT-EXISTS pair is compiled away: no anti/semi self-join
-    # of lineitem against itself, and no nested-loop fallback
+    # of lineitem against itself, and no nested-loop fallback. Round-4
+    # window rewrite: both windows + the orders join ride ONE lineitem
+    # exchange (hashpartitioning(l_orderkey) satisfies both clusterings),
+    # so the whole query holds at <= 3 shuffle exchanges.
     plan = plan_of(spark, "q_tpch_q21", sf_dir)
     assert "LeftAnti" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3
+    assert plan.count("lineitem.parquet") == 1  # single scan, no self-join
+    assert "Window" in plan
 
 
 def test_tpch_q17_threshold_rides_back_without_forced_broadcast(spark, sf_dir):
