@@ -168,12 +168,16 @@ def test_tpch_q6_filters_reach_scan(spark, sf_dir):
     assert "l_orderkey" not in read  # 4-column query never reads the keys
 
 
-def test_tpch_q18_having_set_broadcasts_back(spark, sf_dir):
-    # the >150-qty survivor set must re-join lineitem as a broadcast,
-    # keeping the heavy table to its single group-by shuffle
+def test_tpch_q18_single_orderkey_exchange(spark, sf_dir):
+    # round-4 window form: the HAVING sum is a window over ONE
+    # hashpartitioning(l_orderkey) exchange, reused by the orders join
+    # and the final group-by — no survivor-set join-back at all
     plan = plan_of(spark, "q_tpch_q18", sf_dir)
-    assert "BroadcastHashJoin" in plan
-    assert plan.count("SortMergeJoin") <= 1
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+    assert "Window" in plan
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_tpch_q14_broadcasts_part_dim(spark, sf_dir):
