@@ -60,6 +60,11 @@ GATE_PRIORITY = [
     "q_winsorize",
     "q_json_variant",
     "q_max_concurrency",
+    "q_rrf_fusion",
+    "q_embed_centroid",
+    # -- round-4 plan rewrites (re-witness under the new plans)
+    "q_tpch_q18",
+    "q_tpch_q21",
     # -- bench-drift re-witness (r3 regressed ~15-19% vs r2; plans pinned)
     "q_dedup_near",
     "q_ngram_jaccard",

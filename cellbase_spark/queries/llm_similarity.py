@@ -349,3 +349,45 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes"),
         )
     )
+
+
+@register(
+    "q_embed_centroid",
+    family="llm-sim",
+    oracle="""
+SELECT label, pos,
+       CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,10))), 4) AS DOUBLE)
+         / COUNT(*) AS centroid_v,
+       COUNT(*) AS n
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space in long format
+    (label, dimension, mean) — the cluster-center computation behind
+    IVF coarse quantizers, per-class prototypes, and drift monitoring.
+
+    Scale shape: posexplode fans each vector into 64 (label, pos, v)
+    rows, then ONE two-phase hash agg keyed by (label, pos) — the
+    shuffle carries num_labels x dim partial sums per map task, a few
+    hundred rows regardless of table size. Long output beats rebuilding
+    arrays: no collect_list, and the driver hash-compare stays on
+    scalars. Determinism: float -> double is exact in both engines; the
+    mean is the exact-decimal sum (order-free) over one IEEE division."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "v"  # 1-based like the oracle
+    )
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.round(F.sum(F.col("v").cast("double").cast("decimal(25,10)")), 4)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -471,11 +471,19 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_bm25",
-    family="llm-text",
-    oracle="""
-WITH d AS (
+def _bm25_term_sql(t: str) -> str:
+    """One query-term's BM25 contribution (DuckDB rendering)."""
+    return (
+        f"round(ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0), 6)\n"
+        f"      * (len(list_filter(d.toks, x -> x = '{t}')) * 2.2)\n"
+        f"      / (len(list_filter(d.toks, x -> x = '{t}'))\n"
+        f"         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))"
+    )
+
+
+# Shared CTE prefix: per-doc arrays + 1-row corpus stats + raw BM25 score,
+# reused verbatim by the q_bm25 oracle and the q_rrf_fusion oracle.
+_BM25_SCORED_SQL = f"""d AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS dl
   FROM documents
@@ -487,23 +495,21 @@ WITH d AS (
   FROM d
 ), scored AS (
   SELECT d.doc_id,
-    ((round(ln((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0), 6)
-      * (len(list_filter(d.toks, x -> x = 'spark')) * 2.2)
-      / (len(list_filter(d.toks, x -> x = 'spark'))
-         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+    (({_bm25_term_sql('spark')}
      +
-      round(ln((s.n_docs - s.df_stream + 0.5) / (s.df_stream + 0.5) + 1.0), 6)
-      * (len(list_filter(d.toks, x -> x = 'stream')) * 2.2)
-      / (len(list_filter(d.toks, x -> x = 'stream'))
-         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs)))))
+      {_bm25_term_sql('stream')})
      +
-      round(ln((s.n_docs - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0), 6)
-      * (len(list_filter(d.toks, x -> x = 'join')) * 2.2)
-      / (len(list_filter(d.toks, x -> x = 'join'))
-         + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+      {_bm25_term_sql('join')}
     ) AS score
   FROM d CROSS JOIN stats s
-)
+)"""
+
+
+@register(
+    "q_bm25",
+    family="llm-text",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
 SELECT doc_id, round(score, 6) AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC
@@ -529,6 +535,19 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical, explicitly-parenthesized expression tree in both engines
     (the three term contributions add in fixed written order — this is
     an expression, not a float SUM aggregate)."""
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): raw BM25 of every document for the fixed query
+    {spark, stream, join} — the shared scorer behind q_bm25 and
+    q_rrf_fusion. See q_bm25's docstring for the scale/determinism
+    contract."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.split(F.col("text"), " ").alias("toks"),
@@ -557,12 +576,102 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom = tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
         return idf * (tf * F.lit(2.2)) / denom
 
-    scored = d.crossJoin(F.broadcast(stats)).select(
+    return d.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         ((contrib("spark") + contrib("stream")) + contrib("join")).alias("score"),
     )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_COS_DUCK = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(range(1, 65),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(range(1, 65),"
+    " i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y)))"
+)
+
+
+@register(
+    "q_rrf_fusion",
+    family="llm-text",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL},
+bm_short AS (
+  SELECT doc_id, round(score, 6) AS score
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
+),
+bm_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM bm_short
+),
+q AS (SELECT list_transform(range(1, 65), i -> ((i * 37) % 101) / CAST(101 AS DOUBLE)) AS qv),
+cos_short AS (
+  SELECT vec_id AS doc_id, round({_COS_DUCK}, 6) AS score
+  FROM embeddings, q
+  ORDER BY score DESC, doc_id ASC LIMIT 100
+),
+cos_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM cos_short
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       (CASE WHEN b.rk IS NULL THEN 0.0 ELSE 1.0 / (60 + b.rk) END
+        + CASE WHEN c.rk IS NULL THEN 0.0 ELSE 1.0 / (60 + c.rk) END) AS rrf
+FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers: the BM25 lexical
+    shortlist and the cosine-vs-query-vector embedding shortlist, fused
+    as sum(1 / (60 + rank)) — the standard hybrid-search combiner
+    (lexical + dense) a retrieval/dataset-curation pipeline runs.
+
+    Scale shape: each retriever produces its top-100 via
+    TakeOrderedAndProject (per-partition heaps — the corpus never
+    globally sorts); ranking then happens on the two 100-ROW shortlists,
+    so the single-partition row_number windows are bounded by the
+    shortlist constant, not the data. The full-outer fuse joins two
+    100-row relations. Determinism: ranks are integers with full
+    (score desc, doc_id) tie-breaks on 6dp-rounded scores; the RRF sum
+    is a fixed two-term expression (not a float aggregate)."""
+    from pyspark.sql.window import Window
+
+    from cellbase_spark.operators.similarity import cosine_expr, qvec_expr
+
+    bm_short = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(20)
+        .limit(100)
     )
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "qv", F.expr(qvec_expr())
+    )
+    cos_short = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm_rank = bm_short.select("doc_id", F.row_number().over(w).alias("b_rk"))
+    cos_rank = cos_short.select("doc_id", F.row_number().over(w).alias("c_rk"))
+    fused = bm_rank.join(cos_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.when(F.col("b_rk").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60) + F.col("b_rk"))
+            )
+            + F.when(F.col("c_rk").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60) + F.col("c_rk"))
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)

@@ -383,3 +383,21 @@ def test_json_variant_is_narrow_plus_one_agg(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert "Join" not in plan
+
+
+def test_rrf_shortlists_are_takeordered(spark, sf_dir):
+    """Both retriever arms must produce their shortlist via per-partition
+    top-k heaps; the only single-partition work is over the 100-row
+    shortlists."""
+    plan = plan_of(spark, "q_rrf_fusion", sf_dir)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_centroid_single_agg(spark, sf_dir):
+    plan = plan_of(spark, "q_embed_centroid", sf_dir)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "Join" not in plan
+    assert "Generate" in plan  # the posexplode
