@@ -272,3 +272,62 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "q_dpp_join",
+    family="scan",
+    oracle="""
+WITH dim AS (
+  SELECT event_type, MIN(event_id) AS first_seen
+  FROM events GROUP BY event_type
+  HAVING MIN(event_id) < 3
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(25,10))), 2) AS DOUBLE)
+         AS sum_value
+FROM events e JOIN dim ON e.event_type = dim.event_type
+GROUP BY e.event_type
+""",
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a Hive-partitioned
+    sink (events partitioned by event_type) joined to a dim relation on
+    the PARTITION column, where the dim's own filter sits on an
+    AGGREGATE-DERIVED attribute (first-seen event id) — so no static
+    predicate on the partition column can be inferred at planning time
+    (a literal dim filter on the join key itself gets constraint-
+    propagated into an ordinary planning-time PartitionFilter; probed
+    empirically). The qualifying partitions are only known after the
+    dim evaluates, and Catalyst inserts a dynamicpruningexpression
+    subquery on the fact scan that reuses the broadcast: only the
+    surviving event_type directories are ever opened (asserted in
+    tests/test_plans.py).
+
+    At 100 TB this is the star-join lifesaver: a date-dim filtered on
+    d_year prunes a fact partitioned by d_date_sk to the qualifying
+    days with no literal date predicate on the fact. The oracle proves
+    pruning loses no rows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "events")
+    ev.select("event_id", "value", "event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.min("event_id").alias("first_seen"))
+        .where(F.col("first_seen") < 3)
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

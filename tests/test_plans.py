@@ -401,3 +401,29 @@ def test_embed_centroid_single_agg(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert "Join" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression partition
+    filter (runtime pruning fed by the dim's broadcast), not a static
+    literal — the dim filter is aggregate-derived precisely so planning-
+    time constraint propagation cannot resolve it."""
+    QS["q_dpp_join"](spark, sf_dir)  # materialize the partitioned sink
+    import os, tempfile
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "events")
+    from cellbase_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.min("event_id").alias("first_seen"))
+        .where(F.col("first_seen") < 3)
+        .select("event_type")
+    )
+    j = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
