@@ -331,3 +331,63 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_bucketed_join",
+    family="scan",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE)
+         AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100 TB shuffle-elimination story:
+    both fact tables are written `bucketBy(8, orderkey).sortBy(orderkey)`
+    so the sort-merge join reads bucket i of each side into the same
+    task, and the join plans with NO shuffle Exchange on either side
+    (pinned in tests/test_plans.py). At 100 TB this converts every
+    orders⋈lineitem from two table-wide shuffles into a scan-local
+    merge — the payoff of paying the shuffle once at layout time.
+
+    The tables are EXTERNAL (explicit path under the system temp dir),
+    so the key never depends on the calling session's warehouse
+    location, and stale registrations from a prior run are dropped
+    first. The oracle proves the bucketed layout loses no rows."""
+    base = os.path.join(tempfile.gettempdir(), "cellbase_spark_bucketed")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    for name, df, key in (
+        ("cb_b_orders", o, "o_orderkey"),
+        ("cb_b_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo = spark.table("cb_b_orders")
+    bl = spark.table("cb_b_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(25,10)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

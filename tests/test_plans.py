@@ -427,3 +427,26 @@ def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
     j = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_join_key_has_no_join_exchange(spark, sf_dir):
+    """q_bucketed_join's join must read co-located buckets: no shuffle
+    Exchange feeds the SortMergeJoin (only the final 5-group agg may
+    exchange)."""
+    QS["q_bucketed_join"](spark, sf_dir)  # author the bucketed tables
+    bo = spark.table("cb_b_orders")
+    bl = spark.table("cb_b_lineitem")
+    # at sf0.001 AQE would broadcast the tiny side and hide the bucketed
+    # path; disable broadcast to surface the layout the key exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = formatted_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert "SelectedBucketsCount" in plan
