@@ -239,3 +239,41 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("p1").asc(), F.col("p2").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_event_transitions",
+    family="analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): for every
+    user's time-ordered event stream, count each consecutive
+    (event_type -> next event_type) pair — the session-flow /
+    next-action model behind funnel diagnosis and behavioral anomaly
+    detection.
+
+    Scale shape: ONE user-keyed shuffle for the lead() window (per-user
+    state only — no self-join on time), then a 25-cell (5x5 types) hash
+    agg whose shuffle carries one row per transition pair per map task.
+    Determinism: ties in ts break on the unique event_id in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
