@@ -65,6 +65,7 @@ GATE_PRIORITY = [
     "q_dpp_join",
     "q_bucketed_join",
     "q_event_transitions",
+    "q_stream_run_upsert",
     # -- round-4 plan rewrites (re-witness under the new plans)
     "q_tpch_q18",
     "q_tpch_q21",

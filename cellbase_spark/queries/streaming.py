@@ -624,3 +624,95 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_dedup_keys(
         load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
     )
+
+
+@register(
+    "q_stream_run_upsert",
+    family="stream",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, ts, event_type, value
+FROM latest WHERE rk = 1
+""",
+)
+def q_stream_run_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch UPSERT sink end-to-end: the events stream arrives in
+    4 guaranteed micro-batches (cellbase_replay source) and each batch
+    MERGES into a keyed state table — latest row per user by
+    (ts, event_id) — the streaming-CDC 'apply changes' pattern. The
+    final state must equal the batch latest-per-user query, which only
+    holds if every cross-batch upsert (later batch overwriting an
+    earlier batch's row, earlier never resurrecting) applied correctly.
+
+    foreachBatch is the sink face the format() sinks can't express:
+    arbitrary batch-scoped Spark jobs with exactly-once semantics left
+    to the writer (here: write-new-then-atomic-swap of the state dir,
+    so a failed batch leaves the previous state intact — the
+    copy-on-write MERGE contract; on a lakehouse this body becomes
+    `MERGE INTO state USING batch`).
+
+    Scale: each merge is one user-keyed window over (state ∪ batch) —
+    state carries one row per key. The swap is metadata, not data."""
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    events = (
+        spark.readStream.format("cellbase_replay")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batches", "4")
+        .load()
+    )
+    state_dir = tempfile.mkdtemp(prefix="cb_stream_upsert_") + "/state"
+
+    def upsert(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cols = ["user_id", "ts", "event_id", "event_type", "value"]
+        merged = batch_df.select(*cols)
+        if os.path.isdir(state_dir):
+            merged = merged.unionByName(s.read.parquet(state_dir))
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+        tmp = state_dir + f".tmp{batch_id}"
+        latest.write.mode("overwrite").parquet(tmp)
+        old = state_dir + f".old{batch_id}"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    name = "cb_stream_upsert"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(state_dir).select(
+        "user_id", "ts", "event_type", "value"
+    )
