@@ -675,3 +675,32 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@register(
+    "q_lang_confusion",
+    family="llm-text",
+    oracle=f"""
+SELECT lang AS lang_meta, {_ARGMAX_SQL} AS lang_pred, COUNT(*) AS n
+FROM documents
+GROUP BY lang, 2
+""",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: metadata language x predicted
+    language with counts — the evaluation grid a corpus pipeline runs
+    before trusting a classifier for filtering (which languages leak
+    into which buckets, and how much).
+
+    Scale shape: the marker-argmax is the same zero-shuffle narrow map
+    as q_lang_id; the only exchange carries <= |langs|^2 = 25 partial
+    counts per map task. Ties in the argmax break alphabetically in
+    both engines (strict > fold vs >=-chain CASE — proven equivalent
+    by q_lang_id's row-level hash match)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", tokens("text"))
+    return (
+        t.select(F.col("lang").alias("lang_meta"), lang_id("toks").alias("lang_pred"))
+        .groupBy("lang_meta", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
