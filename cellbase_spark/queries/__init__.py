@@ -67,6 +67,7 @@ GATE_PRIORITY = [
     "q_event_transitions",
     "q_stream_run_upsert",
     "q_lang_confusion",
+    "q_neardup_eval",
     # -- round-4 plan rewrites (re-witness under the new plans)
     "q_tpch_q18",
     "q_tpch_q21",

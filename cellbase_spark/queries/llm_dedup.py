@@ -236,3 +236,123 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         d.select("doc_id"), pairs, id_col="doc_id"
     )
+
+
+@register(
+    "q_neardup_eval",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), e AS (
+  SELECT id, len(toks) AS n, unnest(toks) AS tok FROM t
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM e a JOIN e b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id, a.n, b.n
+  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.8
+), s AS (
+  SELECT id, list_transform(range(0, 16),
+           i -> list_min(list_transform(toks,
+                  t -> ('0x'||substr(md5(t||'#'||i), 1, 15))::BIGINT))) AS sig
+  FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3],
+                        sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6],
+                        sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bd a JOIN bd b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+), u AS (
+  SELECT COALESCE(tr.id_a, c.id_a) AS id_a,
+         CASE WHEN tr.id_a IS NULL THEN 0 ELSE 1 END AS in_truth,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS in_cand
+  FROM truth tr FULL OUTER JOIN cand c
+    ON tr.id_a = c.id_a AND tr.id_b = c.id_b
+)
+SELECT CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+       CAST(SUM(in_cand) AS BIGINT) AS n_cand,
+       CAST(SUM(in_truth * in_cand) AS BIGINT) AS n_tp,
+       round(CAST(SUM(in_truth * in_cand) AS DOUBLE) / SUM(in_cand), 6)
+         AS precision,
+       round(CAST(SUM(in_truth * in_cand) AS DOUBLE) / SUM(in_truth), 6)
+         AS recall
+FROM u
+""",
+)
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation: precision/recall of the RAW MinHash band
+    candidates (16 hashes, 2 bands of 8 — q_dedup_minhash's geometry)
+    against ground-truth token-Jaccard >= 0.8 pairs — the measurement a
+    pipeline owner runs before trusting an LSH dedup config at scale
+    (band geometry trades recall against candidate volume; this key
+    makes the trade measurable in-engine).
+
+    Scale shape: truth pairs come from the token-keyed self-join (never
+    all-pairs); candidates from the banded equi-join; both pair sets
+    are id-pair keyed for the full-outer overlap join, and the final
+    metrics are one global agg. Precision/recall are single IEEE
+    divisions of exact integer counts."""
+    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    e = t.select("id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    a, b = e.alias("a"), e.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = shared.where(
+        F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")) >= 0.8
+    ).select("id_a", "id_b")
+    banded = t.select(
+        "id", F.posexplode(lsh_band_keys_fused("toks", 16, 2)).alias("bidx", "bkey")
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.bidx") == F.col("bb.bidx"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.id") < F.col("bb.id")),
+        )
+        .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+        .distinct()
+    )
+    u = truth.withColumn("in_truth", F.lit(1)).join(
+        cand.withColumn("in_cand", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    ).select(
+        F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+        F.coalesce(F.col("in_cand"), F.lit(0)).alias("in_cand"),
+    )
+    return u.agg(
+        F.sum("in_truth").alias("n_truth"),
+        F.sum("in_cand").alias("n_cand"),
+        F.sum(F.col("in_truth") * F.col("in_cand")).alias("n_tp"),
+        F.round(
+            F.sum(F.col("in_truth") * F.col("in_cand")).cast("double")
+            / F.sum("in_cand"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.col("in_truth") * F.col("in_cand")).cast("double")
+            / F.sum("in_truth"),
+            6,
+        ).alias("recall"),
+    )
