@@ -514,6 +514,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 50,
+    driver_cc_limit: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair graph: every node
     ends with cluster_id = min node id reachable from it — the grouping
@@ -540,6 +541,54 @@ def connected_components(
     e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")).localCheckpoint(
         eager=True
     )
+    # Size-gated driver fast path (the AQE-broadcast-threshold pattern,
+    # decided on the MEASURED edge count of the already-materialized
+    # checkpoint): the CC working set is EDGES-bounded, not corpus-
+    # bounded — a dedup pair graph is typically a tiny fraction of the
+    # table — so below the limit, union-find on the driver replaces
+    # O(log diameter) iterative rounds (each 2-3 stage launches) with
+    # one collect of two-long rows + O(E α(E)) local work + one
+    # parallelize back. Past the limit (100 TB dup-heavy corpora), the
+    # iterative min-label/path-halving loop below runs unchanged; the
+    # two paths are result-identical (same min-id canonical labels) and
+    # the iterative path stays covered by tests at limit=0.
+    n_edges = e.count()
+    if n_edges <= driver_cc_limit:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in e.collect():
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id keeps the canonical-label contract
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        spark = edges.sparkSession
+        rows = [(x, find(x)) for x in parent]
+        labels_df = spark.createDataFrame(rows, schema="_id long, _lbl long")
+        out = nodes.select(F.col(id_col).alias("_nid")).join(
+            F.broadcast(labels_df) if n_edges <= 500_000 else labels_df,
+            F.col("_nid") == F.col("_id"),
+            "left",
+        )
+        return out.select(
+            F.col("_nid").alias(id_col),
+            F.coalesce("_lbl", "_nid").alias("cluster_id"),
+            (F.coalesce("_lbl", "_nid") == F.col("_nid")).alias("is_canonical"),
+        )
     active = (
         e.select("_u").unionByName(e.select(F.col("_v").alias("_u"))).distinct()
     )

@@ -225,11 +225,17 @@ def test_connected_components_matches_union_find(spark, edges):
     ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
     edf = spark.createDataFrame(edges or [], "id_a long, id_b long") if edges else \
         ndf.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")).where(F.lit(False))
-    got = {
-        r["id"]: r["cluster_id"]
-        for r in connected_components(ndf, edf, id_col="id").collect()
-    }
-    assert got == want
+    # BOTH execution paths must match the reference: the size-gated
+    # driver union-find (default) AND the iterative min-label loop
+    # (forced with driver_cc_limit=0)
+    for limit in (2_000_000, 0):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                ndf, edf, id_col="id", driver_cc_limit=limit
+            ).collect()
+        }
+        assert got == want, f"driver_cc_limit={limit}"
 
 
 def test_bmp_codec_roundtrip_property():
