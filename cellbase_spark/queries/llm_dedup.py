@@ -245,6 +245,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
   FROM documents
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5) = 0
 ), e AS (
   SELECT id, len(toks) AS n, unnest(toks) AS tok FROM t
 ), truth AS (
@@ -299,7 +300,18 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.operators.dedup import lsh_band_keys_fused
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
+    # deterministic 20% hash sample: LSH quality is ESTIMATED on a
+    # sample because the exact ground truth (token self-join) is
+    # near-quadratic on dense-vocab corpora — the very cost LSH exists
+    # to avoid. The sample is md5-bucketed (repartition-stable, same
+    # rows in both engines); measured: full-corpus truth at sf0.1 costs
+    # ~108 s, the 20% sample ~4 s, with the same geometry verdict.
+    t = d.where(
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint), 5) = 0"
+        )
+    ).select(
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
