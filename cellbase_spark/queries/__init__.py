@@ -68,6 +68,7 @@ GATE_PRIORITY = [
     "q_stream_run_upsert",
     "q_lang_confusion",
     "q_neardup_eval",
+    "q_dedup_canonical",
     # -- round-4 plan rewrites (re-witness under the new plans)
     "q_tpch_q18",
     "q_tpch_q21",

@@ -368,3 +368,51 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "q_dedup_canonical",
+    family="llm-dedup",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, n_chars, lang, source,
+         md5(lower(trim(text))) AS grp,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(lower(trim(text)))
+           ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS grp_size
+  FROM documents
+)
+SELECT grp, doc_id AS kept_doc_id, CAST(grp_size AS BIGINT) AS grp_size,
+       n_chars, lang, source
+FROM g
+WHERE rk = 1 AND grp_size >= 2
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each exact-duplicate group
+    (normalized-text hash), keep the single best representative —
+    highest n_chars, doc_id tie-break — and report the group it
+    represents. The 'which copy survives' step that follows any dedup
+    pass: dedup without a canonical policy silently keeps an arbitrary
+    partition-order-dependent row.
+
+    Scale shape: ONE hash-keyed window pass (rank + group size over the
+    same partitioning — no second shuffle), filter to winners of
+    multi-doc groups. Deterministic: the policy is a total order
+    (n_chars desc, doc_id asc)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    grp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = W.partitionBy("grp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    g = d.select("doc_id", "n_chars", "lang", "source", grp.alias("grp")).select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("grp_size"),
+    )
+    return (
+        g.where((F.col("rk") == 1) & (F.col("grp_size") >= 2))
+        .select("grp", F.col("doc_id").alias("kept_doc_id"), "grp_size",
+                "n_chars", "lang", "source")
+    )
