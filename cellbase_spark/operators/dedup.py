@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 MOD = 1_000_000_007
 
@@ -565,6 +566,11 @@ def connected_components(
             return r
 
         for u, v in e.collect():
+            if u is None or v is None:
+                # null endpoints carry no connectivity (the iterative
+                # path's equi-joins drop them too) and would break
+                # Python < comparisons in union-find
+                continue
             if u not in parent:
                 parent[u] = u
             if v not in parent:
@@ -578,7 +584,15 @@ def connected_components(
                     parent[ru] = rv
         spark = edges.sparkSession
         rows = [(x, find(x)) for x in parent]
-        labels_df = spark.createDataFrame(rows, schema="_id long, _lbl long")
+        # label type == id type: derive the schema from the edge column
+        # (ids may be string or any orderable type, not just long)
+        id_type = e.schema["_u"].dataType
+        labels_df = spark.createDataFrame(
+            rows,
+            schema=StructType(
+                [StructField("_id", id_type), StructField("_lbl", id_type)]
+            ),
+        )
         out = nodes.select(F.col(id_col).alias("_nid")).join(
             F.broadcast(labels_df) if n_edges <= 500_000 else labels_df,
             F.col("_nid") == F.col("_id"),

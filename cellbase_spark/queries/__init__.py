@@ -12,70 +12,80 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-4 gate priority: the 27 keys that have never had an official
-# driver CORRECTNESS row (pipeline, quality, multimodal, xlsx-DataSource,
-# orc, merge_upsert, ann_lsh, corpus stragglers) lead, per VERDICT.md r3
-# item 1; then any keys NEW this round; then the three dedup-family keys
-# whose bench drifted in r3 (re-witness after plan pinning); the rest of
-# the battery follows in registration order and is covered by the local
-# full-battery gate (scripts/check_oracle.py + scripts/driver_sim.py).
+# Round-5 gate priority (VERDICT r4 items 1-3): keys whose CODE changed
+# this round lead (the r4 red `q_agg_approx_percentile` fix, the
+# re-keyed `q_dedup_canonical`, the scratch-path/conf-scoping fixes, any
+# NEW round-5 keys); then the ~45 r1-vintage keys whose official driver
+# rows are three rounds of refactors old (aggregates, grouping,
+# analytics, filters, joins, graph, layout, corpus, scan_text). The full
+# battery always runs locally regardless of order
+# (scripts/check_oracle.py + scripts/driver_sim.py).
 GATE_PRIORITY = [
-    # -- never officially gated: pipeline family (11)
-    "q_sample_hash",
-    "q_split_train_test",
-    "q_pack_sequences",
-    "q_repetition_ratio",
-    "q_length_histogram",
-    "q_pii_mask",
-    "q_scan_orc",
-    "q_sample_stratified",
-    "q_merge_upsert",
-    "q_mix_reweight",
+    # -- changed this round: r4 red-row fix + re-keyed canonical
     "q_agg_approx_percentile",
-    # -- never officially gated: quality (2)
-    "q_profile_table",
-    "q_quality_checks",
-    # -- never officially gated: multimodal (5)
-    "q_mm_decode_meta",
-    "q_mm_frame_sample",
-    "q_mm_resize",
-    "q_mm_features",
-    "q_mm_decode_real",
-    # -- never officially gated: xlsx DataSource / ANN / corpus (8)
-    "q_scan_xlsx_pyds",
-    "q_roundtrip_xlsx_pyds",
-    "q_ann_lsh",
-    "q_multimodal_join",
-    "q_vocab_oov",
-    "q_boilerplate",
-    "q_quality_gopher",
-    "q_contain_fuzzy",
-    # -- never officially gated: sketch key (rows-only check by design)
-    "q_agg_approx_distinct",
-    # -- NEW round-4 keys get inserted here as they land
-    "q_stream_run_tws",
-    "q_bm25",
-    "q_chunk_cdc",
-    "q_copurchase_lift",
-    "q_winsorize",
-    "q_json_variant",
-    "q_max_concurrency",
-    "q_rrf_fusion",
-    "q_embed_centroid",
+    "q_dedup_canonical",
+    # -- changed this round: scratch-path scoping / conf scoping
     "q_dpp_join",
     "q_bucketed_join",
-    "q_event_transitions",
-    "q_stream_run_upsert",
-    "q_lang_confusion",
-    "q_neardup_eval",
-    "q_dedup_canonical",
-    # -- round-4 plan rewrites (re-witness under the new plans)
-    "q_tpch_q18",
-    "q_tpch_q21",
-    # -- bench-drift re-witness (r3 regressed ~15-19% vs r2; plans pinned)
-    "q_dedup_near",
-    "q_ngram_jaccard",
-    "q_dedup_simhash",
+    "q_partitioned_write",
+    "q_scan_jsonl",
+    "q_sql_recursive",
+    # -- NEW round-5 keys get inserted here as they land
+    "q_ann_eval",
+    "q_cc_iterative",
+    # -- r1-vintage official rows: aggregates (8)
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_median",
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_agg_mode",
+    # -- r1-vintage: grouping (5)
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_pivot",
+    "q_agg_collect",
+    # -- r1-vintage: analytics (3)
+    "q_funnel",
+    "q_retention",
+    "q_histogram_equidepth",
+    # -- r1-vintage: filters (6)
+    "q_project",
+    "q_filter_compound",
+    "q_filter_nulls",
+    "q_filter_in_between_like",
+    "q_distinct",
+    "q_doc_quality_filter",
+    # -- r1-vintage: joins (12)
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_star_join",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_join_salted",
+    "q_tpch_q9",  # r3-vintage but bench-drifted in r4: re-witness
+    # -- r1-vintage: graph (3)
+    "q_triangle_count",
+    "q_degree_distribution",
+    "q_pagerank",
+    # -- r1-vintage: layout (3)
+    "q_zorder",
+    "q_skyline",
+    "q_join_prefilter",
+    # -- r1-vintage: corpus + scan_text (5)
+    "q_contamination",
+    "q_chunk_documents",
+    "q_sample_weighted",
+    "q_bpe_pairs",
+    "q_scan_text",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -373,46 +373,92 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_canonical",
     family="llm-dedup",
-    oracle="""
-WITH g AS (
-  SELECT doc_id, n_chars, lang, source,
-         md5(lower(trim(text))) AS grp,
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bd a JOIN bd b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+  WHERE len(list_intersect(ta.toks, tb.toks))
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), clusters AS (
+  SELECT t.id AS doc_id,
+         least(t.id, coalesce(MIN(r.v), t.id)) AS cluster_id
+  FROM t LEFT JOIN reach r ON t.id = r.u
+  GROUP BY t.id
+), g AS (
+  SELECT d.doc_id, d.n_chars, d.lang, d.source, c.cluster_id,
          ROW_NUMBER() OVER (
-           PARTITION BY md5(lower(trim(text)))
-           ORDER BY n_chars DESC, doc_id ASC) AS rk,
-         COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS grp_size
-  FROM documents
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS grp_size
+  FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
 )
-SELECT grp, doc_id AS kept_doc_id, CAST(grp_size AS BIGINT) AS grp_size,
+SELECT cluster_id, doc_id AS kept_doc_id, CAST(grp_size AS BIGINT) AS grp_size,
        n_chars, lang, source
 FROM g
 WHERE rk = 1 AND grp_size >= 2
 """,
 )
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-document selection: within each exact-duplicate group
-    (normalized-text hash), keep the single best representative —
-    highest n_chars, doc_id tie-break — and report the group it
-    represents. The 'which copy survives' step that follows any dedup
-    pass: dedup without a canonical policy silently keeps an arbitrary
-    partition-order-dependent row.
+    """Canonical-document selection: within each NEAR-duplicate cluster
+    (MinHash-LSH pairs at Jaccard >= 0.95 -> connected components), keep
+    the single best representative — highest n_chars, doc_id tie-break —
+    and report the group it represents. The 'which copy survives' step
+    that follows any dedup pass: dedup without a canonical policy
+    silently keeps an arbitrary partition-order-dependent row.
 
-    Scale shape: ONE hash-keyed window pass (rank + group size over the
-    same partitioning — no second shuffle), filter to winners of
-    multi-doc groups. Deterministic: the policy is a total order
+    Keyed on near-dup clusters (not the exact-dup content hash) so the
+    oracle check is NON-vacuous: sf0.01 has zero exact-duplicate groups
+    but 447 near-dup pairs, so real groups flow through the policy at
+    gate scale. The pure-policy window is additionally unit-tested on
+    hand-built duplicate groups (tests/test_dedup.py).
+
+    Scale shape: the cluster labels come from the banded-LSH pair join +
+    connected components (never all-pairs); selection is ONE
+    cluster-keyed window pass (rank + group size over the same
+    partitioning — no second shuffle), filter to winners of multi-doc
+    groups. Deterministic: the policy is a total order
     (n_chars desc, doc_id asc)."""
     from pyspark.sql.window import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
-    grp = F.md5(F.lower(F.trim(F.col("text"))))
-    w = W.partitionBy("grp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    g = d.select("doc_id", "n_chars", "lang", "source", grp.alias("grp")).select(
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096,
+    )
+    clusters = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id"
+    ).select("doc_id", "cluster_id")
+    g = d.select("doc_id", "n_chars", "lang", "source").join(
+        clusters, "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = g.select(
         "*",
         F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("grp_size"),
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("grp_size"),
     )
     return (
-        g.where((F.col("rk") == 1) & (F.col("grp_size") >= 2))
-        .select("grp", F.col("doc_id").alias("kept_doc_id"), "grp_size",
+        ranked.where((F.col("rk") == 1) & (F.col("grp_size") >= 2))
+        .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "grp_size",
                 "n_chars", "lang", "source")
     )

@@ -333,11 +333,19 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — THE percentile at
     100 TB: mergeable fixed-size sketch per partition, one small final
     merge, vs exact percentile's full sort. Accuracy knob = max relative
-    error (here 0.001)."""
+    error (here 0.001).
+
+    The three percentiles are emitted comma-joined (not array<double>):
+    the driver canonicalizer cannot hash ndarray cells (same failure mode
+    q_phonetic_key/q_embed_quantize hit; this key's r4 row was red for
+    exactly that). tests/test_pipeline.py parses the string back and
+    asserts the 1% tolerance vs the exact percentile."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr(
-            "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+            "array_join(transform("
+            "  percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 1000),"
+            "  x -> cast(cast(round(x, 4) as decimal(20,4)) as string)), ',')"
         ).alias("p50_p90_p99"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -18,6 +18,22 @@ from cellbase_spark.io import load_table, read_csv_table, write_csv_table
 from cellbase_spark.registry import register
 
 
+def scratch_path(sf_dir: str, *parts: str) -> str:
+    """Scratch sink path keyed by sf label + PID so concurrent runs or
+    interleaved scale factors never clobber each other's data mid-query
+    (fixed shared paths were an r4 advisory finding)."""
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{os.getpid()}"
+    return os.path.join(tempfile.gettempdir(), f"cellbase_spark_{tag}", *parts)
+
+
+def scratch_table(sf_dir: str, name: str) -> str:
+    """Catalog-safe table name with the same sf+PID scoping."""
+    import re as _re
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{os.getpid()}"
+    return f"{name}_{_re.sub(r'[^A-Za-z0-9_]', '_', tag)}"
+
+
 @register(
     "q_scan_parquet",
     family="scan",
@@ -233,7 +249,7 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     ).select("event_id", "user_id", "event_type", "value")
-    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_jsonl", "events")
+    out = scratch_path(sf_dir, "jsonl", "events")
     e.write.mode("overwrite").json(out)
     return read_jsonl_table(
         spark, out, schema="event_id long, user_id long, event_type string, value double"
@@ -263,7 +279,7 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
     )
-    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "lineitem")
+    out = scratch_path(sf_dir, "part", "lineitem")
     l.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
@@ -310,7 +326,7 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     days with no literal date predicate on the fact. The oracle proves
     pruning loses no rows."""
     ev = load_table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "events")
+    out = scratch_path(sf_dir, "part", "events")
     ev.select("event_id", "value", "event_type").write.mode(
         "overwrite"
     ).partitionBy("event_type").parquet(out)
@@ -358,14 +374,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the key never depends on the calling session's warehouse
     location, and stale registrations from a prior run are dropped
     first. The oracle proves the bucketed layout loses no rows."""
-    base = os.path.join(tempfile.gettempdir(), "cellbase_spark_bucketed")
+    base = scratch_path(sf_dir, "bucketed")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    t_orders = scratch_table(sf_dir, "cb_b_orders")
+    t_lineitem = scratch_table(sf_dir, "cb_b_lineitem")
     for name, df, key in (
-        ("cb_b_orders", o, "o_orderkey"),
-        ("cb_b_lineitem", li, "l_orderkey"),
+        (t_orders, o, "o_orderkey"),
+        (t_lineitem, li, "l_orderkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         import shutil
@@ -379,8 +397,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    bo = spark.table("cb_b_orders")
-    bl = spark.table("cb_b_lineitem")
+    bo = spark.table(t_orders)
+    bl = spark.table(t_lineitem)
     return (
         bo.join(bl, bo.o_orderkey == bl.l_orderkey)
         .groupBy("o_orderpriority")

@@ -134,10 +134,17 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     # the accumulated UnionLoop output is n_rows * chain_depth; the 1M-row
     # default guardrail trips at ~150k customers even though each level
-    # still shrinks geometrically (runtime-settable, foreign-session safe)
+    # still shrinks geometrically (runtime-settable, foreign-session safe).
+    # The raised limit is scoped to THIS query: the recursion is
+    # materialized eagerly under the raised value and the prior limit is
+    # restored in finally, so the weakened guardrail never leaks to later
+    # queries on the shared session (r4 advisory). The checkpoint is the
+    # aggregated n_customers-row result, not the UnionLoop intermediate.
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
 WITH RECURSIVE anc AS (
   SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
   UNION ALL
@@ -150,7 +157,12 @@ FROM anc a JOIN customer c ON a.cur = c.c_custkey
 WHERE a.depth > 0
 GROUP BY a.node
 """
-    )
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+        else:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
 
 
 @register(

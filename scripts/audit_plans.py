@@ -124,6 +124,11 @@ def parse_plans_md(text: str) -> dict[str, dict]:
 def diff_plans(old: dict[str, dict], new: dict[str, dict]) -> list[str]:
     """Regressions between two audit snapshots. Pure for unit-testing."""
     bad: list[str] = []
+    # a pinned key that fails to explain this round must not silently
+    # vanish from the table (r4 advisory): losing its row IS a regression
+    for key in old:
+        if key in PINNED_KEYS and key not in new:
+            bad.append(f"{key}: pinned key missing from new audit (failed to explain?)")
     for key, n in new.items():
         o = old.get(key)
         if o is None:

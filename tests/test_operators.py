@@ -180,3 +180,65 @@ def test_salted_join_outer_keeps_unmatched(spark):
     got = sorted(map(tuple, salted_join(left, right, "k", how="left").collect()))
     want = sorted(map(tuple, left.join(right, "k", "left").collect()))
     assert got == want
+
+
+def test_connected_components_string_ids_fast_path(spark):
+    """The driver union-find fast path must stay type-generic: string ids
+    (the reference convention allows string row keys) label correctly,
+    with cluster_id = lexicographic-min id and null edge endpoints
+    dropped rather than crashing Python comparisons."""
+    from cellbase_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("z",)], "id string"
+    )
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), (None, "d"), ("d", None)],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["id"]: (r["cluster_id"], r["is_canonical"])
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert got == {
+        "a": ("a", True),
+        "b": ("a", False),
+        "c": ("a", False),
+        "d": ("d", True),
+        "z": ("z", True),
+    }
+
+
+def test_canonical_selection_policy_on_handbuilt_groups(spark, tmp_path):
+    """q_dedup_canonical's survival policy on hand-built duplicate groups:
+    within each near-dup cluster the winner is (n_chars desc, doc_id asc)
+    and grp_size counts every member; singleton clusters are excluded.
+    Non-vacuous by construction — the corpus has two real dup groups."""
+    from cellbase_spark.queries.llm_dedup import q_dedup_canonical
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # group 1: three exact copies (identical token sets) — winner must
+        # be doc 11 (highest n_chars column; ties broken by doc_id asc)
+        (10, base, 60, "en", "web"),
+        (11, base, 61, "en", "web"),
+        (12, base, 60, "en", "web"),
+        # group 2: two exact copies with equal n_chars — doc_id asc wins
+        (20, "one two three four five six seven eight nine ten", 50, "en", "book"),
+        (21, "one two three four five six seven eight nine ten", 50, "en", "book"),
+        # singleton: never emitted
+        (30, "completely different text with unrelated words entirely", 56, "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars int, lang string, source string"
+    )
+    sf = str(tmp_path / "sfcanon")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["cluster_id"]: (r["kept_doc_id"], r["grp_size"])
+        for r in q_dedup_canonical(spark, sf).collect()
+    }
+    assert got == {10: (11, 3), 20: (20, 2)}

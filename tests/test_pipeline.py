@@ -78,7 +78,7 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     """GK sketch at accuracy=1000 must land within 1% relative error of
     the exact sort-based percentile (tol loose enough for tiny SF)."""
     approx = {
-        r["l_returnflag"]: r["p50_p90_p99"]
+        r["l_returnflag"]: [float(x) for x in r["p50_p90_p99"].split(",")]
         for r in q_agg_approx_percentile(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")

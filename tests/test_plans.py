@@ -150,8 +150,9 @@ def test_partitioned_readback_prunes_partitions(spark, sf_dir):
     # it must resolve against directory names (PartitionFilters), leaving
     # nothing for PushedFilters, and never appear as a post-scan Filter.
     QS["q_partitioned_write"](spark, sf_dir)  # materialize the sink
-    import os, tempfile
-    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "lineitem")
+    from cellbase_spark.queries.scans import scratch_path
+
+    out = scratch_path(sf_dir, "part", "lineitem")
     from pyspark.sql import functions as F
     back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
     plan = formatted_plan(back)
@@ -409,11 +410,11 @@ def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
     literal — the dim filter is aggregate-derived precisely so planning-
     time constraint propagation cannot resolve it."""
     QS["q_dpp_join"](spark, sf_dir)  # materialize the partitioned sink
-    import os, tempfile
-
     from pyspark.sql import functions as F
 
-    out = os.path.join(tempfile.gettempdir(), "cellbase_spark_part", "events")
+    from cellbase_spark.queries.scans import scratch_path
+
+    out = scratch_path(sf_dir, "part", "events")
     from cellbase_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -434,8 +435,10 @@ def test_bucketed_join_key_has_no_join_exchange(spark, sf_dir):
     Exchange feeds the SortMergeJoin (only the final 5-group agg may
     exchange)."""
     QS["q_bucketed_join"](spark, sf_dir)  # author the bucketed tables
-    bo = spark.table("cb_b_orders")
-    bl = spark.table("cb_b_lineitem")
+    from cellbase_spark.queries.scans import scratch_table
+
+    bo = spark.table(scratch_table(sf_dir, "cb_b_orders"))
+    bl = spark.table(scratch_table(sf_dir, "cb_b_lineitem"))
     # at sf0.001 AQE would broadcast the tiny side and hide the bucketed
     # path; disable broadcast to surface the layout the key exists for
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
