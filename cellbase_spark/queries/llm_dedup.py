@@ -185,10 +185,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
 
 
-@register(
-    "q_dedup_clusters",
-    family="llm-dedup",
-    oracle=f"""
+# Shared by q_dedup_clusters and q_cc_iterative (identical semantics;
+# the two keys differ only in which connected-components branch runs)
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE t AS (
   SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
 ), s AS (
@@ -218,7 +217,13 @@ SELECT t.id AS doc_id,
        least(t.id, coalesce(MIN(r.v), t.id)) = t.id AS is_canonical
 FROM t LEFT JOIN reach r ON t.id = r.u
 GROUP BY t.id
-""",
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    family="llm-dedup",
+    oracle=_CLUSTERS_ORACLE,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (the dedup deliverable): MinHash-LSH pairs at
@@ -235,6 +240,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(
         d.select("doc_id"), pairs, id_col="doc_id"
+    )
+
+
+@register(
+    "q_cc_iterative",
+    family="llm-dedup",
+    oracle=_CLUSTERS_ORACLE,
+)
+def q_cc_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters' 100 TB branch under the official gate: the SAME
+    MinHash-LSH pair graph, but with the driver union-find fast path
+    disabled (driver_cc_limit=0) so the iterative min-label/path-halving
+    loop — the branch that runs above the 2M-edge gate on dup-heavy
+    corpora — is what actually executes. Result-identical to
+    q_dedup_clusters by the two paths' shared min-id contract
+    (differentially tested in tests/test_properties.py); registering both
+    gives the iterative branch its own oracle-verified row instead of
+    only toy-scale unit coverage."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096,
+    )
+    return connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", driver_cc_limit=0
     )
 
 

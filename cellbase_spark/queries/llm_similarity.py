@@ -274,6 +274,191 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
 
 
+# DuckDB fragment: IVF centroid argmin (same formula as ivf_assign) for a
+# 64-dim double list column `{col}` — reused by q_ann_ivf's oracle shape
+def _duck_ivf_argmin(col: str, n_centroids: int = 8) -> str:
+    d2 = (
+        f"list_reduce(list_transform(range(1, 65),"
+        f" i -> (CAST({col}[i] AS DOUBLE) - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))"
+        f" * (CAST({col}[i] AS DOUBLE) - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))),"
+        f" (x, y) -> x + y)"
+    )
+    return (
+        f"list_reduce(list_transform(range(0, {n_centroids}),"
+        f" j -> {{'d': round({d2}, 6), 'j': j}}),"
+        f" (best, cur) -> CASE WHEN cur.d < best.d OR (cur.d = best.d AND cur.j < best.j)"
+        f" THEN cur ELSE best END).j"
+    )
+
+
+def _duck_ann_eval_sql() -> str:
+    """DuckDB mirror of q_ann_eval: recall@20 + candidate counts for
+    IVF at nprobe in {1,2,4} and LSH at hamming radius in {1,2,3}."""
+    qd_d2 = (
+        "round(list_reduce(list_transform(range(1, 65),"
+        " i -> (qv[i] - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))"
+        " * (qv[i] - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))),"
+        " (x, y) -> x + y), 6)"
+    )
+    parts = [
+        f"""WITH cfg AS (SELECT {_QV} AS qv),
+ex AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, round({_COS_Q}, 6) AS score FROM embeddings, cfg
+    ORDER BY score DESC, vec_id ASC LIMIT 20)
+),
+qd AS (
+  SELECT j, {qd_d2} AS d
+  FROM cfg, (SELECT unnest(range(0, 8)) AS j)
+),
+asg AS (
+  SELECT vec_id, embedding, qv, {_duck_ivf_argmin('embedding')} AS centroid_id
+  FROM embeddings, cfg
+),
+lb AS (
+  SELECT e.vec_id, e.embedding, q2.qv,
+         CAST(bit_count(xor({_duck_lsh_bucket('e.embedding')}, q2.qb)) AS INT) AS ham
+  FROM embeddings e,
+       (SELECT qv, {_duck_lsh_bucket('qv')} AS qb FROM cfg) q2
+)"""
+    ]
+    selects = []
+    for p in (1, 2, 4):
+        parts.append(
+            f""",
+icand{p} AS (
+  SELECT vec_id, round({_COS_Q}, 6) AS score
+  FROM (SELECT a.vec_id, a.embedding, a.qv FROM asg a
+        WHERE a.centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT {p}))
+),
+itop{p} AS (SELECT vec_id FROM icand{p} ORDER BY score DESC, vec_id ASC LIMIT 20)"""
+        )
+        selects.append(
+            f"""SELECT 'ivf_np{p}' AS method, CAST(20 AS BIGINT) AS n_exact,
+       (SELECT COUNT(*) FROM icand{p}) AS n_cand,
+       (SELECT COUNT(*) FROM itop{p} JOIN ex USING (vec_id)) AS n_overlap,
+       round((SELECT COUNT(*) FROM itop{p} JOIN ex USING (vec_id)) / 20.0, 6) AS recall"""
+        )
+    for h in (1, 2, 3):
+        parts.append(
+            f""",
+lcand{h} AS (
+  SELECT vec_id, round({_COS_Q}, 6) AS score FROM lb WHERE ham <= {h}
+),
+ltop{h} AS (SELECT vec_id FROM lcand{h} ORDER BY score DESC, vec_id ASC LIMIT 20)"""
+        )
+        selects.append(
+            f"""SELECT 'lsh_h{h}' AS method, CAST(20 AS BIGINT) AS n_exact,
+       (SELECT COUNT(*) FROM lcand{h}) AS n_cand,
+       (SELECT COUNT(*) FROM ltop{h} JOIN ex USING (vec_id)) AS n_overlap,
+       round((SELECT COUNT(*) FROM ltop{h} JOIN ex USING (vec_id)) / 20.0, 6) AS recall"""
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("q_ann_eval", family="llm-sim", oracle=_duck_ann_eval_sql())
+def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: the recall-vs-scan-fraction CURVE for both
+    approximate search paths — IVF probing its nprobe nearest inverted
+    lists (nprobe in {1,2,4}) and random-hyperplane LSH probing all
+    buckets within hamming radius h of the query bucket (h in {1,2,3}) —
+    each measured as recall@20 against the exact brute-force cosine
+    top-20 (q_sim_topk's ranking) plus the candidate count actually
+    scanned. This is the measurement a pipeline owner runs before
+    trusting an ANN index at 100 TB: where on the curve does recall
+    become acceptable, and what scan fraction does it cost? (Same eval
+    pattern as q_neardup_eval for MinHash bands. On this synthetic
+    near-random corpus the curve is brutal — low radii have ~0 recall —
+    which is exactly what the eval exists to expose: geometry must be
+    validated per-corpus, not assumed.)
+
+    Scale shape: the exact baseline is one scan + TakeOrderedAndProject
+    (no shuffle); centroid/bucket assignment is computed ONCE per row
+    and reused by every radius (filters over the same narrow map);
+    metrics are 20-row broadcast joins and 1-row aggs. Everything
+    integer/formula-derived, so the oracle re-derives identical scores,
+    buckets, and centroids."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(e, k=20).select("vec_id")
+    # query-to-centroid distances: 8-row frame, ranked once, reused per nprobe
+    d2q = (
+        "aggregate(zip_with(qv, transform(sequence(1, 64),"
+        " i -> ((j * 13 + i * 7) % 29) / cast(29 as double)),"
+        " (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+    )
+    qd = (
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("qv"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, 7), j -> struct(j as j, round({d2q}, 6) as d))"
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.j").alias("j"), F.col("s.d").alias("d"))
+    )
+    qrk = qd.withColumn(
+        "qrk",
+        F.row_number().over(Window.orderBy(F.col("d").asc(), F.col("j").asc())),
+    )
+    assigned = (
+        ivf_assign(e, n_centroids=8)
+        .withColumn("qv", F.expr(qvec_expr()))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+        )
+    )
+    # LSH: hamming distance to the query bucket, computed once per row
+    cfg = (
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("qv"))
+        .select("qv", F.expr(lsh_bucket_expr("qv")).alias("qb"))
+    )
+    bucketed = (
+        e.crossJoin(F.broadcast(cfg))
+        .withColumn("bucket", F.expr(lsh_bucket_expr("embedding")))
+        .select(
+            "vec_id",
+            F.expr("cast(bit_count(bucket ^ qb) as int)").alias("ham"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+        )
+    )
+
+    def metrics(method: str, cand: DataFrame) -> DataFrame:
+        top = (
+            cand.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(20)
+            .select("vec_id")
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        n_overlap = top.join(exact, "vec_id").agg(
+            F.count(F.lit(1)).alias("n_overlap")
+        )
+        return n_cand.crossJoin(n_overlap).select(
+            F.lit(method).alias("method"),
+            F.lit(20).cast("long").alias("n_exact"),
+            F.col("n_cand"),
+            F.col("n_overlap"),
+            F.round(F.col("n_overlap") / F.lit(20.0), 6).alias("recall"),
+        )
+
+    out = None
+    for p in (1, 2, 4):
+        lists = F.broadcast(qrk.where(F.col("qrk") <= p).select("j"))
+        cand = assigned.join(lists, assigned.centroid_id == F.col("j")).select(
+            "vec_id", "score"
+        )
+        m = metrics(f"ivf_np{p}", cand)
+        out = m if out is None else out.unionByName(m)
+    for h in (1, 2, 3):
+        m = metrics(f"lsh_h{h}", bucketed.where(F.col("ham") <= h))
+        out = out.unionByName(m)
+    return out
+
+
 @register(
     "q_multimodal_join",
     family="llm-sim",
