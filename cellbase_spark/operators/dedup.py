@@ -23,6 +23,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+# Diagnostics from the most recent connected_components call in this
+# process: {"edges": int, "path": "driver"|"iterative", "rounds": int}.
+# Read by scripts/bench_trend-style measurements; not part of the result.
+LAST_CC_STATS: dict = {}
+
 MOD = 1_000_000_007
 
 # -- hashing expression builders (Spark side) --------------------------------
@@ -539,6 +544,7 @@ def connected_components(
     replay rounds 1..N-1, and the (possibly expensive) edge pipeline is
     materialized once up front.
     """
+    global LAST_CC_STATS
     e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")).localCheckpoint(
         eager=True
     )
@@ -583,6 +589,7 @@ def connected_components(
                 else:
                     parent[ru] = rv
         spark = edges.sparkSession
+        LAST_CC_STATS = {"edges": n_edges, "path": "driver", "rounds": 0}
         rows = [(x, find(x)) for x in parent]
         # label type == id type: derive the schema from the edge column
         # (ids may be string or any orderable type, not just long)
@@ -629,6 +636,7 @@ def connected_components(
     # min-of-neighbor-labels is just min(_v) over sym — no join needed.
     labels = halve(sym.groupBy("_u").agg(F.min("_v").alias("_mid")))
     prev_sum = labels.agg(F.sum("_lbl")).first()[0]
+    rounds = 1
     for _ in range(max_iters - 1):
         stepped = (
             sym.join(labels, sym["_v"] == labels["_id"])
@@ -636,10 +644,12 @@ def connected_components(
             .agg(F.min("_lbl").alias("_mid"))
         )
         labels = halve(stepped)
+        rounds += 1
         label_sum = labels.agg(F.sum("_lbl")).first()[0]
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    LAST_CC_STATS = {"edges": n_edges, "path": "iterative", "rounds": rounds}
     out = nodes.select(F.col(id_col).alias("_nid")).join(
         labels, F.col("_nid") == F.col("_id"), "left"
     )

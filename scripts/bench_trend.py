@@ -27,7 +27,8 @@ sys.path.insert(0, _REPO)
 from cellbase_spark import registry, schemas  # noqa: E402
 from cellbase_spark.session import get_spark  # noqa: E402
 
-# VERDICT r3 item 6's six >2x keys plus the dedup-family drift keys.
+# VERDICT r3 item 6's six >2x keys plus the dedup-family drift keys,
+# plus (round 5) the remaining headline keys without an sf1 row.
 FLAGGED = [
     "q_sql_recursive",
     "q_tfidf",
@@ -38,7 +39,16 @@ FLAGGED = [
     "q_dedup_minhash",
     "q_dedup_near",
     "q_ngram_jaccard",
+    "q_tpch_q3",
+    "q_tpch_q9",
+    "q_agg_groupby",
 ]
+# --keys=a,b,c restricts the run (measuring one new key must not re-pay
+# the whole ladder, incl. the DNFing dedup oracles at sf1)
+for _a in list(sys.argv[1:]):
+    if _a.startswith("--keys="):
+        FLAGGED = [k for k in _a.split("=", 1)[1].split(",") if k]
+        sys.argv.remove(_a)
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 # One notch beyond the driver data: locally generated, same schema and
 # marginals (scripts/gen_testdata.py). Included automatically if present.

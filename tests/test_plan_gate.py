@@ -50,8 +50,17 @@ def test_new_cartesian_fails_any_key():
 def test_new_bnl_fails_but_preexisting_bnl_passes():
     old = {"q_dedup_near": _row(joins="BHashx3,BNLx4"), "q_tpch_q6": _row(joins="-")}
     # pre-existing BNL (the intended 1-row-config pattern) is not a regression
-    assert diff_plans(old, {"q_dedup_near": _row(joins="BHashx3,BNLx4")}) == []
-    bad = diff_plans(old, {"q_tpch_q6": _row(joins="BNLx1")})
+    assert (
+        diff_plans(
+            old,
+            {"q_dedup_near": _row(joins="BHashx3,BNLx4"), "q_tpch_q6": _row(joins="-")},
+        )
+        == []
+    )
+    bad = diff_plans(
+        old,
+        {"q_dedup_near": _row(joins="BHashx3,BNLx4"), "q_tpch_q6": _row(joins="BNLx1")},
+    )
     assert len(bad) == 1 and "BNL" in bad[0]
 
 
@@ -95,3 +104,15 @@ def test_pinned_keys_are_registered():
     qs = queries()
     missing = [k for k in PINNED_KEYS if k not in qs]
     assert missing == []
+
+
+def test_pinned_key_missing_from_new_snapshot_fails():
+    """A pinned key that fails to explain this round must trip the gate,
+    not silently vanish from the table (r4 advisory)."""
+    pinned, unpinned = "q_tpch_q3", "q_join_inner"
+    assert pinned in PINNED_KEYS and unpinned not in PINNED_KEYS
+    old = {pinned: _row(), unpinned: _row()}
+    bad = diff_plans(old, {unpinned: _row()})
+    assert len(bad) == 1 and pinned in bad[0] and "missing" in bad[0]
+    # an unpinned key vanishing is tolerated (streaming/env-gated keys)
+    assert diff_plans(old, {pinned: _row()}) == []

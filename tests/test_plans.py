@@ -453,3 +453,57 @@ def test_bucketed_join_key_has_no_join_exchange(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
     assert "SelectedBucketsCount" in plan
+
+
+def test_bm25_zero_data_shuffle_topk(spark, sf_dir):
+    """q_bm25: the corpus never shuffles — the only Exchange feeds the
+    1-row corpus-stats aggregate (broadcast back as BNL), and the final
+    ranking is TakeOrderedAndProject, never a global sort."""
+    import re
+
+    plan = plan_of(spark, "q_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunk_cdc_two_exchanges(spark, sf_dir):
+    """q_chunk_cdc: content-defined chunking is doc-local; only the
+    doc_id window partitioning and the chunk-hash agg may exchange."""
+    import re
+
+    plan = plan_of(spark, "q_chunk_cdc", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_max_concurrency_no_global_window(spark, sf_dir):
+    """q_max_concurrency: the sweep-line must run per event_type
+    partition — a single-partition global window (Exchange
+    SinglePartition) would serialize the whole table through one task
+    at 100 TB."""
+    import re
+
+    plan = plan_of(spark, "q_max_concurrency", sf_dir)
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_embed_centroid_single_agg_exchange(spark, sf_dir):
+    """q_embed_centroid: posexplode is narrow; ONE (label,pos)-keyed
+    exchange carries the partial aggregates — no second shuffle, no join."""
+    import re
+
+    plan = plan_of(spark, "q_embed_centroid", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_ann_eval_no_cartesian_on_data(spark, sf_dir):
+    """q_ann_eval: every candidate set is a filter over a narrow map of
+    the one embeddings scan; the only nested-loop joins are against
+    1-row/20-row broadcast metric relations, never a data-side cross
+    product (pair formation would be quadratic at scale)."""
+    plan = plan_of(spark, "q_ann_eval", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
