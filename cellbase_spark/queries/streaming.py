@@ -116,13 +116,18 @@ def _events_stream_dir(sf_dir: str) -> str:
     single file. Stage a per-sf temp directory holding a symlink to
     events.parquet — zero data copied, and the watched dir has exactly
     the table's files."""
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     d = os.path.join(
-        tempfile.gettempdir(), "cb_stream_src_" + re.sub(r"\W", "_", sf_dir)
+        tempfile.gettempdir(), "cb_stream_src_" + re.sub(r"\W", "_", target)
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    # abspath target (a relative sf_dir would leave a link broken from any
+    # other cwd); heal a stale/broken link from a prior run
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.remove(link)
     if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(target, link)
     return d
 
 
