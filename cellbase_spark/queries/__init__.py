@@ -33,6 +33,11 @@ GATE_PRIORITY = [
     # -- NEW round-5 keys get inserted here as they land
     "q_ann_eval",
     "q_cc_iterative",
+    "q_span_dedup",
+    "q_minhash_shingle",
+    "q_cluster_size_histogram",
+    "q_tokenizer_fertility",
+    "q_data_card",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",

@@ -244,6 +244,152 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_span_dedup",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 7, 0) + 1),
+                i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))) AS span_hash
+  FROM t
+)
+SELECT span_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       MIN(doc_id) AS min_doc
+FROM s
+GROUP BY span_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, span_hash ASC
+LIMIT 100
+""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated SPAN detection (the discovery stage of
+    exact-substring dedup a la the dedup literature): every 8-token
+    sliding window is hashed, and spans appearing in >= 2 distinct
+    documents are ranked by spread — the granularity BETWEEN exact-doc
+    dedup (L1) and chunk dedup (L42): boilerplate/quote spans shared
+    across otherwise-distinct documents, which doc- and chunk-level
+    hashing both miss.
+
+    Scale shape: shingle fan-out is a narrow map (one md5 per window,
+    no token-domain shuffle); ONE shuffle keyed on the span hash with
+    map-side partial aggregation; the report is TakeOrderedAndProject
+    under a total order (n_docs desc, n_occ desc, hash asc). At 100 TB
+    the span-hash agg is the same shape as exact dedup — state per key
+    is one row."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # sequence(1, 0) descends in Spark — guard short docs explicitly
+    spans = F.expr(
+        "case when size(ws) >= 8 then transform(sequence(1, size(ws) - 7),"
+        " i -> md5(concat_ws(' ', slice(ws, i, 8)))) else array() end"
+    )
+    s = t.select("doc_id", F.explode(spans).alias("span_hash"))
+    return (
+        s.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span_hash").asc()
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_minhash_shingle",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 5
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bd a JOIN bd b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.8
+""",
+)
+def q_minhash_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over 5-WORD SHINGLES (the standard
+    web-corpus dedup configuration — Gopher/RefinedWeb use word
+    n-grams, not unigram token sets, because shingles encode word ORDER:
+    two documents with the same vocabulary but different sentences stop
+    colliding). Same 16-hash/2-band geometry and the same banded
+    equi-join plan as q_dedup_minhash; only the set elements change.
+    Docs under 5 words have no shingle and drop out (both engines)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(ws) - 4),"
+                " i -> concat_ws(' ', slice(ws, i, 5)))"
+            ).alias("toks"),
+        )
+    )
+    return minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.8,
+        bitmap_vocab_limit=4096,
+    )
+
+
+@register(
+    "q_cluster_size_histogram",
+    family="llm-dedup",
+    oracle=f"""
+SELECT csize AS cluster_size, COUNT(*) AS n_clusters
+FROM (
+  SELECT cluster_id, COUNT(*) AS csize
+  FROM ({_CLUSTERS_ORACLE})
+  GROUP BY cluster_id
+)
+GROUP BY csize
+""",
+)
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup REPORT a pipeline
+    owner reads before pulling the trigger: how much of the corpus sits
+    in singletons vs mega-cliques decides both the space saved and the
+    blast radius of a bad threshold. Two tiny aggs on top of the cluster
+    labels (cluster-keyed count, then size-keyed count) — the heavy
+    lifting is the same banded LSH + CC pipeline as q_dedup_clusters."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096,
+    )
+    cc = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@register(
     "q_cc_iterative",
     family="llm-dedup",
     oracle=_CLUSTERS_ORACLE,

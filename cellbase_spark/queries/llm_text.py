@@ -704,3 +704,60 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_meta", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    family="llm-text",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       round(CAST(SUM(n_chars) AS BIGINT)
+             / CAST(SUM(len(string_split(text, ' '))) AS BIGINT), 6)
+         AS chars_per_token,
+       round(CAST(SUM(strlen(text)) AS BIGINT)
+             / CAST(SUM(len(string_split(text, ' '))) AS BIGINT), 6)
+         AS bytes_per_token
+FROM documents
+GROUP BY lang
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars/token and bytes/token over
+    the whitespace tokenization — the number that prices a corpus in
+    model tokens (training budget, context-window packing) and exposes
+    languages a tokenizer fragments. All inputs are exact integer sums
+    (token counts, n_chars, octet lengths), so the two IEEE divisions
+    are bit-identical cross-engine.
+
+    Scale shape: one narrow map (token count per row) + ONE lang-keyed
+    agg with map-side partials; |langs| output rows."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("ntok"),
+        F.octet_length("text").alias("nbytes"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("nbytes").alias("total_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "total_bytes",
+        F.round(F.col("total_chars") / F.col("total_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("total_bytes") / F.col("total_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+    )

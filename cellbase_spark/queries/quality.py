@@ -210,3 +210,63 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_winsorized"),
     ).select("c_mktsegment", "n", "n_low", "n_high", "p05", "p95", "sum_winsorized")
+
+
+@register(
+    "q_data_card",
+    family="quality",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+), top AS (
+  SELECT source, lang AS top_lang, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS rk
+  FROM sl
+), agg AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY source
+)
+SELECT a.source, a.n_docs, a.total_tokens, a.total_chars, a.n_langs,
+       t.top_lang, round(t.c / a.n_docs, 6) AS top_lang_share
+FROM agg a JOIN top t ON a.source = t.source AND t.rk = 1
+""",
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the one-page curation summary shipped with
+    a training mix: volume (docs/tokens/chars), language breadth, and
+    dominance of the top language per source. Argmax ties break
+    alphabetically (total order), so the card is deterministic.
+
+    Scale shape: ONE source-keyed agg over the corpus (map-side
+    partials) plus a (source,lang)-count frame whose cardinality is
+    bounded by |sources| x |langs| — the ranking window runs on that
+    tiny frame, never on the data."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang").asc())
+    top = (
+        sl.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return agg.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        "top_lang",
+        F.round(F.col("c") / F.col("n_docs"), 6).alias("top_lang_share"),
+    )
