@@ -153,6 +153,51 @@ class CellTable:
 
         return cosine_topk(self.df, k=k, vec_col=vec_col, id_col=self.key_col)
 
+    def duplicated_spans(
+        self, text_col: str, window: int = 8, top: int = 100
+    ) -> DataFrame:
+        """Cross-row duplicated token spans: every `window`-token sliding
+        window hashed, spans shared by >= 2 rows ranked by spread —
+        q_span_dedup's plan (one span-hash agg + total-order top-k)."""
+        from pyspark.sql import functions as F
+
+        t = self.df.select(
+            self.key_col, F.split(F.col(text_col), " ").alias("_ws")
+        )
+        spans = F.expr(
+            f"case when size(_ws) >= {window} then"
+            f" transform(sequence(1, size(_ws) - {window - 1}),"
+            f" i -> md5(concat_ws(' ', slice(_ws, i, {window}))))"
+            " else array() end"
+        )
+        s = t.select(self.key_col, F.explode(spans).alias("span_hash"))
+        return (
+            s.groupBy("span_hash")
+            .agg(
+                F.countDistinct(self.key_col).alias("n_rows"),
+                F.count(F.lit(1)).alias("n_occ"),
+                F.min(self.key_col).alias("min_key"),
+            )
+            .where(F.col("n_rows") >= 2)
+            .orderBy(
+                F.col("n_rows").desc(),
+                F.col("n_occ").desc(),
+                F.col("span_hash").asc(),
+            )
+            .limit(top)
+        )
+
+    def data_card(self, text_col: str, group_col: str) -> DataFrame:
+        """Per-group curation card (docs, tokens, chars) — q_data_card's
+        one-agg plan, minus the language columns (schema-agnostic)."""
+        from pyspark.sql import functions as F
+
+        return self.df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("total_tokens"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+        )
+
     def set_value(self, key, column: str, value) -> "CellTable":
         """The reference's cell edit: table[key][column] = value."""
         from pyspark.sql import functions as F

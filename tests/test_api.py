@@ -269,3 +269,37 @@ def test_xlsx_export_guard_rejects_fact_tables(spark, sf_dir, tmp_path, monkeypa
     # dim-sized tables still pass under the real cap
     monkeypatch.setattr(api_mod, "XLSX_EXPORT_MAX_ROWS", 1_000_000)
     cb.table("region").save(str(tmp_path / "region.xlsx"), fmt="xlsx")
+
+
+def test_duplicated_spans_api(spark):
+    """duplicated_spans finds the shared 4-token span across two rows and
+    excludes spans unique to one row; counts and min_key are exact."""
+    from cellbase_spark.api import CellTable
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "a lazy dog the quick brown fox sits"),
+            (3, "completely different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    t = CellTable(df, "docs", key_col="doc_id")
+    got = {r["span_hash"]: (r["n_rows"], r["n_occ"], r["min_key"])
+           for r in t.duplicated_spans("text", window=4).collect()}
+    # exactly one 4-token span is shared: "the quick brown fox"
+    assert len(got) == 1
+    assert list(got.values()) == [(2, 2, 1)]
+
+
+def test_data_card_api(spark):
+    from cellbase_spark.api import CellTable
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e", "web"), (3, "f", "book")],
+        "doc_id long, text string, src string",
+    )
+    t = CellTable(df, "docs", key_col="doc_id")
+    got = {r["src"]: (r["n_rows"], r["total_tokens"], r["total_chars"])
+           for r in t.data_card("text", "src").collect()}
+    assert got == {"web": (2, 5, 8), "book": (1, 1, 1)}
