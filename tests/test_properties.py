@@ -314,3 +314,93 @@ def test_pyds_xlsx_roundtrip_typed(spark, tmp_path_factory, rows):
     back = spark.read.format("cellbase_xlsx").schema(schema).load(out)
     got = sorted((r["k"], r["s"], r["x"]) for r in back.collect())
     assert got == sorted(rows)
+
+
+docs_words = st.lists(
+    st.lists(st.sampled_from(["w0", "w1", "w2", "w3", "w4"]), min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_words)
+@SETTINGS
+def test_span_hash_counts_match_python_reference(spark, docs):
+    """q_span_dedup's distributed span-hash aggregation equals a pure
+    Python sliding-window reference on the same corpus: per duplicated
+    span, (distinct docs, occurrences, min doc) all agree, and spans in
+    only one doc never surface."""
+    import hashlib
+    from collections import defaultdict
+
+    W = 4  # smaller window than production so tiny docs exercise it
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    # python reference
+    by_hash: dict = defaultdict(lambda: [set(), 0])
+    for i, ws in enumerate(docs):
+        for j in range(max(len(ws) - W + 1, 0)):
+            h = hashlib.md5(" ".join(ws[j : j + W]).encode()).hexdigest()
+            by_hash[h][0].add(i)
+            by_hash[h][1] += 1
+    want = {
+        h: (len(d), n, min(d)) for h, (d, n) in by_hash.items() if len(d) >= 2
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = df.select("doc_id", F.split("text", " ").alias("ws"))
+    spans = F.expr(
+        f"case when size(ws) >= {W} then transform(sequence(1, size(ws) - {W - 1}),"
+        f" i -> md5(concat_ws(' ', slice(ws, i, {W})))) else array() end"
+    )
+    got = {
+        r["span_hash"]: (r["n_docs"], r["n_occ"], r["min_doc"])
+        for r in (
+            t.select("doc_id", F.explode(spans).alias("span_hash"))
+            .groupBy("span_hash")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occ"),
+                F.min("doc_id").alias("min_doc"),
+            )
+            .where(F.col("n_docs") >= 2)
+            .collect()
+        )
+    }
+    assert got == want
+
+
+@given(ws=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=5, max_size=12))
+@SETTINGS
+def test_shingles_encode_word_order(spark, ws):
+    """5-word shingle sets match the Python reference, and (unlike token
+    sets) reversing the document changes the shingle set whenever the
+    word sequence is not a palindrome — the property that makes
+    q_minhash_shingle order-sensitive."""
+    df = spark.createDataFrame([(0, " ".join(ws))], "doc_id long, text string")
+    t = df.select(F.split("text", " ").alias("ws")).select(
+        F.expr(
+            "transform(sequence(1, size(ws) - 4),"
+            " i -> concat_ws(' ', slice(ws, i, 5)))"
+        ).alias("sh")
+    )
+    got = set(t.collect()[0]["sh"])
+    want = {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+    assert got == want
+
+
+def test_shingles_distinguish_reordered_docs(spark):
+    """Order-sensitivity witness: two docs with identical token SETS but
+    different word order share no 5-shingle — exactly the near-dup false
+    positive q_minhash_shingle eliminates vs unigram-set MinHash."""
+    a = "a b c d e f g h"
+    b = "h g f e d c b a"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sh = df.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 4),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+        ).alias("sh"),
+    ).collect()
+    s0, s1 = (set(r["sh"]) for r in sh)
+    assert set(a.split()) == set(b.split())  # token sets identical
+    assert not (s0 & s1)  # shingle sets disjoint
