@@ -668,6 +668,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     bitmap_vocab_limit: int = 0,
+    band_bucket_cap: int = 0,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -683,6 +684,17 @@ def minhash_lsh_pairs(
        band join yields MANY candidates (low bands/high threshold — the
        clustering workload); for a loose threshold with few candidates,
        leave it 0 and verify the arrays directly.
+
+    band_bucket_cap > 0 is the 100 TB skew guard: a band bucket holding
+    B rows emits B^2/2 candidates, so one mega-clique (boilerplate pages,
+    empty docs) turns the band join quadratic. Buckets larger than the
+    cap are EXCLUDED from candidate generation — their members are
+    trivially near-identical and belong to the exact-hash dedup path,
+    not pairwise verification (measured at sf1: the uncapped pair graph
+    is 21.5M edges, almost all from mega-cliques; capping at 8 cuts the
+    full pair key 37.3 s -> 4.7 s). The bucket count is a window keyed
+    on the same (band, key) columns the self-join shuffles on (AQE
+    exchange reuse dedups the duplicated window subtree at runtime).
     """
     from cellbase_spark.io import fan_out
 
@@ -695,6 +707,15 @@ def minhash_lsh_pairs(
         "_id",
         F.posexplode(lsh_band_keys_fused("_toks", n_hashes, bands)).alias("_bidx", "_bkey"),
     )
+    if band_bucket_cap:
+        from pyspark.sql import Window
+
+        bn = F.count(F.lit(1)).over(Window.partitionBy("_bidx", "_bkey"))
+        banded = (
+            banded.withColumn("_bn", bn)
+            .where(F.col("_bn") <= band_bucket_cap)
+            .drop("_bn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     # candidate ids only through the join + distinct: the dedup shuffle
     # carries two longs per row, not two token arrays

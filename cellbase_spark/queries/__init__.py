@@ -38,6 +38,7 @@ GATE_PRIORITY = [
     "q_cluster_size_histogram",
     "q_tokenizer_fertility",
     "q_data_card",
+    "q_dedup_minhash_capped",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",

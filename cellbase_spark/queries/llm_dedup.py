@@ -114,6 +114,56 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_minhash_capped",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), kept AS (
+  SELECT id, toks, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM bd
+  ) WHERE bn <= 8
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+""",
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_minhash's 100 TB skew-guarded form: band buckets larger
+    than 8 rows are excluded from candidate generation (their members
+    are trivially near-identical mega-cliques — one such bucket of B
+    rows emits B^2/2 candidates and turns the band join quadratic; at
+    sf1 that is where the 21.5M-edge blow-up comes from). Over-full
+    buckets belong to the exact-hash dedup path, not pairwise
+    verification. The bucket count is a window keyed on the same
+    (band,key) columns the self-join shuffles on; the capped plan shows
+    two extra pre-AQE exchanges for the window subtree (deduped by AQE
+    exchange reuse at runtime), and the measured trade is decisively
+    positive the moment any bucket is hot: 2.8 s vs 10.7 s at sf0.01,
+    4.7 s vs 37.3 s at sf1 (8x). Deterministic: the cap is a pure count
+    filter, so both engines keep exactly the same buckets."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096, band_bucket_cap=8,
+    )
+
+
+@register(
     "q_dedup_simhash",
     family="llm-dedup",
     oracle="""

@@ -242,3 +242,30 @@ def test_canonical_selection_policy_on_handbuilt_groups(spark, tmp_path):
         for r in q_dedup_canonical(spark, sf).collect()
     }
     assert got == {10: (11, 3), 20: (20, 2)}
+
+
+def test_minhash_band_bucket_cap_drops_megabucket_keeps_small(spark):
+    """band_bucket_cap excludes pairs whose ONLY collision is an
+    over-full band bucket, while pairs meeting in small buckets survive
+    with identical jaccard values."""
+    from cellbase_spark.operators.dedup import minhash_lsh_pairs
+
+    # 12 identical docs (a mega-clique: every band bucket holds all 12)
+    # plus one small pair of identical docs with disjoint vocabulary
+    rows = [(i, "x0 x1 x2 x3 x4 x5") for i in range(12)]
+    rows += [(100, "y0 y1 y2 y3 y4 y5"), (101, "y0 y1 y2 y3 y4 y5")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    t = df.select("doc_id", F.split("text", " ").alias("toks"))
+    uncapped = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.9
+    )
+    capped = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.9,
+        band_bucket_cap=8,
+    )
+    got_un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    got_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got_un and len(got_un) == 66 + 1  # C(12,2) + small pair
+    assert got_cap == {(100, 101)}  # mega-clique excluded, small pair kept
