@@ -39,6 +39,7 @@ GATE_PRIORITY = [
     "q_tokenizer_fertility",
     "q_data_card",
     "q_dedup_minhash_capped",
+    "q_dedup_full",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",

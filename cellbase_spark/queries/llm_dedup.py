@@ -440,6 +440,110 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_full",
+    family="llm-dedup",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), kept AS (
+  SELECT id, toks, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM bd
+  ) WHERE bn <= 8
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+), npairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+  WHERE len(list_intersect(ta.toks, tb.toks))
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+), hstar AS (
+  SELECT min_id AS id_a, doc_id AS id_b FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS min_id
+    FROM documents
+  ) WHERE doc_id <> min_id
+), fstar AS (
+  SELECT min_id AS id_a, id AS id_b FROM (
+    SELECT id,
+           MIN(id) OVER (
+             PARTITION BY md5(array_to_string(list_sort(toks), ' '))) AS min_id
+    FROM t
+  ) WHERE id <> min_id
+), alle AS (
+  SELECT id_a, id_b FROM npairs
+  UNION SELECT id_a, id_b FROM hstar
+  UNION SELECT id_a, id_b FROM fstar
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM alle UNION SELECT id_b, id_a FROM alle
+), reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT t.id AS doc_id,
+       least(t.id, coalesce(MIN(r.v), t.id)) AS cluster_id,
+       least(t.id, coalesce(MIN(r.v), t.id)) = t.id AS is_canonical
+FROM t LEFT JOIN reach r ON t.id = r.u
+GROUP BY t.id
+""",
+)
+def q_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline as a 100 TB deployment composes it —
+    three edge generators, each LINEAR where the naive form is quadratic,
+    into ONE connected-components pass:
+
+    1. exact duplicates: normalized-content-hash STAR edges (doc -> min
+       doc of its hash group: B-1 edges for a B-copy clique, not B^2/2);
+    2. Jaccard-1.0 duplicates: token-set FINGERPRINT star edges
+       (md5 of the sorted distinct token set — docs with identical sets
+       are exactly the maximal signature-colliding cliques that blow up
+       LSH buckets, and J=1.0 >= any threshold makes star-linking them
+       correct, not approximate);
+    3. the 0.95 <= J < 1 tail: skew-guarded MinHash-LSH
+       (band_bucket_cap=8, q_dedup_minhash_capped's geometry).
+
+    Documented accuracy trade: pairs with 0.95 <= J < 1 whose ONLY band
+    collisions happen inside over-full buckets are missed — the cap's
+    residual loss after fingerprint stars absorb every J=1.0 clique.
+
+    Scale evidence (sf1, .localdata, local[32]): the uncapped cluster
+    pipeline costs ~117 s on a 21.5M-edge pair graph; this composition
+    reduces the SAME corpus to ~17k star + capped-pair edges and runs
+    end-to-end in ~6 s (measured round 5, BASELINE.md)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    npairs = minhash_lsh_pairs(
+        t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096, band_bucket_cap=8,
+    ).select("id_a", "id_b")
+    from pyspark.sql.window import Window as W
+
+    grp = F.md5(F.lower(F.trim(F.col("text"))))
+    star = (
+        d.select("doc_id", grp.alias("_grp"))
+        .withColumn("_root", F.min("doc_id").over(W.partitionBy("_grp")))
+        .where(F.col("doc_id") != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks")))))
+    fstar = (
+        t.select("doc_id", fp.alias("_fp"))
+        .withColumn("_root", F.min("doc_id").over(W.partitionBy("_fp")))
+        .where(F.col("doc_id") != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    edges = npairs.unionByName(star).unionByName(fstar)
+    return connected_components(d.select("doc_id"), edges, id_col="doc_id")
+
+
+@register(
     "q_cc_iterative",
     family="llm-dedup",
     oracle=_CLUSTERS_ORACLE,
