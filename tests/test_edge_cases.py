@@ -251,3 +251,76 @@ def test_winsorize_invariants(spark, sf_dir):
         assert 0 <= r["n_low"] <= r["n"] and 0 <= r["n_high"] <= r["n"]
         # clamped sum must lie within [n*p05, n*p95]
         assert r["n"] * r["p05"] - 1e-6 <= r["sum_winsorized"] <= r["n"] * r["p95"] + 1e-6
+
+
+def _docs_sf(spark, tmp_path, rows):
+    """Write a minimal documents.parquet corpus and return its sf dir."""
+    import os
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    sf = str(tmp_path / "sfmini")
+    os.makedirs(sf, exist_ok=True)
+    df.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_span_dedup_short_docs_yield_no_spans(spark, tmp_path):
+    """Docs under the 8-token window contribute zero spans (no crash from
+    Spark's descending sequence(1, n<1)); unique long docs surface no rows."""
+    from cellbase_spark.queries.llm_dedup import q_span_dedup
+
+    rows = [
+        (1, "a b c", "en", "web", 5),
+        (2, "", "en", "web", 0),
+        (3, "one two three four five six seven eight nine", "en", "web", 40),
+    ]
+    assert q_span_dedup(spark, _docs_sf(spark, tmp_path, rows)).count() == 0
+
+
+def test_dedup_full_exact_only_corpus(spark, tmp_path):
+    """A corpus whose only duplication is exact copies clusters entirely
+    through the star edges: every copy labels to the min doc_id and the
+    clusters match exact_dedup's groups."""
+    from cellbase_spark.queries.llm_dedup import q_dedup_full
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (2, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (7, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (3, "one two three four five six", "en", "web", 27),
+        (4, "totally different words appear here", "en", "web", 35),
+    ]
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in q_dedup_full(spark, _docs_sf(spark, tmp_path, rows)).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        7: (1, False),
+        3: (3, True),
+        4: (4, True),
+    }
+
+
+def test_dedup_full_fingerprint_star_links_reordered_sets(spark, tmp_path):
+    """Two docs with identical token SETS but different order (J=1.0,
+    not byte-exact) must cluster together via the fingerprint star even
+    when the LSH bucket cap would have dropped their band bucket."""
+    from cellbase_spark.queries.llm_dedup import q_dedup_full
+
+    words = "w0 w1 w2 w3 w4 w5 w6 w7"
+    rev = " ".join(words.split()[::-1])
+    # 12 copies of the same token set (cap=8 drops every band bucket)
+    rows = [(i, words if i % 2 == 0 else rev, "en", "web", 31) for i in range(12)]
+    rows.append((99, "unrelated vocabulary entirely here now", "en", "web", 38))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_full(spark, _docs_sf(spark, tmp_path, rows)).collect()
+    }
+    assert all(got[i] == 0 for i in range(12))  # one cluster rooted at min id
+    assert got[99] == 99
