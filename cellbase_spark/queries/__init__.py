@@ -24,11 +24,7 @@ GATE_PRIORITY = [
     # -- changed this round: r4 red-row fix + re-keyed canonical
     "q_agg_approx_percentile",
     "q_dedup_canonical",
-    # -- changed this round: scratch-path scoping / conf scoping
-    "q_dpp_join",
-    "q_bucketed_join",
-    "q_partitioned_write",
-    "q_scan_jsonl",
+    # -- changed this round: recursion-limit scoping (plan changed)
     "q_sql_recursive",
     # -- NEW round-5 keys get inserted here as they land
     "q_ann_eval",
@@ -93,6 +89,12 @@ GATE_PRIORITY = [
     "q_sample_weighted",
     "q_bpe_pairs",
     "q_scan_text",
+    # -- scratch-path scoping only (behavior identical, gated r2/r4;
+    # re-witness when prefix room allows — local battery covers them)
+    "q_dpp_join",
+    "q_bucketed_join",
+    "q_partitioned_write",
+    "q_scan_jsonl",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
