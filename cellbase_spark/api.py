@@ -125,9 +125,17 @@ class CellTable:
             threshold=threshold,
         )
 
-    def dedup_clusters(self, text_col: str, threshold: float = 0.95) -> DataFrame:
+    def dedup_clusters(
+        self,
+        text_col: str,
+        threshold: float = 0.95,
+        band_bucket_cap: int = 0,
+    ) -> DataFrame:
         """Cluster near-duplicates (MinHash-LSH pairs -> connected
-        components); returns (key, cluster_id, is_canonical) per row."""
+        components); returns (key, cluster_id, is_canonical) per row.
+        band_bucket_cap > 0 enables the 100 TB skew guard (over-full
+        band buckets excluded — pair with exact-hash dedup for the
+        mega-cliques; see q_dedup_full for the full composition)."""
         from pyspark.sql import functions as F
 
         from cellbase_spark.operators.dedup import (
@@ -141,6 +149,7 @@ class CellTable:
         pairs = minhash_lsh_pairs(
             t, id_col=self.key_col, tokens_col="_toks", bands=2,
             threshold=threshold, bitmap_vocab_limit=4096,
+            band_bucket_cap=band_bucket_cap,
         )
         return connected_components(
             self.df.select(self.key_col), pairs, id_col=self.key_col

@@ -135,12 +135,15 @@ def decode_ppm(data: bytes):
 
 
 def decode_image(payload: bytes):
-    """Real image decode: uncompressed formats natively (BMP, P6 PPM),
-    compressed formats through the PIL seam where available."""
+    """Real image decode: BMP / P6 PPM natively, PNG (8-bit truecolor)
+    via the stdlib-zlib codec below, other compressed formats through
+    the PIL seam where available."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     try:  # pragma: no cover - no codec libs in this container
         import io as _io
 
@@ -327,3 +330,146 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_len: int = 16) -> Data
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img, filter_type: int = 0) -> bytes:
+    """Write an (H, W, 3|4) uint8 array as a real PNG (8-bit truecolor,
+    non-interlaced, single IDAT, zlib from the stdlib — no codec libs).
+    `filter_type` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) so tests can exercise every decode path."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    color_type = {3: 2, 4: 6}[ch]
+    raw = img.astype(np.int16)
+    lines = []
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        row = raw[y]
+        left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Parse a PNG (8-bit truecolor RGB/RGBA, non-interlaced) into an
+    (H, W, C) uint8 array: real chunk walk (length/type/crc), multi-IDAT
+    concatenation, zlib inflate, and all five scanline unfilters. Other
+    color types / bit depths raise NotImplementedError (the documented
+    codec seam — palette/gray/16-bit need no new plumbing, only more
+    unfilter lanes)."""
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != struct.unpack_from(
+            ">I", data, pos + 8 + ln
+        )[0]:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color_type={color_type})"
+                )
+            ch = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int16)
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int16)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ftype == 1:
+                    rec[i] = (line[i] + a) % 256
+                elif ftype == 3:
+                    rec[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    rec[i] = (line[i] + _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, ch)

@@ -36,6 +36,7 @@ GATE_PRIORITY = [
     "q_data_card",
     "q_dedup_minhash_capped",
     "q_dedup_full",
+    "q_mm_decode_png",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",

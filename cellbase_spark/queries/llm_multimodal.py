@@ -74,6 +74,63 @@ def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_png",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(8 + doc_id % 5 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+            flatten(list_transform(range(0, 8 + doc_id % 5), x ->
+              list_transform(range(0, 3),
+                             c -> (doc_id + 7*y + 3*x + c) % 256)))))) AS BIGINT)
+         AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: each doc gets a deterministic
+    (8 x 8+doc_id%5) RGB image (pixel[y,x,c] = (doc_id+7y+3x+c) % 256),
+    encoded as a genuine PNG — stdlib-zlib DEFLATE, CRC-checked chunks —
+    with scanline filter doc_id % 5, so all five PNG filters (None/Sub/
+    Up/Average/Paeth) are exercised under the official gate; then
+    decoded back by the independent parser and reduced to the pixel sum.
+    The oracle computes the expected sum straight from the pixel formula
+    WITHOUT any codec: the hash can only match if inflate + unfilter
+    reconstruct every byte. Plumbing is the standard bounded-memory
+    Arrow mapInPandas asset kernel; per-doc width variation also pins
+    the variable-stride path."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 8 + doc_id % 5
+                y, x, c = np.meshgrid(
+                    np.arange(8), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((doc_id + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+                arr = decode_png(encode_png(img, filter_type=doc_id % 5))
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+@register(
     "q_mm_decode_meta",
     family="llm-multimodal",
     oracle="""

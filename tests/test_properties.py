@@ -404,3 +404,25 @@ def test_shingles_distinguish_reordered_docs(spark):
     s0, s1 = (set(r["sh"]) for r in sh)
     assert set(a.split()) == set(b.split())  # token sets identical
     assert not (s0 & s1)  # shingle sets disjoint
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    ch=st.sampled_from([3, 4]),
+    f=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SETTINGS
+def test_png_codec_roundtrip_property(h, w, ch, f, seed):
+    """decode_png(encode_png(img, filter)) == img for every image shape,
+    RGB and RGBA, and ALL five scanline filters — the inflate+unfilter
+    inverse that q_mm_decode_png's oracle hash depends on. Pure local
+    kernels: no SparkSession needed."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=f)), img)
