@@ -61,7 +61,7 @@ def test_real_decoder_seam_raises_without_codecs():
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(b"\x89PNG\r\n")
+            mm.decode_image(b"\xff\xd8\xff\xe0")
 
 
 def test_bmp_roundtrip_including_padding():
@@ -105,5 +105,12 @@ def test_decode_image_compressed_needs_pil():
         pytest.skip("PIL present; compressed path exercised elsewhere")
     except ImportError:
         pass
+    # PNG now decodes natively (stdlib-zlib codec); the PIL seam is for
+    # formats without a native path, e.g. JPEG
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0not-really-a-jpeg")
+    # a malformed PNG fails loudly in the native codec, never silently
+    import struct as _struct
+
+    with pytest.raises((ValueError, NotImplementedError, _struct.error)):
         decode_image(b"\x89PNG\r\n\x1a\nnot-really-a-png")
