@@ -7,15 +7,20 @@ Arrow ships each partition to Python in record batches, pandas/numpy works
 on the raw bytes vectorized, and the iterator contract keeps memory
 bounded per batch regardless of table size.
 
-Codec reality in this container: compressed formats (JPEG/PNG/video/
-audio) need PIL/ffmpeg/librosa, which are absent — `decode_image` keeps
-that seam (PIL import-try, NotImplementedError with a clear message).
-UNCOMPRESSED images are decoded for real: `decode_bmp`/`decode_ppm`
-(stdlib struct + numpy) parse 24-bit BI_RGB BMP (bottom-up rows, BGR,
-4-byte row padding) and binary P6 PPM, and `encode_bmp` writes the
-format so round-trips are testable end to end. `fake_decode_meta` /
-`sample_frames` remain the deterministic byte-level kernels that keep
-the Arrow plumbing oracle-checkable for arbitrary payloads.
+Codec reality in this container: PIL/ffmpeg/librosa are absent, so
+formats NEEDING them (JPEG, video containers, lossy audio) keep the
+import-try seam in `decode_image` (NotImplementedError with a clear
+message). Everything else is decoded FOR REAL with stdlib + numpy:
+- images: 24-bit BI_RGB BMP (`decode_bmp`, bottom-up rows, BGR, 4-byte
+  padding), binary P6 PPM (`decode_ppm`), and PNG 8-bit truecolor
+  (`decode_png` — CRC-checked chunk walk, stdlib-zlib inflate, all five
+  scanline unfilters; `encode_png` emits any fixed filter for tests);
+- audio: mono PCM16 WAV (`decode_wav` — RIFF chunk walk with word-
+  aligned unknown-chunk skip; `encode_wav`).
+Matching encoders make every round-trip testable end to end.
+`fake_decode_meta` / `sample_frames` remain the deterministic
+byte-level kernels that keep the Arrow plumbing oracle-checkable for
+arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -473,3 +478,59 @@ def decode_png(data: bytes):
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = rec.astype(np.uint8)
     return out.reshape(h, w, ch)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Write a 1-D int16 array as a real mono PCM16 WAV (RIFF header,
+    fmt + data chunks) — the uncompressed-audio format as real writers
+    emit it; stdlib struct only."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(data: bytes):
+    """Parse a mono PCM16 WAV into (samples int16 array, sample_rate):
+    real RIFF chunk walk (fmt before data, unknown chunks skipped with
+    word alignment). Compressed/float/multichannel raise
+    NotImplementedError — the documented audio-codec seam."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body_at = pos + 8
+        if ctype == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body_at
+            )
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only mono PCM16 WAV supported "
+                    f"(fmt={audio_fmt}, channels={n_ch}, bits={bits})"
+                )
+        elif ctype == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            return (
+                np.frombuffer(data, "<i2", ln // 2, body_at).copy(),
+                rate,
+            )
+        pos = body_at + ln + (ln & 1)  # RIFF chunks are word-aligned
+    raise ValueError("WAV missing data chunk")

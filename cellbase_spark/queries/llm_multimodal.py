@@ -131,6 +131,68 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_wav",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(64 + doc_id % 17 AS INT) AS n_samples,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(list_sum(list_transform(range(0, 64 + doc_id % 17),
+            i -> (doc_id * 13 + i * 7) % 4096 - 2048)) AS BIGINT) AS samp_sum,
+       CAST(list_min(list_transform(range(0, 64 + doc_id % 17),
+            i -> (doc_id * 13 + i * 7) % 4096 - 2048)) AS INT) AS samp_min,
+       CAST(list_max(list_transform(range(0, 64 + doc_id % 17),
+            i -> (doc_id * 13 + i * 7) % 4096 - 2048)) AS INT) AS samp_max
+FROM documents
+""",
+)
+def q_mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: each doc gets a deterministic PCM16 waveform
+    (sample[i] = (doc_id*13 + i*7) % 4096 - 2048, n = 64 + doc_id%17,
+    rate = 8000 + (doc_id%3)*4000), encoded as a genuine mono PCM16 WAV
+    (RIFF/fmt/data chunks) and decoded back by the independent RIFF
+    parser; the emitted sample stats are oracle-verified straight from
+    the formula — the hash matches only if the chunk walk and int16
+    little-endian raster reconstruct every sample. Variable n_samples
+    and sample_rate per doc pin the header fields too. Same
+    bounded-memory Arrow mapInPandas shape as the image kernels."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 64 + doc_id % 17
+                i = np.arange(n, dtype=np.int64)
+                samples = ((doc_id * 13 + i * 7) % 4096 - 2048).astype(np.int16)
+                rate_in = 8000 + (doc_id % 3) * 4000
+                back, rate = decode_wav(encode_wav(samples, rate_in))
+                out.append(
+                    (doc_id, len(back), rate,
+                     int(back.astype(np.int64).sum()),
+                     int(back.min()), int(back.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "samp_sum", "samp_min", "samp_max",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id long, n_samples int, sample_rate int,"
+        " samp_sum long, samp_min int, samp_max int",
+    )
+
+
+@register(
     "q_mm_decode_meta",
     family="llm-multimodal",
     oracle="""

@@ -114,3 +114,27 @@ def test_decode_image_compressed_needs_pil():
 
     with pytest.raises((ValueError, NotImplementedError, _struct.error)):
         decode_image(b"\x89PNG\r\n\x1a\nnot-really-a-png")
+
+
+def test_wav_roundtrip_and_chunk_skip():
+    """encode_wav/decode_wav are independent paths: sample-exact
+    round-trip incl. rate, and an odd-length unknown chunk between fmt
+    and data is skipped with RIFF word alignment."""
+    import struct as st
+
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, 777, dtype=np.int16)
+    back, rate = decode_wav(encode_wav(s, 8000))
+    assert np.array_equal(s, back) and rate == 8000
+    raw = encode_wav(s)
+    injected = raw[:12] + b"LIST" + st.pack("<I", 3) + b"abc\x00" + raw[12:]
+    back2, _ = decode_wav(injected)
+    assert np.array_equal(s, back2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
