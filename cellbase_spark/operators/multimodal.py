@@ -16,7 +16,10 @@ message). Everything else is decoded FOR REAL with stdlib + numpy:
   (`decode_png` — CRC-checked chunk walk, stdlib-zlib inflate, all five
   scanline unfilters; `encode_png` emits any fixed filter for tests);
 - audio: mono PCM16 WAV (`decode_wav` — RIFF chunk walk with word-
-  aligned unknown-chunk skip; `encode_wav`).
+  aligned unknown-chunk skip; `encode_wav`);
+- video: YUV4MPEG2 / Y4M C444 8-bit (`decode_y4m` — header-token parse
+  with unknown-token skip, FRAME-marker walk, planar reassembly;
+  `encode_y4m`).
 Matching encoders make every round-trip testable end to end.
 `fake_decode_meta` / `sample_frames` remain the deterministic
 byte-level kernels that keep the Arrow plumbing oracle-checkable for
@@ -534,3 +537,62 @@ def decode_wav(data: bytes):
             )
         pos = body_at + ln + (ln & 1)  # RIFF chunks are word-aligned
     raise ValueError("WAV missing data chunk")
+
+
+def encode_y4m(frames, fps: str = "25:1") -> bytes:
+    """Write an (N, H, W, 3) uint8 YUV array as a real YUV4MPEG2 (Y4M)
+    stream, C444 8-bit: the uncompressed video interchange format
+    ffmpeg/mplayer read — stream header line + FRAME-delimited planar
+    rasters."""
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C444\n".encode()]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        for c in range(3):  # planar: full Y plane, then U, then V
+            out.append(frames[f, :, :, c].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes):
+    """Parse a C444 8-bit Y4M stream into (N, H, W, 3) uint8 YUV: real
+    header-token parsing (W/H/C, unknown tokens skipped), FRAME-marker
+    walk, planar raster reassembly. Subsampled chroma (C420/C422) raises
+    NotImplementedError — the documented video-codec seam."""
+    import numpy as np
+
+    eol = data.index(b"\n")
+    header = data[:eol].decode("ascii", "replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420jpeg"  # Y4M default when the C token is absent
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise NotImplementedError(
+            f"only C444 8-bit supported (got {colorspace})"
+        )
+    plane = w * h
+    pos = eol + 1
+    frames = []
+    while pos < len(data):
+        fe = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = fe + 1
+        yuv = np.frombuffer(data, np.uint8, plane * 3, pos)
+        frames.append(
+            np.stack([yuv[c * plane : (c + 1) * plane].reshape(h, w) for c in range(3)], axis=2)
+        )
+        pos += plane * 3
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)

@@ -38,6 +38,7 @@ GATE_PRIORITY = [
     "q_dedup_full",
     "q_mm_decode_png",
     "q_mm_decode_wav",
+    "q_mm_decode_y4m",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",

@@ -193,6 +193,71 @@ def q_mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_y4m",
+    family="llm-multimodal",
+    oracle="""
+SELECT d.doc_id,
+       CAST(f.f AS INT) AS frame_idx,
+       CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+            list_transform(range(0, 4 + d.doc_id % 3), x ->
+              (d.doc_id + 11*f.f + 3*y + x) % 256)))) AS BIGINT) AS y_sum,
+       CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+            list_transform(range(0, 4 + d.doc_id % 3), x ->
+              (d.doc_id + 11*f.f + 3*y + x + 97) % 256)))) AS BIGINT) AS u_sum,
+       CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+            list_transform(range(0, 4 + d.doc_id % 3), x ->
+              (d.doc_id + 11*f.f + 3*y + x + 194) % 256)))) AS BIGINT) AS v_sum
+FROM documents d CROSS JOIN (SELECT unnest(range(0, 3)) AS f) f
+""",
+)
+def q_mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode with per-frame expansion: each doc gets a
+    deterministic 3-frame C444 Y4M clip (plane[c][f,y,x] =
+    (doc_id + 11f + 3y + x + 97c) % 256, width varies per doc), encoded
+    as a genuine YUV4MPEG2 stream and decoded by the independent parser;
+    one OUTPUT ROW PER FRAME with per-plane sums, oracle-verified
+    straight from the formula. This is the video half of the modality
+    triple (PNG image / WAV audio / Y4M video) — the one-asset-to-
+    many-frames expansion the frame-sampling kernels do, now through a
+    real container format."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 4 + doc_id % 3
+                f, y, x, c = np.meshgrid(
+                    np.arange(3), np.arange(4), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                clip = ((doc_id + 11 * f + 3 * y + x + 97 * c) % 256).astype(
+                    np.uint8
+                )
+                frames = decode_y4m(encode_y4m(clip))
+                for fi in range(frames.shape[0]):
+                    out.append(
+                        (doc_id, fi,
+                         int(frames[fi, :, :, 0].astype(np.int64).sum()),
+                         int(frames[fi, :, :, 1].astype(np.int64).sum()),
+                         int(frames[fi, :, :, 2].astype(np.int64).sum()))
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "y_sum", "u_sum", "v_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id long, frame_idx int, y_sum long, u_sum long, v_sum long",
+    )
+
+
+@register(
     "q_mm_decode_meta",
     family="llm-multimodal",
     oracle="""

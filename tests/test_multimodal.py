@@ -138,3 +138,23 @@ def test_wav_roundtrip_and_chunk_skip():
 
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_y4m_roundtrip_and_header_tolerance():
+    """encode_y4m/decode_y4m round-trip frame-exact; unknown header
+    tokens are skipped; chroma-subsampled streams hit the documented
+    seam."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 256, (5, 6, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_y4m(encode_y4m(v)), v)
+    raw = encode_y4m(v).replace(b"C444\n", b"C444 XCUSTOM=1\n")
+    assert np.array_equal(decode_y4m(raw), v)
+    with pytest.raises(NotImplementedError):
+        decode_y4m(encode_y4m(v).replace(b"C444", b"C420"))
+    with pytest.raises(ValueError):
+        decode_y4m(b"NOTY4M W1 H1\n")
