@@ -596,3 +596,38 @@ def decode_y4m(data: bytes):
         )
         pos += plane * 3
     return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
+def sniff_modality(payload: bytes) -> str:
+    """Classify an opaque asset payload by magic bytes — the dispatch a
+    mixed-modality lake performs before routing to a decoder: 'image'
+    (PNG/BMP/PPM), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2), else
+    'unknown' (route to the quarantine/codec-seam path)."""
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        or payload[:2] == b"BM"
+        or payload[:2] == b"P6"
+    ):
+        return "image"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio"
+    if payload[:9] == b"YUV4MPEG2":
+        return "video"
+    return "unknown"
+
+
+def decode_asset(payload: bytes):
+    """Unified decode: sniff the modality, route to the real codec, and
+    return (modality, flat int64 value array) — pixels for images,
+    samples for audio, all planes for video frames."""
+    import numpy as np
+
+    kind = sniff_modality(payload)
+    if kind == "image":
+        return kind, decode_image(payload).astype(np.int64).ravel()
+    if kind == "audio":
+        samples, _rate = decode_wav(payload)
+        return kind, samples.astype(np.int64)
+    if kind == "video":
+        return kind, decode_y4m(payload).astype(np.int64).ravel()
+    raise NotImplementedError("unknown asset format (no magic match)")
