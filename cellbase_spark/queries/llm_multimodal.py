@@ -2,12 +2,19 @@
 as opaque binary + typed metadata, decode/feature/frame-sample as Arrow
 Pandas-UDF pipelines — SURVEY.md §2.8 family, multimodal extension).
 
-The binary payload is the UTF-8 encoding of documents.text (a stand-in
-for the real asset bytes; verified pure ASCII, so the DuckDB oracle can
-re-derive every byte-level feature from the text column). The decode
-kernels are deliberately codec-free (operators/multimodal.py) — the
-graded substance is the Spark plumbing: BinaryType columns, mapInPandas
-batch iteration, one-asset-to-many-frames expansion, schema contracts.
+Two tiers of keys:
+- byte-level kernels (decode_meta/frames/resize/features): the binary
+  payload is the UTF-8 encoding of documents.text (a stand-in for the
+  asset bytes; verified pure ASCII, so the DuckDB oracle re-derives
+  every byte-level feature from the text column) — these grade the
+  Spark plumbing: BinaryType columns, mapInPandas batch iteration,
+  one-asset-to-many-frames expansion, schema contracts.
+- REAL-codec keys (decode_real/png/wav/y4m/mixed_corpus): genuine
+  BMP/PNG/WAV/Y4M payloads authored from per-doc integer formulas,
+  decoded by the independent stdlib-only codecs in
+  operators/multimodal.py; the oracle computes the expected stats
+  straight from the formulas, so a hash match proves the codec path
+  (sniff, chunk walk, inflate, unfilter, raster order) byte-exact.
 """
 
 from __future__ import annotations
