@@ -40,6 +40,7 @@ GATE_PRIORITY = [
     "q_mm_decode_wav",
     "q_mm_decode_y4m",
     "q_mm_mixed_corpus",
+    "q_stream_run_timer",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",

@@ -721,3 +721,96 @@ def q_stream_run_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir).select(
         "user_id", "ts", "event_type", "value"
     )
+
+
+def _two_batch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as two time-ordered parquet files (split at the
+    midpoint of the ts span) with deterministic mtimes, so
+    maxFilesPerTrigger=1 yields exactly two ascending micro-batches —
+    the minimal shape under which event-time TIMERS can fire mid-stream
+    (batch 1 runs under the watermark advanced by batch 0)."""
+    import glob as _glob
+    import shutil
+
+    tag = re.sub(r"\W", "_", os.path.abspath(sf_dir)) + f"_{os.getpid()}"
+    out = os.path.join(tempfile.gettempdir(), f"cb_stream_twobatch_{tag}")
+    if os.path.isdir(out) and _glob.glob(os.path.join(out, "*.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax")).first()
+    mid = b["tmin"] + (b["tmax"] - b["tmin"]) / 2
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid)]
+    ):
+        part_dir = os.path.join(out, f"_b{i}")
+        e.where(cond).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(part_dir)
+    return out
+
+
+@register(
+    "q_stream_run_timer",
+    family="stream",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms
+  FROM events
+), x AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 3600000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), g AS (
+  SELECT user_id, ts_ms,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+), s AS (
+  SELECT user_id, sid,
+         MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+         COUNT(*) AS n_events
+  FROM g GROUP BY user_id, sid
+), m AS (
+  SELECT MAX(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)) AS tmax
+  FROM events
+), r AS (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY start_ms DESC) AS rk_desc
+  FROM s
+)
+SELECT user_id, start_ms, end_ms, n_events
+FROM r, m
+WHERE rk_desc > 1 OR end_ms + 3600000 <= tmax - 600000
+""",
+)
+def q_stream_run_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS through the real streaming engine:
+    transformWithStateInPandas sessionization (1-hour gap) where every
+    user's open session holds ONE registered timer at session_end + gap,
+    re-armed on each extension, and handleExpiredTimer closes the
+    session once the watermark passes it (streaming/tws.py
+    SessionGapProcessor). Runs over two deterministic ascending
+    micro-batches (_two_batch_dir + maxFilesPerTrigger=1) so timers can
+    actually fire mid-stream.
+
+    The oracle states the emission contract exactly: a session emits iff
+    it is closed in-stream by a later event of the same user (every
+    non-last session) OR its close timer (end + gap) is at or below the
+    final watermark (tmax - 10 min) — each user's final session emits
+    only through the timer path, which is precisely the surface this key
+    pins (in-stream gap detection alone would hold it open forever)."""
+    from cellbase_spark.streaming import tws
+
+    d = _two_batch_dir(spark, sf_dir)
+    stream = pipelines.read_events_stream(spark, d, max_files_per_trigger=1)
+    return pipelines.run_stream_to_memory(
+        tws.session_windows_tws(stream),
+        "cb_stream_timer_sink",
+        output_mode="append",
+    )

@@ -76,3 +76,83 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_GAP_MS = 3600 * 1000  # 1-hour inactivity gap
+_SESSION_COLS = ["user_id", "start_ms", "end_ms", "n_events"]
+
+
+class SessionGapProcessor(StatefulProcessor):
+    """Per-user session windows with EVENT-TIME TIMERS: handleInputRows
+    walks the user's rows in ts order, extending the open session or
+    emitting a finished one when the 1-hour gap is crossed in-stream;
+    one timer is (re)armed at session_end + gap, and handleExpiredTimer
+    emits the session once the WATERMARK passes that instant — the
+    timer-driven close a streaming sessionizer needs for users who
+    simply stop sending (in-stream gap detection alone would hold their
+    last session open forever). State per user is one (start, end, n)
+    ValueState plus one timer — bounded by key cardinality."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", "start long, end long, n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        parts = [pdf["ts_ms"] for pdf in rows]
+        ts = pd.concat(parts).sort_values().astype("int64").tolist()
+        out = []
+        start = end = n = None
+        if self._sess.exists():
+            start, end, n = self._sess.get()
+        for t in ts:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t <= end + SESSION_GAP_MS:
+                if t > end:
+                    end = t
+                n += 1
+            else:
+                out.append((key[0], start, end, n))  # closed in-stream
+                start, end, n = t, t, 1
+        if start is not None:
+            self._sess.update((start, end, n))
+            for told in self._handle.listTimers():
+                self._handle.deleteTimer(told)
+            self._handle.registerTimer(end + SESSION_GAP_MS)
+        yield pd.DataFrame(out, columns=_SESSION_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._sess.exists():
+            start, end, n = self._sess.get()
+            if end + SESSION_GAP_MS <= expiredTimerInfo.getExpiryTimeInMs():
+                self._sess.clear()
+                yield pd.DataFrame([(key[0], start, end, n)], columns=_SESSION_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def session_windows_tws(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Timer-driven per-user sessionization (SessionGapProcessor). The
+    input needs an event-time `ts`; emission is append-mode: sessions
+    close either in-stream (a later event crosses the gap) or by
+    event-time timer once the watermark passes session_end + gap."""
+    from pyspark.sql import functions as F
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        # unix_millis is exact integer arithmetic on the internal
+        # microsecond long; a double-seconds detour could flip a
+        # millisecond boundary vs the oracle's epoch_ms
+        .select("user_id", F.unix_millis(F.col("ts")).alias("ts_ms"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionGapProcessor(),
+            outputStructType="user_id long, start_ms long, end_ms long, n_events long",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
