@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Size-gated SMJ->SHJ conversion: AQE converts a sort-merge join to
+        # a shuffled hash join only when runtime stats show every build-side
+        # partition map fits under this threshold, so it never builds an
+        # unbounded hash table (unlike preferSortMergeJoin=false). Measured
+        # at sf10 (60M lineitem): q_tpch_q5 9.6s SMJ -> 6.3-7.3s converted;
+        # above the threshold the plan stays the spillable SMJ, which is
+        # the robust 100 TB default.
+        .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "128m")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
@@ -76,6 +84,9 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    # size-gated SMJ->SHJ (see builder note): pure AQE runtime decision,
+    # falls back to spillable SMJ whenever a partition exceeds the cap
+    "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": "128m",
 }
 
 
