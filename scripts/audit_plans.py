@@ -48,6 +48,16 @@ PINNED_KEYS = [
     "q_tpch_q18",
     "q_tpch_q21",
     "q_tfidf",
+    # round-4 additions (pinned in tests/test_plans.py since r5)
+    "q_bm25",
+    "q_chunk_cdc",
+    "q_max_concurrency",
+    "q_embed_centroid",
+    # round-5 additions
+    "q_span_dedup",
+    "q_minhash_shingle",
+    "q_dedup_full",
+    "q_ann_eval",
 ]
 
 _REPO = str(Path(__file__).resolve().parent.parent)

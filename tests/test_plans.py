@@ -507,3 +507,42 @@ def test_ann_eval_no_cartesian_on_data(spark, sf_dir):
     plan = plan_of(spark, "q_ann_eval", sf_dir)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_dedup_one_span_hash_shuffle_topk(spark, sf_dir):
+    """q_span_dedup: shingle fan-out is a narrow map (no token-domain
+    shuffle); the span-hash agg's exchanges (countDistinct expand) are
+    the only shuffles, and the 100-row report is TakeOrderedAndProject
+    under a total order — never a global sort of all spans."""
+    import re
+
+    plan = plan_of(spark, "q_span_dedup", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_shingle_banded_no_allpairs(spark, sf_dir):
+    """q_minhash_shingle: same banded-equi-join plan as q_dedup_minhash
+    (the pinned key it parametrizes) — candidate pairs form only inside
+    (band, band-key) buckets; an all-pairs product would be quadratic
+    in documents at 100 TB."""
+    import re
+
+    plan = plan_of(spark, "q_minhash_shingle", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 5
+
+
+def test_dedup_full_summary_plan_bounded(spark, sf_dir):
+    """q_dedup_full: the returned per-source summary must stay a single
+    keyed agg over the survivor set (the edge generators + CC run
+    inside); no cartesian and no single-partition funnel may appear in
+    the result plan."""
+    import re
+
+    plan = plan_of(spark, "q_dedup_full", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
