@@ -41,6 +41,8 @@ GATE_PRIORITY = [
     "q_mm_decode_y4m",
     "q_mm_mixed_corpus",
     "q_stream_run_timer",
+    "q_source_overlap",
+    "q_embed_outliers",
     # -- changed round 5: Q18 window accumulator decimal -> long lane
     "q_tpch_q18",
     # -- r1-vintage official rows: aggregates (8)

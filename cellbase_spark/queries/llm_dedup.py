@@ -793,3 +793,91 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "grp_size",
                 "n_chars", "lang", "source")
     )
+
+
+@register(
+    "q_source_overlap",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(ws) - 7, 0) + 1),
+                i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))) AS h
+  FROM t
+), ps AS (
+  SELECT source, COUNT(*) AS n FROM s GROUP BY source
+), ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT o.src_a, o.src_b, o.n_shared, pa.n AS n_a, pb.n AS n_b,
+       round(o.n_shared / CAST(pa.n + pb.n - o.n_shared AS DOUBLE), 6) AS jaccard
+FROM ov o
+JOIN ps pa ON o.src_a = pa.source
+JOIN ps pb ON o.src_b = pb.source
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-mass matrix: for every pair of sources, how
+    many distinct 8-token spans they share, plus span-set Jaccard — the
+    planning statistic a corpus owner reads BEFORE running dedup (which
+    source pairs mirror each other; where cross-source exact-substring
+    dedup will bite; which acquisitions add nothing new).
+
+    Scale shape: spans are a narrow map; ONE shuffle on (span, source)
+    for the distinct, then ONE shuffle on the span hash whose per-key
+    state is the distinct-source set — bounded by the number of SOURCES
+    (tens), never by document count, so a span shared by millions of
+    docs still reduces to one bounded row (vs the naive hash self-join,
+    whose hot spans explode quadratically). Pair fan-out happens AFTER
+    that reduction, emitting at most C(n_sources, 2) rows per span. The
+    per-source span totals are collected once — bounded by the SOURCE
+    dimension, one row per source, the sanctioned bounded-collect
+    pattern — and folded in as a literal map, so the corpus is scanned
+    exactly twice (totals job + pairs job) instead of once per join
+    branch."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("source", F.split("text", " ").alias("ws"))
+    spans = F.expr(
+        "case when size(ws) >= 8 then transform(sequence(1, size(ws) - 7),"
+        " i -> md5(concat_ws(' ', slice(ws, i, 8)))) else array() end"
+    )
+    hs = t.select("source", F.explode(spans).alias("h")).distinct()
+    per_src = {
+        r["source"]: r["n"]
+        for r in hs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_of = F.create_map(
+        *[F.lit(x) for s, n in sorted(per_src.items()) for x in (s, n)]
+    )
+    pair_expr = (
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS src_a, y AS src_b))))"
+    )
+    return (
+        hs.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            n_of[F.col("src_a")].cast("long").alias("n_a"),
+            n_of[F.col("src_b")].cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                / (
+                    n_of[F.col("src_a")] + n_of[F.col("src_b")] - F.col("n_shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

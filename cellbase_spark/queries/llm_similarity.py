@@ -576,3 +576,87 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_embed_outliers",
+    family="llm-sim",
+    oracle="""
+WITH cl AS (
+  SELECT label, pos,
+         CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,10))), 4) AS DOUBLE)
+           / COUNT(*) AS cv
+  FROM (
+    SELECT label, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  )
+  GROUP BY label, pos
+), ca AS (
+  SELECT label, list(cv ORDER BY pos) AS cent FROM cl GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label,
+         round(list_reduce(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])),
+               (x, y) -> x + y), 6) AS dist2
+  FROM embeddings e JOIN ca c ON e.label = c.label
+)
+SELECT label, vec_id, dist2, rk FROM (
+  SELECT label, vec_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id ASC) AS rk
+  FROM d
+) WHERE rk <= 5
+""",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 5 vectors farthest (squared L2)
+    from their label centroid — the mislabel / contamination candidates
+    an embedding-corpus owner reviews before training on the labels.
+
+    Scale shape: centroid = q_embed_centroid's one (label, pos) exact-
+    decimal agg (shuffle carries labels x dim partial sums), re-packed
+    into one array per label and BROADCAST back; the distance is then a
+    narrow map over the one embeddings scan (ordered zip_with/aggregate
+    fold — bit-identical to the oracle's list_reduce); ranking is one
+    label-partitioned window. No pair join anywhere: cost is O(rows x
+    dim) + a labels-sized broadcast, the same shape at 100 TB.
+
+    Determinism: centroid dims are exact-decimal means; the fold adds
+    non-negative squares left-to-right from +0.0, so Spark's aggregate()
+    and DuckDB's list_reduce produce bit-identical doubles before the
+    single round(6)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    cl = ex.groupBy("label", "pos").agg(
+        (
+            F.round(F.sum(F.col("v").cast("double").cast("decimal(25,10)")), 4)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    ca = cl.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").alias(
+            "cent"
+        )
+    )
+    d = e.join(F.broadcast(ca), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, cent,"
+                " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            ),
+            6,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
+    return (
+        d.select("label", "vec_id", "dist2", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+    )

@@ -269,3 +269,71 @@ def test_minhash_band_bucket_cap_drops_megabucket_keeps_small(spark):
     got_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in got_un and len(got_un) == 66 + 1  # C(12,2) + small pair
     assert got_cap == {(100, 101)}  # mega-clique excluded, small pair kept
+
+
+def test_source_overlap_handbuilt_matrix(spark, tmp_path):
+    """q_source_overlap on a hand-built corpus with known shared 8-token
+    spans: full-mirror pair gets jaccard 1.0, partial overlaps 0.25, and
+    span counting is per DISTINCT span per source."""
+    import os
+
+    from cellbase_spark.queries.llm_dedup import q_source_overlap
+
+    t10 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"          # spans s1 s2 s3
+    t8 = "t1 t2 t3 t4 t5 t6 t7 t8"                   # span s1 only
+    other = "u1 u2 u3 u4 u5 u6 u7 u8"                # span u1 only
+    rows = [
+        (1, t10, 30, "en", "srcA"),
+        (2, t10, 30, "en", "srcB"),   # mirrors srcA exactly
+        (3, other, 23, "en", "srcC"),
+        (4, t8, 23, "en", "srcC"),    # shares s1 with A and B
+        (5, t8, 23, "en", "srcC"),    # duplicate within source: no double count
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars int, lang string, source string"
+    )
+    sf = str(tmp_path / "sfoverlap")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in q_source_overlap(spark, sf).collect()
+    }
+    assert got == {
+        ("srcA", "srcB"): (3, 3, 3, 1.0),
+        ("srcA", "srcC"): (1, 3, 2, 0.25),
+        ("srcB", "srcC"): (1, 3, 2, 0.25),
+    }
+
+
+def test_embed_outliers_ranks_farthest_from_centroid(spark, tmp_path):
+    """q_embed_outliers: per-label centroid is the exact mean; ranking is
+    squared-L2 distance desc with vec_id tiebreak; labels don't mix."""
+    import os
+
+    from cellbase_spark.queries.llm_similarity import q_embed_outliers
+
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0], 1),
+        (2, [2.0, 0.0, 0.0, 0.0], 1),
+        (3, [100.0, 0.0, 0.0, 0.0], 1),   # centroid [34,0,0,0] -> farthest
+        (10, [5.0, 5.0, 0.0, 0.0], 2),
+        (11, [5.0, 5.0, 0.0, 0.0], 2),    # same dist2: vec_id asc tiebreak
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path / "sfemb")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    got = [
+        (r["label"], r["rk"], r["vec_id"], r["dist2"])
+        for r in q_embed_outliers(spark, sf)
+        .orderBy("label", "rk")
+        .collect()
+    ]
+    assert got == [
+        (1, 1, 3, 4356.0),   # (100-34)^2
+        (1, 2, 1, 1156.0),   # (0-34)^2
+        (1, 3, 2, 1024.0),   # (2-34)^2
+        (2, 1, 10, 0.0),
+        (2, 2, 11, 0.0),
+    ]
