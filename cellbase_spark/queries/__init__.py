@@ -43,6 +43,7 @@ GATE_PRIORITY = [
     "q_stream_run_timer",
     "q_source_overlap",
     "q_embed_outliers",
+    "q_zscore_normalize",
     # -- changed round 5: Q18 window accumulator decimal -> long lane
     "q_tpch_q18",
     # -- r1-vintage official rows: aggregates (8)

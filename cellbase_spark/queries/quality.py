@@ -270,3 +270,61 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         F.round(F.col("c") / F.col("n_docs"), 6).alias("top_lang_share"),
     )
+
+
+@register(
+    "q_zscore_normalize",
+    family="quality",
+    oracle="""
+WITH u AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+), st AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(cents) AS DOUBLE) AS s,
+         CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) AS sq
+  FROM u GROUP BY c_mktsegment
+)
+SELECT u.c_custkey, u.c_mktsegment,
+       round(CASE WHEN sq / n - (s / n) * (s / n) <= 0 THEN 0.0
+                  ELSE (u.cents - s / n) / sqrt(sq / n - (s / n) * (s / n))
+             END, 6) AS z
+FROM u JOIN st ON u.c_mktsegment = st.c_mktsegment
+""",
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: z-score of c_acctbal within its
+    market segment — the normalization pass feature/reward pipelines run
+    before training, emitted per ROW (it rewrites the column, unlike
+    q_winsorize's per-group report).
+
+    Scale shape: ONE exact-moment agg (sum + sum-of-squares in fixed-
+    point lanes: cents in a codegen LONG, squared cents through
+    DECIMAL(38,0) so the lane never overflows at any scale), 5-row stats
+    broadcast back onto the fact scan, then a narrow per-row map.
+    Determinism: the moments are exact integers; mean/var/z replay the
+    SAME IEEE expression tree in both engines (decimal->double is
+    round-to-nearest in both; IEEE sqrt is correctly rounded), so the
+    round(6) hash matches bit-for-bit."""
+    c = load_table(spark, sf_dir, "customer")
+    u = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    st = u.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("double").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    j = u.join(F.broadcast(st), "c_mktsegment")
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (F.col("cents") - mean) / F.sqrt(var)
+    )
+    return j.select("c_custkey", "c_mktsegment", F.round(z, 6).alias("z"))

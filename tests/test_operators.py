@@ -337,3 +337,23 @@ def test_embed_outliers_ranks_farthest_from_centroid(spark, tmp_path):
         (2, 1, 10, 0.0),
         (2, 2, 11, 0.0),
     ]
+
+
+def test_zscore_normalize_exact_moments(spark, tmp_path):
+    """q_zscore_normalize: z from exact integer moments; zero-variance
+    groups emit z=0 instead of inf/nan."""
+    import os
+
+    from cellbase_spark.queries.quality import q_zscore_normalize
+
+    rows = [
+        (1, "A", 1.00),
+        (2, "A", 3.00),   # mean 2.00, std 1.00 -> z = -1, +1
+        (3, "B", 7.77),   # singleton: var 0 -> z = 0
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_mktsegment string, c_acctbal double")
+    sf = str(tmp_path / "sfz")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "customer.parquet"))
+    got = {r["c_custkey"]: r["z"] for r in q_zscore_normalize(spark, sf).collect()}
+    assert got == {1: -1.0, 2: 1.0, 3: 0.0}
