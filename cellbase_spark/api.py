@@ -207,6 +207,91 @@ class CellTable:
             F.sum(F.length(F.col(text_col))).alias("total_chars"),
         )
 
+    def source_overlap(
+        self, text_col: str, group_col: str, window: int = 8
+    ) -> DataFrame:
+        """Cross-group duplicate-mass matrix: distinct shared
+        `window`-token spans + span-set Jaccard per group pair —
+        q_source_overlap's plan (span-keyed agg with a bounded
+        distinct-group set; pair fan-out after reduction; per-group
+        totals via bounded collect)."""
+        from pyspark.sql import functions as F
+
+        t = self.df.select(
+            F.col(group_col).alias("_g"), F.split(F.col(text_col), " ").alias("_ws")
+        )
+        spans = F.expr(
+            f"case when size(_ws) >= {window} then"
+            f" transform(sequence(1, size(_ws) - {window - 1}),"
+            f" i -> md5(concat_ws(' ', slice(_ws, i, {window}))))"
+            " else array() end"
+        )
+        hs = t.select("_g", F.explode(spans).alias("_h")).distinct()
+        per_g = {
+            r["_g"]: r["n"]
+            for r in hs.groupBy("_g").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_of = F.create_map(
+            *[F.lit(x) for g, n in sorted(per_g.items()) for x in (g, n)]
+        )
+        pair_expr = (
+            "flatten(transform(ss, (x, i) ->"
+            " transform(slice(ss, i + 2, size(ss)),"
+            " y -> struct(x AS grp_a, y AS grp_b))))"
+        )
+        return (
+            hs.groupBy("_h")
+            .agg(F.array_sort(F.collect_set("_g")).alias("ss"))
+            .where(F.size("ss") >= 2)
+            .select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.grp_a", "p.grp_b")
+            .groupBy("grp_a", "grp_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(
+                "grp_a",
+                "grp_b",
+                "n_shared",
+                n_of[F.col("grp_a")].cast("long").alias("n_a"),
+                n_of[F.col("grp_b")].cast("long").alias("n_b"),
+                F.round(
+                    F.col("n_shared")
+                    / (
+                        n_of[F.col("grp_a")]
+                        + n_of[F.col("grp_b")]
+                        - F.col("n_shared")
+                    ).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
+    def normalize_zscore(
+        self, value_col: str, group_col: str, out_col: str = "z"
+    ) -> "CellTable":
+        """Copy-on-write per-group z-score of `value_col` —
+        q_zscore_normalize's plan (one moment agg, stats broadcast,
+        narrow map; zero-variance groups get z=0). Works on raw doubles
+        (no fixed-point lane — the API face trades the oracle's
+        bit-exactness for schema-agnosticism)."""
+        from pyspark.sql import functions as F
+
+        st = self.df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("double")).alias("_s"),
+            F.sum(F.col(value_col).cast("double") * F.col(value_col)).alias("_sq"),
+        )
+        mean = F.col("_s") / F.col("_n")
+        var = F.col("_sq") / F.col("_n") - mean * mean
+        z = F.when(var <= 0, F.lit(0.0)).otherwise(
+            (F.col(value_col) - mean) / F.sqrt(var)
+        )
+        out = (
+            self.df.join(F.broadcast(st), group_col)
+            .withColumn(out_col, z)
+            .drop("_n", "_s", "_sq")
+        )
+        return CellTable(out, self.name, self.key_col)
+
     def set_value(self, key, column: str, value) -> "CellTable":
         """The reference's cell edit: table[key][column] = value."""
         from pyspark.sql import functions as F

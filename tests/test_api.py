@@ -303,3 +303,33 @@ def test_data_card_api(spark):
     got = {r["src"]: (r["n_rows"], r["total_tokens"], r["total_chars"])
            for r in t.data_card("text", "src").collect()}
     assert got == {"web": (2, 5, 8), "book": (1, 1, 1)}
+
+
+def test_source_overlap_api(spark):
+    from cellbase_spark.api import CellTable
+
+    df = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4", "A"),
+            (2, "t1 t2 t3 t4", "B"),     # mirrors A: 1 shared 4-span
+            (3, "u1 u2 u3 u4", "B"),
+            (4, "v1 v2 v3 v4", "C"),     # no overlap with anyone
+        ],
+        "doc_id long, text string, src string",
+    )
+    t = CellTable(df, "docs", key_col="doc_id")
+    got = {(r["grp_a"], r["grp_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+           for r in t.source_overlap("text", "src", window=4).collect()}
+    assert got == {("A", "B"): (1, 1, 2, 0.5)}
+
+
+def test_normalize_zscore_api(spark):
+    from cellbase_spark.api import CellTable
+
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 3.0), (3, "B", 9.9)],
+        "doc_id long, grp string, x double",
+    )
+    t = CellTable(df, "docs", key_col="doc_id")
+    got = {r["doc_id"]: r["z"] for r in t.normalize_zscore("x", "grp").df.collect()}
+    assert got == {1: -1.0, 2: 1.0, 3: 0.0}
