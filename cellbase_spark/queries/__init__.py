@@ -44,6 +44,7 @@ GATE_PRIORITY = [
     "q_source_overlap",
     "q_embed_outliers",
     "q_zscore_normalize",
+    "q_sessionize_batch",
     # -- changed round 5: Q18 window accumulator decimal -> long lane
     "q_tpch_q18",
     # -- r1-vintage official rows: aggregates (8)

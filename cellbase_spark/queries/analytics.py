@@ -277,3 +277,78 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_sessionize_batch",
+    family="analytics",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min inactivity gap) — the
+    backfill/replay counterpart of the streaming session window (T3):
+    lag to mark session starts, running sum to number them, one agg for
+    per-session stats. The canonical funnel/retention preprocessing op.
+
+    Scale shape: the lag mark and the running-sum numbering ride the
+    SAME (user_id)-partitioned sort — ONE exchange for both window
+    passes — and the session agg re-keys on (user_id, session_seq),
+    which AQE coalesces; no self-join, no single-partition window.
+    Determinism: (ts, event_id) is a total order per user; interval
+    comparison and second-diff are exact integer microsecond math in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+    )

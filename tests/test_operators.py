@@ -357,3 +357,34 @@ def test_zscore_normalize_exact_moments(spark, tmp_path):
     df.write.mode("overwrite").parquet(os.path.join(sf, "customer.parquet"))
     got = {r["c_custkey"]: r["z"] for r in q_zscore_normalize(spark, sf).collect()}
     assert got == {1: -1.0, 2: 1.0, 3: 0.0}
+
+
+def test_sessionize_batch_gap_numbering(spark, tmp_path):
+    """q_sessionize_batch: 30-min gap opens a new session; numbering is
+    per-user running count; duration is end-start in seconds."""
+    import datetime as dt
+    import os
+
+    from cellbase_spark.queries.analytics import q_sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view", 0.0, "{}"),
+        (2, m(10), 1, "click", 0.0, "{}"),   # gap 10m: same session
+        (3, m(50), 1, "view", 0.0, "{}"),    # gap 40m: NEW session
+        (4, m(5), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sfsess")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+        for r in q_sessionize_batch(spark, sf).collect()
+    }
+    assert got == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
