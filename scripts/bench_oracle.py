@@ -33,6 +33,12 @@ INFEASIBLE_AT_BENCH = {
         "DNF (>10 min) at sf0.1 — Spark's path-halving label propagation "
         "finishes in ~9 s"
     ),
+    # same recursive-closure oracle (shared _CLUSTERS_ORACLE / the
+    # recursive canonical CTE) — discovered round 5 when the full sweep
+    # hung >70 CPU-min on these before reaching the headline keys
+    "q_cc_iterative": "same closure oracle as q_dedup_clusters",
+    "q_cluster_size_histogram": "closure oracle inside a histogram agg",
+    "q_dedup_canonical": "recursive canonical CTE over the pair graph",
 }
 
 
