@@ -231,8 +231,12 @@ class CellTable:
             r["_g"]: r["n"]
             for r in hs.groupBy("_g").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        n_of = F.create_map(
-            *[F.lit(x) for g, n in sorted(per_g.items()) for x in (g, n)]
+        n_of = (
+            F.create_map(
+                *[F.lit(x) for g, n in sorted(per_g.items()) for x in (g, n)]
+            )
+            if per_g
+            else F.expr("cast(map() as map<string,bigint>)")
         )
         pair_expr = (
             "flatten(transform(ss, (x, i) ->"

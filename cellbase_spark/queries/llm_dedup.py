@@ -850,8 +850,13 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["source"]: r["n"]
         for r in hs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n_of = F.create_map(
-        *[F.lit(x) for s, n in sorted(per_src.items()) for x in (s, n)]
+    # empty corpus / all-short docs: create_map() with no args types as
+    # map<void,void> and the string lookup fails analysis — use a typed
+    # empty map instead (found by the duplicate-doc hypothesis law)
+    n_of = (
+        F.create_map(*[F.lit(x) for s, n in sorted(per_src.items()) for x in (s, n)])
+        if per_src
+        else F.expr("cast(map() as map<string,bigint>)")
     )
     pair_expr = (
         "flatten(transform(ss, (x, i) ->"

@@ -426,3 +426,85 @@ def test_png_codec_roundtrip_property(h, w, ch, f, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(img, filter_type=f)), img)
+
+
+# -- round-5 keys: algebraic laws ------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),                       # source
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5", "w6"]),
+                 min_size=0, max_size=12),                      # tokens
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _overlap_rows(spark, tmp_path_factory, rows, tag):
+    import os
+
+    from cellbase_spark.queries.llm_dedup import q_source_overlap
+
+    sf = str(tmp_path_factory.mktemp(f"ovl_{tag}"))
+    data = [
+        (i, " ".join(toks), len(" ".join(toks)), "en", src)
+        for i, (src, toks) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, n_chars int, lang string, source string"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return _sorted_rows(q_source_overlap(spark, sf))
+
+
+@SETTINGS
+@given(rows=docs_strategy)
+def test_source_overlap_duplicate_doc_invariant(spark, tmp_path_factory, rows):
+    """Duplicating any document does not change the overlap matrix:
+    span sets are DISTINCT per source, so a copy adds no new spans."""
+    base = _overlap_rows(spark, tmp_path_factory, rows, "base")
+    dup = _overlap_rows(spark, tmp_path_factory, rows + rows[:1], "dup")
+    assert base == dup
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),            # user
+            st.integers(min_value=0, max_value=200),          # minute offset
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    shift=st.integers(min_value=0, max_value=10_000),
+)
+def test_sessionize_time_shift_invariant(spark, tmp_path_factory, rows, shift):
+    """Shifting every event by a constant offset preserves the session
+    structure exactly: per-user session count, sizes, and durations."""
+    import datetime as dt
+    import os
+
+    from cellbase_spark.queries.analytics import q_sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def build(extra_min, tag):
+        sf = str(tmp_path_factory.mktemp(f"sess_{tag}"))
+        data = [
+            (i, t0 + dt.timedelta(minutes=m + extra_min), u, "e", 0.0, "{}")
+            for i, (u, m) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+        return sorted(
+            (r["user_id"], r["session_seq"], r["n_events"], r["duration_s"])
+            for r in q_sessionize_batch(spark, sf).collect()
+        )
+
+    assert build(0, "a") == build(shift, "b")
