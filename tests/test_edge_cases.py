@@ -324,3 +324,28 @@ def test_dedup_full_fingerprint_star_links_reordered_sets(spark, tmp_path):
     }
     assert all(got[i] == 0 for i in range(12))  # one cluster rooted at min id
     assert got[99] == 99
+
+
+def test_round5_keys_empty_documents(spark, tmp_path):
+    """Round-5 document keys degrade to empty results (correct schema,
+    no crash) on an empty corpus — the create_map() typing bug class."""
+    import os
+
+    from cellbase_spark.queries.analytics import q_sessionize_batch
+    from cellbase_spark.queries.llm_dedup import q_source_overlap, q_span_dedup
+
+    sf = str(tmp_path / "sfempty")
+    os.makedirs(sf, exist_ok=True)
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, n_chars int, lang string, source string"
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    assert q_source_overlap(spark, sf).count() == 0
+    assert q_span_dedup(spark, sf).count() == 0
+    assert q_sessionize_batch(spark, sf).count() == 0
