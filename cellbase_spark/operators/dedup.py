@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+from cellbase_spark.operators.ckpt import eager_checkpoint as _ckpt
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -454,7 +456,7 @@ def blocked_bitmap_jaccard_pairs(
             )
         )
         .select("_id", "_blk", F.explode("_toks").alias("_tok"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     vocab = ex.select("_tok").distinct()
     vocab_size = _bounded_vocab_size(ex, "_tok", bitmap_vocab_limit)
@@ -484,7 +486,7 @@ def blocked_bitmap_jaccard_pairs(
         .withColumn(
             "_n", F.expr(" + ".join(f"bit_count(_w{w})" for w in range(n_words)))
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     a, b = docs.alias("a"), docs.alias("b")
     tau = F.lit(threshold)
@@ -545,8 +547,8 @@ def connected_components(
     materialized once up front.
     """
     global LAST_CC_STATS
-    e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")).localCheckpoint(
-        eager=True
+    e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")).transform(
+        _ckpt
     )
     # Size-gated driver fast path (the AQE-broadcast-threshold pattern,
     # decided on the MEASURED edge count of the already-materialized
@@ -619,7 +621,7 @@ def connected_components(
     sym = (
         e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
         .unionByName(active.select("_u", F.col("_u").alias("_v")))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
 
     def halve(stepped: DataFrame) -> DataFrame:
@@ -629,7 +631,7 @@ def connected_components(
         return (
             stepped.join(hop, stepped["_mid"] == hop["_k"], "left")
             .select(F.col("_u").alias("_id"), F.coalesce("_kl", "_mid").alias("_lbl"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
 
     # Round 1 specialized: the initial labeling is the identity, so
@@ -730,7 +732,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     ex = (
-        t.select("_id", F.explode("_toks").alias("_tok")).localCheckpoint(eager=True)
+        t.select("_id", F.explode("_toks").alias("_tok")).transform(_ckpt)
         if bitmap_vocab_limit
         else None
     )
@@ -763,7 +765,7 @@ def minhash_lsh_pairs(
             .withColumn(
                 "_n", F.expr(" + ".join(f"bit_count(_w{w})" for w in range(n_words)))
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         ta = docs.select(
             F.col("_id").alias("id_a"),

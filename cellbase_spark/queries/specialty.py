@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from cellbase_spark.operators.ckpt import eager_checkpoint as _ckpt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
@@ -157,7 +159,7 @@ FROM anc a JOIN customer c ON a.cur = c.c_custkey
 WHERE a.depth > 0
 GROUP BY a.node
 """
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt)
     finally:
         if prior is not None:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prior)

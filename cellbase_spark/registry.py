@@ -43,7 +43,21 @@ def register(name: str, oracle: str | None, family: str, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, family=family, doc=doc or (fn.__doc__ or ""))
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # free the PREVIOUS query build's eager-checkpoint blocks
+            # (non-evictable otherwise; see operators/ckpt.py) — all
+            # engine surfaces consume a query's result before building
+            # the next one, so those blocks are dead weight by now
+            from cellbase_spark.operators.ckpt import release_prior
+
+            release_prior()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, family=family, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco
