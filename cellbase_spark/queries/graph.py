@@ -57,7 +57,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orientation kills the 6x duplication AND caps wedge fan-out by
     high-degree nodes' ORDER, not their degree). At 100 TB: partition
     edges by u, broadcast nothing, let AQE handle the wedge skew. The
-    edge frame is persisted DISK_ONLY with the previous call's frame
+    edge frame is persisted MEMORY_AND_DISK (evictable) with the
+    previous call's frame
     unpersisted (see q_pagerank's note on why eager localCheckpoint
     accumulates non-evictable blocks across calls)."""
     global _PREV_TRI
@@ -67,7 +68,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         _PREV_TRI = None
-    e = _edges(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    e = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     _PREV_TRI = e
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -146,9 +147,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm bit-matches when each iteration's sum goes through exact
     decimal and the damping update stays per-row IEEE.
 
-    Spark plan: adjacency+degree computed once and persisted DISK_ONLY
-    (the iteration input must not re-derive the edge set per round; disk
-    blocks add no heap pressure, stay EVICTABLE — lineage is kept, so an
+    Spark plan: adjacency+degree computed once and persisted
+    MEMORY_AND_DISK (the iteration input must not re-derive the edge set
+    per round; the blocks stay EVICTABLE — lineage is kept, so an
     evicted block just recomputes — where an eager localCheckpoint's
     blocks are the only copy and can never be evicted: at sf10 two
     back-to-back calls accumulated ~2 non-evictable 43M-row caches and
@@ -172,7 +173,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     # adjacency annotated with the source degree once, reused every round
-    adj_deg = adj.join(deg, "src").persist(StorageLevel.DISK_ONLY)
+    adj_deg = adj.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     _PREV_ADJ = adj_deg
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
