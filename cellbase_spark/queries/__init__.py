@@ -47,6 +47,10 @@ GATE_PRIORITY = [
     "q_sessionize_batch",
     # -- changed round 5: Q18 window accumulator decimal -> long lane
     "q_tpch_q18",
+    # -- changed late round 5: Q5 join reorder; graph persist path
+    "q_tpch_q5",
+    "q_triangle_count",
+    "q_pagerank",
     # -- r1-vintage official rows: aggregates (8)
     "q_agg_global",
     "q_agg_groupby",
@@ -83,13 +87,10 @@ GATE_PRIORITY = [
     "q_join_cross",
     "q_star_join",
     "q_tpch_q3",
-    "q_tpch_q5",
     "q_join_salted",
     "q_tpch_q9",  # r3-vintage but bench-drifted in r4: re-witness
-    # -- r1-vintage: graph (3)
-    "q_triangle_count",
+    # -- r1-vintage: graph
     "q_degree_distribution",
-    "q_pagerank",
     # -- r1-vintage: layout (3)
     "q_zorder",
     "q_skyline",
