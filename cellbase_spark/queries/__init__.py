@@ -45,6 +45,7 @@ GATE_PRIORITY = [
     "q_embed_outliers",
     "q_zscore_normalize",
     "q_sessionize_batch",
+    "q_sessionize_twophase",
     # -- changed round 5: Q18 window accumulator decimal -> long lane
     "q_tpch_q18",
     # -- changed late round 5: Q5 join reorder; graph persist path

@@ -352,3 +352,116 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_s"
         ),
     )
+
+
+@register(
+    "q_sessionize_twophase",
+    family="analytics",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sessionize_batch's SKEW-PROOF form, same result and SAME oracle:
+    a mega-user funnels the one-pass algorithm through a single window
+    task (per-user sequential scan is inherent to gap sessionization).
+    Two-phase fix: (1) sessionize within (user, day) chunks — the window
+    parallelism becomes users x days, so one user's years of events
+    spread across hundreds of tasks; (2) the per-chunk sessions collapse
+    to INTERVAL rows (start, end, n_events), and the same gap rule
+    re-runs on those intervals per user — a second pass over a frame
+    that is smaller by the average session size (at 100 TB: billions of
+    events -> millions of intervals). Merging is exact: within-chunk
+    gaps were already closed, and a cross-boundary gap <= 30 min merges
+    the adjacent intervals precisely where the one-pass algorithm would
+    have continued the session. Ordering ties carry (ts, event_id)
+    through both passes, so numbering matches the one-pass output
+    row-for-row (differential property test in tests/test_properties.py)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.to_date("ts").alias("chunk")
+    )
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "chunk",
+        F.when(
+            F.lag("ts").over(w1).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w1)) > 30 * 60),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s1 = g.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "chunk",
+        F.sum("is_new")
+        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cseq"),
+    )
+    intervals = s1.groupBy("user_id", "chunk", "cseq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("s_start"),
+        F.max("ts").alias("s_end"),
+        F.min("event_id").alias("first_eid"),
+    )
+    # phase 2: the same gap rule over the reduced interval rows
+    w2 = Window.partitionBy("user_id").orderBy("s_start", "first_eid")
+    g2 = intervals.select(
+        "user_id",
+        "n_events",
+        "s_start",
+        "s_end",
+        "first_eid",
+        F.when(
+            F.lag("s_end").over(w2).isNull()
+            | (
+                F.unix_timestamp("s_start") - F.unix_timestamp(F.lag("s_end").over(w2))
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s2 = g2.select(
+        "user_id",
+        "n_events",
+        "s_start",
+        "s_end",
+        F.sum("is_new")
+        .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return s2.groupBy("user_id", "session_seq").agg(
+        F.sum("n_events").alias("n_events"),
+        F.min("s_start").alias("session_start"),
+        F.max("s_end").alias("session_end"),
+        (
+            F.unix_timestamp(F.max("s_end")) - F.unix_timestamp(F.min("s_start"))
+        ).alias("duration_s"),
+    )

@@ -508,3 +508,55 @@ def test_sessionize_time_shift_invariant(spark, tmp_path_factory, rows, shift):
         )
 
     assert build(0, "a") == build(shift, "b")
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),              # user
+            st.integers(min_value=0, max_value=3 * 24 * 60),    # minute in a 3-day span
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_sessionize_twophase_equals_onepass(spark, tmp_path_factory, rows):
+    """q_sessionize_twophase must equal q_sessionize_batch row-for-row —
+    including sessions that CROSS the day-chunk boundary (events minutes
+    apart across midnight), the case the interval-merge pass exists for."""
+    import datetime as dt
+    import os
+
+    from cellbase_spark.queries.analytics import (
+        q_sessionize_batch,
+        q_sessionize_twophase,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    sf = str(tmp_path_factory.mktemp("sess2"))
+    data = [
+        (i, t0 + dt.timedelta(minutes=m), u, "e", 0.0, "{}")
+        for i, (u, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+
+    def canon(q):
+        return sorted(
+            (
+                r["user_id"],
+                r["session_seq"],
+                r["n_events"],
+                r["session_start"],
+                r["session_end"],
+                r["duration_s"],
+            )
+            for r in q(spark, sf).collect()
+        )
+
+    assert canon(q_sessionize_batch) == canon(q_sessionize_twophase)
