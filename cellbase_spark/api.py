@@ -213,8 +213,11 @@ class CellTable:
         """Cross-group duplicate-mass matrix: distinct shared
         `window`-token spans + span-set Jaccard per group pair —
         q_source_overlap's plan (span-keyed agg with a bounded
-        distinct-group set; pair fan-out after reduction; per-group
-        totals via bounded collect)."""
+        distinct-group set; pair fan-out after reduction). Fully LAZY:
+        per-group span totals come in via two broadcast joins of a
+        one-row-per-group aggregate frame — no driver collect at
+        construction time, so the plan sees the table's state at
+        EXECUTION, like every other API method."""
         from pyspark.sql import functions as F
 
         t = self.df.select(
@@ -227,23 +230,13 @@ class CellTable:
             " else array() end"
         )
         hs = t.select("_g", F.explode(spans).alias("_h")).distinct()
-        per_g = {
-            r["_g"]: r["n"]
-            for r in hs.groupBy("_g").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        n_of = (
-            F.create_map(
-                *[F.lit(x) for g, n in sorted(per_g.items()) for x in (g, n)]
-            )
-            if per_g
-            else F.expr("cast(map() as map<string,bigint>)")
-        )
+        totals = hs.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
         pair_expr = (
             "flatten(transform(ss, (x, i) ->"
             " transform(slice(ss, i + 2, size(ss)),"
             " y -> struct(x AS grp_a, y AS grp_b))))"
         )
-        return (
+        pairs = (
             hs.groupBy("_h")
             .agg(F.array_sort(F.collect_set("_g")).alias("ss"))
             .where(F.size("ss") >= 2)
@@ -251,19 +244,23 @@ class CellTable:
             .select("p.grp_a", "p.grp_b")
             .groupBy("grp_a", "grp_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        ta = totals.select(F.col("_g").alias("grp_a"), F.col("_n").alias("n_a"))
+        tb = totals.select(F.col("_g").alias("grp_b"), F.col("_n").alias("n_b"))
+        return (
+            pairs.join(F.broadcast(ta), "grp_a")
+            .join(F.broadcast(tb), "grp_b")
             .select(
                 "grp_a",
                 "grp_b",
                 "n_shared",
-                n_of[F.col("grp_a")].cast("long").alias("n_a"),
-                n_of[F.col("grp_b")].cast("long").alias("n_b"),
+                "n_a",
+                "n_b",
                 F.round(
                     F.col("n_shared")
-                    / (
-                        n_of[F.col("grp_a")]
-                        + n_of[F.col("grp_b")]
-                        - F.col("n_shared")
-                    ).cast("double"),
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                        "double"
+                    ),
                     6,
                 ).alias("jaccard"),
             )

@@ -18,30 +18,60 @@ recorded handle from PREVIOUS query builds. The registry calls
 query's result has been consumed (the driver, bench, and the oracle gate
 are all strictly sequential), so its checkpoint blocks are dead weight.
 
-Caveat (documented contract): a caller that builds query A, then builds
-query B, and only then collects A would recompute-fail on A's truncated
-lineage. No engine surface does this — results are collected before the
-next build everywhere (driver contract, bench.py, check_oracle,
-driver_sim, tests).
+Scoping contract (round-6 fix): handles are recorded ONLY for builds that
+enter through the registry wrapper (``registry_build`` context manager,
+entered by ``registry.wrapped``). Checkpoints created by the public
+CellTable API (e.g. ``dedup_clusters`` -> connected_components) are NOT
+recorded, so a later registered-query build can never free blocks backing
+a still-unconsumed API-returned DataFrame. API-created checkpoint blocks
+follow stock localCheckpoint lifetime (live until session stop), which is
+the behavior an interactive user of localCheckpoint already expects.
+
+Caveat (documented contract, registry surface only): a caller that builds
+registered query A, then builds registered query B, and only then collects
+A would recompute-fail on A's truncated lineage. No engine surface does
+this — results are collected before the next build everywhere (driver
+contract, bench.py, check_oracle, driver_sim, tests).
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
-# JVM RDD handles of checkpoints created by the current query build;
-# two generations so the release is strictly "previous build", never
-# "the build currently in progress".
+# JVM RDD handles of checkpoints created by registry-wrapped query builds.
+# release_prior() runs at the START of the next wrapped build, so the list
+# only ever holds handles from already-consumed builds when it is drained.
 _LIVE: list = []
+
+# True only while a registry-wrapped query build is executing; set via
+# registry_build(). eager_checkpoint records handles only in that scope.
+_IN_REGISTRY_BUILD: bool = False
+
+
+@contextmanager
+def registry_build():
+    """Mark the dynamic extent of a registry-wrapped query build."""
+    global _IN_REGISTRY_BUILD
+    prev = _IN_REGISTRY_BUILD
+    _IN_REGISTRY_BUILD = True
+    try:
+        yield
+    finally:
+        _IN_REGISTRY_BUILD = prev
 
 
 def eager_checkpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint(eager=True)`` + record the block handle."""
+    """``df.localCheckpoint(eager=True)``; record the block handle when
+    inside a registry build (API-created checkpoints are never recorded —
+    see module docstring)."""
     out = df.localCheckpoint(eager=True)
-    try:  # handle is best-effort: failing to record must never fail the query
-        _LIVE.append(out._jdf.queryExecution().analyzed().rdd())
-    except Exception:  # pragma: no cover - py4j accessor drift
-        pass
+    if _IN_REGISTRY_BUILD:
+        try:  # best-effort: failing to record must never fail the query
+            _LIVE.append(out._jdf.queryExecution().analyzed().rdd())
+        except Exception:  # pragma: no cover - py4j accessor drift
+            pass
     return out
 
 

@@ -12,102 +12,80 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-5 gate priority (VERDICT r4 items 1-3): keys whose CODE changed
-# this round lead (the r4 red `q_agg_approx_percentile` fix, the
-# re-keyed `q_dedup_canonical`, the scratch-path/conf-scoping fixes, any
-# NEW round-5 keys); then the ~45 r1-vintage keys whose official driver
-# rows are three rounds of refactors old (aggregates, grouping,
-# analytics, filters, joins, graph, layout, corpus, scan_text). The full
-# battery always runs locally regardless of order
-# (scripts/check_oracle.py + scripts/driver_sim.py).
+# Round-6 gate priority (VERDICT r5 item 1: burn down official-record
+# staleness). Order: (a) keys whose CODE changed this round (the
+# sessionize microsecond-gap fix from ADVICE, the Q18 loud guard, any
+# NEW round-6 keys inserted as they land), then (b) the 17 keys whose
+# newest official green row is r1-vintage, then (c) the 41 r2-vintage
+# keys. The driver witnesses a ~50-key prefix; whatever r2 tail falls
+# off stays covered by the local battery (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- changed this round: r4 red-row fix + re-keyed canonical
-    "q_agg_approx_percentile",
-    "q_dedup_canonical",
-    # -- changed this round: recursion-limit scoping (plan changed)
-    "q_sql_recursive",
-    # -- NEW round-5 keys get inserted here as they land
-    "q_ann_eval",
-    "q_cc_iterative",
-    "q_span_dedup",
-    "q_minhash_shingle",
-    "q_cluster_size_histogram",
-    "q_tokenizer_fertility",
-    "q_data_card",
-    "q_dedup_minhash_capped",
-    "q_dedup_full",
-    "q_mm_decode_png",
-    "q_mm_decode_wav",
-    "q_mm_decode_y4m",
-    "q_mm_mixed_corpus",
-    "q_stream_run_timer",
-    "q_source_overlap",
-    "q_embed_outliers",
-    "q_zscore_normalize",
+    # -- changed round 6: unix_micros gap predicates (ADVICE high)
     "q_sessionize_batch",
     "q_sessionize_twophase",
-    # -- changed round 5: Q18 window accumulator decimal -> long lane
+    # -- changed round 6: loud fractional-quantity guard on the LONG lane
     "q_tpch_q18",
-    # -- changed late round 5: Q5 join reorder; graph persist path
-    "q_tpch_q5",
-    "q_triangle_count",
-    "q_pagerank",
-    # -- r1-vintage official rows: aggregates (8)
-    "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_median",
-    "q_agg_stats",
-    "q_agg_corr",
-    "q_agg_mode",
-    # -- r1-vintage: grouping (5)
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_pivot",
-    "q_agg_collect",
-    # -- r1-vintage: analytics (3)
-    "q_funnel",
-    "q_retention",
-    "q_histogram_equidepth",
-    # -- r1-vintage: filters (6)
-    "q_project",
-    "q_filter_compound",
-    "q_filter_nulls",
-    "q_filter_in_between_like",
-    "q_distinct",
-    "q_doc_quality_filter",
-    # -- r1-vintage: joins (12)
-    "q_join_inner",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
+    # -- NEW round-6 keys get inserted here as they land
+    # -- r1-vintage official rows (17)
+    "q_bpe_pairs",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_degree_distribution",
     "q_join_anti",
     "q_join_broadcast",
     "q_join_cross",
+    "q_join_full",
+    "q_join_prefilter",
+    "q_join_salted",
+    "q_join_semi",
+    "q_sample_weighted",
+    "q_scan_text",
+    "q_skyline",
     "q_star_join",
     "q_tpch_q3",
-    "q_join_salted",
-    "q_tpch_q9",  # r3-vintage but bench-drifted in r4: re-witness
-    # -- r1-vintage: graph
-    "q_degree_distribution",
-    # -- r1-vintage: layout (3)
     "q_zorder",
-    "q_skyline",
-    "q_join_prefilter",
-    # -- r1-vintage: corpus + scan_text (5)
-    "q_contamination",
-    "q_chunk_documents",
-    "q_sample_weighted",
-    "q_bpe_pairs",
-    "q_scan_text",
-    # -- scratch-path scoping only (behavior identical, gated r2/r4;
-    # re-witness when prefix room allows — local battery covers them)
-    "q_dpp_join",
-    "q_bucketed_join",
-    "q_partitioned_write",
+    # -- r2-vintage official rows (41): scalar fns + plain ops first
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_conditional",
+    "q_fn_array",
+    "q_fn_struct",
+    "q_map_functions",
+    "q_json_extract",
+    "q_sort_multi",
+    "q_topk_global",
+    "q_union",
+    "q_intersect_except",
+    "q_window_rank",
+    "q_window_laglead",
+    "q_window_moving_avg",
+    "q_window_dist",
+    "q_topk_per_group",
+    "q_join_range",
+    "q_join_asof",
+    "q_subquery_correlated",
+    "q_lateral_topk",
+    "q_unpivot",
+    "q_gap_fill",
+    "q_scd2_intervals",
+    "q_agg_regression",
+    "q_anomaly_mad",
+    "q_ewma",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_embed_neardup",
+    "q_sim_topk",
+    "q_knn_join",
+    "q_knn_join_smj",
+    "q_ann_ivf",
+    "q_scan_csv",
+    "q_scan_excel",
+    "q_scan_workbook",
     "q_scan_jsonl",
+    "q_roundtrip_write",
+    "q_partitioned_write",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

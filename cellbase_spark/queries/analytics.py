@@ -316,9 +316,14 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME (user_id)-partitioned sort — ONE exchange for both window
     passes — and the session agg re-keys on (user_id, session_seq),
     which AQE coalesces; no self-join, no single-partition window.
-    Determinism: (ts, event_id) is a total order per user; interval
-    comparison and second-diff are exact integer microsecond math in
-    both engines."""
+    Determinism: (ts, event_id) is a total order per user; the gap
+    predicate subtracts the NTZ timestamps into a DayTimeInterval and
+    compares against INTERVAL 30 MINUTE — exact integer MICROSECOND
+    math matching the oracle's ``ts - LAG(ts) > INTERVAL 30 MINUTE``
+    (the earlier unix_timestamp form floored to whole seconds and
+    merged sessions whose true gap fell in (1800s, 1801s]); duration_s
+    stays unix_timestamp to match DuckDB's date_diff('second')
+    boundary counting."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = e.select(
@@ -327,10 +332,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 30 * 60
-            ),
+            | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTE")),
             1,
         )
         .otherwise(0)
@@ -408,7 +410,7 @@ def q_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.when(
             F.lag("ts").over(w1).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w1)) > 30 * 60),
+            | ((F.col("ts") - F.lag("ts").over(w1)) > F.expr("INTERVAL 30 MINUTE")),
             1,
         )
         .otherwise(0)
@@ -440,8 +442,8 @@ def q_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("s_end").over(w2).isNull()
             | (
-                F.unix_timestamp("s_start") - F.unix_timestamp(F.lag("s_end").over(w2))
-                > 30 * 60
+                (F.col("s_start") - F.lag("s_end").over(w2))
+                > F.expr("INTERVAL 30 MINUTE")
             ),
             1,
         )

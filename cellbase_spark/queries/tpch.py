@@ -260,12 +260,21 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window accumulates in a codegen LONG lane — exact, identical
     values to the decimal sum, and ~6x cheaper per row (the decimal-vs-
     long agg A/B measured at sf10); the >150 cut and the final total_qty
-    are unchanged."""
+    are unchanged. The integer-domain assumption is guarded LOUDLY: a
+    fractional l_quantity raises via raise_error instead of silently
+    truncating into a different >150 cut (one codegen comparison per
+    row, no extra pass)."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     w = Window.partitionBy("l_orderkey")
-    lq = l.withColumn(
-        "q", F.sum(F.col("l_quantity").cast("bigint")).over(w)
-    ).where(F.col("q") > 150)
+    qlong = F.when(
+        F.col("l_quantity") == F.floor("l_quantity"),
+        F.col("l_quantity").cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("q_tpch_q18: fractional l_quantity — LONG window lane invalid")
+        ).cast("bigint")
+    )
+    lq = l.withColumn("q", F.sum(qlong).over(w)).where(F.col("q") > 150)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (

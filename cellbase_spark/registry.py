@@ -49,10 +49,11 @@ def register(name: str, oracle: str | None, family: str, doc: str = ""):
             # (non-evictable otherwise; see operators/ckpt.py) — all
             # engine surfaces consume a query's result before building
             # the next one, so those blocks are dead weight by now
-            from cellbase_spark.operators.ckpt import release_prior
+            from cellbase_spark.operators.ckpt import registry_build, release_prior
 
             release_prior()
-            return fn(spark, sf_dir)
+            with registry_build():
+                return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -333,3 +333,40 @@ def test_normalize_zscore_api(spark):
     t = CellTable(df, "docs", key_col="doc_id")
     got = {r["doc_id"]: r["z"] for r in t.normalize_zscore("x", "grp").df.collect()}
     assert got == {1: -1.0, 2: 1.0, 3: 0.0}
+
+
+def test_api_checkpoint_survives_registry_build(spark, sf_dir):
+    """Round-6 ckpt scoping fix (ADVICE r5 medium): a checkpoint-backed
+    DataFrame returned by the public API must stay collectible AFTER an
+    unrelated registered-query build runs (registry builds release only
+    handles recorded inside registry_build scope)."""
+    import cellbase_spark.queries  # noqa: F401  (populates REGISTRY)
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.operators import ckpt
+    from cellbase_spark.registry import REGISTRY
+
+    cb = CellBase(spark, sf_dir)
+    docs = cb.table("documents")
+    clusters = docs.dedup_clusters("text")  # API path may checkpoint
+    # API-created checkpoints must NOT be in the registry release list
+    assert not ckpt._LIVE, "API build recorded handles into _LIVE"
+    # run a registered query that itself checkpoints, end-to-end
+    REGISTRY["q_sql_recursive"].fn(spark, sf_dir).collect()
+    # the API frame is still consumable — its blocks were never freed
+    assert clusters.count() > 0
+
+
+def test_source_overlap_api_is_lazy(spark):
+    """Round-6 laziness fix (ADVICE r5 low): source_overlap must not run
+    driver actions at construction — totals join in lazily, so the plan
+    reflects the table state at EXECUTION time."""
+    from cellbase_spark.api import CellTable
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h", "s1"), (2, "a b c d e f g h", "s2")],
+        "doc_id long, text string, source string",
+    )
+    t = CellTable(base, "documents")
+    plan = t.source_overlap("text", "source", window=4)
+    rows = {(r["grp_a"], r["grp_b"]): r["n_shared"] for r in plan.collect()}
+    assert rows == {("s1", "s2"): 5}

@@ -388,3 +388,45 @@ def test_sessionize_batch_gap_numbering(spark, tmp_path):
         for r in q_sessionize_batch(spark, sf).collect()
     }
     assert got == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_sessionize_gap_microsecond_boundary(spark, tmp_path):
+    """The 30-min gap rule is strict (>) at MICROSECOND precision: a gap
+    of exactly 1800s stays one session; 1800s + 1us (and 1800.5s, which a
+    whole-second floor diff would see as exactly 1800) opens a new one.
+    Regression test for the unix_timestamp truncation bug (ADVICE r5)."""
+    import datetime as dt
+    import os
+
+    from cellbase_spark.queries.analytics import (
+        q_sessionize_batch,
+        q_sessionize_twophase,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec, us=0: t0 + dt.timedelta(seconds=sec, microseconds=us)  # noqa: E731
+    rows = [
+        # user 1: gap exactly 1800s -> SAME session
+        (1, s(0), 1, "e", 0.0, "{}"),
+        (2, s(1800), 1, "e", 0.0, "{}"),
+        # user 2: gap 1800s + 1us -> NEW session
+        (3, s(0), 2, "e", 0.0, "{}"),
+        (4, s(1800, 1), 2, "e", 0.0, "{}"),
+        # user 3: gap 1800.5s -> NEW session (floor-second diff says 1800)
+        (5, s(0, 500_000), 3, "e", 0.0, "{}"),
+        (6, s(1801), 3, "e", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sfgapus")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    for q in (q_sessionize_batch, q_sessionize_twophase):
+        # max session_seq per user == number of sessions
+        agg = {}
+        for r in q(spark, sf).collect():
+            agg[r["user_id"]] = max(agg.get(r["user_id"], 0), r["session_seq"])
+        assert agg == {1: 1, 2: 2, 3: 2}, q.__name__
