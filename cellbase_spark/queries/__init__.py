@@ -26,6 +26,7 @@ GATE_PRIORITY = [
     # -- changed round 6: loud fractional-quantity guard on the LONG lane
     "q_tpch_q18",
     # -- NEW round-6 keys get inserted here as they land
+    "q_tpch_q5_bucketed",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",
     "q_chunk_documents",

@@ -321,3 +321,116 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, "o_custkey", salt=8).select(
         "o_orderkey", "o_custkey", "c_mktsegment"
     )
+
+
+def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem + orders as 32-bucket, orderkey-sorted external
+    tables (once per process per sf — the layout is paid at ingest time
+    in a real deployment, not per query). Returns the table names."""
+    import os
+    import shutil
+
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    base = scratch_path(sf_dir, "q5bucketed")
+    t_l = scratch_table(sf_dir, "cb_q5b_lineitem")
+    t_o = scratch_table(sf_dir, "cb_q5b_orders")
+    specs = (
+        (
+            t_l,
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+            ),
+            "l_orderkey",
+        ),
+        (
+            t_o,
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            "o_orderkey",
+        ),
+    )
+    for name, df, key in specs:
+        if spark.catalog.tableExists(name):
+            continue  # PID+sf-scoped scratch: data is immutable per sf
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        (
+            # repartition to the bucket count on the bucket key FIRST so
+            # each bucket is exactly ONE file — Spark only trusts sortBy
+            # order (and skips the per-partition re-Sort under the SMJ)
+            # for single-file buckets
+            df.repartition(32, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(32, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return t_l, t_o
+
+
+@register(
+    "q_tpch_q5_bucketed",
+    family="join",
+    oracle=f"""
+SELECT n.n_name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 on a BUCKETED layout — the 100 TB answer to the plain
+    form's fact-join constant factor (VERDICT r5 item 3). lineitem and
+    orders are both written `bucketBy(32, orderkey).sortBy(orderkey)`
+    once per process (the layout cost a real deployment pays at ingest),
+    so the fact⋈fact join runs bucket-local: NO exchange and NO sort on
+    either side (pinned in tests/test_plans.py). The join order differs
+    from q_tpch_q5 to EXPLOIT the layout: lineitem⋈orders first (the
+    bucket join, date filter pushed into the bucketed orders scan), then
+    the ASIA customer⋈nation⋈region reduction joins in as a broadcast on
+    o_custkey, and supplier broadcasts with the s_nationkey=c_nationkey
+    colocation condition. Same oracle as q_tpch_q5 — identical results.
+
+    At 100 TB: the dim-chain build (1/5 of customers, 3 narrow cols)
+    eventually outgrows broadcast and degrades to a custkey shuffle of
+    the ALREADY date-filtered join output — the lineitem-sized shuffle
+    the plain form pays is still gone, which is the layout dividend."""
+    t_l, t_o = _q5_bucketed_layout(spark, sf_dir)
+    bl = spark.table(t_l)
+    bo = spark.table(t_o).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .join(F.broadcast(cr), F.col("o_custkey") == cr.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )

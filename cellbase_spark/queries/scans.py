@@ -390,7 +390,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
         (
-            df.write.mode("overwrite")
+            # one file per bucket (repartition on the bucket key first) so
+            # the sorted-bucket scan order is trusted and the SMJ needs
+            # neither Exchange NOR Sort (see session._RUNTIME_CONF)
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
             .bucketBy(8, key)
             .sortBy(key)
             .option("path", os.path.join(base, name))

@@ -97,6 +97,13 @@ _RUNTIME_CONF = {
     # AQE-only broadcast threshold (see builder note): accurate runtime
     # sizes justify the higher cap; static planning stays at 10m
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    # Trust sortBy order on bucketed scans whose buckets are single
+    # files (Spark verifies the one-file-per-bucket precondition itself;
+    # multi-file buckets keep the defensive re-Sort). The engine writes
+    # bucketed layouts repartitioned to the bucket count, so its sorted
+    # layouts qualify: drops the per-partition Sort under bucket-local
+    # SMJs (q_tpch_q5_bucketed sf10: 2.8s -> 2.1s).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

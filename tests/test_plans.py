@@ -546,3 +546,28 @@ def test_dedup_full_summary_plan_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_tpch_q5_bucketed_fact_join_no_exchange_no_sort(spark, sf_dir):
+    """q_tpch_q5_bucketed's lineitem⋈orders must run bucket-local: no
+    shuffle Exchange AND no Sort on either side (the layout was written
+    one-sorted-file-per-bucket and the engine trusts bucket sort order).
+    Broadcasts are disabled to surface the SMJ the layout exists for."""
+    import re
+
+    from cellbase_spark.queries.joins import _q5_bucketed_layout
+
+    t_l, t_o = _q5_bucketed_layout(spark, sf_dir)
+    bl = spark.table(t_l)
+    bo = spark.table(t_o)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = formatted_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0
+    assert "SelectedBucketsCount" in plan
