@@ -27,6 +27,7 @@ GATE_PRIORITY = [
     "q_tpch_q18",
     # -- NEW round-6 keys get inserted here as they land
     "q_tpch_q5_bucketed",
+    "q_dedup_incremental",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",
     "q_chunk_documents",

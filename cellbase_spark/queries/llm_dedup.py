@@ -886,3 +886,128 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once per process+sf) the corpus's MinHash band table
+    — the persisted index an incremental-dedup deployment maintains: one
+    (doc_id, band_idx, band_key) parquet row per corpus doc per band.
+    Returns a READER of the parquet, so downstream plans scan the band
+    table, never recompute corpus signatures."""
+    import os
+
+    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+    from cellbase_spark.queries.scans import scratch_path
+
+    out = scratch_path(sf_dir, "bandtable", "corpus_bands")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        corpus = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 != 0
+        )
+        t = corpus.select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(F.split("text", " ")).alias("_toks"),
+        )
+        (
+            t.select(
+                "_id",
+                F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias(
+                    "_bidx", "_bkey"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
+@register(
+    "q_dedup_incremental",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+  FROM bd a JOIN bd b
+    ON a.bidx = b.bidx AND a.bkey = b.bkey
+   AND a.id % 10 = 0 AND b.id % 10 <> 0
+)
+SELECT c.id_new, c.id_corpus,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_new = ta.id JOIN t tb ON c.id_corpus = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) near-dup detection — the verb a
+    100 TB pipeline runs DAILY (VERDICT r5 item 5): instead of
+    re-clustering the whole corpus, the new batch's MinHash bands
+    (doc_id % 10 == 0 plays the arriving batch) probe the PERSISTED
+    corpus band table (built once by _corpus_band_table, maintained by
+    appending each processed batch's bands in deployment). Work scales
+    with |batch| x bands, not |corpus|:
+
+    - probe side: one scan of the batch, band keys computed on the fly
+      (map-only), equi-join on (band_idx, band_key) against the band
+      table — a shuffle of batch-bands + matching band-table partitions,
+      never a corpus text rescan;
+    - verify side: candidate (id_new, id_corpus) pairs fetch token sets
+      by id-join (point-ish lookups into documents), exact Jaccard
+      >= 0.95 — same verification contract as q_dedup_minhash.
+
+    Oracle: the full-corpus LSH pair set RESTRICTED to batch x corpus
+    pairs — identical band keys are deterministic md5 math in both
+    engines, so incremental probing must find exactly those pairs.
+    Plan pin (tests/test_plans.py): exactly ONE Generate (the batch
+    probe's posexplode — corpus bands are NEVER recomputed, they come
+    from the band-table parquet scan), and the only documents scans are
+    the batch probe plus the two id-keyed verify fetches."""
+    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+
+    band_tab = _corpus_band_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    bt = batch.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(F.split("text", " ")).alias("_toks"),
+    )
+    probe = bt.select(
+        "_id",
+        F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias("_bidx", "_bkey"),
+    )
+    cand = (
+        probe.alias("a")
+        .join(
+            band_tab.alias("b"),
+            (F.col("a._bidx") == F.col("b._bidx"))
+            & (F.col("a._bkey") == F.col("b._bkey")),
+        )
+        .select(
+            F.col("a._id").alias("id_new"), F.col("b._id").alias("id_corpus")
+        )
+        .distinct()
+    )
+    t = docs.select(
+        F.col("doc_id").alias("_vid"),
+        F.array_distinct(F.split("text", " ")).alias("_vtoks"),
+    )
+    ta = t.select(F.col("_vid").alias("id_new"), F.col("_vtoks").alias("_ta"))
+    tb = t.select(F.col("_vid").alias("id_corpus"), F.col("_vtoks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cand.join(ta, "id_new")
+        .join(tb, "id_corpus")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= 0.95)
+        .select("id_new", "id_corpus", "jaccard")
+    )

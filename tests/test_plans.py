@@ -571,3 +571,15 @@ def test_tpch_q5_bucketed_fact_join_no_exchange_no_sort(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0
     assert "SelectedBucketsCount" in plan
+
+
+def test_dedup_incremental_probes_band_table_only(spark, sf_dir):
+    """q_dedup_incremental must not recompute corpus bands: exactly ONE
+    Generate (the batch probe's posexplode) in the plan, and the corpus
+    side of the candidate join is the persisted band-table parquet."""
+    import re
+
+    plan = formatted_plan(QS["q_dedup_incremental"](spark, sf_dir))
+    assert "corpus_bands" in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
