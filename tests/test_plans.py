@@ -583,3 +583,46 @@ def test_dedup_incremental_probes_band_table_only(spark, sf_dir):
     assert "corpus_bands" in plan
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+
+
+def test_source_overlap_no_span_self_join(spark, sf_dir):
+    """q_source_overlap's span state must stay bounded by SOURCE count:
+    ONE documents scan, no join of any kind (the pair fan-out happens
+    after the span-keyed reduction, inside an aggregate state), and the
+    only Generates are the shingle explode + post-reduction pair
+    fan-out."""
+    import re
+
+    plan = plan_of(spark, "q_source_overlap", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert len(re.findall(r"\(\d+\) Scan\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
+
+
+def test_sessionize_twophase_bounded_windows_no_global_sort(spark, sf_dir):
+    """q_sessionize_twophase: both phases ride keyed window sorts — two
+    Exchanges total (phase-1 (user,day) chunks, phase-2 user re-key),
+    never a global range sort, never a join."""
+    import re
+
+    plan = plan_of(spark, "q_sessionize_twophase", sf_dir)
+    assert "rangepartitioning" not in plan.lower()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_embed_outliers_broadcast_centroid_no_pair_join(spark, sf_dir):
+    """q_embed_outliers: the per-label centroid joins back by BROADCAST
+    (tiny label-keyed frame), distances are a narrow map — no pair join,
+    no SMJ anywhere, and the top-5 rank is group-limit-pushed."""
+    import re
+
+    plan = plan_of(spark, "q_embed_outliers", sf_dir)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) == 1
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert "WindowGroupLimit" in plan
