@@ -328,3 +328,92 @@ def ivf_assign(
 ).j"""
     )
     return embeddings.withColumn("centroid_id", assign)
+
+
+def label_centroid_partials(e: DataFrame, dim: int = 64) -> DataFrame:
+    """Single-pass Arrow centroid partials: per input partition, one
+    (label, csum: array<long>, cnt) row per label, where csum lanes are
+    int64 sums of each value quantized EXACTLY as Spark's
+    cast(float -> double -> decimal(25,10)) — i.e. round-half-up of
+    x * 1e10 — so the downstream mean is bit-identical to the
+    posexplode/decimal-agg form (and to the DuckDB oracle).
+
+    Exact quantization without Decimal objects: a float32 is M * 2^E
+    with a 24-bit integer mantissa, so |x| * 1e10 = (M * 10^10) / 2^k
+    with M * 10^10 <= 2^58 (exact int64) and k = 24 - E; half-up is then
+    (num + 2^(k-1)) >> k in pure integer math, vectorized.
+
+    Scale shape: this is a hand-built map-side combine — the shuffle
+    after it carries ONE row per (partition, label), never rows x dim
+    exploded values. State per task is labels x dim int64."""
+    import pandas as pd
+
+    out_schema = (
+        "label int, csum array<long>, cnt long"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        sums: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            neg = arr < 0
+            xa = np.abs(arr)
+            M, E = np.frexp(xa)
+            num = (M * (1 << 24)).astype(np.int64) * 10**10
+            k = np.clip(24 - E.astype(np.int64), 1, 62)
+            q = (num + (np.int64(1) << (k - 1))) >> k
+            q = np.where(neg, -q, q)
+            labels = pdf["label"].to_numpy()
+            for lab in np.unique(labels):
+                m = labels == lab
+                key = int(lab)
+                s = q[m].sum(axis=0, dtype=np.int64)
+                if key in sums:
+                    sums[key] += s
+                    counts[key] += int(m.sum())
+                else:
+                    sums[key] = s
+                    counts[key] = int(m.sum())
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "label": list(sums),
+                    "csum": [sums[k].tolist() for k in sums],
+                    "cnt": [counts[k] for k in sums],
+                }
+            )
+
+    return e.select("label", "embedding").mapInPandas(kernel, out_schema)
+
+
+def label_centroids_arrow(e: DataFrame, dim: int = 64) -> DataFrame:
+    """(label, cent: array<double>) centroid frame from the Arrow
+    partial pass: tiny final combine (one row per partition x label),
+    then the EXACT decimal algebra in integer form — round(sum, 4) at
+    decimal scale 10 is sign * ((|S| + 5*10^5) div 10^6), and
+    (cast long -> double) / 1e4 / cnt reproduces the decimal -> double
+    cast + IEEE division of the posexplode form bit-for-bit."""
+    partials = label_centroid_partials(e, dim)
+    return (
+        partials.groupBy("label")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.expr(
+                f"aggregate(collect_list(csum), array_repeat(cast(0 as long), {dim}),"
+                " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias("s"),
+        )
+        .select(
+            "label",
+            F.expr(
+                "transform(s, v -> (cast(if(v < 0,"
+                " -((-v + 500000) div 1000000), (v + 500000) div 1000000)"
+                " as double) / 10000.0) / cnt)"
+            ).alias("cent"),
+        )
+    )

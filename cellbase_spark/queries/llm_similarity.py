@@ -615,34 +615,30 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from their label centroid — the mislabel / contamination candidates
     an embedding-corpus owner reviews before training on the labels.
 
-    Scale shape: centroid = q_embed_centroid's one (label, pos) exact-
-    decimal agg (shuffle carries labels x dim partial sums), re-packed
-    into one array per label and BROADCAST back; the distance is then a
-    narrow map over the one embeddings scan (ordered zip_with/aggregate
-    fold — bit-identical to the oracle's list_reduce); ranking is one
-    label-partitioned window. No pair join anywhere: cost is O(rows x
-    dim) + a labels-sized broadcast, the same shape at 100 TB.
+    Scale shape (third-variant A/B winner, round 6): the centroid is a
+    single-pass Arrow mapInPandas partial agg — one (label, int64-lane
+    sums, count) row per partition per label, exact-decimal quantization
+    done in integer math inside the kernel (operators/similarity.py
+    label_centroids_arrow) — so the shuffle carries partitions x labels
+    rows, not the rows x 64 posexplode fan-out. The tiny centroid frame
+    is BROADCAST back; the distance is a narrow map over the one
+    embeddings scan (ordered zip_with/aggregate fold — bit-identical to
+    the oracle's list_reduce); ranking is one label-partitioned window.
+    No pair join anywhere: cost is O(rows x dim) + a labels-sized
+    broadcast, the same shape at 100 TB.
+
+    Three-way A/B at sf10 (best-of-3, idle box): posexplode 15.4 s,
+    64-agg-lane 17.9 s (r5), Arrow partials 3.2 s — adopted; results
+    bit-identical across all three (exact integer quantization).
 
     Determinism: centroid dims are exact-decimal means; the fold adds
     non-negative squares left-to-right from +0.0, so Spark's aggregate()
     and DuckDB's list_reduce produce bit-identical doubles before the
     single round(6)."""
+    from cellbase_spark.operators.similarity import label_centroids_arrow
+
     e = load_table(spark, sf_dir, "embeddings")
-    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
-        "label", (F.col("pos0") + 1).alias("pos"), "v"
-    )
-    cl = ex.groupBy("label", "pos").agg(
-        (
-            F.round(F.sum(F.col("v").cast("double").cast("decimal(25,10)")), 4)
-            .cast("double")
-            / F.count(F.lit(1))
-        ).alias("cv")
-    )
-    ca = cl.groupBy("label").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").alias(
-            "cent"
-        )
-    )
+    ca = label_centroids_arrow(e)
     d = e.join(F.broadcast(ca), "label").select(
         "vec_id",
         "label",
