@@ -142,6 +142,94 @@ def measure_streaming(spark, sf_dir: str, runs: int = 2) -> dict:
     }
 
 
+def measure_streaming_sustained(spark, sf_dir: str, runs: int = 2) -> dict:
+    """SUSTAINED multi-batch throughput (VERDICT r5 item 6): the same
+    tumbling pipeline driven as 10 real micro-batches (maxFilesPerTrigger
+    =1 over a 10-file split of the largest local events table), with the
+    production state backend — RocksDB + changelog checkpointing — so
+    every batch pays planner + state open/commit + changelog upload +
+    sink commit. Reports sustained ev/s across ALL batches, not the
+    single-batch figure the r4/r5 rows used. Source preference:
+    $SPARK_GRAFT_STREAM_SUSTAINED_DIR, else the biggest .localdata/sf*
+    (sf10 = 10 x 1M-event batches), else the bench SF_DIR itself."""
+    import glob as _glob
+    import time as _time
+
+    from cellbase_spark.streaming import pipelines as sp
+
+    src_sf = os.environ.get("SPARK_GRAFT_STREAM_SUSTAINED_DIR")
+    if not src_sf:
+        local = sorted(
+            _glob.glob(os.path.join(_REPO, ".localdata", "sf*")),
+            key=lambda p: os.path.getsize(os.path.join(p, "events.parquet"))
+            if os.path.isfile(os.path.join(p, "events.parquet"))
+            else -1,
+        )
+        src_sf = local[-1] if local else sf_dir
+    n_batches = 10
+    split = os.path.join(
+        "/tmp", "cb_bench_sustained_" + src_sf.strip("/").replace("/", "_")
+    )
+    if not os.path.isdir(split):
+        (
+            spark.read.parquet(os.path.join(src_sf, "events.parquet"))
+            .repartition(n_batches)
+            .write.mode("overwrite")
+            .parquet(split)
+        )
+    n_events = spark.read.parquet(split).count()
+
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = {
+        k: spark.conf.get(k, d)
+        for k, d in [
+            ("spark.sql.shuffle.partitions", "32"),
+            (
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+            ),
+            (
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "false",
+            ),
+        ]
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+    def one_run() -> float:
+        stream = sp.read_events_stream(spark, split, max_files_per_trigger=1)
+        t0 = _time.time()
+        sp.run_stream_to_memory(sp.tumbling_agg(stream), "bench_stream_sustained")
+        return _time.time() - t0
+
+    try:
+        one_run()  # warm-up: RocksDB JNI load, file-index, changelog path
+        secs = min(one_run() for _ in range(runs))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return {
+        "pipeline": "tumbling_1h_sustained",
+        "state_backend": "rocksdb+changelog",
+        "source_sf_dir": src_sf,
+        "events": n_events,
+        "batches": n_batches,
+        "sec": round(secs, 4),
+        "events_per_sec_sustained": round(n_events / secs) if secs > 0 else -1,
+        "sec_per_batch": round(secs / n_batches, 4),
+    }
+
+
 def main() -> None:
     # Nothing but the final JSON line may reach the real stdout: park fd 1
     # on stderr for the whole run (Spark banners, stray prints, warnings all
@@ -176,6 +264,11 @@ def main() -> None:
     except Exception as exc:
         print(f"bench error streaming: {exc!r}", file=sys.stderr)
         streaming = {"error": str(exc)[:120]}
+    try:
+        streaming_sustained = measure_streaming_sustained(spark, SF_DIR)
+    except Exception as exc:
+        print(f"bench error streaming_sustained: {exc!r}", file=sys.stderr)
+        streaming_sustained = {"error": str(exc)[:120]}
     headline = {n: t for n, t in timings.items() if n in HEADLINE}
     total = round(sum(t for t in headline.values() if t >= 0), 4)
     result = {
@@ -187,6 +280,7 @@ def main() -> None:
         "n_headline": len(headline),
         "n_timed": len(timings),
         "streaming": streaming,
+        "streaming_sustained": streaming_sustained,
     }
     full = dict(
         result, queries=timings, runs=runs, metric="sum_headline_steady_state_sec_full"

@@ -397,14 +397,21 @@ def label_centroids_arrow(e: DataFrame, dim: int = 64) -> DataFrame:
     then the EXACT decimal algebra in integer form — round(sum, 4) at
     decimal scale 10 is sign * ((|S| + 5*10^5) div 10^6), and
     (cast long -> double) / 1e4 / cnt reproduces the decimal -> double
-    cast + IEEE division of the posexplode form bit-for-bit."""
+    cast + IEEE division of the posexplode form bit-for-bit.
+
+    The lane-wise combine folds from the FIRST collected partial (not a
+    fixed-width zero array) so the operator is dimension-agnostic —
+    zip_with against a wrong-width seed would null-pad lanes silently."""
     partials = label_centroid_partials(e, dim)
     return (
         partials.groupBy("label")
         .agg(
             F.sum("cnt").alias("cnt"),
             F.expr(
-                f"aggregate(collect_list(csum), array_repeat(cast(0 as long), {dim}),"
+                "aggregate("
+                " slice(collect_list(csum), 2,"
+                "       greatest(size(collect_list(csum)) - 1, 0)),"
+                " element_at(collect_list(csum), 1),"
                 " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
             ).alias("s"),
         )
