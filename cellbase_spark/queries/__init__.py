@@ -27,6 +27,8 @@ GATE_PRIORITY = [
     "q_tpch_q18",
     # -- NEW round-6 keys get inserted here as they land
     "q_tpch_q5_bucketed",
+    "q_tpch_q3_bucketed",
+    "q_tpch_q21_bucketed",
     "q_dedup_incremental",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",

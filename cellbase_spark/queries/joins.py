@@ -323,30 +323,39 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write lineitem + orders as 32-bucket, orderkey-sorted external
     tables (once per process per sf — the layout is paid at ingest time
-    in a real deployment, not per query). Returns the table names."""
+    in a real deployment, not per query). ONE shared layout serves every
+    orderkey fact join (Q5/Q3/Q21 here — the deployment model: you
+    bucket the fact tables once, every downstream query rides it), so
+    the column set is the union of what those queries read; parquet
+    column pruning keeps each individual scan narrow. Returns the table
+    names."""
     import os
     import shutil
 
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
-    base = scratch_path(sf_dir, "q5bucketed")
-    t_l = scratch_table(sf_dir, "cb_q5b_lineitem")
-    t_o = scratch_table(sf_dir, "cb_q5b_orders")
+    base = scratch_path(sf_dir, "factbucketed")
+    t_l = scratch_table(sf_dir, "cb_factb_lineitem")
+    t_o = scratch_table(sf_dir, "cb_factb_orders")
     specs = (
         (
             t_l,
             load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
             ),
             "l_orderkey",
         ),
         (
             t_o,
             load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_custkey", "o_orderdate"
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
             ),
             "o_orderkey",
         ),
@@ -407,7 +416,7 @@ def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     eventually outgrows broadcast and degrades to a custkey shuffle of
     the ALREADY date-filtered join output — the lineitem-sized shuffle
     the plain form pays is still gone, which is the layout dividend."""
-    t_l, t_o = _q5_bucketed_layout(spark, sf_dir)
+    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
     bl = spark.table(t_l)
     bo = spark.table(t_o).where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -433,4 +442,64 @@ def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q_tpch_q3_bucketed",
+    family="join",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 on the SHARED bucketed fact layout (the deployment
+    model: bucket lineitem+orders on orderkey once at ingest, every
+    orderkey query rides it). The whole query runs with ZERO shuffle
+    exchanges (pinned in tests/test_plans.py): both date filters push
+    into the bucketed parquet scans, the fact⋈fact join is bucket-local
+    SMJ with trusted single-file sort order, the BUILDING customer key
+    set joins in as a broadcast LEFT SEMI (c_custkey is unique, so semi
+    ≡ inner with no payload), and the groupBy(l_orderkey, o_orderdate)
+    agg is satisfied by the bucket hash partitioning — l_orderkey is a
+    subset of the grouping keys, so Catalyst elides that exchange too.
+    The top-10 is a TakeOrderedAndProject, never a global sort. Same
+    oracle as q_tpch_q3 — identical results.
+
+    At 100 TB the semi-join build (one int column, 1/5 of customers)
+    eventually outgrows broadcast and degrades to a custkey shuffle of
+    the already-filtered join output; the lineitem-sized exchange the
+    plain form pays stays gone."""
+    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    bl = spark.table(t_l).where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    bo = spark.table(t_o).where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .join(F.broadcast(c), "o_custkey", "left_semi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
     )

@@ -724,3 +724,99 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q21_bucketed",
+    family="tpch",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 on the SHARED bucketed fact layout: the plain form's
+    whole cost is one lineitem exchange feeding the orderkey windows
+    plus the filtered-orders shuffle — on the layout BOTH disappear.
+    The bucketed lineitem scan reports HashPartitioning(l_orderkey, 32),
+    which satisfies the clustering of both windows (l_orderkey is a
+    prefix/subset of each partitionBy) with only a cheap partition-LOCAL
+    sort for the (l_orderkey, l_suppkey) window order; the orders join
+    is then bucket⋈bucket with trusted scan order on the orders side —
+    zero exchanges end to end except the final ~400-row s_name agg
+    (pinned in tests/test_plans.py: at most ONE shuffle Exchange in the
+    whole plan). Same window algebra and oracle as q_tpch_q21 —
+    identical results.
+
+    At 100 TB this is the difference between shuffling the full fact
+    table per run and reading it in place: the layout is paid once at
+    ingest, and every orderkey-clustered query (Q3/Q5/Q21 here) rides
+    the same files."""
+    from cellbase_spark.queries.joins import _fact_bucketed_layout
+
+    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
+    l = spark.table(t_l).select("l_orderkey", "l_suppkey", "l_shipdate")
+    w_pair = Window.partitionBy("l_orderkey", "l_suppkey")
+    w_ord = Window.partitionBy("l_orderkey")
+    df = l.withColumn("s_max", F.max("l_shipdate").over(w_pair)).withColumn(
+        "pairs", F.collect_set(F.struct("l_suppkey", "s_max")).over(w_ord)
+    )
+    df = df.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "s_max",
+        F.size("pairs").alias("n_supp"),
+        F.expr("array_max(transform(pairs, p -> p.s_max))").alias("m1"),
+        F.expr(
+            "size(filter(pairs, p -> p.s_max = "
+            "array_max(transform(pairs, q -> q.s_max))))"
+        ).alias("n_at_m1"),
+        F.expr(
+            "array_max(transform(filter(pairs, p -> p.s_max < "
+            "array_max(transform(pairs, q -> q.s_max))), p -> p.s_max))"
+        ).alias("m2"),
+    ).withColumn(
+        "other_max",
+        F.when(
+            (F.col("s_max") < F.col("m1")) | (F.col("n_at_m1") > 1), F.col("m1")
+        ).otherwise(F.col("m2")),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    o = (
+        spark.table(t_o)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        df.where(
+            (F.col("n_supp") >= 2) & (F.col("other_max") <= F.col("l_shipdate"))
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

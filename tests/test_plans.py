@@ -555,9 +555,9 @@ def test_tpch_q5_bucketed_fact_join_no_exchange_no_sort(spark, sf_dir):
     Broadcasts are disabled to surface the SMJ the layout exists for."""
     import re
 
-    from cellbase_spark.queries.joins import _q5_bucketed_layout
+    from cellbase_spark.queries.joins import _fact_bucketed_layout
 
-    t_l, t_o = _q5_bucketed_layout(spark, sf_dir)
+    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
     bl = spark.table(t_l)
     bo = spark.table(t_o)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -626,3 +626,32 @@ def test_embed_outliers_broadcast_centroid_no_pair_join(spark, sf_dir):
               "BroadcastNestedLoopJoin"):
         assert j not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_tpch_q3_bucketed_zero_shuffle_exchanges(spark, sf_dir):
+    """q_tpch_q3_bucketed must run WITHOUT a single shuffle exchange:
+    fact join bucket-local, customer key set broadcast-semi, the
+    groupBy(l_orderkey, o_orderdate) agg satisfied by the bucket hash
+    partitioning (l_orderkey ⊆ grouping keys), top-10 via
+    TakeOrderedAndProject."""
+    import re
+
+    plan = plan_of(spark, "q_tpch_q3_bucketed", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "SelectedBucketsCount" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_bucketed_single_tiny_exchange(spark, sf_dir):
+    """q_tpch_q21_bucketed: both orderkey windows and the orders join
+    ride the bucket partitioning — the ONLY shuffle exchange allowed is
+    the final ~|supplier|-row s_name aggregate. The window order needs
+    at most a partition-LOCAL sort (no global sort anywhere)."""
+    import re
+
+    plan = plan_of(spark, "q_tpch_q21_bucketed", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "SelectedBucketsCount" in plan
+    assert "CartesianProduct" not in plan
