@@ -29,7 +29,9 @@ GATE_PRIORITY = [
     "q_tpch_q5_bucketed",
     "q_tpch_q3_bucketed",
     "q_tpch_q21_bucketed",
+    "q_tpch_q9_bucketed",
     "q_dedup_incremental",
+    "q_dedup_band_update",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",
     "q_chunk_documents",

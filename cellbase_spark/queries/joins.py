@@ -327,7 +327,7 @@ def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write lineitem + orders as 32-bucket, orderkey-sorted external
     tables (once per process per sf — the layout is paid at ingest time
     in a real deployment, not per query). ONE shared layout serves every
-    orderkey fact join (Q5/Q3/Q21 here — the deployment model: you
+    orderkey fact join (Q5/Q3/Q9/Q21 here — the deployment model: you
     bucket the fact tables once, every downstream query rides it), so
     the column set is the union of what those queries read; parquet
     column pruning keeps each individual scan narrow. Returns the table
@@ -345,7 +345,9 @@ def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             t_l,
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey",
+                "l_partkey",
                 "l_suppkey",
+                "l_quantity",
                 "l_extendedprice",
                 "l_discount",
                 "l_shipdate",

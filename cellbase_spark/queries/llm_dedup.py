@@ -1011,3 +1011,91 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.95)
         .select("id_new", "id_corpus", "jaccard")
     )
+
+
+@register(
+    "q_dedup_band_update",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS band_idx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), bs AS (
+  SELECT band_idx, bkey, COUNT(*) AS c FROM bd GROUP BY band_idx, bkey
+)
+SELECT bd.band_idx,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT bd.bkey) AS n_keys,
+       COUNT(DISTINCT bd.id) AS n_docs,
+       (SELECT MAX(c) FROM bs WHERE bs.band_idx = bd.band_idx) AS max_bucket
+FROM bd
+GROUP BY bd.band_idx
+""",
+)
+def q_dedup_band_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-table ROLL-FORWARD — the write/maintenance side of the
+    incremental-dedup daily loop (q_dedup_incremental is the read side):
+    after the arriving batch (doc_id % 10 == 0) has been probed, its
+    bands are appended to the persisted corpus band table so TOMORROW's
+    batch probes today's corpus+batch. The update writes a NEW table
+    generation (bandtable_next) rather than appending in place — the
+    previous generation stays immutable for readers mid-probe (the
+    swap is an atomic pointer flip in a real deployment), and
+    q_dedup_incremental's corpus-only table is never contaminated
+    within this process.
+
+    Work: batch bands are the same map-only computation the probe used
+    (ONE batch scan, never a corpus rescan — the corpus side is a
+    parquet scan of the existing band table), one union write, then a
+    2-group stats aggregate over the new generation: per band_idx the
+    row count, distinct band keys, distinct docs, and the largest
+    bucket (the LSH skew statistic the capped-dedup path keys off).
+
+    Oracle: the SAME stats computed from scratch over ALL documents —
+    the rolled-forward table must be indistinguishable from a full
+    rebuild, band for band."""
+    import os
+
+    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+    from cellbase_spark.queries.scans import scratch_path
+
+    band_tab = _corpus_band_table(spark, sf_dir)
+    out = scratch_path(sf_dir, "bandtable_next", "corpus_bands")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        batch = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 == 0
+        )
+        bt = batch.select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(F.split("text", " ")).alias("_toks"),
+        )
+        batch_bands = bt.select(
+            "_id",
+            F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias(
+                "_bidx", "_bkey"
+            ),
+        )
+        band_tab.unionByName(batch_bands).write.mode("overwrite").parquet(out)
+    nxt = spark.read.parquet(out)
+    bucket_sizes = nxt.groupBy("_bidx", "_bkey").agg(F.count(F.lit(1)).alias("c"))
+    maxb = bucket_sizes.groupBy("_bidx").agg(F.max("c").alias("max_bucket"))
+    stats = nxt.groupBy("_bidx").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_bkey").alias("n_keys"),
+        F.countDistinct("_id").alias("n_docs"),
+    )
+    return (
+        stats.join(maxb, "_bidx")
+        .select(
+            F.col("_bidx").alias("band_idx"),
+            "n_rows",
+            "n_keys",
+            "n_docs",
+            "max_bucket",
+        )
+    )

@@ -820,3 +820,57 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q9_bucketed",
+    family="tpch",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.1 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(25,10))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+""",
+)
+def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 on the SHARED bucketed fact layout: Q9's one fact⋈fact
+    join is lineitem⋈orders on orderkey — exactly the layout's key. The
+    %red% part and the supplier⋈nation chain broadcast (preserving the
+    streamed side's bucket partitioning AND trusted scan order), so the
+    orders join runs bucket-local with zero exchange and zero sort; the
+    only shuffle left is the ~(nations x years)-row final agg (pinned
+    <=1 Exchange in tests/test_plans.py). Same profit expression and
+    oracle as q_tpch_q9 — identical results.
+
+    Fourth query on the same layout files (Q3/Q5/Q21 ride it too): the
+    amortization argument in one repo — at 100 TB you pay the bucketed
+    write once at ingest and every orderkey join in the workload drops
+    its fact-table exchange."""
+    from cellbase_spark.queries.joins import _fact_bucketed_layout
+
+    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
+    l = spark.table(t_l)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = spark.table(t_o).select("o_orderkey", "o_orderdate")
+    supp_n = s.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_n), l.l_suppkey == supp_n.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(profit, "sum_profit"))
+    )

@@ -78,3 +78,47 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables, sf_dir):
     }
     got = {(r["o_orderstatus"], r["n"]) for r in j.collect()}
     assert got == want
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bucketed_tpch_variants_match_plain_forms(spark, sf_dir):
+    """The three layout variants must be row-identical to their plain
+    forms (same oracle SQL => the driver gate enforces this at sf0.01;
+    this is the cheap in-repo differential at the smoke SF)."""
+    from cellbase_spark.registry import queries
+
+    qs = queries()
+    for plain, bucketed in (
+        ("q_tpch_q3", "q_tpch_q3_bucketed"),
+        ("q_tpch_q9", "q_tpch_q9_bucketed"),
+        ("q_tpch_q21", "q_tpch_q21_bucketed"),
+        ("q_tpch_q5", "q_tpch_q5_bucketed"),
+    ):
+        assert _rows(qs[plain](spark, sf_dir)) == _rows(
+            qs[bucketed](spark, sf_dir)
+        ), f"{bucketed} diverges from {plain}"
+
+
+def test_band_update_rolls_forward_without_contaminating_probe_table(
+    spark, sf_dir, tmp_path
+):
+    """q_dedup_band_update writes a NEW generation: the corpus-only band
+    table q_dedup_incremental probes must keep exactly its pre-update
+    row count (no in-place append), and the new generation must hold
+    corpus + batch rows."""
+    from cellbase_spark.queries.llm_dedup import _corpus_band_table
+    from cellbase_spark.registry import queries
+
+    qs = queries()
+    before = _corpus_band_table(spark, sf_dir).count()
+    stats = qs["q_dedup_band_update"](spark, sf_dir).collect()
+    after = _corpus_band_table(spark, sf_dir).count()
+    assert after == before  # previous generation untouched
+    total_next = sum(r["n_rows"] for r in stats)
+    assert total_next > before  # batch bands actually appended
+    # 2 bands x every doc: next generation covers the full corpus
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total_next == 2 * n_docs

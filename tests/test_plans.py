@@ -655,3 +655,28 @@ def test_tpch_q21_bucketed_single_tiny_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "SelectedBucketsCount" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q9_bucketed_single_tiny_exchange(spark, sf_dir):
+    """q_tpch_q9_bucketed: part/supplier/nation broadcast, the one
+    fact⋈fact join (lineitem⋈orders on orderkey) bucket-local with
+    trusted scan order — only the ~(nations x years)-row final agg may
+    shuffle, and no Sort may appear anywhere."""
+    import re
+
+    plan = plan_of(spark, "q_tpch_q9_bucketed", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0
+    assert "SelectedBucketsCount" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_update_stats_read_only_the_new_generation(spark, sf_dir):
+    """q_dedup_band_update's returned stats frame must aggregate the
+    rolled-forward band-table parquet only — no documents text rescan
+    in the read path (the batch-band computation happened once, at
+    write time)."""
+    plan = plan_of(spark, "q_dedup_band_update", sf_dir)
+    assert "documents.parquet" not in plan
+    assert "corpus_bands" in plan
+    assert "CartesianProduct" not in plan
