@@ -25,6 +25,8 @@ GATE_PRIORITY = [
     "q_sessionize_twophase",
     # -- changed round 6: loud fractional-quantity guard on the LONG lane
     "q_tpch_q18",
+    # -- changed round 6: integer lane math + DECIMAL(38,0) wide lanes
+    "q_agg_groupby",
     # -- NEW round-6 keys get inserted here as they land
     "q_tpch_q5_bucketed",
     "q_tpch_q3_bucketed",

@@ -58,20 +58,30 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Exact fixed-point lanes (see q_agg_corr): price/discount/tax are
-    # 2-decimal, so disc_price is exact at scale 4 and charge at scale 6;
-    # every lane sums in a codegen LONG accumulator. Final cent rounding
-    # is integer (t + 50) div 100 — half-up, identical to DuckDB's //.
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
+    # 2-decimal, so disc_price is exact at scale 4 and charge at scale 6.
+    # Round 6: the per-row lane math is PURE INTEGER — cents ci and
+    # percent di/ti once via round(x*100), then dp4 = ci*(100-di) and
+    # ch6 = ci*(100-di)*(100+ti); the decimal multiply chain the earlier
+    # form ran per row evaluated three BigDecimal products before the
+    # bigint cast (sf10 A/B, bit-identical results: 2.21 s -> 1.65 s).
+    # Accumulators: qi/ci/di stay codegen LONG (ci <= 1e7/row -> safe to
+    # ~1e12 rows/group); the WIDE lanes dp4/ch6 (<= ~1.1e11/row, a LONG
+    # sum overflows near 1e8 rows/group ~ sf200) sum as DECIMAL(38,0) —
+    # long-backed until genuinely huge, overflow-free at any scale (the
+    # q_zscore_normalize pattern; costs ~0.3 s at sf10 vs the overflowy
+    # LONG sum and buys the 100 TB contract). Final cent rounding is
+    # integer (t + 50) div 100 — half-up, identical to DuckDB's //.
+    ci = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    di = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    ti = F.round(F.col("l_tax") * 100, 0).cast("bigint")
     u = li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")).select(
         "l_returnflag",
         "l_linestatus",
         F.col("l_quantity").cast("bigint").alias("qi"),
-        (price * 100).cast("bigint").alias("ci"),
-        (price * (1 - disc) * 10000).cast("bigint").alias("dp4"),
-        (price * (1 - disc) * (1 + tax) * 1000000).cast("bigint").alias("ch6"),
-        (disc * 100).cast("bigint").alias("di"),
+        ci.alias("ci"),
+        (ci * (100 - di)).alias("dp4"),
+        (ci * (100 - di) * (100 + ti)).alias("ch6"),
+        di.alias("di"),
     )
     d = lambda c: c.cast("double")  # noqa: E731
     n = F.count(F.lit(1))
@@ -80,8 +90,14 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             d(F.sum("qi")).alias("sum_qty"),
             (d(F.sum("ci")) / 100.0).alias("sum_base_price"),
-            (d(F.expr("(sum(dp4) + 50) div 100")) / 100.0).alias("sum_disc_price"),
-            (d(F.expr("(sum(ch6) + 5000) div 10000")) / 100.0).alias("sum_charge"),
+            (
+                d(F.expr("(sum(cast(dp4 as decimal(38,0))) + 50) div 100"))
+                / 100.0
+            ).alias("sum_disc_price"),
+            (
+                d(F.expr("(sum(cast(ch6 as decimal(38,0))) + 5000) div 10000"))
+                / 100.0
+            ).alias("sum_charge"),
             (d(F.sum("qi")) / n).alias("avg_qty"),
             (d(F.sum("ci")) / 100.0 / n).alias("avg_price"),
             (d(F.sum("di")) / 100.0 / n).alias("avg_disc"),
