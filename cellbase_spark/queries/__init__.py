@@ -33,6 +33,7 @@ GATE_PRIORITY = [
     "q_tpch_q21_bucketed",
     "q_tpch_q9_bucketed",
     "q_dedup_incremental",
+    "q_dedup_incremental_capped",
     "q_dedup_band_update",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",

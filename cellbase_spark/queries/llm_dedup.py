@@ -1099,3 +1099,94 @@ def q_dedup_band_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket",
         )
     )
+
+
+@register(
+    "q_dedup_incremental_capped",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), kept AS (
+  SELECT id, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM bd
+  ) WHERE bn <= 8
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+  FROM kept a JOIN kept b
+    ON a.bidx = b.bidx AND a.bkey = b.bkey
+   AND a.id % 10 = 0 AND b.id % 10 <> 0
+)
+SELECT c.id_new, c.id_corpus,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_new = ta.id JOIN t tb ON c.id_corpus = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+""",
+)
+def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_incremental's DEPLOYMENT form — the same band-table probe
+    with the q_dedup_minhash_capped skew guard: buckets holding more
+    than 8 docs (corpus + batch combined) are excluded from candidate
+    generation. On a dup-dense corpus the faithful all-pairs probe is
+    quadratic-in-the-clique (measured at sf1: 3.84M pairs, 65 s —
+    MORE than re-clustering the corpus outright); over-full buckets are
+    mega-cliques whose members belong to the exact-hash path, and
+    capping returns the probe to O(batch x bands). The bucket count is
+    a window over the union of the persisted corpus band table and the
+    batch's map-only bands — keyed on exactly the (band, key) columns
+    the candidate join shuffles on, so the count and the join ride one
+    partitioning. Deterministic: the cap is a pure count filter, so
+    both engines keep exactly the same buckets."""
+    from pyspark.sql.window import Window as W
+
+    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+
+    band_tab = _corpus_band_table(spark, sf_dir).select("_id", "_bidx", "_bkey")
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    bt = batch.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(F.split("text", " ")).alias("_toks"),
+    )
+    probe = bt.select(
+        "_id",
+        F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias("_bidx", "_bkey"),
+    )
+    all_bands = band_tab.unionByName(probe)
+    kept = all_bands.withColumn(
+        "bn", F.count(F.lit(1)).over(W.partitionBy("_bidx", "_bkey"))
+    ).where(F.col("bn") <= 8)
+    cand = (
+        kept.where(F.col("_id") % 10 == 0)
+        .alias("a")
+        .join(
+            kept.where(F.col("_id") % 10 != 0).alias("b"),
+            (F.col("a._bidx") == F.col("b._bidx"))
+            & (F.col("a._bkey") == F.col("b._bkey")),
+        )
+        .select(F.col("a._id").alias("id_new"), F.col("b._id").alias("id_corpus"))
+        .distinct()
+    )
+    t = docs.select(
+        F.col("doc_id").alias("_vid"),
+        F.array_distinct(F.split("text", " ")).alias("_vtoks"),
+    )
+    ta = t.select(F.col("_vid").alias("id_new"), F.col("_vtoks").alias("_ta"))
+    tb = t.select(F.col("_vid").alias("id_corpus"), F.col("_vtoks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cand.join(ta, "id_new")
+        .join(tb, "id_corpus")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= 0.95)
+        .select("id_new", "id_corpus", "jaccard")
+    )

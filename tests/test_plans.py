@@ -680,3 +680,19 @@ def test_band_update_stats_read_only_the_new_generation(spark, sf_dir):
     assert "documents.parquet" not in plan
     assert "corpus_bands" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_capped_probes_band_table_only(spark, sf_dir):
+    """The capped probe keeps the incremental contract: the only
+    Generates are the BATCH bands' posexplode (it appears once per side
+    of the candidate self-join because the windowed union subtree is
+    duplicated textually — the (band,key) shuffle under both copies is
+    byte-identical and AQE ReusedExchange collapses them at runtime);
+    corpus bands come from the band-table parquet, never recomputed
+    from text, and no cartesian appears anywhere."""
+    import re
+
+    plan = plan_of(spark, "q_dedup_incremental_capped", sf_dir)
+    assert "corpus_bands" in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
