@@ -122,3 +122,21 @@ def test_band_update_rolls_forward_without_contaminating_probe_table(
     # 2 bands x every doc: next generation covers the full corpus
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert total_next == 2 * n_docs
+
+
+def test_incremental_capped_pairs_subset_of_faithful(spark, sf_dir):
+    """Containment law: the capped probe may only REMOVE candidates
+    (mega-clique buckets) — every capped pair must appear, with the
+    same jaccard, in the faithful probe's output."""
+    from cellbase_spark.registry import queries
+
+    qs = queries()
+    full = {
+        (r["id_new"], r["id_corpus"]): r["jaccard"]
+        for r in qs["q_dedup_incremental"](spark, sf_dir).collect()
+    }
+    capped = qs["q_dedup_incremental_capped"](spark, sf_dir).collect()
+    for r in capped:
+        key = (r["id_new"], r["id_corpus"])
+        assert key in full
+        assert abs(full[key] - r["jaccard"]) < 1e-12
