@@ -34,6 +34,7 @@ GATE_PRIORITY = [
     "q_tpch_q9_bucketed",
     "q_dedup_incremental",
     "q_dedup_incremental_capped",
+    "q_dedup_incremental_full",
     "q_dedup_band_update",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",

@@ -1190,3 +1190,110 @@ def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.95)
         .select("id_new", "id_corpus", "jaccard")
     )
+
+
+def _corpus_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once per process+sf) the corpus token-set
+    FINGERPRINT star: one (fp, canon_id) row per distinct token set,
+    canon_id = MIN doc_id sharing it. The exact-dup side of the
+    incremental daily loop probes this instead of pairwise-verifying
+    mega-cliques — O(1) rows per batch doc regardless of clique size."""
+    import os
+
+    from cellbase_spark.queries.scans import scratch_path
+
+    out = scratch_path(sf_dir, "fptable", "corpus_fps")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        corpus = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 != 0
+        )
+        (
+            corpus.select(
+                "doc_id",
+                F.md5(
+                    F.concat_ws(
+                        " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+                    )
+                ).alias("fp"),
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("canon_id"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
+@register(
+    "q_dedup_incremental_full",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), f AS (
+  SELECT id, md5(array_to_string(list_sort(toks), ' ')) AS fp FROM t
+), cf AS (
+  SELECT fp, MIN(id) AS canon FROM f WHERE id % 10 <> 0 GROUP BY fp
+), exact AS (
+  SELECT f.id AS id_new, cf.canon AS id_corpus, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM f JOIN cf ON f.fp = cf.fp
+  WHERE f.id % 10 = 0
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), kept AS (
+  SELECT id, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM bd
+  ) WHERE bn <= 8
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+  FROM kept a JOIN kept b
+    ON a.bidx = b.bidx AND a.bkey = b.bkey
+   AND a.id % 10 = 0 AND b.id % 10 <> 0
+), tail AS (
+  SELECT c.id_new, c.id_corpus,
+         len(list_intersect(ta.toks, tb.toks))
+           / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+  FROM cand c JOIN t ta ON c.id_new = ta.id JOIN t tb ON c.id_corpus = tb.id
+  WHERE len(list_intersect(ta.toks, tb.toks))
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+)
+SELECT DISTINCT id_new, id_corpus, jaccard
+FROM (SELECT * FROM exact UNION ALL SELECT * FROM tail)
+""",
+)
+def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE incremental daily verb — q_dedup_full's composition
+    applied to the new-batch-vs-corpus probe, with bounded output:
+
+    - EXACT star: each batch doc joins the persisted corpus fingerprint
+      table (token-set md5 -> canonical MIN corpus id) — a mega-clique
+      of any size costs ONE row per batch doc (jaccard exactly 1.0),
+      never a pairwise verification;
+    - CAPPED LSH tail: the q_dedup_incremental_capped probe picks up
+      genuine near-dups (0.95 <= J < 1) from small band buckets;
+    - DISTINCT union: a J=1.0 pair surviving in a small bucket appears
+      in both branches with identical values and collapses.
+
+    Work: O(batch) fingerprints + O(batch x bands) capped probe; output
+    O(batch + tail). This is what a 100 TB pipeline actually runs daily
+    — the faithful all-pairs key (q_dedup_incremental) documents the
+    semantics, this key has the deployment cost envelope."""
+    fp_tab = _corpus_fp_table(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    bfp = batch.select(
+        F.col("doc_id").alias("id_new"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fp"),
+    )
+    exact = bfp.join(fp_tab, "fp").select(
+        "id_new",
+        F.col("canon_id").alias("id_corpus"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    tail = q_dedup_incremental_capped(spark, sf_dir)
+    return exact.unionByName(tail).distinct()

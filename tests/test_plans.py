@@ -696,3 +696,16 @@ def test_dedup_incremental_capped_probes_band_table_only(spark, sf_dir):
     assert "corpus_bands" in plan
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+
+
+def test_dedup_incremental_full_star_plus_capped_tail(spark, sf_dir):
+    """The complete incremental verb reads BOTH persisted index tables
+    (fingerprint star + band table) and never forms a cartesian; the
+    only text-derived Generates are the batch bands."""
+    import re
+
+    plan = plan_of(spark, "q_dedup_incremental_full", sf_dir)
+    assert "corpus_fps" in plan
+    assert "corpus_bands" in plan
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
