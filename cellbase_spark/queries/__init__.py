@@ -36,6 +36,7 @@ GATE_PRIORITY = [
     "q_dedup_incremental_capped",
     "q_dedup_incremental_full",
     "q_dedup_band_update",
+    "q_compact_files",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",
     "q_chunk_documents",

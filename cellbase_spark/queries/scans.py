@@ -413,3 +413,65 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_compact_files",
+    family="scan",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,10))), 2) AS DOUBLE)
+         AS sum_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the table-maintenance verb every long-
+    running ingest needs (streaming sinks and frequent batch appends
+    leave thousands of KB-sized files; at 100 TB the file-listing and
+    per-file open cost dominate scans long before the data does).
+
+    A deliberately fragmented copy of lineitem (64 files, written once
+    per process+sf) is compacted with `coalesce(target)` where target =
+    ceil(input_bytes / 128 MB): coalesce is a NARROW dependency — no
+    shuffle, each output task concatenates whole input files — which is
+    the correct compaction plan (repartition would shuffle every byte;
+    it is only warranted when re-clustering, which is Z1 `q_zorder`'s
+    job). The returned frame re-reads the compacted table and proves
+    content preservation: exact row count, two exact-decimal sums, and
+    the distinct key count must equal the SOURCE table's (the oracle
+    never sees the scratch copies). tests/test_bucketing.py additionally
+    asserts the file count actually dropped and the compact job's plan
+    has no Exchange."""
+    import math
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = scratch_path(sf_dir, "frag", "lineitem")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = scratch_path(sf_dir, "compacted", "lineitem")
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        n_bytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        target = max(1, math.ceil(n_bytes / (128 * 1024 * 1024)))
+        spark.read.parquet(frag).coalesce(target).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(25,10)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,10)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

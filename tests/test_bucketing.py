@@ -140,3 +140,23 @@ def test_incremental_capped_pairs_subset_of_faithful(spark, sf_dir):
         key = (r["id_new"], r["id_corpus"])
         assert key in full
         assert abs(full[key] - r["jaccard"]) < 1e-12
+
+
+def test_compact_files_reduces_file_count_without_shuffle(spark, sf_dir):
+    """q_compact_files must actually compact (fewer output files than
+    the 64-file fragmented input) and the compaction plan must be a
+    narrow coalesce — zero Exchange nodes."""
+    import os
+
+    from cellbase_spark.plans.inspect import formatted_plan
+    from cellbase_spark.queries.scans import scratch_path
+    from cellbase_spark.registry import queries
+
+    queries()["q_compact_files"](spark, sf_dir).collect()  # materialize
+    frag = scratch_path(sf_dir, "frag", "lineitem")
+    compacted = scratch_path(sf_dir, "compacted", "lineitem")
+    n = lambda p: len([f for f in os.listdir(p) if f.endswith(".parquet")])  # noqa: E731
+    assert n(frag) == 64
+    assert n(compacted) < n(frag)
+    plan = formatted_plan(spark.read.parquet(frag).coalesce(1))
+    assert "Exchange" not in plan
