@@ -27,6 +27,8 @@ GATE_PRIORITY = [
     "q_tpch_q18",
     # -- changed round 6: integer lane math + DECIMAL(38,0) wide lanes
     "q_agg_groupby",
+    # -- changed round 6: single-pass Arrow centroid partials
+    "q_embed_outliers",
     # -- NEW round-6 keys get inserted here as they land
     "q_tpch_q5_bucketed",
     "q_tpch_q3_bucketed",
