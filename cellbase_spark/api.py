@@ -162,6 +162,82 @@ class CellTable:
 
         return cosine_topk(self.df, k=k, vec_col=vec_col, id_col=self.key_col)
 
+    def build_dedup_index(self, text_col: str, path: str) -> None:
+        """Write this table's persisted dedup index to `path`: the
+        MinHash band table (<path>/bands) and the token-set fingerprint
+        star (<path>/fps, one (fp, canon_id) row per distinct token
+        set). Paid once at ingest; `dedup_incremental` probes it daily
+        without rescanning this corpus."""
+        from pyspark.sql import functions as F
+
+        from cellbase_spark.operators.dedup import lsh_band_keys_fused
+
+        t = self.df.select(
+            F.col(self.key_col).alias("_id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+        )
+        (
+            t.select(
+                "_id",
+                F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias(
+                    "_bidx", "_bkey"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/bands")
+        )
+        (
+            t.select(
+                "_id", F.md5(F.concat_ws(" ", F.array_sort("_toks"))).alias("fp")
+            )
+            .groupBy("fp")
+            .agg(F.min("_id").alias("canon_id"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/fps")
+        )
+
+    def dedup_incremental(
+        self,
+        batch: "CellTable",
+        text_col: str,
+        index_path: str,
+        threshold: float = 0.95,
+        band_bucket_cap: int = 8,
+        exact_star: bool = True,
+    ) -> DataFrame:
+        """New-batch-vs-this-corpus near-dup pairs against the persisted
+        index written by `build_dedup_index` — work scales with the
+        batch, never the corpus (operators/dedup.incremental_dedup_pairs;
+        the q_dedup_incremental_full composition: capped LSH probe +
+        exact fingerprint star with bounded output)."""
+        from pyspark.sql import functions as F
+
+        from cellbase_spark.operators.dedup import incremental_dedup_pairs
+
+        spark = self.df.sparkSession
+        bt = batch.df.select(
+            F.col(batch.key_col).alias("_id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+        )
+        ct = self.df.select(
+            F.col(self.key_col).alias("_id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+        )
+        return incremental_dedup_pairs(
+            batch=bt,
+            corpus_bands=spark.read.parquet(f"{index_path}/bands"),
+            corpus_tokens=ct,
+            id_col="_id",
+            tokens_col="_toks",
+            n_hashes=16,
+            bands=2,
+            threshold=threshold,
+            band_bucket_cap=band_bucket_cap,
+            corpus_fps=(
+                spark.read.parquet(f"{index_path}/fps") if exact_star else None
+            ),
+        )
+
     def duplicated_spans(
         self, text_col: str, window: int = 8, top: int = 100
     ) -> DataFrame:

@@ -798,3 +798,98 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_dedup_pairs(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_tokens: DataFrame,
+    id_col: str = "id",
+    tokens_col: str = "toks",
+    n_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.95,
+    band_bucket_cap: int = 0,
+    corpus_fps: DataFrame | None = None,
+) -> DataFrame:
+    """New-batch-vs-corpus near-dup pairs against a PERSISTED index —
+    the verb a 100 TB pipeline runs daily (never re-cluster the corpus).
+
+    - `batch`: (id_col, tokens_col) for the arriving docs; its MinHash
+      bands are computed map-only, ONE batch scan.
+    - `corpus_bands`: the persisted band table as (id_col, _bidx, _bkey)
+      — scanned, never recomputed from text.
+    - `corpus_tokens`: (id_col, tokens_col) reader for the exact-Jaccard
+      verification fetches (id-keyed joins).
+    - `band_bucket_cap` > 0 enables the skew guard: buckets holding more
+      than cap docs across corpus+batch are excluded from candidate
+      generation (their mega-clique mass belongs to the exact-hash star).
+    - `corpus_fps`: optional persisted (fp, canon_id) token-set
+      fingerprint star; when given, every batch doc with an exact corpus
+      match emits ONE (id, canon_id, 1.0) row regardless of clique size,
+      DISTINCT-unioned with the near-dup tail.
+
+    Returns (id_new, id_corpus, jaccard) with jaccard >= threshold.
+    Work: O(|batch| x bands) probe + O(candidates) verification; with
+    the cap and the star both on, output is O(batch + tail). Backs
+    q_dedup_incremental[_capped|_full] (queries/llm_dedup.py) and
+    CellTable.dedup_incremental (api.py)."""
+    from pyspark.sql.window import Window as W
+
+    probe = batch.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lsh_band_keys_fused(tokens_col, n_hashes, bands)).alias(
+            "_bidx", "_bkey"
+        ),
+    )
+    corpus_side = corpus_bands.select(
+        F.col(id_col).alias("_id") if id_col in corpus_bands.columns else F.col("_id"),
+        "_bidx",
+        "_bkey",
+    )
+    if band_bucket_cap > 0:
+        all_bands = corpus_side.withColumn("_side", F.lit(0)).unionByName(
+            probe.withColumn("_side", F.lit(1))
+        )
+        kept = all_bands.withColumn(
+            "bn", F.count(F.lit(1)).over(W.partitionBy("_bidx", "_bkey"))
+        ).where(F.col("bn") <= band_bucket_cap)
+        new_side = kept.where(F.col("_side") == 1)
+        old_side = kept.where(F.col("_side") == 0)
+    else:
+        new_side, old_side = probe, corpus_side
+    cand = (
+        new_side.alias("a")
+        .join(
+            old_side.alias("b"),
+            (F.col("a._bidx") == F.col("b._bidx"))
+            & (F.col("a._bkey") == F.col("b._bkey")),
+        )
+        .select(F.col("a._id").alias("id_new"), F.col("b._id").alias("id_corpus"))
+        .distinct()
+    )
+    ta = batch.select(
+        F.col(id_col).alias("id_new"), F.col(tokens_col).alias("_ta")
+    )
+    tb = corpus_tokens.select(
+        F.col(id_col).alias("id_corpus"), F.col(tokens_col).alias("_tb")
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    tail = (
+        cand.join(ta, "id_new")
+        .join(tb, "id_corpus")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+    if corpus_fps is None:
+        return tail
+    bfp = batch.select(
+        F.col(id_col).alias("id_new"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.col(tokens_col)))).alias("fp"),
+    )
+    exact = bfp.join(corpus_fps, "fp").select(
+        "id_new", F.col("canon_id").alias("id_corpus"), F.lit(1.0).alias("jaccard")
+    )
+    return exact.unionByName(tail).distinct()

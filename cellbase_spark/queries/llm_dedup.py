@@ -971,45 +971,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe's posexplode — corpus bands are NEVER recomputed, they come
     from the band-table parquet scan), and the only documents scans are
     the batch probe plus the two id-keyed verify fetches."""
-    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+    from cellbase_spark.operators.dedup import incremental_dedup_pairs
 
     band_tab = _corpus_band_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    batch = docs.where(F.col("doc_id") % 10 == 0)
-    bt = batch.select(
+    t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
     )
-    probe = bt.select(
-        "_id",
-        F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias("_bidx", "_bkey"),
-    )
-    cand = (
-        probe.alias("a")
-        .join(
-            band_tab.alias("b"),
-            (F.col("a._bidx") == F.col("b._bidx"))
-            & (F.col("a._bkey") == F.col("b._bkey")),
-        )
-        .select(
-            F.col("a._id").alias("id_new"), F.col("b._id").alias("id_corpus")
-        )
-        .distinct()
-    )
-    t = docs.select(
-        F.col("doc_id").alias("_vid"),
-        F.array_distinct(F.split("text", " ")).alias("_vtoks"),
-    )
-    ta = t.select(F.col("_vid").alias("id_new"), F.col("_vtoks").alias("_ta"))
-    tb = t.select(F.col("_vid").alias("id_corpus"), F.col("_vtoks").alias("_tb"))
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size("_ta") + F.size("_tb") - inter
-    return (
-        cand.join(ta, "id_new")
-        .join(tb, "id_corpus")
-        .withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= 0.95)
-        .select("id_new", "id_corpus", "jaccard")
+    return incremental_dedup_pairs(
+        batch=t.where(F.col("_id") % 10 == 0),
+        corpus_bands=band_tab,
+        corpus_tokens=t,
+        id_col="_id",
+        tokens_col="_toks",
+        n_hashes=16,
+        bands=2,
+        threshold=0.95,
     )
 
 
@@ -1145,50 +1123,24 @@ def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join shuffles on, so the count and the join ride one
     partitioning. Deterministic: the cap is a pure count filter, so
     both engines keep exactly the same buckets."""
-    from pyspark.sql.window import Window as W
+    from cellbase_spark.operators.dedup import incremental_dedup_pairs
 
-    from cellbase_spark.operators.dedup import lsh_band_keys_fused
-
-    band_tab = _corpus_band_table(spark, sf_dir).select("_id", "_bidx", "_bkey")
+    band_tab = _corpus_band_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    batch = docs.where(F.col("doc_id") % 10 == 0)
-    bt = batch.select(
+    t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
     )
-    probe = bt.select(
-        "_id",
-        F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias("_bidx", "_bkey"),
-    )
-    all_bands = band_tab.unionByName(probe)
-    kept = all_bands.withColumn(
-        "bn", F.count(F.lit(1)).over(W.partitionBy("_bidx", "_bkey"))
-    ).where(F.col("bn") <= 8)
-    cand = (
-        kept.where(F.col("_id") % 10 == 0)
-        .alias("a")
-        .join(
-            kept.where(F.col("_id") % 10 != 0).alias("b"),
-            (F.col("a._bidx") == F.col("b._bidx"))
-            & (F.col("a._bkey") == F.col("b._bkey")),
-        )
-        .select(F.col("a._id").alias("id_new"), F.col("b._id").alias("id_corpus"))
-        .distinct()
-    )
-    t = docs.select(
-        F.col("doc_id").alias("_vid"),
-        F.array_distinct(F.split("text", " ")).alias("_vtoks"),
-    )
-    ta = t.select(F.col("_vid").alias("id_new"), F.col("_vtoks").alias("_ta"))
-    tb = t.select(F.col("_vid").alias("id_corpus"), F.col("_vtoks").alias("_tb"))
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size("_ta") + F.size("_tb") - inter
-    return (
-        cand.join(ta, "id_new")
-        .join(tb, "id_corpus")
-        .withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= 0.95)
-        .select("id_new", "id_corpus", "jaccard")
+    return incremental_dedup_pairs(
+        batch=t.where(F.col("_id") % 10 == 0),
+        corpus_bands=band_tab,
+        corpus_tokens=t,
+        id_col="_id",
+        tokens_col="_toks",
+        n_hashes=16,
+        bands=2,
+        threshold=0.95,
+        band_bucket_cap=8,
     )
 
 
@@ -1282,18 +1234,24 @@ def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch + tail). This is what a 100 TB pipeline actually runs daily
     — the faithful all-pairs key (q_dedup_incremental) documents the
     semantics, this key has the deployment cost envelope."""
+    from cellbase_spark.operators.dedup import incremental_dedup_pairs
+
+    band_tab = _corpus_band_table(spark, sf_dir)
     fp_tab = _corpus_fp_table(spark, sf_dir)
-    batch = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    bfp = batch.select(
-        F.col("doc_id").alias("id_new"),
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
-        ).alias("fp"),
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(F.split("text", " ")).alias("_toks"),
     )
-    exact = bfp.join(fp_tab, "fp").select(
-        "id_new",
-        F.col("canon_id").alias("id_corpus"),
-        F.lit(1.0).alias("jaccard"),
+    return incremental_dedup_pairs(
+        batch=t.where(F.col("_id") % 10 == 0),
+        corpus_bands=band_tab,
+        corpus_tokens=t,
+        id_col="_id",
+        tokens_col="_toks",
+        n_hashes=16,
+        bands=2,
+        threshold=0.95,
+        band_bucket_cap=8,
+        corpus_fps=fp_tab,
     )
-    tail = q_dedup_incremental_capped(spark, sf_dir)
-    return exact.unionByName(tail).distinct()

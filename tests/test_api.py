@@ -370,3 +370,33 @@ def test_source_overlap_api_is_lazy(spark):
     plan = t.source_overlap("text", "source", window=4)
     rows = {(r["grp_a"], r["grp_b"]): r["n_shared"] for r in plan.collect()}
     assert rows == {("s1", "s2"): 5}
+
+
+def test_build_index_then_dedup_incremental(spark, tmp_path):
+    """API daily loop: build the persisted index for a corpus table,
+    probe it with a new batch — exact dup found via the fingerprint
+    star at J=1.0, near-dup found via the banded probe; a unique doc
+    matches nothing."""
+    from cellbase_spark.api import CellTable
+
+    mk = lambda *rows: spark.createDataFrame(list(rows), "id long, text string")  # noqa: E731
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    corpus = CellTable(
+        mk((1, base), (2, base + " extra21"), (3, "zz1 zz2 zz3 zz4 zz5")),
+        "corpus",
+        key_col="id",
+    )
+    idx = str(tmp_path / "idx")
+    corpus.build_dedup_index("text", idx)
+    batch = CellTable(
+        mk((10, base), (11, "q1 q2 q3 q4 q5 q6 q7 q8")),
+        "batch",
+        key_col="id",
+    )
+    pairs = {
+        (r["id_new"], r["id_corpus"]): r["jaccard"]
+        for r in corpus.dedup_incremental(batch, "text", idx).collect()
+    }
+    assert pairs[(10, 1)] == 1.0       # exact star: canonical match
+    assert (10, 2) in pairs            # banded near-dup (20/21 tokens)
+    assert all(k[0] != 11 for k in pairs)  # unique doc matches nothing
