@@ -39,6 +39,7 @@ GATE_PRIORITY = [
     "q_dedup_incremental_full",
     "q_dedup_band_update",
     "q_compact_files",
+    "q_stream_run_dedup_incremental",
     # -- r1-vintage official rows (17)
     "q_bpe_pairs",
     "q_chunk_documents",

@@ -814,3 +814,112 @@ def q_stream_run_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb_stream_timer_sink",
         output_mode="append",
     )
+
+
+def _table_stream_dir(sf_dir: str, table: str) -> str:
+    """_events_stream_dir generalized to any single-file testdata table:
+    stage a per-sf temp directory holding a symlink to <table>.parquet."""
+    target = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    d = os.path.join(
+        tempfile.gettempdir(), "cb_stream_src_" + re.sub(r"\W", "_", target)
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
+    return d
+
+
+def _incremental_dedup_oracle() -> str:
+    from cellbase_spark.queries.llm_dedup import _SIG_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+  FROM bd a JOIN bd b
+    ON a.bidx = b.bidx AND a.bkey = b.bkey
+   AND a.id % 10 = 0 AND b.id % 10 <> 0
+)
+SELECT c.id_new, c.id_corpus,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_new = ta.id JOIN t tb ON c.id_corpus = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+"""
+
+
+@register(
+    "q_stream_run_dedup_incremental",
+    family="stream",
+    oracle=_incremental_dedup_oracle(),
+)
+def q_stream_run_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup daily loop as a GENUINELY STREAMED ingest
+    job — how a 100 TB pipeline actually consumes arriving documents:
+    a file-source stream of the new batch is banded map-only per
+    micro-batch, STREAM-STATIC-joined against the persisted corpus band
+    table, deduplicated on the candidate pair (stateful dropDuplicates —
+    candidate state is bounded by the batch's pair fan-out; a production
+    job would add a watermark keyed on ingest time), then verified with
+    exact Jaccard against the static corpus token sets — all inside the
+    micro-batch engine, hash-matched against q_dedup_incremental's
+    batch oracle. The stream side carries its own token sets through
+    the join, so the verify step needs NO stream-side re-join: one
+    stream-static equi-join + one stream-static fetch join per batch."""
+    from cellbase_spark.operators.dedup import lsh_band_keys_fused
+    from cellbase_spark.queries.llm_dedup import _corpus_band_table
+
+    band_tab = _corpus_band_table(spark, sf_dir)
+    tb = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_corpus"),
+        F.array_distinct(F.split("text", " ")).alias("_tb"),
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_table_stream_dir(sf_dir, "documents"))
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    bt = stream.select(
+        F.col("doc_id").alias("_sid"),
+        F.array_distinct(F.split("text", " ")).alias("_ta"),
+    )
+    probe = bt.select(
+        "_sid",
+        "_ta",
+        F.posexplode(lsh_band_keys_fused("_ta", 16, 2)).alias("_pbidx", "_pbkey"),
+    )
+    cand = (
+        probe.join(
+            band_tab,
+            (probe._pbidx == band_tab._bidx) & (probe._pbkey == band_tab._bkey),
+        )
+        .select(
+            F.col("_sid").alias("id_new"),
+            F.col("_id").alias("id_corpus"),
+            "_ta",
+        )
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    verified = (
+        cand.join(tb, "id_corpus")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= 0.95)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+    return pipelines.run_stream_to_memory(
+        verified, "cb_stream_incdedup_sink", output_mode="append"
+    )
