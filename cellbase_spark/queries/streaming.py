@@ -844,11 +844,17 @@ WITH t AS (
   SELECT id, j.j AS bidx,
          md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
   FROM s, (VALUES (0), (1)) j(j)
+), corpus_bd AS (
+  SELECT id, bidx, bkey FROM bd WHERE id % 10 <> 0
+), kept_c AS (
+  SELECT id, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM corpus_bd
+  ) WHERE bn <= 8
 ), cand AS (
   SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
-  FROM bd a JOIN bd b
+  FROM bd a JOIN kept_c b
     ON a.bidx = b.bidx AND a.bkey = b.bkey
-   AND a.id % 10 = 0 AND b.id % 10 <> 0
+   AND a.id % 10 = 0
 )
 SELECT c.id_new, c.id_corpus,
        len(list_intersect(ta.toks, tb.toks))
@@ -873,14 +879,30 @@ def q_stream_run_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     candidate state is bounded by the batch's pair fan-out; a production
     job would add a watermark keyed on ingest time), then verified with
     exact Jaccard against the static corpus token sets — all inside the
-    micro-batch engine, hash-matched against q_dedup_incremental's
-    batch oracle. The stream side carries its own token sets through
-    the join, so the verify step needs NO stream-side re-join: one
-    stream-static equi-join + one stream-static fetch join per batch."""
+    micro-batch engine. The stream side carries its own token sets
+    through the join, so the verify step needs NO stream-side re-join:
+    one stream-static equi-join + one stream-static fetch join per
+    batch.
+
+    SKEW GUARD, streaming-legal form: a runtime bucket-count window
+    over stream+static rows is not expressible on a stream, so the cap
+    rides the PERSISTED table's own bucket statistics — corpus buckets
+    holding >8 docs are filtered on the STATIC side before the stream
+    starts (exactly the stats q_dedup_band_update maintains per
+    generation). Without it the sf1 dup-dense corpus pushed 3.84M
+    candidate pairs through one micro-batch's dedup state and GC-locked
+    the JVM; with it the probe state stays O(batch x small buckets).
+    The oracle states the same static-side cap in SQL (corpus-only
+    bucket count), so both engines keep exactly the same buckets."""
+    from pyspark.sql.window import Window as W
+
     from cellbase_spark.operators.dedup import lsh_band_keys_fused
     from cellbase_spark.queries.llm_dedup import _corpus_band_table
 
-    band_tab = _corpus_band_table(spark, sf_dir)
+    band_all = _corpus_band_table(spark, sf_dir)
+    band_tab = band_all.withColumn(
+        "_bn", F.count(F.lit(1)).over(W.partitionBy("_bidx", "_bkey"))
+    ).where(F.col("_bn") <= 8).drop("_bn")
     tb = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id_corpus"),
         F.array_distinct(F.split("text", " ")).alias("_tb"),
