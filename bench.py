@@ -167,8 +167,21 @@ def measure_streaming_sustained(spark, sf_dir: str, runs: int = 2) -> dict:
         )
         src_sf = local[-1] if local else sf_dir
     n_batches = 10
+    # Scratch dir keyed by source fingerprint (mtime+size) AND pid so a
+    # concurrent bench can't read a half-written split and regenerated
+    # source data at the same path is never silently reused stale
+    # (r6 ADVICE — same hazard scratch_path's sf+PID scoping fixed in r4).
+    src_events = os.path.join(src_sf, "events.parquet")
+    try:
+        st = os.stat(src_events)
+        fprint = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fprint = "nosrc"
     split = os.path.join(
-        "/tmp", "cb_bench_sustained_" + src_sf.strip("/").replace("/", "_")
+        "/tmp",
+        "cb_bench_sustained_"
+        + src_sf.strip("/").replace("/", "_")
+        + f"_{fprint}_{os.getpid()}",
     )
     if not os.path.isdir(split):
         (

@@ -37,29 +37,39 @@ contract, bench.py, check_oracle, driver_sim, tests).
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame
 
 # JVM RDD handles of checkpoints created by registry-wrapped query builds.
 # release_prior() runs at the START of the next wrapped build, so the list
 # only ever holds handles from already-consumed builds when it is drained.
+# NOTE (single-threaded assumption): the record/drain cycle assumes query
+# builds are strictly sequential (driver contract, bench, check_oracle).
+# The in-build FLAG below is context-local (r6 ADVICE), so an API-surface
+# eager_checkpoint on a concurrent thread is never recorded — but two
+# registry builds racing on different threads would still drain each
+# other's handles; don't do that.
 _LIVE: list = []
 
-# True only while a registry-wrapped query build is executing; set via
-# registry_build(). eager_checkpoint records handles only in that scope.
-_IN_REGISTRY_BUILD: bool = False
+# True only while a registry-wrapped query build is executing in THIS
+# thread/context; set via registry_build(). eager_checkpoint records
+# handles only in that scope. ContextVar (not a module global) so a
+# concurrent API-created checkpoint on another thread is not captured
+# and later freed by an unrelated registry build.
+_IN_REGISTRY_BUILD: ContextVar[bool] = ContextVar(
+    "cellbase_ckpt_in_registry_build", default=False
+)
 
 
 @contextmanager
 def registry_build():
     """Mark the dynamic extent of a registry-wrapped query build."""
-    global _IN_REGISTRY_BUILD
-    prev = _IN_REGISTRY_BUILD
-    _IN_REGISTRY_BUILD = True
+    token = _IN_REGISTRY_BUILD.set(True)
     try:
         yield
     finally:
-        _IN_REGISTRY_BUILD = prev
+        _IN_REGISTRY_BUILD.reset(token)
 
 
 def eager_checkpoint(df: DataFrame) -> DataFrame:
@@ -67,7 +77,7 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     inside a registry build (API-created checkpoints are never recorded —
     see module docstring)."""
     out = df.localCheckpoint(eager=True)
-    if _IN_REGISTRY_BUILD:
+    if _IN_REGISTRY_BUILD.get():
         try:  # best-effort: failing to record must never fail the query
             _LIVE.append(out._jdf.queryExecution().analyzed().rdd())
         except Exception:  # pragma: no cover - py4j accessor drift

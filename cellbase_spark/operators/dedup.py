@@ -811,6 +811,7 @@ def incremental_dedup_pairs(
     threshold: float = 0.95,
     band_bucket_cap: int = 0,
     corpus_fps: DataFrame | None = None,
+    fp_delim: str = " ",
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs against a PERSISTED index —
     the verb a 100 TB pipeline runs daily (never re-cluster the corpus).
@@ -828,6 +829,15 @@ def incremental_dedup_pairs(
       fingerprint star; when given, every batch doc with an exact corpus
       match emits ONE (id, canon_id, 1.0) row regardless of clique size,
       DISTINCT-unioned with the near-dup tail.
+    - `fp_delim`: join delimiter for the token-set fingerprint
+      md5(concat_ws(fp_delim, array_sort(toks))). The default " " is
+      only injective when tokens contain no spaces (true for the
+      engine's whitespace-split tokens, and it is what the persisted
+      fp tables were built with). PUBLIC-API PRECONDITION (r6 ADVICE):
+      if your tokens_col may contain spaces, pass a delimiter that
+      cannot appear in tokens (e.g. "\\u0000") for BOTH the fp-table
+      build and this probe — ["a","b c"] and ["a b","c"] collide under
+      the space delimiter.
 
     Returns (id_new, id_corpus, jaccard) with jaccard >= threshold.
     Work: O(|batch| x bands) probe + O(candidates) verification; with
@@ -887,7 +897,7 @@ def incremental_dedup_pairs(
         return tail
     bfp = batch.select(
         F.col(id_col).alias("id_new"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.col(tokens_col)))).alias("fp"),
+        F.md5(F.concat_ws(fp_delim, F.array_sort(F.col(tokens_col)))).alias("fp"),
     )
     exact = bfp.join(corpus_fps, "fp").select(
         "id_new", F.col("canon_id").alias("id_corpus"), F.lit(1.0).alias("jaccard")

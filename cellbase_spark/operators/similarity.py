@@ -364,6 +364,17 @@ def label_centroid_partials(e: DataFrame, dim: int = 64) -> DataFrame:
             neg = arr < 0
             xa = np.abs(arr)
             M, E = np.frexp(xa)
+            # k = 24 - E must stay >= 1 for the shift algebra to be
+            # exact. E >= 24 (|x| >= 2^23) would silently mis-quantize
+            # under the old clip — raise loudly instead (r6 ADVICE).
+            # The LOW clip (k > 62, subnormals) is exact: both the true
+            # round and the clipped shift yield 0 for |x| < 2^-38.
+            if E.size and int(E.max()) > 23:
+                raise ValueError(
+                    "label_centroid_partials: |embedding| >= 2^23 exceeds "
+                    "the exact int64 quantization range (got magnitude "
+                    f"{float(xa.max())}); normalize or rescale inputs"
+                )
             num = (M * (1 << 24)).astype(np.int64) * 10**10
             k = np.clip(24 - E.astype(np.int64), 1, 62)
             q = (num + (np.int64(1) << (k - 1))) >> k

@@ -12,71 +12,26 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-6 gate priority (VERDICT r5 item 1: burn down official-record
-# staleness). Order: (a) keys whose CODE changed this round (the
-# sessionize microsecond-gap fix from ADVICE, the Q18 loud guard, any
-# NEW round-6 keys inserted as they land), then (b) the 17 keys whose
-# newest official green row is r1-vintage, then (c) the 41 r2-vintage
-# keys. The driver witnesses a ~50-key prefix; whatever r2 tail falls
-# off stays covered by the local battery (scripts/check_oracle.py).
+# Round-7 gate priority (VERDICT r6 item 1: FINISH the official-record
+# burn-down). Order: (a) keys whose CODE changed this round + NEW
+# round-7 keys, then (b) ALL 23 keys whose newest official green row is
+# still r2-vintage, then (c) the oldest r3-vintage keys (batch first,
+# streaming tail). The driver witnesses a ~50-key prefix; whatever tail
+# falls off stays covered by the local battery (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- changed round 6: unix_micros gap predicates (ADVICE high)
-    "q_sessionize_batch",
-    "q_sessionize_twophase",
-    # -- changed round 6: loud fractional-quantity guard on the LONG lane
-    "q_tpch_q18",
-    # -- changed round 6: integer lane math + DECIMAL(38,0) wide lanes
-    "q_agg_groupby",
-    # -- changed round 6: single-pass Arrow centroid partials
+    # -- changed round 7: exact-quantization range guard in the Arrow
+    #    centroid kernel (r6 ADVICE low #1)
     "q_embed_outliers",
-    # -- NEW round-6 keys get inserted here as they land
-    "q_tpch_q5_bucketed",
-    "q_tpch_q3_bucketed",
-    "q_tpch_q21_bucketed",
-    "q_tpch_q9_bucketed",
-    "q_dedup_incremental",
-    "q_dedup_incremental_capped",
-    "q_dedup_incremental_full",
-    "q_dedup_band_update",
-    "q_compact_files",
-    "q_stream_run_dedup_incremental",
-    # -- r1-vintage official rows (17)
-    "q_bpe_pairs",
-    "q_chunk_documents",
-    "q_contamination",
-    "q_degree_distribution",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_prefilter",
-    "q_join_salted",
-    "q_join_semi",
-    "q_sample_weighted",
-    "q_scan_text",
-    "q_skyline",
-    "q_star_join",
-    "q_tpch_q3",
-    "q_zorder",
-    # -- r2-vintage official rows (41): scalar fns + plain ops first
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_conditional",
-    "q_fn_array",
-    "q_fn_struct",
-    "q_map_functions",
-    "q_json_extract",
-    "q_sort_multi",
-    "q_topk_global",
-    "q_union",
-    "q_intersect_except",
-    "q_window_rank",
-    "q_window_laglead",
-    "q_window_moving_avg",
-    "q_window_dist",
-    "q_topk_per_group",
-    "q_join_range",
+    # -- NEW round-7 keys get inserted here as they land
+    # -- r2-vintage official rows (23): the full remaining burn-down
+    #    list from VERDICT r6 item 1 — after this round no key's newest
+    #    official row predates r3.
+    "q_scan_csv",
+    "q_scan_excel",
+    "q_scan_workbook",
+    "q_scan_jsonl",
+    "q_roundtrip_write",
+    "q_partitioned_write",
     "q_join_asof",
     "q_subquery_correlated",
     "q_lateral_topk",
@@ -94,12 +49,57 @@ GATE_PRIORITY = [
     "q_knn_join",
     "q_knn_join_smj",
     "q_ann_ivf",
-    "q_scan_csv",
-    "q_scan_excel",
-    "q_scan_workbook",
-    "q_scan_jsonl",
-    "q_roundtrip_write",
-    "q_partitioned_write",
+    # -- r3-vintage official rows, oldest remaining tier (batch keys
+    #    first; the streaming r3 keys keep their r3 rows + own tests and
+    #    rotate in next round — a ~50-key prefix cuts about here anyway)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    "q_tfidf",
+    "q_text_tokenfreq",
+    "q_text_quality",
+    "q_token_count",
+    "q_token_entropy",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_fuzzy_name_match",
+    "q_kl_source_drift",
+    "q_phonetic_key",
+    "q_embed_quantize",
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udtf_bigrams",
+    "q_window_running_sum",
+    "q_window_range_frame",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_run_tumbling",
+    "q_stream_run_sliding",
+    "q_stream_run_session",
+    "q_stream_run_dedup",
+    "q_stream_run_late",
+    "q_stream_run_join",
+    "q_stream_run_join_interval",
+    "q_stream_run_replay",
+    "q_stream_run_sink",
+    "q_stream_run_stateful",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
