@@ -709,3 +709,23 @@ def test_dedup_incremental_full_star_plus_capped_tail(spark, sf_dir):
     assert "corpus_bands" in plan
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
+
+
+def test_dedup_generations_day2_probes_gen2_only(spark, sf_dir):
+    """Multi-generation incremental dedup (r7): day 2's corpus side must
+    scan the COMPACTED generation-2 band files ONLY — no gen-1 path, no
+    raw pre-compaction generation, no corpus text rescan (the only
+    Generates are the day-2 batch probe's posexplode — twice in the
+    static capped plan: count side + join side, collapsed by AQE
+    ReusedExchange at runtime like the _capped pin), and no cartesian
+    anywhere."""
+    import re
+
+    from cellbase_spark.queries.llm_dedup import _generation_probe
+
+    plan = formatted_plan(_generation_probe(spark, sf_dir, 2))
+    assert "gen2_compacted" in plan
+    assert "gen1" not in plan
+    assert "gen2_raw" not in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
