@@ -202,3 +202,85 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_pagerank.__doc__ = q_pagerank.__doc__.format(n=_PR_ITERS)
+
+
+def _adj_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write the symmetric degree-annotated adjacency (src, dst, degree)
+    as a 32-bucket, src-bucketed, src-sorted external table (once per
+    process+sf — ingest-time layout, the joins.py _fact_bucketed_layout
+    machinery applied to the graph family per VERDICT r6 item 4). Each
+    PageRank power-iteration join then rides the bucket partitioning:
+    the adjacency side needs NO exchange and NO sort (single-file
+    buckets, trusted order), the rank side arrives hash-partitioned on
+    the join key from the previous round's dst-keyed agg — so the ONLY
+    per-round shuffle is the contribution transpose itself, which is the
+    irreducible data motion of distributed PageRank. Degree is baked
+    into the table so no per-round degree join/agg exists at all."""
+    import os
+    import shutil
+
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    base = scratch_path(sf_dir, "adjbucketed")
+    t_adj = scratch_table(sf_dir, "cb_adjb_edges")
+    if not spark.catalog.tableExists(t_adj):
+        spark.sql(f"DROP TABLE IF EXISTS {t_adj}")
+        shutil.rmtree(os.path.join(base, t_adj), ignore_errors=True)
+        e = _edges(spark, sf_dir)
+        adj = (
+            e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        )
+        deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        (
+            adj.join(deg, "src")
+            # one file per bucket so Spark trusts the sortBy order
+            .repartition(32, F.col("src"))
+            .write.mode("overwrite")
+            .bucketBy(32, "src")
+            .sortBy("src")
+            .option("path", os.path.join(base, t_adj))
+            .format("parquet")
+            .saveAsTable(t_adj)
+        )
+    return t_adj
+
+
+@register("q_pagerank_bucketed", family="graph", oracle=_pagerank_oracle())
+def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pagerank on the INGEST-TIME bucketed adjacency layout — the
+    bucketed-quartet trick (S13-S16) applied to the graph family: the
+    per-round rank⋈adjacency join that dominated the plain key's sf10
+    wall is exchange-free (adjacency scans its 32 src-buckets in place;
+    ranks arrive hash-partitioned on the join key from the previous
+    round's agg), leaving exactly ONE exchange per iteration — the
+    dst-keyed contribution transpose, PageRank's irreducible shuffle.
+    No driver-side cache is needed at all (the plain key persists a
+    43M-row adjacency at sf10 and must unpersist it across calls); the
+    layout is immutable parquet, shared by repeated calls and safe
+    under memory pressure by construction. Same exact-decimal rank
+    algebra, same oracle as q_pagerank."""
+    t_adj = _adj_bucketed_layout(spark, sf_dir)
+    adj_deg = spark.table(t_adj)
+    ranks = (
+        adj_deg.groupBy("src")
+        .agg(F.first(F.lit(1)).alias("_one"))
+        .select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    )
+    for _ in range(_PR_ITERS):
+        uc = (
+            (F.col("rank") / F.col("degree")).cast("decimal(25,10)") * 10000000000
+        ).cast("bigint")
+        ranks = (
+            adj_deg.join(ranks, adj_deg.src == ranks.node)
+            .select(F.col("dst"), uc.alias("uc"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    0.15
+                    + 0.85
+                    * (F.expr("(sum(uc) + 5000) div 10000").cast("double") / 1e6)
+                ).alias("rank")
+            )
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

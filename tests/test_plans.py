@@ -729,3 +729,23 @@ def test_dedup_generations_day2_probes_gen2_only(spark, sf_dir):
     assert "gen2_raw" not in plan
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) <= 2
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+
+
+def test_pagerank_bucketed_one_exchange_per_iteration(spark, sf_dir):
+    """q_pagerank_bucketed (r7): the adjacency side of every power-
+    iteration join rides the 32-bucket src layout — SelectedBucketsCount
+    present, NO broadcast of the adjacency, and exactly _PR_ITERS
+    Exchanges in the whole plan (the dst-keyed contribution transpose,
+    PageRank's irreducible shuffle) unless the tiny-sf rank side is
+    broadcast (then the Exchange count is still _PR_ITERS and the
+    broadcasts carry ranks, never adjacency). Sorts are rank-side only:
+    at most one per iteration (bucket order is trusted)."""
+    import re
+
+    from cellbase_spark.queries.graph import _PR_ITERS
+
+    plan = plan_of(spark, "q_pagerank_bucketed", sf_dir)
+    assert "SelectedBucketsCount" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == _PR_ITERS
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= _PR_ITERS
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
