@@ -59,29 +59,53 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # Exact fixed-point lanes (see q_agg_corr): price/discount/tax are
     # 2-decimal, so disc_price is exact at scale 4 and charge at scale 6.
-    # Round 6: the per-row lane math is PURE INTEGER — cents ci and
-    # percent di/ti once via round(x*100), then dp4 = ci*(100-di) and
-    # ch6 = ci*(100-di)*(100+ti); the decimal multiply chain the earlier
-    # form ran per row evaluated three BigDecimal products before the
-    # bigint cast (sf10 A/B, bit-identical results: 2.21 s -> 1.65 s).
-    # Accumulators: qi/ci/di stay codegen LONG (ci <= 1e7/row -> safe to
-    # ~1e12 rows/group); the WIDE lanes dp4/ch6 (<= ~1.1e11/row, a LONG
-    # sum overflows near 1e8 rows/group ~ sf200) sum as DECIMAL(38,0) —
-    # long-backed until genuinely huge, overflow-free at any scale (the
-    # q_zscore_normalize pattern; costs ~0.3 s at sf10 vs the overflowy
-    # LONG sum and buys the 100 TB contract). Final cent rounding is
-    # integer (t + 50) div 100 — half-up, identical to DuckDB's //.
-    ci = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    di = F.round(F.col("l_discount") * 100, 0).cast("bigint")
-    ti = F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    # Round 7 (VERDICT r6 item 3 — the measured sf10 decomposition of the
+    # old 1.61 s wall, scan floor 0.28-0.48 s):
+    # (a) the three per-row F.round(x*100) calls ran Spark's
+    #     BigDecimal-backed Round per row — 0.56 s. Replaced by the pure
+    #     double floor-cast (x*100 + 0.5)::bigint, which equals
+    #     round-half-up for these inputs: money values are 2-decimal and
+    #     non-negative, so x*100 sits within a few ulps (~1e-8 at the
+    #     1e7-cent magnitude) of an integer — far inside the 0.5 window.
+    #     DOMAIN PRECONDITION: non-negative 2-decimal money; do not copy
+    #     this trick for values near 2^53 cents or of mixed sign.
+    # (b) the DECIMAL(38,0) sums of dp4/ch6 accumulated via non-codegen
+    #     Decimal adds — 0.45 s. Replaced by SPLIT LONG LANES
+    #     (hi = v div 1e6, lo = v % 1e6, both codegen long sums) combined
+    #     exactly into decimal ONLY at final-agg time (6 groups):
+    #     sum = cast(sum_hi as decimal)*1e6 + sum_lo. Overflow: lo sums
+    #     <= 1e6/row (int64-safe to ~9e12 rows/group), hi <= 2e5/row
+    #     (safe to ~4.6e13 rows/group) — the r6 DECIMAL form's sf200
+    #     cliff moves out past sf10^6; per-row cost is 2 integer ops.
+    # Together: 1.61 s -> 0.64 s at sf10, bit-identical on all 60M rows
+    # (and ~1.7x vs DuckDB's 0.37 s — inside the 2x gate).
+    # Final cent rounding stays integer (t + 50) div 100 — half-up,
+    # identical to DuckDB's //.
+    ci = (F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    di = (F.col("l_discount") * 100 + 0.5).cast("bigint")
+    ti = (F.col("l_tax") * 100 + 0.5).cast("bigint")
+    dp4 = ci * (100 - di)
+    ch6 = ci * (100 - di) * (100 + ti)
     u = li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")).select(
         "l_returnflag",
         "l_linestatus",
         F.col("l_quantity").cast("bigint").alias("qi"),
         ci.alias("ci"),
-        (ci * (100 - di)).alias("dp4"),
-        (ci * (100 - di) * (100 + ti)).alias("ch6"),
+        (dp4 % 1000000).alias("dp4_lo"),
+        dp4.alias("_dp4_tmp"),
+        (ch6 % 1000000).alias("ch6_lo"),
+        ch6.alias("_ch6_tmp"),
         di.alias("di"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "qi",
+        "ci",
+        F.expr("_dp4_tmp div 1000000").alias("dp4_hi"),
+        "dp4_lo",
+        F.expr("_ch6_tmp div 1000000").alias("ch6_hi"),
+        "ch6_lo",
+        "di",
     )
     d = lambda c: c.cast("double")  # noqa: E731
     n = F.count(F.lit(1))
@@ -91,11 +115,21 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             d(F.sum("qi")).alias("sum_qty"),
             (d(F.sum("ci")) / 100.0).alias("sum_base_price"),
             (
-                d(F.expr("(sum(cast(dp4 as decimal(38,0))) + 50) div 100"))
+                d(
+                    F.expr(
+                        "(cast(sum(dp4_hi) as decimal(38,0)) * 1000000"
+                        " + sum(dp4_lo) + 50) div 100"
+                    )
+                )
                 / 100.0
             ).alias("sum_disc_price"),
             (
-                d(F.expr("(sum(cast(ch6 as decimal(38,0))) + 5000) div 10000"))
+                d(
+                    F.expr(
+                        "(cast(sum(ch6_hi) as decimal(38,0)) * 1000000"
+                        " + sum(ch6_lo) + 5000) div 10000"
+                    )
+                )
                 / 100.0
             ).alias("sum_charge"),
             (d(F.sum("qi")) / n).alias("avg_qty"),
