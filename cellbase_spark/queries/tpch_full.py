@@ -766,11 +766,17 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the difference between shuffling the full fact
     table per run and reading it in place: the layout is paid once at
     ingest, and every orderkey-clustered query (Q3/Q5/Q21 here) rides
-    the same files."""
+    the same files. Round 7: o_orderstatus is denormalized into the
+    bucketed lineitem, so the orders bucket-join is gone too — the
+    status filter is applied AFTER the windows (it is per-order
+    constant, so filtering l1 afterwards ≡ the orders join) and the
+    only Exchange left is the final s_name agg."""
     from cellbase_spark.queries.joins import _fact_bucketed_layout
 
-    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
-    l = spark.table(t_l).select("l_orderkey", "l_suppkey", "l_shipdate")
+    t_l, _ = _fact_bucketed_layout(spark, sf_dir)
+    l = spark.table(t_l).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderstatus"
+    )
     w_pair = Window.partitionBy("l_orderkey", "l_suppkey")
     w_ord = Window.partitionBy("l_orderkey")
     df = l.withColumn("s_max", F.max("l_shipdate").over(w_pair)).withColumn(
@@ -780,6 +786,7 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         "l_shipdate",
+        "o_orderstatus",
         "s_max",
         F.size("pairs").alias("n_supp"),
         F.expr("array_max(transform(pairs, p -> p.s_max))").alias("m1"),
@@ -802,17 +809,13 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "s_name"
     )
-    o = (
-        spark.table(t_o)
-        .where(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
     l1 = (
         df.where(
-            (F.col("n_supp") >= 2) & (F.col("other_max") <= F.col("l_shipdate"))
+            (F.col("n_supp") >= 2)
+            & (F.col("other_max") <= F.col("l_shipdate"))
+            & (F.col("o_orderstatus") == "F")
         )
         .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
     )
     return (
         l1.groupBy("s_name")
@@ -840,27 +843,26 @@ GROUP BY nation, o_year
 """,
 )
 def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 on the SHARED bucketed fact layout: Q9's one fact⋈fact
-    join is lineitem⋈orders on orderkey — exactly the layout's key. The
-    %red% part and the supplier⋈nation chain broadcast (preserving the
-    streamed side's bucket partitioning AND trusted scan order), so the
-    orders join runs bucket-local with zero exchange and zero sort; the
-    only shuffle left is the ~(nations x years)-row final agg (pinned
-    <=1 Exchange in tests/test_plans.py). Same profit expression and
-    oracle as q_tpch_q9 — identical results.
+    """TPC-H Q9 on the DENORMALIZED bucketed fact layout (round 7): the
+    round-6 form's one fact⋈fact join (lineitem⋈orders for o_orderdate)
+    is gone — o_orderdate is baked into the bucketed lineitem at ingest,
+    so the plan is one pruned fact scan plus two dim broadcasts (%red%
+    part for p_retailprice, supplier⋈nation for the nation name) feeding
+    the ~(nations x years)-row final agg — the only Exchange, with no
+    Sort anywhere (pinned in tests/test_plans.py). Same profit
+    expression and oracle as q_tpch_q9 — identical results.
 
     Fourth query on the same layout files (Q3/Q5/Q21 ride it too): the
-    amortization argument in one repo — at 100 TB you pay the bucketed
-    write once at ingest and every orderkey join in the workload drops
-    its fact-table exchange."""
+    amortization argument in one repo — at 100 TB you pay the denorm
+    join + bucketed write once at ingest and every order-attribute
+    lookup in the workload becomes a pruned column read."""
     from cellbase_spark.queries.joins import _fact_bucketed_layout
 
-    t_l, t_o = _fact_bucketed_layout(spark, sf_dir)
+    t_l, _ = _fact_bucketed_layout(spark, sf_dir)
     l = spark.table(t_l)
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    o = spark.table(t_o).select("o_orderkey", "o_orderdate")
     supp_n = s.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
@@ -870,7 +872,6 @@ def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(supp_n), l.l_suppkey == supp_n.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(dsum(profit, "sum_profit"))
     )

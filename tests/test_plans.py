@@ -629,10 +629,11 @@ def test_embed_outliers_broadcast_centroid_no_pair_join(spark, sf_dir):
 
 
 def test_tpch_q3_bucketed_zero_shuffle_exchanges(spark, sf_dir):
-    """q_tpch_q3_bucketed must run WITHOUT a single shuffle exchange:
-    fact join bucket-local, customer key set broadcast-semi, the
+    """q_tpch_q3_bucketed on the DENORMALIZED layout (r7) must be a pure
+    scan-aggregate: no shuffle exchange AND no join of any kind (all
+    three predicates pushed into the one fact scan, the
     groupBy(l_orderkey, o_orderdate) agg satisfied by the bucket hash
-    partitioning (l_orderkey ⊆ grouping keys), top-10 via
+    partitioning — l_orderkey ⊆ grouping keys), top-10 via
     TakeOrderedAndProject."""
     import re
 
@@ -640,35 +641,66 @@ def test_tpch_q3_bucketed_zero_shuffle_exchanges(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
     assert "TakeOrderedAndProject" in plan
     assert "SelectedBucketsCount" in plan
-    assert "CartesianProduct" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    # the pushed-down predicates must reach the parquet scan
+    assert "PushedFilters: []" not in plan
+
+
+def test_tpch_q5_bucketed_scan_shape_single_exchange(spark, sf_dir):
+    """q_tpch_q5_bucketed on the DENORMALIZED layout (r7): the orders
+    bucket-join and the 1.5M-row customer broadcast build are gone —
+    only dim-bounded broadcasts (supplier, nation⋈region) may appear,
+    with the 5-row final agg as the single Exchange and no Sort and no
+    SMJ anywhere."""
+    import re
+
+    plan = plan_of(spark, "q_tpch_q5_bucketed", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    # no customer table anywhere in the read path (denormalized at ingest)
+    assert "customer.parquet" not in plan
 
 
 def test_tpch_q21_bucketed_single_tiny_exchange(spark, sf_dir):
-    """q_tpch_q21_bucketed: both orderkey windows and the orders join
-    ride the bucket partitioning — the ONLY shuffle exchange allowed is
-    the final ~|supplier|-row s_name aggregate. The window order needs
-    at most a partition-LOCAL sort (no global sort anywhere)."""
+    """q_tpch_q21_bucketed: both orderkey windows ride the bucket
+    partitioning and the orders join is gone entirely on the r7
+    denormalized layout (o_orderstatus baked in, filtered post-window) —
+    the ONLY shuffle exchange allowed is the final ~|supplier|-row
+    s_name aggregate, the only join the supplier-name broadcast. The
+    window order needs at most a partition-LOCAL sort (no global sort
+    anywhere)."""
     import re
 
     plan = plan_of(spark, "q_tpch_q21_bucketed", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
     assert "TakeOrderedAndProject" in plan
     assert "SelectedBucketsCount" in plan
-    assert "CartesianProduct" not in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
 
 
 def test_tpch_q9_bucketed_single_tiny_exchange(spark, sf_dir):
-    """q_tpch_q9_bucketed: part/supplier/nation broadcast, the one
-    fact⋈fact join (lineitem⋈orders on orderkey) bucket-local with
-    trusted scan order — only the ~(nations x years)-row final agg may
-    shuffle, and no Sort may appear anywhere."""
+    """q_tpch_q9_bucketed: part/supplier/nation broadcast and NO
+    fact⋈fact join at all on the r7 denormalized layout (o_orderdate
+    baked into the bucketed lineitem) — only the ~(nations x years)-row
+    final agg may shuffle, and no Sort and no SMJ may appear
+    anywhere."""
     import re
 
     plan = plan_of(spark, "q_tpch_q9_bucketed", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0
-    assert "SelectedBucketsCount" in plan
-    assert "CartesianProduct" not in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    # orders no longer in the read path — the denorm column serves it
+    assert "cb_factb_orders" not in plan
 
 
 def test_band_update_stats_read_only_the_new_generation(spark, sf_dir):
