@@ -4,8 +4,11 @@ BASELINE.md's contract: Spark wall-clock must land within 2x of DuckDB on
 the identical query + data. This script produces the DuckDB side at any
 scale factor; bench.py produces the Spark side.
 
-    python scripts/bench_oracle.py [sf_dir]          # default sf0.1
+    python scripts/bench_oracle.py [sf_dir] [key ...]   # default sf0.1, all keys
 Prints one JSON line {"queries": {key: sec}, "sf_dir": ...} (best of 2).
+Optional key args restrict the sweep (exact registry keys) — used for the
+same-day headline re-time so the 25-key set doesn't pay the full-registry
+sweep cost.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ sys.path.insert(0, _REPO)
 from cellbase_spark import registry, schemas  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ONLY_KEYS = set(sys.argv[2:])
 
 # Oracles that are correct at the sf0.01 gate but computationally
 # infeasible for DuckDB at bench scale — skipped here with the reason
@@ -48,6 +52,8 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     out: dict[str, float] = {}
     for key, sql in sorted(registry.oracle_sql().items()):
+        if ONLY_KEYS and key not in ONLY_KEYS:
+            continue
         if key in INFEASIBLE_AT_BENCH:
             print(f"{key}: SKIPPED ({INFEASIBLE_AT_BENCH[key]})", file=sys.stderr)
             continue
