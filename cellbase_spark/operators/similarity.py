@@ -435,3 +435,53 @@ def label_centroids_arrow(e: DataFrame, dim: int = 64) -> DataFrame:
             ).alias("cent"),
         )
     )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    table: str,
+    path: str,
+    n_centroids: int = 8,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Write the PERSISTED ANN index: every vector coarse-quantized once
+    (IVF centroid + LSH sign bucket) and laid out hive-partitioned by
+    BOTH keys, so a query-time probe is pure partition pruning — the
+    directories outside the probed lists/buckets are never opened.
+
+    This is the 100 TB design the inline q_ann_ivf / q_ann_lsh keys
+    cannot reach: assignment is ~16x the expression work of one cosine
+    (n_centroids distance folds vs one), and recomputing it per query
+    makes the "approximate" path SLOWER than the exact scan (measured at
+    sf10: inline IVF 33 s / inline LSH 25 s vs brute-force 4.7 s).
+    Paying assignment at ingest inverts that: the probe scans only
+    n_cand rows (3-14 percent here), through one ordinary pruned scan.
+
+    ONE artifact serves both geometries: partitionBy(centroid_id,
+    bucket) prunes on either key independently (IVF probe filters
+    centroid_id, LSH multi-probe filters bucket). The repartition on the
+    partition keys puts each (centroid, bucket) combo in exactly one
+    task, so every leaf directory holds exactly one parquet file — the
+    small-file discipline q_compact_files exists to repair, applied at
+    write time instead.
+
+    Registered as an external CATALOG table (saveAsTable), not a bare
+    path: with up to n_centroids * 2^n_planes leaf directories, a
+    path-based read pays partition DISCOVERY on every query DataFrame —
+    measured 3.7-4.0 s per probe at sf10 (1,797 dirs) vs 0.26 s for the
+    probe itself. The catalog holds the partition metadata once
+    (CatalogFileIndex), which is exactly the metastore model a 100 TB
+    deployment uses; only the probed partitions are ever listed.
+    """
+    idx = ivf_assign(embeddings, n_centroids=n_centroids, vec_col=vec_col).withColumn(
+        "bucket", F.expr(lsh_bucket_expr(vec_col, n_planes=n_planes))
+    )
+    (
+        idx.repartition(F.col("centroid_id"), F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id", "bucket")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

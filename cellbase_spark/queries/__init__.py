@@ -25,6 +25,8 @@ GATE_PRIORITY = [
     # -- NEW round-7 keys get inserted here as they land
     "q_dedup_generations",
     "q_pagerank_bucketed",
+    "q_ann_ivf_indexed",
+    "q_ann_lsh_indexed",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

@@ -656,3 +656,169 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("label", "vec_id", "dist2", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index ANN (round 7): the measured scale answer to the inline keys
+# ---------------------------------------------------------------------------
+
+_QD_D2_SPARK = (
+    "aggregate(zip_with(qv, transform(sequence(1, 64),"
+    " i -> ((j * 13 + i * 7) % 29) / cast(29 as double)),"
+    " (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+)
+_QD_D2_DUCK = (
+    "round(list_reduce(list_transform(range(1, 65),"
+    " i -> (qv[i] - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))"
+    " * (qv[i] - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))),"
+    " (x, y) -> x + y), 6)"
+)
+
+
+def _ann_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) and return the persisted ANN
+    index CATALOG TABLE: embeddings hive-partitioned by (centroid_id,
+    bucket). In a deployment this is an ingest-time artifact like the
+    bucketed fact layout (joins._fact_bucketed_layout) — queries only
+    ever prune it, and the catalog (metastore model) holds the partition
+    metadata so a probe never pays directory discovery."""
+    from cellbase_spark.operators.similarity import build_ann_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_annindex")
+    if not spark.catalog.tableExists(t):
+        build_ann_index(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            t,
+            scratch_path(sf_dir, "annindex"),
+        )
+    return t
+
+
+def _query_probe_centroids(spark: SparkSession, nprobe: int) -> list[int]:
+    """The query's nprobe nearest centroid ids — an 8-row formula-derived
+    config relation (bounded by construction: n_centroids rows, no data
+    touched), collected so the probe can be a PartitionFilters literal."""
+    rows = (
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("qv"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, 7), j -> struct(j as j, round({_QD_D2_SPARK}, 6) as d))"
+                )
+            ).alias("s")
+        )
+        .select("s.j", "s.d")
+        .orderBy(F.col("d").asc(), F.col("j").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    return [int(r.j) for r in rows]
+
+
+def _query_bucket(spark: SparkSession) -> int:
+    """The query vector's LSH bucket — a 1-row config collect."""
+    return int(
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("qv"))
+        .select(F.expr(lsh_bucket_expr("qv")).alias("qb"))
+        .collect()[0].qb
+    )
+
+
+@register(
+    "q_ann_ivf_indexed",
+    family="llm-sim",
+    oracle=f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+qd AS (
+  SELECT j, {_QD_D2_DUCK} AS d
+  FROM cfg, (SELECT unnest(range(0, 8)) AS j)
+),
+asg AS (
+  SELECT vec_id, embedding, qv,
+         CAST({_duck_ivf_argmin('embedding')} AS INTEGER) AS centroid_id
+  FROM embeddings, cfg
+)
+SELECT vec_id, centroid_id, round({_COS_Q}, 6) AS score
+FROM asg
+WHERE centroid_id IN (SELECT CAST(j AS INTEGER) FROM qd ORDER BY d, j LIMIT 2)
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the PERSISTED index: top-20 cosine within the
+    nprobe=2 nearest inverted lists, where the lists are hive partitions
+    of the ingest-time index (operators/similarity.build_ann_index) and
+    the probe is a PartitionFilters literal — directories outside the
+    two probed lists are never opened.
+
+    Why this key exists: the inline q_ann_ivf recomputes the coarse
+    quantization per query (8 distance folds per row), which is ~16x the
+    work of the one cosine the exact scan pays — measured at sf10 the
+    "approximate" inline path lost to brute force 33 s vs 4.7 s. With
+    assignment paid once at ingest, the probe reads only the candidate
+    rows (n_cand/N = 3.5 percent at sf10) through one ordinary pruned
+    scan: 0.5 s-class instead of 30 s-class, and at 100 TB the probe
+    cost is proportional to list size, not corpus size.
+
+    The two collects are formula-derived config relations (8 rows / 1
+    row), bounded by construction — no data-dependent driver traffic."""
+    t = _ann_index_table(spark, sf_dir)
+    ids = _query_probe_centroids(spark, nprobe=2)
+    idx = spark.table(t).where(F.col("centroid_id").isin(ids))
+    return (
+        idx.withColumn("qv", F.expr(qvec_expr()))
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_ann_lsh_indexed",
+    family="llm-sim",
+    oracle=f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+q2 AS (SELECT qv, {_duck_lsh_bucket('qv')} AS qb FROM cfg),
+b AS (
+  SELECT vec_id, embedding, qv, qb,
+         {_duck_lsh_bucket('embedding')} AS bucket
+  FROM embeddings, q2
+)
+SELECT vec_id, CAST(bit_count(xor(bucket, qb)) AS INTEGER) AS hamming,
+       round({_COS_Q}, 6) AS score
+FROM b
+WHERE bit_count(xor(bucket, qb)) <= 1
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN against the SAME persisted index (the bucket
+    partition key of build_ann_index's one artifact): the query bucket
+    plus its 8 hamming-1 neighbors — 9 of 256 sign buckets — as a
+    PartitionFilters IN-list, then exact cosine top-20 over the pruned
+    candidates. Same measured motivation as q_ann_ivf_indexed: inline
+    bucket recompute lost to brute force at sf10 (25 s vs 4.7 s); the
+    indexed probe touches only candidate partitions."""
+    t = _ann_index_table(spark, sf_dir)
+    qb = _query_bucket(spark)
+    probe = [qb] + [qb ^ (1 << p) for p in range(8)]
+    idx = spark.table(t).where(F.col("bucket").isin(probe))
+    return (
+        idx.withColumn("qv", F.expr(qvec_expr()))
+        .select(
+            "vec_id",
+            F.expr(f"cast(bit_count(bucket ^ {qb}) as int)").alias("hamming"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

@@ -781,3 +781,44 @@ def test_pagerank_bucketed_one_exchange_per_iteration(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == _PR_ITERS
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= _PR_ITERS
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+
+
+def test_ann_indexed_probe_is_partition_pruned(spark, sf_dir):
+    """q_ann_ivf_indexed / q_ann_lsh_indexed (r7): the probe must be
+    partition pruning of the persisted index — PartitionFilters carries
+    the probe IN-list, the raw embeddings table is NEVER rescanned at
+    query time (assignment was paid at ingest; rescanning it is exactly
+    the measured inline-ANN defect: 33 s vs 0.5 s at sf10), the top-20
+    is TakeOrderedAndProject (per-partition heaps), and nothing
+    shuffles: the candidate set flows scan -> project -> topk."""
+    import re
+
+    p_ivf = plan_of(spark, "q_ann_ivf_indexed", sf_dir)
+    p_lsh = plan_of(spark, "q_ann_lsh_indexed", sf_dir)
+    for plan, col in ((p_ivf, "centroid_id"), (p_lsh, "bucket")):
+        pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+        assert f"{col}#" in pf and " IN (" in pf
+        assert "embeddings.parquet" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+        assert "Join" not in plan
+
+
+def test_ann_index_layout_single_file_per_leaf(spark, sf_dir):
+    """build_ann_index's repartition-on-partition-keys contract: every
+    (centroid_id, bucket) leaf directory holds exactly ONE parquet file
+    (write-time small-file discipline — the alternative is 32 shards of
+    a handful of rows in each of up to 2048 dirs)."""
+    import glob
+    import os
+
+    from cellbase_spark.queries.llm_similarity import _ann_index_table
+    from cellbase_spark.queries.scans import scratch_path
+
+    _ann_index_table(spark, sf_dir)
+    root = scratch_path(sf_dir, "annindex")
+    leaves = glob.glob(os.path.join(root, "centroid_id=*", "bucket=*"))
+    assert leaves, f"no leaf dirs under {root}"
+    for leaf in leaves:
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{leaf}: {len(files)} files"
