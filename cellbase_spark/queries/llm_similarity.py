@@ -15,6 +15,7 @@ from cellbase_spark.io import load_table
 from cellbase_spark.operators.similarity import (
     cosine_expr,
     cosine_topk,
+    dot_expr,
     ivf_assign,
     knn_join,
     knn_join_dense,
@@ -717,6 +718,26 @@ def _query_probe_centroids(spark: SparkSession, nprobe: int) -> list[int]:
     return [int(r.j) for r in rows]
 
 
+def _q_cfg(spark: SparkSession) -> DataFrame:
+    """1-row config frame (qv, qnorm): the query vector and its norm,
+    computed once and broadcast — probe scoring is then one dot fold per
+    candidate (the index stores the candidate-side norm)."""
+    return (
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("qv"))
+        .select("qv", F.expr(norm_expr("qv")).alias("qnorm"))
+    )
+
+
+def _stored_norm_score() -> F.Column:
+    """round(dot(embedding,qv) / (nrm * qnorm), 6) — bit-identical to
+    cosine_expr (same folds, same product grouping), with both norm
+    folds amortized away (index-side at ingest, query-side in _q_cfg)."""
+    return F.round(
+        F.expr(dot_expr("embedding", "qv")) / (F.col("nrm") * F.col("qnorm")), 6
+    )
+
+
 def _query_bucket(spark: SparkSession) -> int:
     """The query vector's LSH bucket — a 1-row config collect."""
     return int(
@@ -770,11 +791,11 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _query_probe_centroids(spark, nprobe=2)
     idx = spark.table(t).where(F.col("centroid_id").isin(ids))
     return (
-        idx.withColumn("qv", F.expr(qvec_expr()))
+        idx.crossJoin(F.broadcast(_q_cfg(spark)))
         .select(
             "vec_id",
             F.col("centroid_id").cast("int").alias("centroid_id"),
-            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+            _stored_norm_score().alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
@@ -813,11 +834,171 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = [qb] + [qb ^ (1 << p) for p in range(8)]
     idx = spark.table(t).where(F.col("bucket").isin(probe))
     return (
-        idx.withColumn("qv", F.expr(qvec_expr()))
+        idx.crossJoin(F.broadcast(_q_cfg(spark)))
         .select(
             "vec_id",
             F.expr(f"cast(bit_count(bucket ^ {qb}) as int)").alias("hamming"),
-            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_ann_batch_probe",
+    family="llm-sim",
+    oracle=f"""
+WITH asg AS (
+  SELECT vec_id, embedding,
+         CAST({_duck_ivf_argmin('embedding')} AS INTEGER) AS centroid_id
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         CAST({_duck_ivf_argmin('embedding')} AS INTEGER) AS qc
+  FROM embeddings WHERE vec_id < 32
+)
+SELECT query_id, vec_id, centroid_id, score, rk FROM (
+  SELECT q.query_id, a.vec_id, a.centroid_id,
+         round({_dot('a.embedding', 'q.qv')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('q.qv', 'q.qv')})), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_dot('a.embedding', 'q.qv')}
+                          / (sqrt({_dot('a.embedding', 'a.embedding')})
+                             * sqrt({_dot('q.qv', 'q.qv')})), 6) DESC,
+                    a.vec_id ASC) AS rk
+  FROM asg a JOIN q ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+) WHERE rk <= 5
+""",
+)
+def q_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN as a JOIN: a batch of 32 query vectors probes the persisted
+    index in ONE pass — each query coarse-quantized inline (32 rows x 8
+    folds, query-side cost only), broadcast, and equi-joined to the
+    index on the centroid partition key; per-query cosine top-5 follows
+    (self-matches excluded: the batch is drawn from the corpus).
+
+    The scale property is DYNAMIC partition pruning: the probed
+    centroid set is data-dependent (computed from the batch's
+    embeddings, not plan-time literals), so Catalyst inserts a
+    dynamicpruningexpression subquery on the index scan that reuses the
+    broadcast — only the batch's distinct centroid directories are
+    opened. This is the shape of serving a query STREAM against a
+    100 TB index: per-batch work is (batch x probed-list) rows, never
+    corpus-sized, and the index is never re-quantized (the inline keys'
+    measured defect)."""
+    from cellbase_spark.operators.similarity import ivf_assign
+
+    t = _ann_index_table(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        ivf_assign(
+            e.where(F.col("vec_id") < 32).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            ),
+            vec_col="qv",
+        )
+        .withColumnRenamed("centroid_id", "qc")
+        .withColumn("qnorm", F.expr(norm_expr("qv")))
+    )
+    idx = spark.table(t)
+    cand = idx.join(
+        F.broadcast(q),
+        (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        _stored_norm_score().alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+def _ann_delta_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) the DELTA index generation: a
+    simulated new-document batch (every 97th corpus vector, re-keyed
+    +10M) quantized and laid out by the SAME build_ann_index operator
+    into its OWN immutable table — the base artifact is never mutated
+    (the LSM/generations discipline q_dedup_band_update established for
+    the dedup band table, applied to the ANN index)."""
+    from cellbase_spark.operators.similarity import build_ann_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_annindex_d1")
+    if not spark.catalog.tableExists(t):
+        delta = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 97 == 3)
+            .select(
+                (F.col("vec_id") + F.lit(10000000)).alias("vec_id"), "embedding"
+            )
+        )
+        build_ann_index(delta, t, scratch_path(sf_dir, "annindex_d1"))
+    return t
+
+
+@register(
+    "q_ann_index_update",
+    family="llm-sim",
+    oracle=f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+qd AS (
+  SELECT j, {_QD_D2_DUCK} AS d
+  FROM cfg, (SELECT unnest(range(0, 8)) AS j)
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 97 = 3
+),
+asg AS (
+  SELECT vec_id, embedding, qv,
+         CAST({_duck_ivf_argmin('embedding')} AS INTEGER) AS centroid_id
+  FROM corpus, cfg
+)
+SELECT vec_id,
+       CASE WHEN vec_id >= 10000000 THEN 'delta' ELSE 'base' END AS gen,
+       centroid_id, round({_COS_Q}, 6) AS score
+FROM asg
+WHERE centroid_id IN (SELECT CAST(j AS INTEGER) FROM qd ORDER BY d, j LIMIT 2)
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance verb: a new-document batch lands as its own
+    immutable DELTA generation (same build_ann_index operator, own
+    catalog table — the base is never rewritten), and the probe unions
+    base + delta with the SAME PartitionFilters IN-list pushed into
+    both scans. Top-20 over the union, each hit tagged with its
+    generation.
+
+    At 100 TB this is how the ANN index absorbs a daily ingest without
+    an index rebuild: quantize the batch (work proportional to batch),
+    append a generation, probe all generations pruned; q_compact_files
+    is the periodic repair when generations accumulate. Exactly the
+    band-table lifecycle q_dedup_band_update / q_dedup_generations
+    proved for MinHash-LSH, applied to the vector index."""
+    base = spark.table(_ann_index_table(spark, sf_dir))
+    delta = spark.table(_ann_delta_table(spark, sf_dir))
+    ids = _query_probe_centroids(spark, nprobe=2)
+    probed = base.unionByName(delta).where(F.col("centroid_id").isin(ids))
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") >= 10000000, F.lit("delta"))
+            .otherwise(F.lit("base"))
+            .alias("gen"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)

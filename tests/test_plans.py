@@ -801,7 +801,11 @@ def test_ann_indexed_probe_is_partition_pruned(spark, sf_dir):
         assert "embeddings.parquet" not in plan
         assert "TakeOrderedAndProject" in plan
         assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
-        assert "Join" not in plan
+        # the only join is the 1-row (qv, qnorm) config broadcast (the
+        # intended BNL-against-1-row pattern; see PLANS.md header) —
+        # no data-sized join algorithm anywhere
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_ann_index_layout_single_file_per_leaf(spark, sf_dir):
@@ -822,3 +826,43 @@ def test_ann_index_layout_single_file_per_leaf(spark, sf_dir):
     for leaf in leaves:
         files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
         assert len(files) == 1, f"{leaf}: {len(files)} files"
+
+
+def test_ann_batch_probe_dynamic_partition_pruning(spark, sf_dir):
+    """q_ann_batch_probe (r7): the probed centroid set is data-dependent
+    (computed from the batch's embeddings), so the index scan must carry
+    a dynamicpruningexpression — only the batch's distinct centroid
+    directories are opened at runtime. The batch rides a broadcast; the
+    only Exchange is the per-query ranking window over candidate rows
+    (batch x list sized, never corpus sized); the index is never
+    re-quantized (no second full-embeddings scan on the index side)."""
+    import re
+
+    plan = plan_of(spark, "q_ann_batch_probe", sf_dir)
+    pf = next(
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "annindex" not in line
+    )
+    assert "dynamicpruningexpression" in pf
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_ann_index_update_prunes_both_generations(spark, sf_dir):
+    """q_ann_index_update (r7): the probe's IN-list must be pushed into
+    BOTH generation scans (base and delta), with no exchange and no
+    join — the union is scan -> filter -> project -> topk."""
+    import re
+
+    plan = plan_of(spark, "q_ann_index_update", sf_dir)
+    pfs = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert len(pfs) == 2
+    for line in pfs:
+        assert " IN (" in line
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    # only the 1-row config broadcast joins (intended BNL pattern)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
