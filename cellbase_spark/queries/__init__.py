@@ -29,6 +29,7 @@ GATE_PRIORITY = [
     "q_ann_lsh_indexed",
     "q_ann_batch_probe",
     "q_ann_index_update",
+    "q_stream_run_ann",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

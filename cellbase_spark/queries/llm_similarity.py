@@ -845,10 +845,7 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ann_batch_probe",
-    family="llm-sim",
-    oracle=f"""
+_BATCH_PROBE_ORACLE = f"""
 WITH asg AS (
   SELECT vec_id, embedding,
          CAST({_duck_ivf_argmin('embedding')} AS INTEGER) AS centroid_id
@@ -872,8 +869,10 @@ SELECT query_id, vec_id, centroid_id, score, rk FROM (
                     a.vec_id ASC) AS rk
   FROM asg a JOIN q ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
 ) WHERE rk <= 5
-""",
-)
+"""
+
+
+@register("q_ann_batch_probe", family="llm-sim", oracle=_BATCH_PROBE_ORACLE)
 def q_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN as a JOIN: a batch of 32 query vectors probes the persisted
     index in ONE pass — each query coarse-quantized inline (32 rows x 8

@@ -945,3 +945,123 @@ def q_stream_run_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     return pipelines.run_stream_to_memory(
         verified, "cb_stream_incdedup_sink", output_mode="append"
     )
+
+
+def _stage_query_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 32-query batch (vec_id < 32) as a single parquet file
+    for the replay source — PID+sf-scoped like every other scratch
+    artifact. Returns the part-file path."""
+    import glob as _glob
+
+    tag = re.sub(r"\W", "_", os.path.abspath(sf_dir)) + f"_{os.getpid()}"
+    out = os.path.join(tempfile.gettempdir(), f"cb_stream_annq_{tag}")
+    hits = _glob.glob(os.path.join(out, "*.parquet"))
+    if hits:
+        return hits[0]
+    (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 32)
+        .select("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return _glob.glob(os.path.join(out, "*.parquet"))[0]
+
+
+def _ann_stream_oracle() -> str:
+    from cellbase_spark.queries.llm_similarity import _BATCH_PROBE_ORACLE
+
+    return _BATCH_PROBE_ORACLE
+
+
+@register("q_stream_run_ann", family="stream", oracle=_ann_stream_oracle())
+def q_stream_run_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING, genuinely streamed: query vectors arrive in 4
+    micro-batches (cellbase_replay source) and each batch probes the
+    PERSISTED partition-pruned index inside foreachBatch — quantize the
+    batch inline (work proportional to batch), broadcast it, equi-join
+    on the centroid partition key (dynamic partition pruning opens only
+    the batch's centroid directories), rank per-query cosine top-5, and
+    append the results. The static index is never rescanned in full and
+    never re-quantized; per-micro-batch cost is (batch x probed-list)
+    rows — the 100 TB online-serving shape, with exactly-once left to
+    the append-only sink (each query_id is served by exactly one batch).
+
+    Oracle: identical to q_ann_batch_probe (the one-shot batch form) —
+    streaming the same 32 queries through 4 batches must change nothing.
+    """
+    import glob as _glob
+
+    from pyspark.sql.window import Window as W
+
+    from cellbase_spark.operators.similarity import ivf_assign, norm_expr
+    from cellbase_spark.queries.llm_similarity import (
+        _ann_index_table,
+        _stored_norm_score,
+    )
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    t = _ann_index_table(spark, sf_dir)
+    qfile = _stage_query_vectors(spark, sf_dir)
+    results_dir = tempfile.mkdtemp(prefix="cb_stream_ann_") + "/out"
+
+    stream = (
+        spark.readStream.format("cellbase_replay")
+        .schema("vec_id long, embedding array<float>")
+        .option("path", qfile)
+        .option("batches", "4")
+        .load()
+    )
+
+    def probe(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        q = (
+            ivf_assign(
+                batch_df.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                ),
+                vec_col="qv",
+            )
+            .withColumnRenamed("centroid_id", "qc")
+            .withColumn("qnorm", F.expr(norm_expr("qv")))
+        )
+        idx = s.table(t)
+        cand = idx.join(
+            F.broadcast(q),
+            (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),
+        ).select(
+            "query_id",
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+
+    name = "cb_stream_ann"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(results_dir).select(
+        "query_id", "vec_id", "centroid_id", "score", "rk"
+    )

