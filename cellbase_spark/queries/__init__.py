@@ -30,6 +30,7 @@ GATE_PRIORITY = [
     "q_ann_batch_probe",
     "q_ann_index_update",
     "q_stream_run_ann",
+    "q_ivf_train",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

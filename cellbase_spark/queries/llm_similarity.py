@@ -1002,3 +1002,176 @@ def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+_D2_FORMULA_DUCK = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> (CAST(embedding[i] AS DOUBLE) - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))"
+    " * (CAST(embedding[i] AS DOUBLE) - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))),"
+    " (x, y) -> x + y)"
+)
+_ARGMIN_STRUCT_DUCK = (
+    f"list_reduce(list_transform(range(0, 8), j -> {{'d': round({_D2_FORMULA_DUCK}, 6), 'j': j}}),"
+    " (best, cur) -> CASE WHEN cur.d < best.d OR (cur.d = best.d AND cur.j < best.j)"
+    " THEN cur ELSE best END)"
+)
+_D2_LEARNED_DUCK = (
+    "round(list_reduce(list_transform(range(1, 65),"
+    " i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+    " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), (x, y) -> x + y), 6)"
+)
+
+
+_PREV_TRAIN = None
+
+
+@register(
+    "q_ivf_train",
+    family="llm-sim",
+    oracle=f"""
+WITH a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id, best.d AS d
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+a2 AS (
+  SELECT vec_id, centroid_id, d FROM (
+    SELECT e.vec_id, c.j AS centroid_id, {_D2_LEARNED_DUCK} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM a1 e, carr c
+  ) WHERE rk = 1
+)
+SELECT CAST(1 AS INTEGER) AS iter, CAST(centroid_id AS INTEGER) AS centroid_id,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(d AS DECIMAL(25,10))), 6) AS DOUBLE) AS inertia
+FROM a1 GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS iter, CAST(centroid_id AS INTEGER) AS centroid_id,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(d AS DECIMAL(25,10))), 6) AS DOUBLE) AS inertia
+FROM a2 GROUP BY 2
+""",
+)
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING: two unrolled Lloyd (k-means) iterations
+    starting from the deterministic formula seeds — assign every vector
+    to its nearest centroid, recompute each centroid as the exact
+    dimension-wise mean of its members, reassign under the LEARNED
+    centroids — emitting per-iteration cluster sizes and inertia (the
+    convergence witness: iteration-2 inertia <= iteration-1 on this
+    corpus by Lloyd's monotonicity). Completes the IVF lifecycle the
+    round built: TRAIN here, BUILD (build_ann_index), PROBE
+    (q_ann_*_indexed / batch / update / streamed).
+
+    Cross-engine exactness: per-pair distances are the proven sequential
+    folds rounded 6dp; the centroid mean is functions.exact.davg's
+    bit-identical form (DECIMAL-rescaled exact sum cast to double,
+    divided by count — no output rounding needed); inertia is an exact
+    decimal sum of the rounded per-row distances.
+
+    Scale shape: iteration 1 is one narrow map + a 512-group agg
+    (posexplode to (centroid, dim) partial means — map-side combined);
+    the learned centroids are an 8 x 64 CONFIG relation (bounded by
+    construction) collected and re-entered as literals, so iteration 2
+    is again one narrow map — no per-row join, no driver data traffic
+    beyond the 512 config values. More iterations = more of the same
+    map passes; nothing grows with corpus size except the scans."""
+    from cellbase_spark.functions.exact import dsum
+    from cellbase_spark.operators.similarity import centroid_expr
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d2_formula = (
+        f"aggregate(zip_with(embedding, {centroid_expr('j')},"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    argmin1 = F.expr(
+        f"""aggregate(
+  transform(sequence(0, 7), j -> struct(round({d2_formula}, 6) as d, j as j)),
+  struct(cast(1e18 as double) as d, -1 as j),
+  (best, cur) -> if(cur.d < best.d or (cur.d = best.d and cur.j < best.j), cur, best)
+)"""
+    )
+    a1 = e.withColumn("b", argmin1).select(
+        "vec_id",
+        "embedding",
+        F.col("b.j").alias("centroid_id"),
+        F.col("b.d").alias("d"),
+    )
+    # reused 3x (stats, centroid means, iteration-2 reassign): persist
+    # EVICTABLE, previous call's frame released (the graph.py pattern —
+    # eager checkpoints would accumulate non-evictable blocks)
+    global _PREV_TRAIN
+    if _PREV_TRAIN is not None:
+        try:
+            _PREV_TRAIN.unpersist(blocking=False)
+        except Exception:
+            pass
+    from pyspark import StorageLevel
+
+    a1 = a1.persist(StorageLevel.MEMORY_AND_DISK)
+    _PREV_TRAIN = a1
+    stats1 = a1.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum("d", "inertia", 6)
+    )
+    # exact per-(centroid, dim) means — davg's bit-identical form
+    cent = (
+        a1.select("centroid_id", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("centroid_id", "i")
+        .agg(
+            (
+                F.round(F.sum(F.col("x").cast("double").cast("decimal(25,10)")), 4)
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )  # bounded config: <= 8 centroids x 64 dims = 512 rows
+    by_j: dict[int, list[float]] = {}
+    for r in cent:
+        by_j.setdefault(int(r.centroid_id), [0.0] * 64)[int(r.i)] = float(r.m)
+    js = sorted(by_j)
+    cents_col = F.array(*[F.array(*[F.lit(v) for v in by_j[j]]) for j in js])
+    js_col = F.array(*[F.lit(j) for j in js])
+    d2_learned = (
+        "aggregate(zip_with(embedding, element_at(cents, k),"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    argmin2 = F.expr(
+        f"""aggregate(
+  transform(sequence(1, size(cents)),
+            k -> struct(round({d2_learned}, 6) as d, element_at(js, k) as j)),
+  struct(cast(1e18 as double) as d, -1 as j),
+  (best, cur) -> if(cur.d < best.d or (cur.d = best.d and cur.j < best.j), cur, best)
+)"""
+    )
+    a2 = (
+        a1.select("vec_id", "embedding")
+        .withColumn("cents", cents_col)
+        .withColumn("js", js_col)
+        .withColumn("b", argmin2)
+        .select(F.col("b.j").alias("centroid_id"), F.col("b.d").alias("d"))
+    )
+    stats2 = a2.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum("d", "inertia", 6)
+    )
+    out = (
+        stats1.withColumn("iter", F.lit(1).cast("int"))
+        .unionByName(stats2.withColumn("iter", F.lit(2).cast("int")))
+        .select(
+            "iter",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "n",
+            "inertia",
+        )
+    )
+    return out

@@ -430,3 +430,17 @@ def test_sessionize_gap_microsecond_boundary(spark, tmp_path):
         for r in q(spark, sf).collect():
             agg[r["user_id"]] = max(agg.get(r["user_id"], 0), r["session_seq"])
         assert agg == {1: 1, 2: 2, 3: 2}, q.__name__
+
+
+def test_ivf_train_inertia_monotone(spark, sf_dir):
+    """Lloyd's algorithm guarantee: reassigning under the updated
+    centroids can only lower total inertia. Also: every vector stays
+    assigned (cluster sizes sum to the corpus) in both iterations."""
+    from cellbase_spark.registry import queries
+
+    rows = queries()["q_ivf_train"](spark, sf_dir).collect()
+    by_iter = {1: [r for r in rows if r.iter == 1], 2: [r for r in rows if r.iter == 2]}
+    n1 = sum(r.n for r in by_iter[1])
+    n2 = sum(r.n for r in by_iter[2])
+    assert n1 == n2 > 0
+    assert sum(r.inertia for r in by_iter[2]) <= sum(r.inertia for r in by_iter[1])
