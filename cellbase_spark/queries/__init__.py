@@ -31,6 +31,7 @@ GATE_PRIORITY = [
     "q_ann_index_update",
     "q_stream_run_ann",
     "q_ivf_train",
+    "q_ann_eval_trained",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

@@ -1175,3 +1175,173 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _learned_centroid_arrays(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    """One Lloyd mean-update from the formula seeds (q_ivf_train's
+    iteration-2 centroids), as a bounded config collect: <= 8 x 64
+    exact-davg values. Used by the trained-recall eval."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    a1 = ivf_assign(e)
+    rows = (
+        a1.select("centroid_id", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("centroid_id", "i")
+        .agg(
+            (
+                F.round(F.sum(F.col("x").cast("double").cast("decimal(25,10)")), 4)
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_j: dict[int, list[float]] = {}
+    for r in rows:
+        by_j.setdefault(int(r.centroid_id), [0.0] * 64)[int(r.i)] = float(r.m)
+    return by_j
+
+
+_TRAINED_EVAL_ORACLE = f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+ex AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, round({_COS_Q}, 6) AS score FROM embeddings, cfg
+    ORDER BY score DESC, vec_id ASC LIMIT 20)
+),
+a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+a2 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.j AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM a1 e, carr c
+  ) WHERE rk = 1
+),
+qd AS (
+  SELECT c.j,
+         round(list_reduce(list_transform(range(1, 65),
+           i -> (qv[i] - c.cvec[i]) * (qv[i] - c.cvec[i])), (x, y) -> x + y), 6) AS d
+  FROM carr c, cfg
+)
+{{selects}}
+"""
+
+
+def _trained_eval_sql() -> str:
+    selects = []
+    for p in (1, 2, 4):
+        selects.append(f"""SELECT 'ivf_train_np{p}' AS method, CAST(20 AS BIGINT) AS n_exact,
+  (SELECT COUNT(*) FROM a2
+   WHERE centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT {p})) AS n_cand,
+  (SELECT COUNT(*) FROM (
+     SELECT a.vec_id, round({_COS_Q}, 6) AS score
+     FROM a2 a, cfg
+     WHERE a.centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT {p})
+     ORDER BY score DESC, a.vec_id ASC LIMIT 20) t
+   JOIN ex USING (vec_id)) AS n_overlap,
+  round((SELECT COUNT(*) FROM (
+     SELECT a.vec_id, round({_COS_Q}, 6) AS score
+     FROM a2 a, cfg
+     WHERE a.centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT {p})
+     ORDER BY score DESC, a.vec_id ASC LIMIT 20) t
+   JOIN ex USING (vec_id)) / 20.0, 6) AS recall"""
+        )
+    return _TRAINED_EVAL_ORACLE.replace("{selects}", "\nUNION ALL\n".join(selects))
+
+
+@register("q_ann_eval_trained", family="llm-sim", oracle=_trained_eval_sql())
+def q_ann_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of IVF probing under TRAINED centroids (one exact Lloyd
+    update from the formula seeds — q_ivf_train's iteration-2 geometry),
+    at nprobe in {1, 2, 4}: the before/after for the training verb.
+    q_ann_eval measured the seed geometry's curve as brutal (nprobe=1
+    recall 0.00 at sf1 AND sf10 — the seeds are off-manifold); this key
+    measures how much ONE mean-update repairs it on the same corpus.
+
+    Scale shape mirrors q_ann_eval: exact baseline is scan + top-k;
+    both assignment passes are narrow maps (the learned centroids are a
+    512-value config collect re-entered as literals); the per-nprobe
+    candidate sets are filters over ONE materialized assignment;
+    metrics are 20-row joins and 1-row aggs."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = cosine_topk(e, k=20).select("vec_id")
+    by_j = _learned_centroid_arrays(spark, sf_dir)
+    js = sorted(by_j)
+    cents_col = F.array(*[F.array(*[F.lit(v) for v in by_j[j]]) for j in js])
+    js_col = F.array(*[F.lit(j) for j in js])
+    d2_learned = (
+        "aggregate(zip_with(embedding, element_at(cents, k),"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    argmin2 = F.expr(
+        f"""aggregate(
+  transform(sequence(1, size(cents)),
+            k -> struct(round({d2_learned}, 6) as d, element_at(js, k) as j)),
+  struct(cast(1e18 as double) as d, -1 as j),
+  (best, cur) -> if(cur.d < best.d or (cur.d = best.d and cur.j < best.j), cur, best)
+)"""
+    )
+    assigned = (
+        e.withColumn("cents", cents_col)
+        .withColumn("js", js_col)
+        .withColumn("b", argmin2)
+        .withColumn("qv", F.expr(qvec_expr()))
+        .select(
+            "vec_id",
+            F.col("b.j").alias("centroid_id"),
+            F.round(F.expr(cosine_expr("embedding", "qv")), 6).alias("score"),
+        )
+    )
+    # query-to-learned-centroid ranks: a bounded config relation (<= 8
+    # rows), computed with the SAME fold/round expressions as the corpus
+    # assignment so the probe order is engine-exact (a Python-side sum
+    # would differ in tie rounding: banker's vs half-up)
+    qd_rows = (
+        spark.range(1)
+        .select(F.expr(qvec_expr()).alias("embedding"))
+        .withColumn("cents", cents_col)
+        .withColumn("js", js_col)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(cents)),"
+                    f" k -> struct(round({d2_learned}, 6) as d, element_at(js, k) as j))"
+                )
+            ).alias("s")
+        )
+        .select("s.d", "s.j")
+        .orderBy(F.col("d").asc(), F.col("j").asc())
+        .collect()
+    )
+    out = None
+    for p in (1, 2, 4):
+        probe = [int(r.j) for r in qd_rows[:p]]
+        cand = assigned.where(F.col("centroid_id").isin(probe))
+        top = (
+            cand.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(20)
+            .select("vec_id")
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        n_overlap = top.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+        m = n_cand.crossJoin(n_overlap).select(
+            F.lit(f"ivf_train_np{p}").alias("method"),
+            F.lit(20).cast("long").alias("n_exact"),
+            F.col("n_cand"),
+            F.col("n_overlap"),
+            F.round(F.col("n_overlap") / F.lit(20.0), 6).alias("recall"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
