@@ -250,8 +250,8 @@ def _adj_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
 def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_pagerank on the INGEST-TIME bucketed adjacency layout — the
     bucketed-quartet trick (S13-S16) applied to the graph family: the
-    per-round rank⋈adjacency join that dominated the plain key's sf10
-    wall is exchange-free (adjacency scans its 32 src-buckets in place;
+    per-round rank⋈adjacency join (the plain key's dominant sf10 cost
+    alongside its 43M-row persist) is exchange-free (adjacency scans its 32 src-buckets in place;
     ranks arrive hash-partitioned on the join key from the previous
     round's agg), leaving exactly ONE exchange per iteration — the
     dst-keyed contribution transpose, PageRank's irreducible shuffle.
