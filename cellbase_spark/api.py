@@ -162,6 +162,82 @@ class CellTable:
 
         return cosine_topk(self.df, k=k, vec_col=vec_col, id_col=self.key_col)
 
+    def build_ann_index(
+        self,
+        vec_col: str,
+        table: str,
+        path: str,
+        n_centroids: int = 8,
+        n_planes: int = 8,
+    ) -> None:
+        """Persist this table's ANN index: every vector coarse-quantized
+        once (IVF centroid + LSH bucket) into ONE catalog table
+        hive-partitioned by both keys (operators/similarity.
+        build_ann_index). Paid once at ingest; `ann_search` probes it
+        without rescanning or re-quantizing this table — the measured
+        alternative (inline assignment per query) was SLOWER than brute
+        force at scale (BASELINE.md round-7 ANN section)."""
+        from pyspark.sql import functions as F
+
+        from cellbase_spark.operators.similarity import build_ann_index
+
+        build_ann_index(
+            self.df.select(
+                F.col(self.key_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            table,
+            path,
+            n_centroids=n_centroids,
+            n_planes=n_planes,
+        )
+
+    def ann_search(
+        self,
+        index_table: str,
+        query_vec: list[float],
+        k: int = 20,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """Approximate top-k cosine neighbors of an ARBITRARY query
+        vector against a persisted index (build_ann_index): the query's
+        nprobe nearest inverted lists become a PartitionFilters IN-list
+        (only those directories are opened), exact cosine ranks the
+        candidates. The query's centroid ranking runs through the SAME
+        Spark fold/round expressions as the index build — a driver-side
+        float loop could diverge on tie rounding.
+
+        Static method on the table only for namespacing: the search
+        touches the index, never this table's rows."""
+        from pyspark.sql import functions as F
+
+        from cellbase_spark.operators.similarity import dot_expr, norm_expr
+        from cellbase_spark.queries.llm_similarity import _query_probe_centroids
+
+        spark = self.df.sparkSession
+        qv_sql = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in query_vec) + ")"
+        ids = _query_probe_centroids(spark, nprobe=nprobe, qv_sql=qv_sql)
+        cfg = (
+            spark.range(1)
+            .select(F.expr(qv_sql).alias("qv"))
+            .select("qv", F.expr(norm_expr("qv")).alias("qnorm"))
+        )
+        idx = spark.table(index_table).where(F.col("centroid_id").isin(ids))
+        return (
+            idx.crossJoin(F.broadcast(cfg))
+            .select(
+                "vec_id",
+                F.col("centroid_id").cast("int").alias("centroid_id"),
+                F.round(
+                    F.expr(dot_expr("embedding", "qv"))
+                    / (F.col("nrm") * F.col("qnorm")),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(k)
+        )
+
     def build_dedup_index(self, text_col: str, path: str) -> None:
         """Write this table's persisted dedup index to `path`: the
         MinHash band table (<path>/bands) and the token-set fingerprint

@@ -696,13 +696,17 @@ def _ann_index_table(spark: SparkSession, sf_dir: str) -> str:
     return t
 
 
-def _query_probe_centroids(spark: SparkSession, nprobe: int) -> list[int]:
+def _query_probe_centroids(
+    spark: SparkSession, nprobe: int, qv_sql: str | None = None
+) -> list[int]:
     """The query's nprobe nearest centroid ids — an 8-row formula-derived
     config relation (bounded by construction: n_centroids rows, no data
-    touched), collected so the probe can be a PartitionFilters literal."""
+    touched), collected so the probe can be a PartitionFilters literal.
+    `qv_sql` overrides the deterministic query vector with any SQL array
+    expression (the api.py arbitrary-vector probe)."""
     rows = (
         spark.range(1)
-        .select(F.expr(qvec_expr()).alias("qv"))
+        .select(F.expr(qv_sql or qvec_expr()).alias("qv"))
         .select(
             F.explode(
                 F.expr(

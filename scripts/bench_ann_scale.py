@@ -20,27 +20,46 @@ from cellbase_spark.registry import REGISTRY  # noqa: E402
 import cellbase_spark.queries  # noqa: F401,E402
 
 
+# recall evals (print the curve) and search verbs (print wall-clock only)
+EVAL_KEYS = ["q_ann_eval", "q_ann_eval_trained"]
+SEARCH_KEYS = [
+    "q_sim_topk",          # exact brute-force baseline
+    "q_ann_ivf",           # inline (the measured anti-pattern, kept for the A/B)
+    "q_ann_lsh",
+    "q_ann_ivf_indexed",   # persisted-index probes
+    "q_ann_lsh_indexed",
+    "q_ann_batch_probe",
+    "q_ann_index_update",
+]
+
+
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/repo/.localdata/sf1", "/root/repo/.localdata/sf10"]
     spark = get_spark()
-    fn = REGISTRY["q_ann_eval"].fn
     for d in dirs:
-        walls = []
-        rows = None
-        for i in range(3):
-            t0 = time.perf_counter()
-            rows = fn(spark, d).collect()
-            walls.append(time.perf_counter() - t0)
-        n = None
-        for r in rows:
-            if n is None:
-                n = r  # noqa: F841
-        print(f"\n== {d}  cold {walls[0]:.2f}s  warm best {min(walls[1:]):.2f}s")
-        for r in sorted(rows, key=lambda r: r["method"]):
-            print(
-                f"  {r['method']:8s} n_cand={r['n_cand']:>8d} "
-                f"recall@20={r['recall']:.2f}"
-            )
+        for key in EVAL_KEYS:
+            fn = REGISTRY[key].fn
+            walls = []
+            rows = None
+            for i in range(3):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).collect()
+                walls.append(time.perf_counter() - t0)
+            print(f"\n== {d} {key}  cold {walls[0]:.2f}s  warm best {min(walls[1:]):.2f}s")
+            for r in sorted(rows, key=lambda r: r["method"]):
+                print(
+                    f"  {r['method']:14s} n_cand={r['n_cand']:>8d} "
+                    f"recall@20={r['recall']:.2f}"
+                )
+        print(f"\n== {d} search walls (cold -> warm best; cold includes index/layout build)")
+        for key in SEARCH_KEYS:
+            fn = REGISTRY[key].fn
+            walls = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                fn(spark, d).collect()
+                walls.append(time.perf_counter() - t0)
+            print(f"  {key:20s} {walls[0]:7.2f}s -> {min(walls[1:]):6.2f}s")
     spark.stop()
 
 

@@ -400,3 +400,61 @@ def test_build_index_then_dedup_incremental(spark, tmp_path):
     assert pairs[(10, 1)] == 1.0       # exact star: canonical match
     assert (10, 2) in pairs            # banded near-dup (20/21 tokens)
     assert all(k[0] != 11 for k in pairs)  # unique doc matches nothing
+
+
+def test_facade_ann_index_and_search(spark, sf_dir, tmp_path):
+    """build_ann_index + ann_search (r7): probing an arbitrary query
+    vector returns descending cosine scores, only from the probed
+    inverted lists, and the probe result equals a brute-force rank
+    restricted to those same lists (the probe loses nothing within
+    its scan scope)."""
+    import os
+
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.operators.similarity import ivf_assign
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    table = f"cb_api_annidx_{os.getpid()}"
+    emb.build_ann_index("embedding", table, str(tmp_path / "annidx"))
+
+    qv = [((i * 3) % 7) / 7.0 for i in range(1, 65)]  # arbitrary, not the bench vector
+    got = emb.ann_search(table, qv, k=10, nprobe=2).collect()
+    assert 0 < len(got) <= 10
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    probed = {r.centroid_id for r in got}
+    assert len(probed) <= 2
+
+    # brute-force truth restricted to the probed lists
+    qv_sql = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in qv) + ")"
+    truth = (
+        ivf_assign(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("centroid_id").isin([int(c) for c in probed]))
+        .withColumn("qv", F.expr(qv_sql))
+        .withColumn(
+            "score",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                )
+                / (
+                    F.expr(
+                        "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)),"
+                        " cast(0 as double), (acc, v) -> acc + v))"
+                    )
+                    * F.expr(
+                        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> cast(x as double) * cast(y as double)),"
+                        " cast(0 as double), (acc, v) -> acc + v))"
+                    )
+                ),
+                6,
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(len(got))
+        .select("vec_id")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [r.vec_id for r in truth]
