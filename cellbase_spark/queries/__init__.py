@@ -32,6 +32,8 @@ GATE_PRIORITY = [
     "q_stream_run_ann",
     "q_ivf_train",
     "q_ann_eval_trained",
+    "q_k_anonymity",
+    "q_k_suppress",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

@@ -328,3 +328,139 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") - mean) / F.sqrt(var)
     )
     return j.select("c_custkey", "c_mktsegment", F.round(z, 6).alias("z"))
+
+
+@register(
+    "q_k_anonymity",
+    family="quality",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+ks AS (SELECT UNNEST([2, 5, 10]) AS k)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(COALESCE(SUM(CASE WHEN sz < k THEN sz END), 0) AS BIGINT) AS at_risk_rows,
+       CAST(COALESCE(SUM(CASE WHEN sz < k THEN 1 END), 0) AS BIGINT) AS at_risk_classes,
+       CAST(COUNT(*) AS BIGINT) AS total_classes,
+       round(COALESCE(SUM(CASE WHEN sz < k THEN sz END), 0)
+             / (SELECT COUNT(*) FROM customer), 6) AS at_risk_frac
+FROM classes, ks
+GROUP BY k
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a training-data pipeline
+    runs before release: group the table by its quasi-identifier tuple
+    (nationality, market segment, account-balance band here) and, for
+    each policy threshold k in {2, 5, 10}, report how many rows sit in
+    equivalence classes smaller than k (re-identifiable under that
+    policy), how many classes violate, and the at-risk row fraction.
+    The pipeline response to a non-zero row is suppression or
+    coarsening of the offending classes (the bal_band generalization
+    IS one coarsening step).
+
+    Scale shape: ONE groupBy over the quasi-identifiers (map-side
+    combined; class count << row count), then a 3-way conditional agg
+    over the class-size relation and a 1-row total broadcast — the
+    table is read once regardless of how many k policies are audited."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    total = c.agg(F.count(F.lit(1)).alias("_total"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz"))), F.lit(0)
+            ).alias("at_risk_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < F.col("k"), F.lit(1))), F.lit(0)
+            ).alias("at_risk_classes"),
+            F.count(F.lit(1)).alias("total_classes"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("at_risk_rows").cast("bigint").alias("at_risk_rows"),
+            F.col("at_risk_classes").cast("bigint").alias("at_risk_classes"),
+            F.col("total_classes").cast("bigint").alias("total_classes"),
+            F.round(F.col("at_risk_rows") / F.col("_total"), 6).alias("at_risk_frac"),
+        )
+    )
+
+
+@register(
+    "q_k_suppress",
+    family="quality",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c.c_custkey,
+       CASE WHEN k.sz >= 5 THEN c.c_nationkey END AS nationkey_out,
+       CASE WHEN k.sz >= 5 THEN c.c_mktsegment END AS mktsegment_out,
+       CASE WHEN k.sz >= 5 THEN CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) END AS bal_band_out,
+       CAST(k.sz < 5 AS BOOLEAN) AS suppressed
+FROM customer c
+JOIN classes k
+  ON c.c_nationkey = k.c_nationkey AND c.c_mktsegment = k.c_mktsegment
+ AND CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) = k.bal_band
+""",
+)
+def q_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT (k=5): the release-side verb behind
+    q_k_anonymity's audit — every row whose quasi-identifier class
+    holds fewer than 5 members gets its QI columns suppressed (NULLed),
+    so the released table is 5-anonymous by construction (suppressed
+    rows form one class of NULLs; surviving classes all have >= 5
+    members).
+
+    Scale shape: the class-size relation is bounded by QI cardinality
+    (nations x segments x balance bands — config-scale, NOT row-scale),
+    so the join back is a broadcast and the whole verb is one scan +
+    one small agg + a map: no row-scale shuffle at any size."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    classes = (
+        c.groupBy(
+            F.col("c_nationkey").alias("_nk"),
+            F.col("c_mktsegment").alias("_seg"),
+            band.alias("_cband"),
+        )
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    ok = F.col("sz") >= 5
+    return (
+        c.withColumn("_band", band)
+        .join(
+            F.broadcast(classes),
+            (F.col("c_nationkey") == F.col("_nk"))
+            & (F.col("c_mktsegment") == F.col("_seg"))
+            & (F.col("_band") == F.col("_cband")),
+        )
+        .select(
+            "c_custkey",
+            F.when(ok, F.col("c_nationkey")).alias("nationkey_out"),
+            F.when(ok, F.col("c_mktsegment")).alias("mktsegment_out"),
+            F.when(ok, F.col("_band")).alias("bal_band_out"),
+            (~ok).alias("suppressed"),
+        )
+    )

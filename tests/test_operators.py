@@ -444,3 +444,24 @@ def test_ivf_train_inertia_monotone(spark, sf_dir):
     n2 = sum(r.n for r in by_iter[2])
     assert n1 == n2 > 0
     assert sum(r.inertia for r in by_iter[2]) <= sum(r.inertia for r in by_iter[1])
+
+
+def test_k_suppress_output_is_k_anonymous(spark, sf_dir):
+    """The released table must be 5-anonymous by construction: every
+    surviving (non-NULL) QI class has >= 5 members, and suppressed rows
+    carry NULL QIs only."""
+    from cellbase_spark.registry import queries
+
+    # needs enough rows for some classes to survive (>= 5 members):
+    # at the default tiny fixture every class is suppressed
+    rows = queries()["q_k_suppress"](spark, "/root/testdata/sf0.01").collect()
+    sizes = {}
+    for r in rows:
+        if r.suppressed:
+            assert r.nationkey_out is None and r.mktsegment_out is None
+            assert r.bal_band_out is None
+        else:
+            key = (r.nationkey_out, r.mktsegment_out, r.bal_band_out)
+            sizes[key] = sizes.get(key, 0) + 1
+    assert sizes, "no surviving classes at this sf"
+    assert min(sizes.values()) >= 5
