@@ -34,6 +34,7 @@ GATE_PRIORITY = [
     "q_ann_eval_trained",
     "q_k_anonymity",
     "q_k_suppress",
+    "q_bpe_train",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

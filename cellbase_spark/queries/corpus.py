@@ -490,3 +490,112 @@ def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("chunk_hash").asc())
         .limit(20)
     )
+
+
+_BPE_US = "\x1f"  # unit separator between symbols; precondition: not in text
+
+
+def _bpe_pairs_sql(sym_src: str) -> str:
+    """DuckDB: adjacent-symbol pair counts over a symbol-string column
+    `s` in relation {sym_src}; pair key = a || US || b."""
+    return f"""
+  SELECT syms[i] || chr(31) || syms[i + 1] AS pair, COUNT(*) AS cnt
+  FROM (SELECT string_split(s, chr(31)) AS syms FROM {sym_src}),
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1"""
+
+
+@register(
+    "q_bpe_train",
+    family="corpus",
+    oracle=f"""
+WITH s0 AS (
+  SELECT array_to_string(string_split(t, ''), chr(31)) AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE length(t) >= 2
+),
+p1 AS ({_bpe_pairs_sql('s0')}),
+best1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+s1 AS (
+  SELECT replace(s, (SELECT pair FROM best1),
+                 replace((SELECT pair FROM best1), chr(31), '')) AS s
+  FROM s0
+),
+p2 AS ({_bpe_pairs_sql('s1')})
+SELECT CAST(1 AS INTEGER) AS round, replace(pair, chr(31), '+') AS pair, cnt
+FROM (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 5)
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS round, replace(pair, chr(31), '+') AS pair, cnt
+FROM (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 5)
+""",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE vocabulary training (two unrolled merge rounds) —
+    the tokenizer-training analog of q_ivf_train's Lloyd loop, and the
+    step q_bpe_pairs (one candidate scan) stops short of: count adjacent
+    SYMBOL pairs corpus-wide, merge the best pair into a new symbol
+    everywhere (greedy leftmost non-overlapping, BPE's standard rule),
+    recount under the merged vocabulary. Emits each round's top-5 pairs
+    ('+' shown between symbols) — after round 1 the winning pair is
+    gone from round 2's table, replaced by pairs involving the new
+    merged symbol.
+
+    Representation that keeps BOTH engines exact: a token's symbol
+    sequence is a single string with U+001F between symbols, so the
+    merge IS string replace (probed: greedy leftmost semantics are
+    identical in Spark and DuckDB — 'a|a|a' + merge(a,a) -> 'aa|a'),
+    and pair extraction is a split + windowed concat. U+001F not
+    appearing in text is the documented precondition.
+
+    Scale shape per round: one narrow map (split + transform) into a
+    groupBy whose exchange is bounded by the pair VOCABULARY, not the
+    corpus (map-side combine); the winning merge is a 1-row config
+    collect re-entered as a literal. More merge rounds = more of the
+    same map passes, the 100 TB BPE recipe (real trainers batch
+    non-interacting merges per pass; one merge per pass is the exact
+    textbook rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("t")).where(
+        F.length("t") >= 2
+    )
+    s0 = words.select(F.concat_ws(_BPE_US, F.split("t", "")).alias("s"))
+
+    def pair_counts(sdf: DataFrame) -> DataFrame:
+        syms = F.split(F.col("s"), _BPE_US)
+        return (
+            sdf.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda k: F.concat(
+                            F.element_at(syms, k),
+                            F.lit(_BPE_US),
+                            F.element_at(syms, k + 1),
+                        ),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    p1 = pair_counts(s0)
+    # winning merge: a 1-row config collect (bounded by construction)
+    best1 = p1.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()[0].pair
+    s1 = s0.select(
+        F.replace(F.col("s"), F.lit(best1), F.lit(best1.replace(_BPE_US, ""))).alias("s")
+    )
+    p2 = pair_counts(s1)
+
+    def top5(p: DataFrame, rnd: int) -> DataFrame:
+        return (
+            p.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(5)
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.replace(F.col("pair"), F.lit(_BPE_US), F.lit("+")).alias("pair"),
+                "cnt",
+            )
+        )
+
+    return top5(p1, 1).unionByName(top5(p2, 2))

@@ -465,3 +465,23 @@ def test_k_suppress_output_is_k_anonymous(spark, sf_dir):
             sizes[key] = sizes.get(key, 0) + 1
     assert sizes, "no surviving classes at this sf"
     assert min(sizes.values()) >= 5
+
+
+def test_bpe_train_merge_removes_winning_pair(spark, sf_dir):
+    """BPE invariant: after merging round 1's winning pair everywhere,
+    that exact pair cannot appear in round 2's table (its occurrences
+    became the new symbol), and round 2 must contain at least one pair
+    INVOLVING the merged symbol."""
+    from cellbase_spark.registry import queries
+
+    rows = queries()["q_bpe_train"](spark, sf_dir).collect()
+    r1 = [r for r in rows if r.round == 1]
+    r2 = [r for r in rows if r.round == 2]
+    assert len(r1) == 5 and len(r2) == 5
+    winner = sorted(r1, key=lambda r: (-r.cnt, r.pair))[0]
+    assert all(r.pair != winner.pair for r in r2)
+    # universal BPE invariant: any NEW pair involves the merged symbol,
+    # so its count is bounded by the deposed winner's occurrence count
+    assert max(r.cnt for r in r2) <= winner.cnt
+    # corpus-specific pin (deterministic testdata): the old #2 leads round 2
+    assert max(r.cnt for r in r2) == sorted(r1, key=lambda r: (-r.cnt, r.pair))[1].cnt
