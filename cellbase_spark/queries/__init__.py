@@ -35,6 +35,7 @@ GATE_PRIORITY = [
     "q_k_anonymity",
     "q_k_suppress",
     "q_bpe_train",
+    "q_bpe_encode",
     # -- r2-vintage official rows (23): the full remaining burn-down
     #    list from VERDICT r6 item 1 — after this round no key's newest
     #    official row predates r3.

@@ -599,3 +599,110 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return top5(p1, 1).unionByName(top5(p2, 2))
+
+
+@register(
+    "q_bpe_encode",
+    family="corpus",
+    oracle=f"""
+WITH w AS (
+  SELECT source, t FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) >= 2
+),
+s0 AS (
+  SELECT source, array_to_string(string_split(t, ''), chr(31)) AS s FROM w
+),
+p1 AS ({_bpe_pairs_sql('s0')}),
+best1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+s1 AS (
+  SELECT source, replace(s, (SELECT pair FROM best1),
+                 replace((SELECT pair FROM best1), chr(31), '')) AS s
+  FROM s0
+),
+p2 AS ({_bpe_pairs_sql('s1')}),
+best2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+s2 AS (
+  SELECT source, replace(s, (SELECT pair FROM best2),
+                 replace((SELECT pair FROM best2), chr(31), '')) AS s
+  FROM s1
+)
+SELECT a.source,
+       CAST(a.n_words AS BIGINT) AS n_words,
+       CAST(a.syms_before AS BIGINT) AS syms_before,
+       CAST(b.syms_after AS BIGINT) AS syms_after,
+       round(1.0 - b.syms_after / a.syms_before, 6) AS saved_frac
+FROM (SELECT source, COUNT(*) AS n_words,
+             SUM(len(string_split(s, chr(31)))) AS syms_before
+      FROM s0 GROUP BY source) a
+JOIN (SELECT source, SUM(len(string_split(s, chr(31)))) AS syms_after
+      FROM s2 GROUP BY source) b USING (source)
+""",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained vocabulary — the payoff metric of
+    q_bpe_train: learn the top-2 merges (the same greedy rule: best
+    pair, merge everywhere, best pair again), apply both to the whole
+    corpus, and report per-source symbol counts before/after plus the
+    fraction of symbols saved. This is the number a tokenizer team
+    prices vocab additions with (fewer symbols = fewer tokens = cheaper
+    training per document).
+
+    Scale shape: the two merge winners are 1-row config collects; the
+    encode is a narrow map (two string replaces); the report is one
+    per-source agg whose exchange is bounded by source count."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.length("t") >= 2)
+    s0 = words.select("source", F.concat_ws(_BPE_US, F.split("t", "")).alias("s"))
+
+    def pair_counts(sdf: DataFrame) -> DataFrame:
+        syms = F.split(F.col("s"), _BPE_US)
+        return (
+            sdf.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda k: F.concat(
+                            F.element_at(syms, k),
+                            F.lit(_BPE_US),
+                            F.element_at(syms, k + 1),
+                        ),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def best(p: DataFrame) -> str:
+        return p.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()[0].pair
+
+    def merge(sdf: DataFrame, pair: str) -> DataFrame:
+        return sdf.select(
+            "source",
+            F.replace(
+                F.col("s"), F.lit(pair), F.lit(pair.replace(_BPE_US, ""))
+            ).alias("s"),
+        )
+
+    b1 = best(pair_counts(s0))
+    s1 = merge(s0, b1)
+    b2 = best(pair_counts(s1))
+    s2 = merge(s1, b2)
+    n_syms = F.size(F.split(F.col("s"), _BPE_US))
+    before = s0.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(n_syms).alias("syms_before"),
+    )
+    after = s2.groupBy("source").agg(F.sum(n_syms).alias("syms_after"))
+    return before.join(after, "source").select(
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("syms_before").cast("bigint").alias("syms_before"),
+        F.col("syms_after").cast("bigint").alias("syms_after"),
+        F.round(
+            F.lit(1.0) - F.col("syms_after") / F.col("syms_before"), 6
+        ).alias("saved_frac"),
+    )
