@@ -23,6 +23,10 @@ GATE_PRIORITY = [
     #    centroid kernel (r6 ADVICE low #1)
     "q_embed_outliers",
     # -- NEW round-7 keys get inserted here as they land
+    "q_lm_perplexity",
+    "q_span_runs",
+    "q_quality_percentile_gate",
+    "q_snapshot_diff",
     "q_dedup_generations",
     "q_pagerank_bucketed",
     "q_ann_ivf_indexed",

@@ -1428,3 +1428,87 @@ def q_dedup_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("day"), "id_new", "id_corpus", "jaccard"
     )
     return d1.unionByName(d2)
+
+
+@register(
+    "q_span_runs",
+    family="llm-dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + 7), ' ')) AS h
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+        FROM t)
+), dup AS (
+  SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), dpos AS (
+  SELECT s.doc_id, s.pos FROM s JOIN dup ON s.h = dup.h
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dpos
+), runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(SUM(run) AS BIGINT) AS n_dup_windows,
+       CAST(MAX(run) + 7 AS BIGINT) AS max_dup_span_tokens
+FROM runs GROUP BY doc_id
+""",
+)
+def q_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-SPAN length per document (the measurement stage
+    of exact-substring dedup a la the dedup literature): q_span_dedup
+    finds which 8-token windows are shared across documents; this key
+    stitches CONSECUTIVE duplicated window positions back into maximal
+    runs (gaps-and-islands: pos - row_number() is constant within a
+    run) and reports, per affected document, the duplicated-window
+    count and the longest contiguous duplicated span in tokens
+    (run + 7) — the number a pipeline thresholds to cut documents that
+    are mostly boilerplate vs ones with one quoted sentence.
+
+    Scale shape: same narrow window fan-out and span-hash agg as
+    q_span_dedup (state per key = one row); the dup-set join is
+    hash-keyed (semi-join shape); the islands window sort is per-doc
+    (bounded by document length, never corpus-wide). At 100 TB every
+    shuffle is keyed on span_hash or doc_id — no self-join, no
+    token-domain blowup."""
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    s = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "case when size(ws) >= 8 then transform(sequence(1, size(ws) - 7),"
+                    " i -> struct(cast(i as bigint) AS pos,"
+                    " md5(concat_ws(' ', slice(ws, i, 8))) AS h))"
+                    " else array() end"
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.pos", "z.h")
+    )
+    dup = (
+        s.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dpos = s.join(dup, "h").select("doc_id", "pos")
+    isl = dpos.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    return runs.groupBy("doc_id").agg(
+        F.sum("run").alias("n_dup_windows"),
+        (F.max("run") + F.lit(7)).alias("max_dup_span_tokens"),
+    )

@@ -761,3 +761,105 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_token"
         ),
     )
+
+
+@register(
+    "q_lm_perplexity",
+    family="llm-text",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pr AS (
+  SELECT doc_id,
+         unnest(list_zip(list_slice(t, 1, len(t) - 1),
+                         list_slice(t, 2, len(t)))) AS z
+  FROM tok WHERE len(t) >= 2
+), pairs AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM pr
+), dbg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS k FROM pairs GROUP BY doc_id, w1, w2
+), bg AS (
+  SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS cbg FROM dbg GROUP BY w1, w2
+), uni AS (
+  SELECT tok AS w, COUNT(*) AS cw
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), vv AS (
+  SELECT COUNT(*) AS v FROM uni
+), per AS (
+  SELECT dbg.doc_id,
+         CAST(SUM(dbg.k) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(ROUND(dbg.k * ln((bg.cbg + 1.0) / (uni.cw + vv.v)), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS slp
+  FROM dbg
+  JOIN bg  ON dbg.w1 = bg.w1 AND dbg.w2 = bg.w2
+  JOIN uni ON dbg.w1 = uni.w
+  CROSS JOIN vv
+  GROUP BY dbg.doc_id
+)
+SELECT doc_id, n_pairs, ROUND(-slp / n_pairs, 5) AS nll
+FROM per
+""",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model NLL per document — the CCNet-style
+    perplexity quality signal: train an add-one-smoothed bigram LM on
+    the corpus itself, then score every document by its average
+    negative log-likelihood (low = in-distribution fluent text, high =
+    gibberish / boilerplate / wrong-language). P(w2|w1) =
+    (c(w1,w2)+1) / (c(w1)+V) with corpus-wide unigram/bigram counts and
+    vocabulary size V; per-pair ln rounded to 6dp and decimal-summed
+    (the registry's ln determinism rule, same as q_token_entropy).
+
+    Scale shape: bigrams come from one narrow zip_with projection (no
+    token-domain self-join); the model tables (bg, uni) are VOCABULARY-
+    bounded aggregates with map-side combine, joined back onto per-doc
+    DISTINCT-bigram rows (k collapsed first, so the join carries
+    distinct bigrams per doc, not occurrences). At 100 TB the LM tables
+    are ingest-time artifacts shared by every scoring batch — the
+    per-batch cost is one map + two vocab-keyed joins."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    pairs = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.w1", "z.w2")
+    )
+    dbg = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    bg = dbg.groupBy("w1", "w2").agg(F.sum("k").alias("cbg"))
+    uni = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vv = uni.agg(F.count(F.lit(1)).alias("v"))
+    per = (
+        dbg.join(bg, ["w1", "w2"])
+        .join(uni, dbg["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_pairs"),
+            F.sum(
+                F.round(
+                    F.col("k")
+                    * F.log((F.col("cbg") + F.lit(1.0)) / (F.col("cw") + F.col("v"))),
+                    6,
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("slp"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_pairs",
+        F.round(-F.col("slp") / F.col("n_pairs"), 5).alias("nll"),
+    )

@@ -400,3 +400,99 @@ def q_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+@register(
+    "q_snapshot_diff",
+    family="pipeline",
+    oracle="""
+WITH new_gen AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 17 = 0
+), old_gen AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS okey,
+         CASE
+           WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_totalprice <> n.o_totalprice
+                OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM old_gen o FULL OUTER JOIN new_gen n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(okey) AS BIGINT) AS key_checksum
+FROM diff GROUP BY change_type
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two table generations — the audit verb of
+    every retrain: \"what changed in the corpus since the last run?\".
+    The new generation is derived deterministically from orders
+    (mod-13 deletes, mod-7 price/status updates, mod-17 re-keyed
+    inserts) so the oracle re-derives it; a deployment points the two
+    sides at real generation paths. Full-outer join on the PK
+    classifies every row added / removed / changed / unchanged and the
+    report carries row counts plus a key checksum per class (the
+    cheap invariant downstream jobs assert before consuming the diff).
+
+    Scale shape: ONE PK-keyed shuffle (sort-merge full outer over the
+    two generations — both sides bucketed by PK in a real layout makes
+    it exchange-free, the S12 machinery); the classify is a narrow
+    projection and the report agg carries 4 rows. No driver collect;
+    at 100 TB the diff streams through executors."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changed = F.col("o_orderkey") % 7 == 0
+    new_gen = (
+        o.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(changed, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(changed, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + F.lit(10000000000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    old = o
+    joined = old.alias("o").join(
+        new_gen.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    diff = joined.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("okey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("okey").alias("key_checksum"),
+    )

@@ -464,3 +464,93 @@ def q_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~ok).alias("suppressed"),
         )
     )
+
+
+@register(
+    "q_quality_percentile_gate",
+    family="quality",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+         + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / length(text))
+         + 0.3 * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1))
+                             / len(string_split(text, ' '))) / 8.0) AS quality
+  FROM documents
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM q
+)
+SELECT source,
+       CAST(MAX(cnt) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE rn <= CAST(ceil(cnt * 0.5) AS BIGINT))
+            AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) FILTER (WHERE rn <= CAST(ceil(cnt * 0.5) AS BIGINT))
+            AS BIGINT) AS kept_tokens,
+       ROUND(MIN(quality) FILTER (WHERE rn <= CAST(ceil(cnt * 0.5) AS BIGINT)), 6)
+         AS cutoff_quality
+FROM r GROUP BY source
+""",
+)
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOP-50% quality gate — the relative form of corpus
+    filtering (absolute thresholds like q_quality_gopher under-select
+    clean sources and over-select noisy ones; production mixtures often
+    keep the best X% of EACH source instead). Ranks every document
+    within its source by the q_text_quality soft score (deterministic
+    doc_id tiebreak), keeps rank <= ceil(n/2), and reports per source:
+    total/kept counts, kept token mass, and the realized quality cutoff
+    (the number that becomes next batch's absolute threshold).
+
+    Scale shape: one scan computes the score (narrow, codegen'd); ONE
+    shuffle keyed on source for the rank window + the same-keyed final
+    agg (no second exchange — the window output is already hash-
+    partitioned by source). A mega-source skews the per-source sort; at
+    100 TB that is the documented two-phase sessionize-style rewrite
+    (rank via distributed sort per key); here source cardinality is the
+    report dimension, not a hot key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.size(toks) / F.lit(50.0))
+        + F.lit(0.3)
+        * (
+            F.lit(1.0)
+            - (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+            / F.length("text")
+        )
+        + F.lit(0.3)
+        * F.least(
+            F.lit(1.0),
+            ((F.length("text") - (F.size(toks) - F.lit(1))) / F.size(toks))
+            / F.lit(8.0),
+        )
+    )
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("source")
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("quality").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    kept = F.col("rn") <= F.ceil(F.col("cnt") * F.lit(0.5))
+    return r.groupBy("source").agg(
+        F.max("cnt").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
+        F.round(F.min(F.when(kept, F.col("quality"))), 6).alias("cutoff_quality"),
+    )

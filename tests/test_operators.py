@@ -485,3 +485,52 @@ def test_bpe_train_merge_removes_winning_pair(spark, sf_dir):
     assert max(r.cnt for r in r2) <= winner.cnt
     # corpus-specific pin (deterministic testdata): the old #2 leads round 2
     assert max(r.cnt for r in r2) == sorted(r1, key=lambda r: (-r.cnt, r.pair))[1].cnt
+
+
+def test_span_runs_island_stitching(spark, tmp_path):
+    """Hand-built: two docs share a 9-token prefix (2 consecutive
+    duplicated 8-token windows -> one island of run 2 -> max span 9
+    tokens) plus disjoint tails; a third doc shares nothing."""
+    from cellbase_spark.registry import queries
+
+    shared = " ".join(f"w{i}" for i in range(9))
+    rows = [
+        (1, shared + " tailA1 tailA2 tailA3", "en", "s1", 0),
+        (2, shared + " tailB1 tailB2 tailB3", "en", "s1", 0),
+        (3, "completely different text with no shared windows at all x y z", "en", "s1", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in queries()["q_span_runs"](spark, d).collect()}
+    assert set(out) == {1, 2}
+    for doc in (1, 2):
+        assert out[doc].n_dup_windows == 2
+        assert out[doc].max_dup_span_tokens == 9
+
+
+def test_quality_percentile_gate_keeps_ceil_half(spark, sf_dir):
+    from cellbase_spark.registry import queries
+
+    rows = queries()["q_quality_percentile_gate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept == -(-r.n_total // 2)  # ceil(n/2)
+        assert r.kept_tokens > 0
+        assert r.cutoff_quality is not None
+
+
+def test_snapshot_diff_classes_reconcile(spark, sf_dir):
+    """added + removed + changed + unchanged must reconcile with the
+    generation derivation rules: |old| = removed + changed + unchanged,
+    |new| = added + changed + unchanged."""
+    from cellbase_spark.io import load_table
+    from cellbase_spark.registry import queries
+
+    n_old = load_table(spark, sf_dir, "orders").count()
+    got = {r.change_type: r.n_rows for r in queries()["q_snapshot_diff"](spark, sf_dir).collect()}
+    assert set(got) <= {"added", "removed", "changed", "unchanged"}
+    assert got.get("removed", 0) + got.get("changed", 0) + got.get("unchanged", 0) == n_old
+    assert got.get("added", 0) > 0 and got.get("changed", 0) > 0
