@@ -493,3 +493,58 @@ def build_ann_index(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def pq_dls_expr(vec_col: str, m: int = 8, sub: int = 8, ks: int = 16) -> str:
+    """Per-subspace PQ distance lists: dls[s][c] = round(||x_s - cent_sc||^2, 6)
+    for subspace s in 0..m-1 and code c in 0..ks-1, with the deterministic
+    centroid formula cent[c][d] = ((c*13 + d*7) % 29) / 29 over the GLOBAL
+    dim index d = s*sub + i (so oracles re-derive the codebook exactly,
+    same family as centroid_expr). One nested higher-order expression —
+    every fold is computed exactly once; the round-to-6dp before argmin is
+    the registry's cross-engine ranking rule."""
+    diff = (
+        f"(cast(element_at({vec_col}, s * {sub} + i) as double)"
+        f" - ((c * 13 + (s * {sub} + i) * 7) % 29) / cast(29 as double))"
+    )
+    dist = (
+        f"round(aggregate(sequence(1, {sub}), cast(0 as double),"
+        f" (acc, i) -> acc + {diff} * {diff}), 6)"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" transform(sequence(0, {ks - 1}), c -> {dist}))"
+    )
+
+
+def pq_codes_expr(vec_col: str, m: int = 8, sub: int = 8, ks: int = 16) -> str:
+    """PQ codes as array<bigint>: per subspace the argmin code (lowest code
+    wins ties via first-occurrence array_position). m*ks folds of sub dims
+    per row, computed once — the dls bind to a lambda variable, so Catalyst
+    cannot re-inline them per reference (the CollapseProject blowup trap)."""
+    dls = pq_dls_expr(vec_col, m=m, sub=sub, ks=ks)
+    return (
+        f"transform({dls}, dl ->"
+        f" cast(array_position(dl, array_min(dl)) - 1 as bigint))"
+    )
+
+
+def pq_adc_expr(codes_col: str, m: int = 8, sub: int = 8) -> str:
+    """Asymmetric-distance computation against the deterministic query
+    vector: adc = sum_s round(||q_s - cent[code_s]||^2, 6), each subspace
+    term a sub-dim fold over the SAME centroid formula as pq_dls_expr and
+    the qvec_expr query vector — table lookups only, no raw vector read
+    (the PQ serving property: 8 bytes/vector scanned, not 256)."""
+    qd = f"(((s * {sub} + i) * 37) % 101) / cast(101 as double)"
+    cv = (
+        f"((element_at({codes_col}, s + 1) * 13 + (s * {sub} + i) * 7) % 29)"
+        f" / cast(29 as double)"
+    )
+    inner = (
+        f"round(aggregate(sequence(1, {sub}), cast(0 as double),"
+        f" (a2, i) -> a2 + ({qd} - {cv}) * ({qd} - {cv})), 6)"
+    )
+    return (
+        f"round(aggregate(sequence(0, {m - 1}), cast(0 as double),"
+        f" (acc, s) -> acc + {inner}), 6)"
+    )

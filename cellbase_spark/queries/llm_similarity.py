@@ -1349,3 +1349,190 @@ def q_ann_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+# DuckDB PQ fragments mirroring operators/similarity.pq_* exactly
+_PQ_DIFF = (
+    "(CAST(embedding[s*8+i] AS DOUBLE)"
+    " - ((c*13 + (s*8+i)*7) % 29) / CAST(29 AS DOUBLE))"
+)
+_PQ_CODES = (
+    "list_transform("
+    " list_transform(range(0, 8), s ->"
+    "  list_transform(range(0, 16), c ->"
+    f"   round(list_reduce(list_transform(range(1, 9), i -> {_PQ_DIFF} * {_PQ_DIFF}),"
+    "        (x, y) -> x + y), 6))),"
+    " dl -> list_position(dl, list_min(dl)) - 1)"
+)
+_PQ_QDIFF = (
+    "((((s*8+i) * 37) % 101) / CAST(101 AS DOUBLE)"
+    " - ((codes[s+1]*13 + (s*8+i)*7) % 29) / CAST(29 AS DOUBLE))"
+)
+_PQ_ADC = (
+    "round(list_reduce(list_transform(range(0, 8), s ->"
+    f" round(list_reduce(list_transform(range(1, 9), i -> {_PQ_QDIFF} * {_PQ_QDIFF}),"
+    "      (x, y) -> x + y), 6)), (x, y) -> x + y), 6)"
+)
+
+
+@register(
+    "q_ann_pq",
+    family="llm-sim",
+    oracle=f"""
+WITH enc AS (
+  SELECT vec_id, {_PQ_CODES} AS codes FROM embeddings
+)
+SELECT vec_id,
+       array_to_string(codes, '-') AS pq_codes,
+       {_PQ_ADC} AS adc_dist
+FROM enc
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the third classic index family next to
+    IVF and LSH): each 64-dim float32 vector is encoded as EIGHT 4-bit
+    codes (8 subspaces x 16 deterministic formula centroids — 8 bytes
+    per vector, a 32x compression of the 256-byte raw vector), then the
+    fixed query vector is served by ASYMMETRIC DISTANCE COMPUTATION:
+    distance = sum over subspaces of ||q_s - cent[code_s]||^2 — table
+    lookups against the codebook, never a raw-vector read. Returns the
+    ADC top-10.
+
+    Scale shape: encode is a narrow map (m*ks sub-dim folds per row,
+    computed ONCE — the distance lists bind to a lambda variable, so
+    Catalyst cannot re-inline them per reference; the whole
+    codes+ADC struct is built inside one lambda scope for the same
+    reason) and belongs at ingest next to build_ann_index; serving
+    scans 8 bytes/vector + TakeOrderedAndProject, no shuffle. At
+    100 TB the PQ-coded table is ~3 TB — the memory-resident serving
+    tier IVF lists point into."""
+    from cellbase_spark.operators.similarity import pq_adc_expr, pq_codes_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pq_struct = (
+        f"element_at(transform(array({pq_codes_expr('embedding')}), codes ->"
+        " struct(concat_ws('-', transform(codes, c -> cast(c as string)))"
+        f" AS pq_codes, {pq_adc_expr('codes')} AS adc_dist)), 1)"
+    )
+    enc = e.select("vec_id", F.expr(pq_struct).alias("z"))
+    return (
+        enc.select("vec_id", "z.pq_codes", "z.adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_pq_eval",
+    family="llm-sim",
+    oracle=f"""
+WITH enc AS (
+  SELECT vec_id, {_PQ_CODES} AS codes FROM embeddings
+), adc AS (
+  SELECT vec_id, {_PQ_ADC} AS adc_dist
+  FROM enc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+), q AS (SELECT {_QV} AS qv
+), exact AS (
+  SELECT vec_id, round({_sq_dist('embedding', 'qv')}, 6) AS d
+  FROM embeddings, q ORDER BY d ASC, vec_id ASC LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / 10.0, 2) AS recall_at_10
+FROM exact JOIN adc USING (vec_id)
+""",
+)
+def q_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality eval — recall@10 of the ADC top-10 against the EXACT
+    squared-L2 top-10 for the same query vector (the measured answer to
+    'how much does 32x compression cost on THIS corpus', the same
+    validate-per-corpus discipline as q_ann_eval for IVF/LSH). Both
+    shortlists are deterministic total orders, so the overlap count is
+    engine-exact.
+
+    Scale shape: two independent narrow scans, each ending in a top-10
+    TakeOrderedAndProject (per-partition heaps, no shuffle); the
+    overlap join is 10x10. Nothing here grows with corpus size except
+    the scans."""
+    from cellbase_spark.operators.similarity import pq_adc_expr, pq_codes_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pq_struct = (
+        f"element_at(transform(array({pq_codes_expr('embedding')}), codes ->"
+        f" struct({pq_adc_expr('codes')} AS adc_dist)), 1)"
+    )
+    adc = (
+        e.select("vec_id", F.expr(pq_struct).alias("z"))
+        .select("vec_id", "z.adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    qv = F.expr(qvec_expr())
+    exact = (
+        e.withColumn("qv", qv)
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, qv, (x, y) ->"
+                    " (cast(x as double) - cast(y as double))"
+                    " * (cast(x as double) - cast(y as double))),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return exact.join(adc, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 2).alias("recall_at_10"),
+    )
+
+
+@register(
+    "q_embed_project",
+    family="llm-sim",
+    oracle="""
+SELECT vec_id, label,
+    """
+    + ",\n    ".join(
+        "round(list_reduce(list_transform(range(1, 65), d ->"
+        " CAST(embedding[d] AS DOUBLE)"
+        f" * (1 - 2 * (((d*31 + {j}*17) % 23) % 2))), (x, y) -> x + y), 6) AS p{j}"
+        for j in range(1, 9)
+    )
+    + """
+FROM embeddings
+""",
+)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection 64 -> 8 dims (the Johnson-Lindenstrauss
+    sketch a pipeline uses for cheap downstream clustering / dedup /
+    visualization when full-dim cosine is overkill): p_j = sum_d x_d *
+    s(d, j) with deterministic +/-1 signs s(d, j) = 1 - 2*(((d*31 +
+    j*17) % 23) % 2) — the same integer-derived pseudo-plane family as
+    the LSH buckets, so any engine re-derives the matrix; folds are
+    sequential, outputs rounded to 6dp.
+
+    Scale shape: pure narrow map (8 codegen'd 64-dim folds per row), no
+    shuffle, no UDF; at 100 TB this is a single scan writing an 8x
+    narrower table — the projection matrix never materializes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.round(
+            F.expr(
+                "aggregate(transform(sequence(1, 64), d ->"
+                " cast(element_at(embedding, d) as double)"
+                f" * (1 - 2 * (((d*31 + {j}*17) % 23) % 2))),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j in range(1, 9)
+    ]
+    return e.select("vec_id", "label", *cols)

@@ -534,3 +534,35 @@ def test_snapshot_diff_classes_reconcile(spark, sf_dir):
     assert set(got) <= {"added", "removed", "changed", "unchanged"}
     assert got.get("removed", 0) + got.get("changed", 0) + got.get("unchanged", 0) == n_old
     assert got.get("added", 0) > 0 and got.get("changed", 0) > 0
+
+
+def test_pq_codes_nearest_centroid_handbuilt(spark):
+    """A vector placed EXACTLY on subspace-0's code-3 centroid must
+    encode subspace 0 as code 3; all codes must lie in [0, 16)."""
+    from cellbase_spark.operators.similarity import pq_codes_expr
+
+    # centroid formula: cv(c, d) = ((c*13 + d*7) % 29) / 29, d = global dim
+    vec = [((3 * 13 + d * 7) % 29) / 29.0 for d in range(1, 9)]  # subspace 0 = code 3
+    vec += [0.0] * 56
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = df.select(F.expr(pq_codes_expr("embedding")).alias("codes")).head()
+    assert len(row.codes) == 8
+    assert row.codes[0] == 3
+    assert all(0 <= c < 16 for c in row.codes)
+
+
+def test_embed_project_linearity(spark):
+    """Projection is linear: p(2x) = 2*p(x) for every output dim."""
+    from cellbase_spark.registry import queries
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        base = [float(i % 7) / 7.0 for i in range(64)]
+        df = spark.createDataFrame(
+            [(1, base, 0), (2, [2.0 * v for v in base], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        rows = {r.vec_id: r for r in queries()["q_embed_project"](spark, d).collect()}
+        for j in range(1, 9):
+            assert abs(rows[2][f"p{j}"] - 2.0 * rows[1][f"p{j}"]) < 1e-4
