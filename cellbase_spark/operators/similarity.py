@@ -484,6 +484,13 @@ def build_ann_index(
         # expression as cosine_expr's denominator, so the quotient is
         # bit-identical to recomputing.
         .withColumn("nrm", F.expr(norm_expr(vec_col)))
+        # PQ codes (8 subspaces x 16 formula centroids -> 8 small ints):
+        # paid once at ingest like the norm, so the IVF-PQ serving tier
+        # (q_ann_ivfpq_indexed) scans codes-only — 8 bytes per candidate
+        # instead of the 256-byte raw vector. Same one-artifact principle:
+        # IVF lists, LSH buckets, norms and PQ codes all live in the one
+        # partition-pruned layout.
+        .withColumn("codes", F.expr(pq_codes_expr(vec_col)))
     )
     (
         idx.repartition(F.col("centroid_id"), F.col("bucket"))

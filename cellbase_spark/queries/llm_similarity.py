@@ -1536,3 +1536,60 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(1, 9)
     ]
     return e.select("vec_id", "label", *cols)
+
+
+@register(
+    "q_ann_ivfpq_indexed",
+    family="llm-sim",
+    oracle=f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+qd AS (
+  SELECT j, {_QD_D2_DUCK} AS d
+  FROM cfg, (SELECT unnest(range(0, 8)) AS j)
+),
+asg AS (
+  SELECT vec_id, embedding,
+         CAST({_duck_ivf_argmin('embedding')} AS INTEGER) AS centroid_id
+  FROM embeddings, cfg
+),
+enc AS (
+  SELECT vec_id, centroid_id, {_PQ_CODES} AS codes
+  FROM asg
+  WHERE centroid_id IN (SELECT CAST(j AS INTEGER) FROM qd ORDER BY d, j LIMIT 2)
+)
+SELECT vec_id, centroid_id, {_PQ_ADC} AS adc_dist
+FROM enc
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 20
+""",
+)
+def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving — the composed architecture of the production ANN
+    stack (coarse quantizer prunes, product quantizer scores): the
+    nprobe=2 nearest inverted lists arrive as a PartitionFilters
+    IN-list on the persisted index, and the candidates are ranked by
+    ASYMMETRIC DISTANCE over the STORED 8-byte PQ codes — the probe
+    never reads the 256-byte raw vector column at all (ReadSchema is
+    vec_id + codes; parquet column pruning makes the serving tier scan
+    ~3 percent of the partitions x ~3 percent of the bytes).
+
+    The codes are paid once at ingest (build_ann_index), like the IVF
+    assignment, LSH bucket and norm — one artifact, four probe
+    geometries. At 100 TB: a 3 TB codes tier over a 100 TB corpus,
+    probed at list granularity; exact re-rank (fetch raw vectors for
+    the ADC shortlist by vec_id) is the one extra point lookup a
+    deployment adds."""
+    from cellbase_spark.operators.similarity import pq_adc_expr
+
+    t = _ann_index_table(spark, sf_dir)
+    ids = _query_probe_centroids(spark, nprobe=2)
+    idx = spark.table(t).where(F.col("centroid_id").isin(ids))
+    return (
+        idx.select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.expr(pq_adc_expr("codes")).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )

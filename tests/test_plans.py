@@ -866,3 +866,23 @@ def test_ann_index_update_prunes_both_generations(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivfpq_probe_reads_codes_only(spark, sf_dir):
+    """q_ann_ivfpq_indexed (r7): the PQ serving tier must (a) partition-
+    prune the probed lists, (b) read ONLY vec_id + codes — the raw
+    256-byte embedding column must be pruned away by the parquet reader
+    (the 8-bytes-per-candidate serving claim), (c) end in a
+    TakeOrderedAndProject with zero exchanges and zero joins."""
+    import re
+
+    plan = plan_of(spark, "q_ann_ivfpq_indexed", sf_dir)
+    pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "centroid_id#" in pf and " IN (" in pf
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "codes:array<bigint>" in rs and "vec_id" in rs
+    assert "embedding:array<float>" not in rs
+    assert "embeddings.parquet" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert "Join" not in plan
