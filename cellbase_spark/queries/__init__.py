@@ -23,6 +23,7 @@ GATE_PRIORITY = [
     #    centroid kernel (r6 ADVICE low #1)
     "q_embed_outliers",
     # -- NEW round-7 keys get inserted here as they land
+    "q_pipeline_e2e",
     "q_ann_ivfpq_indexed",
     "q_ann_pq",
     "q_pq_eval",

@@ -496,3 +496,114 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("okey").alias("key_checksum"),
     )
+
+
+@register(
+    "q_pipeline_e2e",
+    family="pipeline",
+    oracle=None,  # assembled below (imports llm_text's argmax fragment)
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE preprocessing pipeline as ONE declarative plan — the
+    flagship user story: raw documents -> Gopher-style hard quality gate
+    -> exact dedup (min-doc_id canonical per normalized-content hash) ->
+    language-ID -> per (predicted language, source) corpus report
+    (docs kept, token mass, decimal-summed mean quality). Every stage
+    is an operator that also exists as its own key (L15b, L1, L14, L15);
+    this key proves they COMPOSE into a single Catalyst plan: the gate
+    is a pushable filter under the dedup window's hash partitioning,
+    lang-ID and quality are narrow projections, and the only shuffles
+    are the dedup hash window and the tiny (lang x source) report agg.
+
+    At 100 TB: filter-before-shuffle ordering means the dedup exchange
+    carries only gate survivors; nothing here is driver-side."""
+    from pyspark.sql import Window
+
+    from cellbase_spark.operators.text import lang_id, quality_score, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    mean_wl = (F.length("text") - (n_words - F.lit(1))) / n_words
+    uniq_frac = F.size(F.array_distinct(toks)).cast("double") / n_words
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ) / F.length("text").cast("double")
+    passes = (
+        n_words.between(10, 10000)
+        & mean_wl.between(2, 12)
+        & (uniq_frac >= 0.3)
+        & (digit_ratio < 0.2)
+    )
+    kept = d.where(passes)
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    canon = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    scored = canon.withColumn("toks", tokens("text")).select(
+        lang_id("toks").alias("lang_pred"),
+        "source",
+        F.size("toks").alias("ntok"),
+        quality_score("text", "toks").alias("quality"),
+    )
+    return scored.groupBy("lang_pred", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            5,
+        ).alias("mean_quality"),
+    )
+
+
+def _pipeline_e2e_oracle() -> str:
+    from cellbase_spark.queries.llm_text import _ARGMAX_SQL
+
+    passes = """
+  (len(string_split(text, ' ')) BETWEEN 10 AND 10000)
+  AND ((length(text) - (len(string_split(text, ' ')) - 1))
+       / len(string_split(text, ' ')) BETWEEN 2 AND 12)
+  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       / len(string_split(text, ' ')) >= 0.3)
+  AND ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+       / CAST(length(text) AS DOUBLE) < 0.2)
+"""
+    quality = """
+  0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+  + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / length(text))
+  + 0.3 * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1))
+                      / len(string_split(text, ' '))) / 8.0)
+"""
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents WHERE {passes}
+), dd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) AS rn
+  FROM kept
+), canon AS (
+  SELECT * FROM dd WHERE rn = 1
+), scored AS (
+  SELECT {_ARGMAX_SQL} AS lang_pred, source,
+         len(string_split(text, ' ')) AS ntok,
+         {quality} AS quality
+  FROM canon
+)
+SELECT lang_pred, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(quality, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 5) AS mean_quality
+FROM scored GROUP BY lang_pred, source
+"""
+
+
+# late-bind the oracle (needs llm_text's argmax fragment at import time;
+# QuerySpec is frozen, so swap the entry)
+import dataclasses as _dc  # noqa: E402
+
+from cellbase_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q_pipeline_e2e"] = _dc.replace(
+    _REG["q_pipeline_e2e"], oracle=_pipeline_e2e_oracle()
+)
