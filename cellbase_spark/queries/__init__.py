@@ -27,6 +27,7 @@ GATE_PRIORITY = [
     "q_ann_ivfpq_indexed",
     "q_ann_pq",
     "q_pq_eval",
+    "q_pq_train",
     "q_embed_project",
     "q_lm_perplexity",
     "q_span_runs",

@@ -1593,3 +1593,145 @@ def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+_PQ_SUB_DUCK = f"""
+  SELECT vec_id, t.s AS s, codes[t.s + 1] AS c,
+         list_transform(range(1, 9),
+                        i -> CAST(embedding[t.s * 8 + i] AS DOUBLE)) AS sv
+  FROM (SELECT vec_id, embedding, {_PQ_CODES} AS codes FROM embeddings),
+       range(0, 8) t(s)
+"""
+_PQ_D1_DUCK = (
+    "round(list_reduce(list_transform(range(1, 9),"
+    " i -> (sv[i] - ((c*13 + (s*8+i)*7) % 29) / CAST(29 AS DOUBLE))"
+    " * (sv[i] - ((c*13 + (s*8+i)*7) % 29) / CAST(29 AS DOUBLE))),"
+    " (x, y) -> x + y), 6)"
+)
+_PQ_D2_DUCK = (
+    "round(list_reduce(list_transform(range(1, 9),"
+    " i -> (e.sv[i] - k.cvec[i]) * (e.sv[i] - k.cvec[i])),"
+    " (x, y) -> x + y), 6)"
+)
+
+
+@register(
+    "q_pq_train",
+    family="llm-sim",
+    oracle=f"""
+WITH sub AS ({_PQ_SUB_DUCK}),
+cent AS (
+  SELECT s, c, t.i AS i,
+         CAST(ROUND(SUM(CAST(sv[t.i] AS DECIMAL(25,10))), 4) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM sub, range(1, 9) t(i)
+  GROUP BY 1, 2, 3
+),
+carr AS (SELECT s, c, list(m ORDER BY i) AS cvec FROM cent GROUP BY s, c),
+a2 AS (
+  SELECT vec_id, s, c, d FROM (
+    SELECT e.vec_id, e.s, k.c, {_PQ_D2_DUCK} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                              ORDER BY {_PQ_D2_DUCK} ASC, k.c ASC) AS rk
+    FROM sub e JOIN carr k ON e.s = k.s
+  ) WHERE rk = 1
+)
+SELECT CAST(1 AS INTEGER) AS iter, CAST(s AS INTEGER) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_codes,
+       CAST(ROUND(SUM(CAST({_PQ_D1_DUCK} AS DECIMAL(25,10))), 6) AS DOUBLE) AS qerr
+FROM sub GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS iter, CAST(s AS INTEGER) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_codes,
+       CAST(ROUND(SUM(CAST(d AS DECIMAL(25,10))), 6) AS DOUBLE) AS qerr
+FROM a2 GROUP BY 2
+""",
+)
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING — one exact k-means mean-update per subspace
+    (the PQ analog of q_ivf_train, and the measured answer to
+    q_pq_eval's 0.1 recall: formula codebooks are off-manifold; a
+    deployment trains per corpus). Per subspace s: assign every
+    8-dim subvector to its nearest formula code, recompute each code's
+    centroid as the exact decimal-summed mean, re-assign against the
+    TRAINED codebook, and report per (iteration, subspace) the total
+    quantization error + codes-in-use — training quality is the qerr
+    drop and the codebook utilization rise.
+
+    Scale shape: the subspace explode is a narrow 8x map; the codebook
+    agg carries (8 subspaces x <=16 codes x 8 dims) groups — config-
+    sized, broadcast back for the re-assign join (each subvector meets
+    only its subspace's <=16 candidates, never a cross product over
+    vectors). Extra Lloyd iterations repeat the same two steps."""
+    from cellbase_spark.io import fan_out
+    from cellbase_spark.operators.similarity import pq_codes_expr
+
+    # fan_out: the encode map is CPU-heavy and the embeddings table has
+    # few native splits at small sf (the q_bpe_train straggler class)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # bind the full codes array to a lambda variable so the 128-fold
+    # encode runs ONCE per row (inlining it under the per-subspace
+    # lambda would recompute it 8x — measured 155 s vs seconds at sf1)
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"element_at(transform(array({pq_codes_expr('embedding')}),"
+                " codes -> transform(sequence(0, 7), s -> struct(s AS s,"
+                " element_at(codes, s + 1) AS c,"
+                " transform(sequence(1, 8), i ->"
+                " cast(element_at(embedding, s * 8 + i) as double)) AS sv))), 1)"
+            )
+        ).alias("z"),
+    ).select("vec_id", "z.*")
+    # trained codebook: exact decimal-summed per-dim means, config-sized
+    cent_cols = [
+        (
+            F.round(
+                F.sum(F.element_at("sv", i).cast("decimal(25,10)")), 4
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"m{i}")
+        for i in range(1, 9)
+    ]
+    carr = (
+        sub.groupBy("s", "c")
+        .agg(*cent_cols)
+        .select("s", "c", F.array(*[f"m{i}" for i in range(1, 9)]).alias("cvec"))
+    )
+    d2 = (
+        "round(aggregate(sequence(1, 8), cast(0 as double), (acc, i) ->"
+        " acc + (element_at(sv, i) - element_at(cvec, i))"
+        " * (element_at(sv, i) - element_at(cvec, i))), 6)"
+    )
+    a2 = (
+        sub.join(F.broadcast(carr.withColumnRenamed("c", "kc")), "s")
+        .select("vec_id", "s", "kc", F.expr(d2).alias("d"))
+        # nearest trained code: min-struct agg instead of a rank window —
+        # same (d asc, kc asc) total order, no per-group sort
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("kc"))).alias("best"))
+        .select("vec_id", "s", F.col("best.kc").alias("kc"), F.col("best.d").alias("d"))
+    )
+    d1 = (
+        "round(aggregate(sequence(1, 8), cast(0 as double), (acc, i) ->"
+        " acc + (element_at(sv, i) - ((c*13 + (s*8+i)*7) % 29) / cast(29 as double))"
+        " * (element_at(sv, i) - ((c*13 + (s*8+i)*7) % 29) / cast(29 as double))), 6)"
+    )
+    r1 = sub.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c").alias("n_codes"),
+        F.round(F.sum(F.expr(d1).cast("decimal(25,10)")), 6)
+        .cast("double")
+        .alias("qerr"),
+    ).select(F.lit(1).alias("iter"), F.col("s").cast("int").alias("s"), "n", "n_codes", "qerr")
+    r2 = a2.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("kc").alias("n_codes"),
+        F.round(F.sum(F.col("d").cast("decimal(25,10)")), 6)
+        .cast("double")
+        .alias("qerr"),
+    ).select(F.lit(2).alias("iter"), F.col("s").cast("int").alias("s"), "n", "n_codes", "qerr")
+    return r1.unionByName(r2)
