@@ -1408,9 +1408,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans 8 bytes/vector + TakeOrderedAndProject, no shuffle. At
     100 TB the PQ-coded table is ~3 TB — the memory-resident serving
     tier IVF lists point into."""
+    from cellbase_spark.io import fan_out
     from cellbase_spark.operators.similarity import pq_adc_expr, pq_codes_expr
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the encode map is CPU-heavy over few native splits
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     pq_struct = (
         f"element_at(transform(array({pq_codes_expr('embedding')}), codes ->"
         " struct(concat_ws('-', transform(codes, c -> cast(c as string)))"
@@ -1456,9 +1458,10 @@ def q_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, no shuffle); the
     overlap join is 10x10. Nothing here grows with corpus size except
     the scans."""
+    from cellbase_spark.io import fan_out
     from cellbase_spark.operators.similarity import pq_adc_expr, pq_codes_expr
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     pq_struct = (
         f"element_at(transform(array({pq_codes_expr('embedding')}), codes ->"
         f" struct({pq_adc_expr('codes')} AS adc_dist)), 1)"
