@@ -207,6 +207,15 @@ class CellTable:
         Spark fold/round expressions as the index build — a driver-side
         float loop could diverge on tie rounding.
 
+        The probe geometry (n_centroids, vector dim) is read from the
+        table properties build_ann_index recorded with the index — an
+        n_centroids=16 index is ranked over all 16 lists, and a query
+        vector whose length differs from the indexed dimension is
+        rejected loudly instead of silently scoring null. Indexes
+        written before the properties existed fall back to the build
+        defaults (8 centroids, 64 dims) — same behavior as before, now
+        with the dim check.
+
         Static method on the table only for namespacing: the search
         touches the index, never this table's rows."""
         from pyspark.sql import functions as F
@@ -215,8 +224,25 @@ class CellTable:
         from cellbase_spark.queries.llm_similarity import _query_probe_centroids
 
         spark = self.df.sparkSession
+        props = {
+            r.key: r.value
+            for r in spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()
+        }
+        n_centroids = int(props.get("cellbase.n_centroids", 8))
+        dim = int(props.get("cellbase.dim", 64))
+        if len(query_vec) != dim:
+            raise ValueError(
+                f"ann_search: query vector has {len(query_vec)} dims but "
+                f"index {index_table!r} was built over {dim} dims"
+            )
         qv_sql = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in query_vec) + ")"
-        ids = _query_probe_centroids(spark, nprobe=nprobe, qv_sql=qv_sql)
+        ids = _query_probe_centroids(
+            spark,
+            nprobe=min(nprobe, n_centroids),
+            qv_sql=qv_sql,
+            n_centroids=n_centroids,
+            dim=dim,
+        )
         cfg = (
             spark.range(1)
             .select(F.expr(qv_sql).alias("qv"))

@@ -311,11 +311,17 @@ def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 8,
     vec_col: str = "embedding",
+    dim: int = DIM,
 ) -> DataFrame:
     """Assign each vector to its nearest deterministic centroid (IVF
-    coarse quantization). One map pass; emits `centroid_id`."""
+    coarse quantization). One map pass; emits `centroid_id`.
+
+    `dim` must match the vector column's length: zip_with pads the
+    shorter side with NULL, which poisons the distance fold and makes
+    the argmin return -1 silently — build_ann_index measures the real
+    dimension and passes it through (round-8 ADVICE medium)."""
     d2 = (
-        f"aggregate(zip_with({vec_col}, {centroid_expr('j')},"
+        f"aggregate(zip_with({vec_col}, {centroid_expr('j', dim=dim)},"
         " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
@@ -474,9 +480,15 @@ def build_ann_index(
     (CatalogFileIndex), which is exactly the metastore model a 100 TB
     deployment uses; only the probed partitions are ever listed.
     """
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("build_ann_index: embeddings table is empty")
+    dim = int(first.d)
     idx = (
-        ivf_assign(embeddings, n_centroids=n_centroids, vec_col=vec_col)
-        .withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_planes=n_planes)))
+        ivf_assign(embeddings, n_centroids=n_centroids, vec_col=vec_col, dim=dim)
+        .withColumn(
+            "bucket", F.expr(lsh_bucket_expr(vec_col, n_planes=n_planes, dim=dim))
+        )
         # The vector's norm is a property of the vector — pay its fold
         # ONCE at ingest. A probe then scores dot/(nrm*qnorm): one fold
         # per candidate pair instead of three (measured 3x on the batch
@@ -489,8 +501,17 @@ def build_ann_index(
         # (q_ann_ivfpq_indexed) scans codes-only — 8 bytes per candidate
         # instead of the 256-byte raw vector. Same one-artifact principle:
         # IVF lists, LSH buckets, norms and PQ codes all live in the one
-        # partition-pruned layout.
-        .withColumn("codes", F.expr(pq_codes_expr(vec_col)))
+        # partition-pruned layout. The formula codebook is 64-dim-tied
+        # (8 subspaces x 8 dims); for any other dimension the codes
+        # column is NULL (element_at past the vector end would silently
+        # poison the codes otherwise) — the IVF/LSH/norm tiers are
+        # dim-generic and unaffected.
+        .withColumn(
+            "codes",
+            F.expr(pq_codes_expr(vec_col))
+            if dim == 64
+            else F.lit(None).cast("array<int>"),
+        )
     )
     (
         idx.repartition(F.col("centroid_id"), F.col("bucket"))
@@ -499,6 +520,17 @@ def build_ann_index(
         .option("path", path)
         .format("parquet")
         .saveAsTable(table)
+    )
+    # Record the build geometry WITH the index so a probe can never
+    # silently use the wrong one: ann_search reads these back and ranks
+    # over the recorded n_centroids/dim, rejecting dim mismatches loudly
+    # (round-8 ADVICE medium: an n_centroids=16 index probed with the
+    # hardcoded 0..7 ranking would never open lists >= 8).
+    embeddings.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'cellbase.n_centroids' = '{int(n_centroids)}', "
+        f"'cellbase.n_planes' = '{int(n_planes)}', "
+        f"'cellbase.dim' = '{dim}')"
     )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cellbase_spark.io import load_table
@@ -497,12 +497,76 @@ _BPE_US = "\x1f"  # unit separator between symbols; precondition: not in text
 
 def _bpe_pairs_sql(sym_src: str) -> str:
     """DuckDB: adjacent-symbol pair counts over a symbol-string column
-    `s` in relation {sym_src}; pair key = a || US || b."""
+    `s` in relation {sym_src}; pair key = a || US || b. Single-symbol
+    words contribute nothing (generate_series(1, 0) is empty in DuckDB;
+    the Spark side guards the same case explicitly — see
+    _bpe_pair_counts)."""
     return f"""
   SELECT syms[i] || chr(31) || syms[i + 1] AS pair, COUNT(*) AS cnt
   FROM (SELECT string_split(s, chr(31)) AS syms FROM {sym_src}),
        LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
   GROUP BY 1"""
+
+
+def _bpe_merge_sql(best: str) -> str:
+    """DuckDB: one standard BPE merge step of {best}'s winning pair over
+    symbol-string column `s`, boundary-ANCHORED: the string is wrapped
+    in US sentinels and the pattern is US||a||US||b||US, so a pair can
+    only match two whole adjacent symbols — never a prefix of a longer
+    symbol (the pre-round-8 unanchored replace could turn symbols
+    [a, th] into bogus 'ath' when merging (a, t)). Applied twice:
+    leftmost non-overlapping string replace consumes the shared
+    boundary US between two back-to-back occurrences, skipping every
+    other one in a run; the skipped occurrences are never themselves
+    adjacent (their left neighbor was merged), so a second pass catches
+    exactly the skipped set and nothing else — two passes == one greedy
+    leftmost non-overlapping symbol-level merge, exactly."""
+    pat = f"chr(31) || (SELECT pair FROM {best}) || chr(31)"
+    rep = f"chr(31) || replace((SELECT pair FROM {best}), chr(31), '') || chr(31)"
+    return (
+        f"trim(replace(replace(chr(31) || s || chr(31), {pat}, {rep}), "
+        f"{pat}, {rep}), chr(31))"
+    )
+
+
+def _bpe_pair_counts(sdf: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts (Spark side of
+    _bpe_pairs_sql). Guarded for single-symbol words: without the CASE,
+    F.sequence(1, size-1) at size == 1 is sequence(1, 0) = [1, 0]
+    (Spark sequences DESCEND when start > stop) and element_at(syms, 0)
+    throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a word that collapses to
+    one symbol after a merge (e.g. 'in' after merging (i, n)) crashed
+    the round-2 recount (round-8 ADVICE high)."""
+    syms = F.split(F.col("s"), _BPE_US)
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda k: F.concat(
+                F.element_at(syms, k),
+                F.lit(_BPE_US),
+                F.element_at(syms, k + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        sdf.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_merge_col(col: Column, pair: str) -> Column:
+    """Spark side of _bpe_merge_sql: boundary-anchored two-pass merge of
+    `pair` (a US b) into its concatenation, over a US-joined symbol
+    string. See _bpe_merge_sql for the two-pass == one-greedy-merge
+    argument; both engines' replace() is leftmost non-overlapping, so
+    the results are bit-identical."""
+    merged = pair.replace(_BPE_US, "")
+    pat = F.lit(_BPE_US + pair + _BPE_US)
+    rep = F.lit(_BPE_US + merged + _BPE_US)
+    once = F.replace(F.concat(F.lit(_BPE_US), col, F.lit(_BPE_US)), pat, rep)
+    return F.btrim(F.replace(once, pat, rep), F.lit(_BPE_US))
 
 
 @register(
@@ -517,8 +581,7 @@ WITH s0 AS (
 p1 AS ({_bpe_pairs_sql('s0')}),
 best1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
 s1 AS (
-  SELECT replace(s, (SELECT pair FROM best1),
-                 replace((SELECT pair FROM best1), chr(31), '')) AS s
+  SELECT {_bpe_merge_sql('best1')} AS s
   FROM s0
 ),
 p2 AS ({_bpe_pairs_sql('s1')})
@@ -542,10 +605,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Representation that keeps BOTH engines exact: a token's symbol
     sequence is a single string with U+001F between symbols, so the
-    merge IS string replace (probed: greedy leftmost semantics are
-    identical in Spark and DuckDB — 'a|a|a' + merge(a,a) -> 'aa|a'),
-    and pair extraction is a split + windowed concat. U+001F not
-    appearing in text is the documented precondition.
+    merge is a boundary-ANCHORED string replace — the string is wrapped
+    in US sentinels and the pattern US||a||US||b||US can only match two
+    whole adjacent symbols, applied twice (= exactly one greedy
+    leftmost non-overlapping merge step; proof sketch in
+    _bpe_merge_sql). Pair extraction is a split + windowed concat,
+    guarded for words that collapse to a single symbol
+    (_bpe_pair_counts). U+001F not appearing in text is the documented
+    precondition.
 
     Scale shape per round: one narrow map (split + transform) into a
     groupBy whose exchange is bounded by the pair VOCABULARY, not the
@@ -566,32 +633,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.length("t") >= 2)
     s0 = words.select(F.concat_ws(_BPE_US, F.split("t", "")).alias("s"))
 
-    def pair_counts(sdf: DataFrame) -> DataFrame:
-        syms = F.split(F.col("s"), _BPE_US)
-        return (
-            sdf.select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(syms) - 1),
-                        lambda k: F.concat(
-                            F.element_at(syms, k),
-                            F.lit(_BPE_US),
-                            F.element_at(syms, k + 1),
-                        ),
-                    )
-                ).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    p1 = pair_counts(s0)
+    p1 = _bpe_pair_counts(s0)
     # winning merge: a 1-row config collect (bounded by construction)
     best1 = p1.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()[0].pair
-    s1 = s0.select(
-        F.replace(F.col("s"), F.lit(best1), F.lit(best1.replace(_BPE_US, ""))).alias("s")
-    )
-    p2 = pair_counts(s1)
+    s1 = s0.select(_bpe_merge_col(F.col("s"), best1).alias("s"))
+    p2 = _bpe_pair_counts(s1)
 
     def top5(p: DataFrame, rnd: int) -> DataFrame:
         return (
@@ -622,15 +668,13 @@ s0 AS (
 p1 AS ({_bpe_pairs_sql('s0')}),
 best1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
 s1 AS (
-  SELECT source, replace(s, (SELECT pair FROM best1),
-                 replace((SELECT pair FROM best1), chr(31), '')) AS s
+  SELECT source, {_bpe_merge_sql('best1')} AS s
   FROM s0
 ),
 p2 AS ({_bpe_pairs_sql('s1')}),
 best2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
 s2 AS (
-  SELECT source, replace(s, (SELECT pair FROM best2),
-                 replace((SELECT pair FROM best2), chr(31), '')) AS s
+  SELECT source, {_bpe_merge_sql('best2')} AS s
   FROM s1
 )
 SELECT a.source,
@@ -665,39 +709,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.length("t") >= 2)
     s0 = words.select("source", F.concat_ws(_BPE_US, F.split("t", "")).alias("s"))
 
-    def pair_counts(sdf: DataFrame) -> DataFrame:
-        syms = F.split(F.col("s"), _BPE_US)
-        return (
-            sdf.select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(syms) - 1),
-                        lambda k: F.concat(
-                            F.element_at(syms, k),
-                            F.lit(_BPE_US),
-                            F.element_at(syms, k + 1),
-                        ),
-                    )
-                ).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
     def best(p: DataFrame) -> str:
         return p.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()[0].pair
 
     def merge(sdf: DataFrame, pair: str) -> DataFrame:
-        return sdf.select(
-            "source",
-            F.replace(
-                F.col("s"), F.lit(pair), F.lit(pair.replace(_BPE_US, ""))
-            ).alias("s"),
-        )
+        return sdf.select("source", _bpe_merge_col(F.col("s"), pair).alias("s"))
 
-    b1 = best(pair_counts(s0))
+    b1 = best(_bpe_pair_counts(s0))
     s1 = merge(s0, b1)
-    b2 = best(pair_counts(s1))
+    b2 = best(_bpe_pair_counts(s1))
     s2 = merge(s1, b2)
     n_syms = F.size(F.split(F.col("s"), _BPE_US))
     before = s0.groupBy("source").agg(

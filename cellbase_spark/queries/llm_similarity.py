@@ -663,11 +663,18 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Persisted-index ANN (round 7): the measured scale answer to the inline keys
 # ---------------------------------------------------------------------------
 
-_QD_D2_SPARK = (
-    "aggregate(zip_with(qv, transform(sequence(1, 64),"
-    " i -> ((j * 13 + i * 7) % 29) / cast(29 as double)),"
-    " (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
-)
+def _qd_d2_spark(dim: int = 64) -> str:
+    """Squared distance from the query vector `qv` to formula centroid
+    `j`, over `dim` dimensions (must equal the vector length: zip_with
+    pads the short side with NULL and poisons the fold)."""
+    return (
+        f"aggregate(zip_with(qv, transform(sequence(1, {dim}),"
+        " i -> ((j * 13 + i * 7) % 29) / cast(29 as double)),"
+        " (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+_QD_D2_SPARK = _qd_d2_spark()
 _QD_D2_DUCK = (
     "round(list_reduce(list_transform(range(1, 65),"
     " i -> (qv[i] - ((j * 13 + i * 7) % 29) / CAST(29 AS DOUBLE))"
@@ -697,20 +704,27 @@ def _ann_index_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _query_probe_centroids(
-    spark: SparkSession, nprobe: int, qv_sql: str | None = None
+    spark: SparkSession,
+    nprobe: int,
+    qv_sql: str | None = None,
+    n_centroids: int = 8,
+    dim: int = 64,
 ) -> list[int]:
-    """The query's nprobe nearest centroid ids — an 8-row formula-derived
-    config relation (bounded by construction: n_centroids rows, no data
+    """The query's nprobe nearest centroid ids — an n_centroids-row
+    formula-derived config relation (bounded by construction, no data
     touched), collected so the probe can be a PartitionFilters literal.
     `qv_sql` overrides the deterministic query vector with any SQL array
-    expression (the api.py arbitrary-vector probe)."""
+    expression; `n_centroids`/`dim` must match the INDEX's build
+    geometry (api.ann_search reads them from the index's recorded table
+    properties — round-8 ADVICE medium)."""
     rows = (
         spark.range(1)
         .select(F.expr(qv_sql or qvec_expr()).alias("qv"))
         .select(
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, 7), j -> struct(j as j, round({_QD_D2_SPARK}, 6) as d))"
+                    f"transform(sequence(0, {n_centroids - 1}),"
+                    f" j -> struct(j as j, round({_qd_d2_spark(dim)}, 6) as d))"
                 )
             ).alias("s")
         )

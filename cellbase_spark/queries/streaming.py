@@ -985,8 +985,13 @@ def q_stream_run_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch's centroid directories), rank per-query cosine top-5, and
     append the results. The static index is never rescanned in full and
     never re-quantized; per-micro-batch cost is (batch x probed-list)
-    rows — the 100 TB online-serving shape, with exactly-once left to
-    the append-only sink (each query_id is served by exactly one batch).
+    rows — the 100 TB online-serving shape. Exactly-once is by
+    IDEMPOTENT WRITE, not by hope: each micro-batch overwrites its own
+    batch_id-keyed subdirectory, so a replayed batch (foreachBatch's
+    at-least-once contract after a failure) rewrites the same directory
+    instead of appending duplicate (query_id, rk) rows — the standard
+    batch-id-keyed idempotent-sink recipe (round-8 ADVICE low: plain
+    parquet append was NOT idempotent under retry).
 
     Oracle: identical to q_ann_batch_probe (the one-shot batch form) —
     streaming the same 32 queries through 4 batches must change nothing.
@@ -1041,11 +1046,13 @@ def q_stream_run_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = W.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("vec_id").asc()
         )
+        # batch_id-keyed overwrite = idempotent under micro-batch retry:
+        # a replayed batch rewrites its directory, never duplicates it
         (
             cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= 5)
-            .write.mode("append")
-            .parquet(results_dir)
+            .write.mode("overwrite")
+            .parquet(f"{results_dir}/batch_id={int(batch_id)}")
         )
 
     name = "cb_stream_ann"

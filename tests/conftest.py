@@ -23,4 +23,17 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
+    if not Path(SF_SMOKE).is_dir():
+        pytest.skip(f"testdata not present: {SF_SMOKE}")
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_dir_medium():
+    """The sf0.01 fixture for tests that need enough rows for their
+    invariant (e.g. k-anonymity classes that survive suppression).
+    Skips, not errors, on machines without the driver testdata."""
+    d = "/root/testdata/sf0.01"
+    if not Path(d).is_dir():
+        pytest.skip(f"testdata not present: {d}")
+    return d

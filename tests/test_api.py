@@ -458,3 +458,41 @@ def test_facade_ann_index_and_search(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [r.vec_id for r in got] == [r.vec_id for r in truth]
+
+def test_facade_ann_search_uses_recorded_geometry(spark, tmp_path):
+    """Round-8 ADVICE medium regression: an index built with
+    n_centroids=16 over NON-64-dim vectors must (a) record its geometry
+    in table properties, (b) be probed over ALL 16 lists (the old code
+    ranked only 0-7, so lists >= 8 were unreachable), and (c) reject a
+    wrong-dimension query vector loudly instead of returning garbage."""
+    import os
+
+    import pytest
+
+    from cellbase_spark.api import CellTable
+
+    dim, n = 16, 240
+    rows = [(i, [((i * 7 + d * 3) % 19) / 19.0 + 0.01 for d in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    t = CellTable(df, "minivecs", key_col="vid")
+    table = f"cb_api_annidx16_{os.getpid()}"
+    t.build_ann_index("vec", table, str(tmp_path / "annidx16"), n_centroids=16)
+
+    props = {r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    assert props["cellbase.n_centroids"] == "16"
+    assert props["cellbase.dim"] == str(dim)
+
+    # lists >= 8 must exist AND be probe-reachable: probe with nprobe=16
+    # (all lists) and check the full id set comes back in rank order
+    lists = {r.centroid_id for r in spark.table(table).select("centroid_id").distinct().collect()}
+    assert max(lists) >= 8, f"fixture too uniform, lists={sorted(lists)}"
+    qv = [((d * 5) % 19) / 19.0 for d in range(dim)]
+    got = t.ann_search(table, qv, k=n, nprobe=16).collect()
+    assert len(got) == n
+    assert {r.centroid_id for r in got} == lists
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s is not None for s in scores)
+
+    with pytest.raises(ValueError, match="dims"):
+        t.ann_search(table, [0.0] * 64, k=5)

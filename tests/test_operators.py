@@ -446,7 +446,7 @@ def test_ivf_train_inertia_monotone(spark, sf_dir):
     assert sum(r.inertia for r in by_iter[2]) <= sum(r.inertia for r in by_iter[1])
 
 
-def test_k_suppress_output_is_k_anonymous(spark, sf_dir):
+def test_k_suppress_output_is_k_anonymous(spark, sf_dir_medium):
     """The released table must be 5-anonymous by construction: every
     surviving (non-NULL) QI class has >= 5 members, and suppressed rows
     carry NULL QIs only."""
@@ -454,7 +454,7 @@ def test_k_suppress_output_is_k_anonymous(spark, sf_dir):
 
     # needs enough rows for some classes to survive (>= 5 members):
     # at the default tiny fixture every class is suppressed
-    rows = queries()["q_k_suppress"](spark, "/root/testdata/sf0.01").collect()
+    rows = queries()["q_k_suppress"](spark, sf_dir_medium).collect()
     sizes = {}
     for r in rows:
         if r.suppressed:
@@ -485,6 +485,50 @@ def test_bpe_train_merge_removes_winning_pair(spark, sf_dir):
     assert max(r.cnt for r in r2) <= winner.cnt
     # corpus-specific pin (deterministic testdata): the old #2 leads round 2
     assert max(r.cnt for r in r2) == sorted(r1, key=lambda r: (-r.cnt, r.pair))[1].cnt
+
+
+def test_bpe_single_symbol_word_and_boundary_anchoring(spark, tmp_path):
+    """Round-8 ADVICE regressions, hand-built corpus.
+
+    (a) HIGH: the winning round-1 pair is (i, n) and 'in' is also a
+    complete 2-letter word — after merge 1 that word is ONE symbol, and
+    the unguarded round-2 fan-out crashed with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (sequence(1, 0) = [1, 0]).
+    (b) LOW: docs also contain 'ath' contexts ('a' then 'th'-prefixed
+    symbols); the unanchored replace could merge ACROSS a symbol
+    boundary. With anchoring, round 2's table must contain only pairs
+    of whole current symbols (every pair involving the merged symbol
+    'in' must show it intact on one side).
+    """
+    from cellbase_spark.registry import queries
+
+    # 'in' x6 standalone -> (i,n) wins round 1 and those words collapse
+    # to a single symbol; 'aint' words give an a|i boundary where a
+    # non-anchored merge of a later pair could corrupt symbols.
+    text = "in in in in in in aint aint pint mint ain"
+    df = spark.createDataFrame(
+        [(1, text, "en", "s1", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+
+    rows = queries()["q_bpe_train"](spark, d).collect()  # must not raise
+    r1 = [r for r in rows if r.round == 1]
+    r2 = [r for r in rows if r.round == 2]
+    assert r1 and r2
+    winner = sorted(r1, key=lambda r: (-r.cnt, r.pair))[0]
+    assert winner.pair == "i+n"
+    assert all(r.pair != "i+n" for r in r2)
+    # boundary anchoring: any round-2 pair containing 'in' must carry it
+    # as a WHOLE side, never split across the '+' boundary
+    for r in r2:
+        a, b = r.pair.split("+")
+        if "in" in r.pair.replace("+", ""):
+            assert a == "in" or b == "in" or "in" not in (a + "+" + b).replace("+", "")
+
+    enc = {r.source: r for r in queries()["q_bpe_encode"](spark, d).collect()}
+    assert enc["s1"].syms_after < enc["s1"].syms_before
 
 
 def test_span_runs_island_stitching(spark, tmp_path):
