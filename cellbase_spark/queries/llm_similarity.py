@@ -709,25 +709,46 @@ def _query_probe_centroids(
     qv_sql: str | None = None,
     n_centroids: int = 8,
     dim: int = 64,
+    centroids: dict[int, list[float]] | None = None,
 ) -> list[int]:
     """The query's nprobe nearest centroid ids — an n_centroids-row
-    formula-derived config relation (bounded by construction, no data
-    touched), collected so the probe can be a PartitionFilters literal.
+    config relation (bounded by construction, no data touched),
+    collected so the probe can be a PartitionFilters literal.
     `qv_sql` overrides the deterministic query vector with any SQL array
     expression; `n_centroids`/`dim` must match the INDEX's build
     geometry (api.ann_search reads them from the index's recorded table
-    properties — round-8 ADVICE medium)."""
-    rows = (
-        spark.range(1)
-        .select(F.expr(qv_sql or qvec_expr()).alias("qv"))
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {n_centroids - 1}),"
-                    f" j -> struct(j as j, round({_qd_d2_spark(dim)}, 6) as d))"
-                )
-            ).alias("s")
+    properties — round-8 ADVICE medium). `centroids` ranks against a
+    LEARNED centroid table (trained-index probing) instead of the
+    formula seeds — same fold/round expressions either way, so the
+    probe order is engine-exact."""
+    if centroids is None:
+        ranked = F.expr(
+            f"transform(sequence(0, {n_centroids - 1}),"
+            f" j -> struct(j as j, round({_qd_d2_spark(dim)}, 6) as d))"
         )
+        base = spark.range(1).select(F.expr(qv_sql or qvec_expr()).alias("qv"))
+    else:
+        js = sorted(centroids)
+        d2l = (
+            "aggregate(zip_with(qv, element_at(_cents, k),"
+            " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        ranked = F.expr(
+            f"transform(sequence(1, size(_cents)),"
+            f" k -> struct(element_at(_js, k) as j, round({d2l}, 6) as d))"
+        )
+        base = (
+            spark.range(1)
+            .select(F.expr(qv_sql or qvec_expr()).alias("qv"))
+            .withColumn(
+                "_cents",
+                F.array(*[F.array(*[F.lit(float(v)) for v in centroids[j]]) for j in js]),
+            )
+            .withColumn("_js", F.array(*[F.lit(int(j)) for j in js]))
+        )
+    rows = (
+        base.select(F.explode(ranked).alias("s"))
         .select("s.j", "s.d")
         .orderBy(F.col("d").asc(), F.col("j").asc())
         .limit(nprobe)
