@@ -12,72 +12,32 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-7 gate priority (VERDICT r6 item 1: FINISH the official-record
-# burn-down). Order: (a) keys whose CODE changed this round + NEW
-# round-7 keys, then (b) ALL 23 keys whose newest official green row is
-# still r2-vintage, then (c) the oldest r3-vintage keys (batch first,
-# streaming tail). The driver witnesses a ~50-key prefix; whatever tail
-# falls off stays covered by the local battery (scripts/check_oracle.py).
+# Round-9 gate priority (VERDICT r8 task #1 — FIRST commit of the
+# round). Order: (a) ALL 45 keys whose newest official green row is
+# still r3-vintage (derived from the CORRECTNESS_r01..r08 union by
+# script, matches the r8 verdict list exactly: 20 streaming keys,
+# TPC-H Q7-Q22 shapes, the UDF surface, text/scalar keys, two window
+# frames), then (b) NEW/changed round-9 keys appended as they land.
+# After this round's ~50-key prefix is witnessed, no key's newest
+# official row predates r4. The full battery always runs locally
+# regardless of order (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- changed round 7: exact-quantization range guard in the Arrow
-    #    centroid kernel (r6 ADVICE low #1)
-    "q_embed_outliers",
-    # -- NEW round-7 keys get inserted here as they land
-    "q_pipeline_e2e",
-    "q_ann_ivfpq_indexed",
-    "q_ann_pq",
-    "q_pq_eval",
-    "q_pq_train",
-    "q_embed_project",
-    "q_lm_perplexity",
-    "q_span_runs",
-    "q_quality_percentile_gate",
-    "q_snapshot_diff",
-    "q_dedup_generations",
-    "q_pagerank_bucketed",
-    "q_ann_ivf_indexed",
-    "q_ann_lsh_indexed",
-    "q_ann_batch_probe",
-    "q_ann_index_update",
-    "q_stream_run_ann",
-    "q_ivf_train",
-    "q_ann_eval_trained",
-    "q_k_anonymity",
-    "q_k_suppress",
-    "q_bpe_train",
-    "q_bpe_encode",
-    # -- r2-vintage official rows (23): the full remaining burn-down
-    #    list from VERDICT r6 item 1 — after this round no key's newest
-    #    official row predates r3.
-    "q_scan_csv",
-    "q_scan_excel",
-    "q_scan_workbook",
-    "q_scan_jsonl",
-    "q_roundtrip_write",
-    "q_partitioned_write",
-    "q_join_asof",
-    "q_subquery_correlated",
-    "q_lateral_topk",
-    "q_unpivot",
-    "q_gap_fill",
-    "q_scd2_intervals",
-    "q_agg_regression",
-    "q_anomaly_mad",
-    "q_ewma",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_embed_neardup",
-    "q_sim_topk",
-    "q_knn_join",
-    "q_knn_join_smj",
-    "q_ann_ivf",
-    # -- r3-vintage official rows, oldest remaining tier (batch keys
-    #    first; the streaming r3 keys keep their r3 rows + own tests and
-    #    rotate in next round — a ~50-key prefix cuts about here anyway)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
+    # -- (a) the 45 r3-vintage keys: streaming first (oldest tier),
+    #    then TPC-H shapes, UDFs, text/scalars, window frames
+    "q_stream_run_tumbling",
+    "q_stream_run_sliding",
+    "q_stream_run_session",
+    "q_stream_run_dedup",
+    "q_stream_run_late",
+    "q_stream_run_join",
+    "q_stream_run_join_interval",
+    "q_stream_run_replay",
+    "q_stream_run_sink",
+    "q_stream_run_stateful",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
@@ -92,6 +52,10 @@ GATE_PRIORITY = [
     "q_tpch_q19",
     "q_tpch_q20",
     "q_tpch_q22",
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udtf_bigrams",
     "q_tfidf",
     "q_text_tokenfreq",
     "q_text_quality",
@@ -103,26 +67,9 @@ GATE_PRIORITY = [
     "q_kl_source_drift",
     "q_phonetic_key",
     "q_embed_quantize",
-    "q_udf_scalar",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_udtf_bigrams",
     "q_window_running_sum",
     "q_window_range_frame",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_run_tumbling",
-    "q_stream_run_sliding",
-    "q_stream_run_session",
-    "q_stream_run_dedup",
-    "q_stream_run_late",
-    "q_stream_run_join",
-    "q_stream_run_join_interval",
-    "q_stream_run_replay",
-    "q_stream_run_sink",
-    "q_stream_run_stateful",
+    # -- (b) NEW round-9 keys get appended here as they land
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
