@@ -169,6 +169,7 @@ class CellTable:
         path: str,
         n_centroids: int = 8,
         n_planes: int = 8,
+        centroids: dict[int, list[float]] | None = None,
     ) -> None:
         """Persist this table's ANN index: every vector coarse-quantized
         once (IVF centroid + LSH bucket) into ONE catalog table
@@ -176,7 +177,12 @@ class CellTable:
         build_ann_index). Paid once at ingest; `ann_search` probes it
         without rescanning or re-quantizing this table — the measured
         alternative (inline assignment per query) was SLOWER than brute
-        force at scale (BASELINE.md round-7 ANN section)."""
+        force at scale (BASELINE.md round-7 ANN section).
+
+        `centroids` switches the IVF lists from the formula seeds to a
+        LEARNED centroid table (train_ivf_centroids) — the geometry is
+        recorded with the index and `ann_search` ranks against it, so
+        the served probe opens the same lists the build populated."""
         from pyspark.sql import functions as F
 
         from cellbase_spark.operators.similarity import build_ann_index
@@ -190,6 +196,7 @@ class CellTable:
             path,
             n_centroids=n_centroids,
             n_planes=n_planes,
+            centroids=centroids,
         )
 
     def ann_search(
@@ -207,27 +214,36 @@ class CellTable:
         Spark fold/round expressions as the index build — a driver-side
         float loop could diverge on tie rounding.
 
-        The probe geometry (n_centroids, vector dim) is read from the
-        table properties build_ann_index recorded with the index — an
-        n_centroids=16 index is ranked over all 16 lists, and a query
-        vector whose length differs from the indexed dimension is
-        rejected loudly instead of silently scoring null. Indexes
-        written before the properties existed fall back to the build
-        defaults (8 centroids, 64 dims) — same behavior as before, now
-        with the dim check.
+        The probe geometry (n_centroids, vector dim, and — for a
+        TRAINED index — the learned centroid table itself) is read from
+        the table properties build_ann_index recorded with the index: an
+        n_centroids=16 index is ranked over all 16 lists, an index built
+        with train_ivf_centroids output is ranked against those SAME
+        learned centroids (a formula-seed ranking would open the wrong
+        lists and silently miss neighbors whenever nprobe < n_centroids
+        — round-8 ADVICE high), and a query vector whose length differs
+        from the indexed dimension is rejected loudly instead of
+        silently scoring null. Indexes written before the properties
+        existed fall back to the build defaults (8 centroids, 64 dims)
+        — same behavior as before, now with the dim check. The property
+        lookup is cached per (session, table); build_ann_index
+        invalidates it on rebuild.
 
         Static method on the table only for namespacing: the search
         touches the index, never this table's rows."""
+        import json
+
         from pyspark.sql import functions as F
 
-        from cellbase_spark.operators.similarity import dot_expr, norm_expr
+        from cellbase_spark.operators.similarity import (
+            dot_expr,
+            norm_expr,
+            table_props,
+        )
         from cellbase_spark.queries.llm_similarity import _query_probe_centroids
 
         spark = self.df.sparkSession
-        props = {
-            r.key: r.value
-            for r in spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()
-        }
+        props = table_props(spark, index_table)
         n_centroids = int(props.get("cellbase.n_centroids", 8))
         dim = int(props.get("cellbase.dim", 64))
         if len(query_vec) != dim:
@@ -235,6 +251,12 @@ class CellTable:
                 f"ann_search: query vector has {len(query_vec)} dims but "
                 f"index {index_table!r} was built over {dim} dims"
             )
+        centroids = None
+        if "cellbase.centroids" in props:
+            centroids = {
+                int(j): [float(v) for v in vec]
+                for j, vec in json.loads(props["cellbase.centroids"]).items()
+            }
         qv_sql = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in query_vec) + ")"
         ids = _query_probe_centroids(
             spark,
@@ -242,6 +264,7 @@ class CellTable:
             qv_sql=qv_sql,
             n_centroids=n_centroids,
             dim=dim,
+            centroids=centroids,
         )
         cfg = (
             spark.range(1)

@@ -70,6 +70,7 @@ GATE_PRIORITY = [
     "q_window_running_sum",
     "q_window_range_frame",
     # -- (b) NEW round-9 keys get appended here as they land
+    "q_ann_index_trained",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -496,3 +496,57 @@ def test_facade_ann_search_uses_recorded_geometry(spark, tmp_path):
 
     with pytest.raises(ValueError, match="dims"):
         t.ann_search(table, [0.0] * 64, k=5)
+
+
+def test_facade_ann_search_trained_centroids(spark, tmp_path):
+    """Round-8 ADVICE high regression: an index built with LEARNED
+    centroids must be PROBED with the same learned ranking. The index
+    here uses explicit centroids at two blob centers with
+    NON-CONTIGUOUS ids {0, 5} (the ADVICE low case): a formula-seed
+    fallback ranking range(n_centroids=2) would probe id 1 — a list
+    that does not exist — and return nothing; the fixed path reads
+    cellbase.centroids back from the table properties and opens the one
+    list that actually holds the query's blob."""
+    import json
+    import os
+
+    from cellbase_spark.api import CellTable
+    from cellbase_spark.operators.similarity import train_ivf_centroids
+
+    dim, per = 8, 40
+    blob_a = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    blob_b = [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]
+    rows = []
+    for i in range(per):
+        jit = (i % 5) / 100.0
+        rows.append((i, [v + jit for v in blob_a]))
+        rows.append((per + i, [v + jit for v in blob_b]))
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    t = CellTable(df, "blobvecs", key_col="vid")
+    table = f"cb_api_annidx_tr_{os.getpid()}"
+    cents = {0: blob_a, 5: blob_b}
+    t.build_ann_index("vec", table, str(tmp_path / "annidxtr"), centroids=cents)
+
+    props = {r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    assert json.loads(props["cellbase.centroids"]) == {"0": blob_a, "5": blob_b}
+    lists = {r.centroid_id for r in spark.table(table).select("centroid_id").distinct().collect()}
+    assert lists == {0, 5}  # non-contiguous learned ids, as built
+
+    # query at blob B's center, nprobe=1: must open list 5 only and
+    # return only blob-B members in descending score order
+    got = t.ann_search(table, blob_b, k=per, nprobe=1).collect()
+    assert len(got) == per
+    assert {r.centroid_id for r in got} == {5}
+    assert all(r.vec_id >= per for r in got)
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    # the TRAINED path end to end: Lloyd means from the formula seeds,
+    # build from the learned table, full-width probe sees every row
+    trained = train_ivf_centroids(df.select("vid", F.col("vec").alias("embedding")),
+                                  n_centroids=4, vec_col="embedding", dim=dim, iters=1)
+    assert trained and all(len(v) == dim for v in trained.values())
+    table2 = f"cb_api_annidx_tr2_{os.getpid()}"
+    t.build_ann_index("vec", table2, str(tmp_path / "annidxtr2"), centroids=trained)
+    got2 = t.ann_search(table2, blob_a, k=2 * per, nprobe=len(trained)).collect()
+    assert len(got2) == 2 * per
