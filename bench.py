@@ -19,6 +19,12 @@ keys were previously dominated by scheduler jitter (BASELINE.md's ±2-3 s
 noise floor). Per-key run lists land in BENCH_FULL.json ("runs") so any
 consumer can judge variance; session startup is excluded. `value` is the
 sum of per-query steady-state seconds over the headline set.
+
+Contention guard (round 9): a fixed CPU-bound micro-op is timed before
+and after the battery (plus loadavg) and recorded under "guard"; if it
+leaves its idle band the battery reruns once and the artifact is marked
+"contended"/"reran" — a loaded box self-identifies in the record instead
+of reading as a code regression (two prior rounds carried phantoms).
 """
 
 from __future__ import annotations
@@ -63,6 +69,40 @@ HEADLINE = [
     "q_pagerank",           # iterative graph
     "q_sql_recursive",      # recursive CTE (flagged)
 ]
+
+
+# Contention guard (round-9: two consecutive driver artifacts carried
+# phantom regressions — r7 whole-run, r8 one key — that idle-box re-runs
+# could not reproduce). Every bench run times a FIXED reference micro-op
+# (codegen'd range-sum, CPU-bound, parallel over all cores) before and
+# after the battery and records it plus os.getloadavg() in the artifact:
+# a contended box slows the micro-op the same way it slows the keys, so
+# the artifact self-identifies instead of reading as a code regression.
+# If either sample exceeds the recorded idle band by >30%, the battery
+# is re-run ONCE (per-key min across both passes) and the artifact says
+# so ("contended"/"reran"). Band recorded on the bench box (best-of-N
+# min 0.19-0.24 s idle, local[32]); override: $SPARK_GRAFT_MICRO_REF.
+MICRO_REF_SEC = float(os.environ.get("SPARK_GRAFT_MICRO_REF", "0.22"))
+MICRO_CONTENDED_FACTOR = 1.3
+
+
+def micro_op_sec(spark, runs: int = 3) -> float:
+    """Best-of-N seconds for the fixed reference micro-op (one untimed
+    warm-up). Work is a whole-stage-codegen'd sum over range — no IO, no
+    shuffle — so its only variable is CPU availability."""
+
+    def one() -> float:
+        t0 = time.time()
+        spark.range(400_000_000).selectExpr("sum(id % 1000003) as s").collect()
+        return time.time() - t0
+
+    one()
+    return min(one() for _ in range(runs))
+
+
+def _is_contended(*micro_secs: float) -> bool:
+    thr = MICRO_REF_SEC * MICRO_CONTENDED_FACTOR
+    return any(m > thr for m in micro_secs)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -262,16 +302,43 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in names:
-        fn = qs[name]
-        try:
-            ts = run_steady_state(fn, spark, SF_DIR)
-            runs[name] = [round(t, 4) for t in ts]
-            timings[name] = round(min(ts), 4)
-        except Exception as exc:  # never let one query kill the bench
-            print(f"bench error {name}: {exc!r}", file=sys.stderr)
-            timings[name] = -1.0
-            runs[name] = []
+
+    def battery() -> None:
+        """Time every selected key, merging per-key MIN into timings
+        (so a contended-pass rerun can only improve a key's figure)."""
+        for name in names:
+            fn = qs[name]
+            try:
+                ts = run_steady_state(fn, spark, SF_DIR)
+                runs.setdefault(name, []).extend(round(t, 4) for t in ts)
+                best = round(min(ts), 4)
+                prev = timings.get(name)
+                timings[name] = best if prev is None or prev < 0 else min(prev, best)
+            except Exception as exc:  # never let one query kill the bench
+                print(f"bench error {name}: {exc!r}", file=sys.stderr)
+                timings.setdefault(name, -1.0)
+                runs.setdefault(name, [])
+
+    guard: dict = {
+        "micro_ref_sec": MICRO_REF_SEC,
+        "loadavg_start": [round(v, 2) for v in os.getloadavg()],
+        "micro_start_sec": round(micro_op_sec(spark), 4),
+    }
+    battery()
+    guard["micro_end_sec"] = round(micro_op_sec(spark), 4)
+    contended = _is_contended(guard["micro_start_sec"], guard["micro_end_sec"])
+    guard["reran"] = False
+    if contended:
+        print("bench: contention detected, re-running battery once", file=sys.stderr)
+        guard["reran"] = True
+        guard["micro_rerun_start_sec"] = round(micro_op_sec(spark), 4)
+        battery()
+        guard["micro_rerun_end_sec"] = round(micro_op_sec(spark), 4)
+        contended = _is_contended(
+            guard["micro_rerun_start_sec"], guard["micro_rerun_end_sec"]
+        )
+    guard["contended"] = contended
+    guard["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
     try:
         streaming = measure_streaming(spark, SF_DIR)
     except Exception as exc:
@@ -292,6 +359,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_headline": len(headline),
         "n_timed": len(timings),
+        "guard": guard,
         "streaming": streaming,
         "streaming_sustained": streaming_sustained,
     }
