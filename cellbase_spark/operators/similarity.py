@@ -608,23 +608,23 @@ def build_ann_index(
         # expression as cosine_expr's denominator, so the quotient is
         # bit-identical to recomputing.
         .withColumn("nrm", F.expr(norm_expr(vec_col)))
-        # PQ codes (8 subspaces x 16 formula centroids -> 8 small ints):
-        # paid once at ingest like the norm, so the IVF-PQ serving tier
-        # (q_ann_ivfpq_indexed) scans codes-only — 8 bytes per candidate
-        # instead of the 256-byte raw vector. Same one-artifact principle:
-        # IVF lists, LSH buckets, norms and PQ codes all live in the one
-        # partition-pruned layout. The formula codebook is 64-dim-tied
-        # (8 subspaces x 8 dims); for any other dimension the codes
-        # column is NULL (element_at past the vector end would silently
-        # poison the codes otherwise) — the IVF/LSH/norm tiers are
-        # dim-generic and unaffected.
-        .withColumn(
-            "codes",
-            F.expr(pq_codes_expr(vec_col))
-            if dim == 64
-            else F.lit(None).cast("array<int>"),
-        )
     )
+    # PQ codes (8 subspaces x 16 formula centroids -> 8 small ints):
+    # paid once at ingest like the norm, so the IVF-PQ serving tier
+    # (q_ann_ivfpq_indexed) scans codes-only — 8 bytes per candidate
+    # instead of the 256-byte raw vector. Same one-artifact principle:
+    # IVF lists, LSH buckets, norms and PQ codes all live in the one
+    # partition-pruned layout. Encoded by the Arrow numpy kernel
+    # (pq_encode_arrow — bit-identical to pq_codes_expr, ~3x the ingest
+    # wall at sf10), not the 128-fold codegen expression. The formula
+    # codebook is 64-dim-tied (8 subspaces x 8 dims); for any other
+    # dimension the codes column is NULL (element_at past the vector
+    # end would silently poison the codes otherwise) — the IVF/LSH/norm
+    # tiers are dim-generic and unaffected.
+    if dim == 64:
+        idx = pq_encode_arrow(idx, vec_col)
+    else:
+        idx = idx.withColumn("codes", F.lit(None).cast("array<int>"))
     (
         idx.repartition(F.col("centroid_id"), F.col("bucket"))
         .write.mode("overwrite")
@@ -654,6 +654,79 @@ def build_ann_index(
         props += f", 'cellbase.centroids' = '{cj}'"
     embeddings.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
     _TBLPROPS_CACHE.pop((id(embeddings.sparkSession), table), None)
+
+
+def pq_encode_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append the PQ `codes` column (array<bigint>, one argmin code per
+    subspace) via an Arrow-vectorized mapInPandas kernel — the ingest
+    cost lever BASELINE.md names: the pure-expression form
+    (pq_codes_expr) evaluates 128 sequential 8-dim folds per row inside
+    codegen, which priced the sf10 index build at ~130 s; the kernel
+    does the same arithmetic as batched numpy ops.
+
+    BIT-IDENTICAL to pq_codes_expr by construction, gated by the
+    q_ann_ivfpq_indexed oracle and a direct equality test:
+    - the per-(subspace, code) distance accumulates (x - c)^2 over the
+      8 dims LEFT TO RIGHT (a Python loop of vectorized adds), so every
+      intermediate IEEE double equals the codegen'd fold's;
+    - codes = first-occurrence argmin over round(d, 6) — replicated
+      WITHOUT vectorizing Java's decimal-string rounding: the exact
+      argmin already answers it unless another code's distance is
+      within 2e-6 of the winner (two doubles can round to the same 6dp
+      value only if they differ < 1e-6); those rare tie-sets are
+      re-ranked exactly with decimal.Decimal(repr(d)) quantized
+      HALF_UP, which is Java BigDecimal.valueOf(d).setScale(6, HALF_UP)
+      by construction (repr and Double.toString emit the same shortest
+      round-trip decimal).
+
+    Geometry is the formula codebook (8 subspaces x 16 centroids over
+    the GLOBAL dim index, 64-dim-tied) — same contract as
+    pq_codes_expr. Narrow map, no shuffle; Arrow batches bound memory."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [
+        StructField("codes", ArrayType(LongType()))
+    ])
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        six = Decimal("0.000001")
+        # cents[s, i-1, c] = ((c*13 + (s*8+i)*7) % 29) / 29 — the global
+        # dim index g = s*8+i (1-based i) exactly as pq_dls_expr
+        s_idx = np.arange(8)[:, None, None]
+        i_idx = np.arange(1, 9)[None, :, None]
+        c_idx = np.arange(16)[None, None, :]
+        cents = ((c_idx * 13 + (s_idx * 8 + i_idx) * 7) % 29) / np.float64(29.0)
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(codes=pd.Series([], dtype=object))
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            b = emb.shape[0]
+            e3 = emb.reshape(b, 8, 8)  # (row, subspace, dim-in-subspace)
+            acc = np.zeros((b, 8, 16))
+            for i in range(8):  # sequential: fold-order bit-identity
+                diff = e3[:, :, i, None] - cents[None, :, i, :]
+                acc = acc + diff * diff
+            d_min = acc.min(axis=2, keepdims=True)
+            codes = acc.argmin(axis=2).astype(np.int64)
+            n_close = ((acc - d_min) < 2.000001e-6).sum(axis=2)
+            for r, s in zip(*np.nonzero(n_close > 1)):
+                cand = np.nonzero((acc[r, s] - acc[r, s].min()) < 2.000001e-6)[0]
+                rv = [
+                    Decimal(repr(float(acc[r, s, c]))).quantize(six, ROUND_HALF_UP)
+                    for c in cand
+                ]
+                m = min(rv)
+                codes[r, s] = int(cand[next(i for i, v in enumerate(rv) if v == m)])
+            yield pdf.assign(codes=list(codes))
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def pq_dls_expr(vec_col: str, m: int = 8, sub: int = 8, ks: int = 16) -> str:

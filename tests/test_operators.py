@@ -610,3 +610,37 @@ def test_embed_project_linearity(spark):
         rows = {r.vec_id: r for r in queries()["q_embed_project"](spark, d).collect()}
         for j in range(1, 9):
             assert abs(rows[2][f"p{j}"] - 2.0 * rows[1][f"p{j}"]) < 1e-4
+
+
+def test_pq_encode_arrow_bit_identical(spark, sf_dir):
+    """Round-9 ingest lever: the Arrow numpy PQ encode must produce
+    BIT-IDENTICAL codes to the codegen expression it replaces — same
+    left-to-right fold order, same round-6dp-half-up first-occurrence
+    argmin (tie-sets re-ranked via decimal-string rounding). Includes a
+    crafted exact tie: a vector sitting equidistant between two codebook
+    centroids must take the LOWER code on both paths."""
+    from cellbase_spark.io import load_table
+    from cellbase_spark.operators.similarity import pq_codes_expr, pq_encode_arrow
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # crafted tie rows: subspace 0 dims g=1..8; centroid c values
+    # ((c*13 + g*7) % 29)/29 — the midpoint of codes 0 and 1 per dim
+    # makes both distances identical, so rounding ties and code 0 wins
+    mids = [
+        (((0 * 13 + g * 7) % 29) / 29.0 + ((1 * 13 + g * 7) % 29) / 29.0) / 2.0
+        for g in range(1, 65)
+    ]
+    tie = spark.createDataFrame(
+        [(100001, [float(v) for v in mids])], "vec_id long, embedding array<double>"
+    )
+    both = e.withColumn("embedding", F.col("embedding").cast("array<double>")).unionByName(tie)
+    expr = {
+        r.vec_id: r.codes
+        for r in both.withColumn("codes", F.expr(pq_codes_expr("embedding"))).select("vec_id", "codes").collect()
+    }
+    kern = {
+        r.vec_id: r.codes
+        for r in pq_encode_arrow(both, "embedding").select("vec_id", "codes").collect()
+    }
+    assert expr == kern
+    assert len(expr) == both.count()
