@@ -43,6 +43,30 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+# fan_out's partition-count probes memoized per (session, analyzed-plan
+# semanticHash): the .rdd probe physical-plans the DataFrame driver-side
+# (no job, but repeated per query build — round-8 VERDICT nit). Probed
+# plans here are base table scans whose file sets are stable for the
+# session; a rewritten path with an identical plan would reuse a stale
+# count, which only mis-sizes the fan-out, never affects results.
+_NPARTS_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    try:
+        key = (
+            id(df.sparkSession),
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:  # non-JVM shim or API drift: fall back to the probe
+        return df.rdd.getNumPartitions()
+    n = _NPARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPARTS_CACHE[key] = n
+    return n
+
+
 def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Raise partition count to the cluster's parallelism when the input
     scan is narrower (e.g. a small single-file table feeding a pair-join:
@@ -54,7 +78,7 @@ def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _scan_partitions(df) >= target:
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
 

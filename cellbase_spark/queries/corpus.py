@@ -517,10 +517,23 @@ def _bpe_merge_sql(best: str) -> str:
     [a, th] into bogus 'ath' when merging (a, t)). Applied twice:
     leftmost non-overlapping string replace consumes the shared
     boundary US between two back-to-back occurrences, skipping every
-    other one in a run; the skipped occurrences are never themselves
-    adjacent (their left neighbor was merged), so a second pass catches
-    exactly the skipped set and nothing else — two passes == one greedy
-    leftmost non-overlapping symbol-level merge, exactly."""
+    other one in a run.
+
+    Exactness scope (round-8 ADVICE low): for a pair (a, b) with
+    a != b, the skipped occurrences are never themselves adjacent
+    (each skipped b...a straddles a merged ab on its left), so the
+    second pass catches exactly the skipped set — two passes == one
+    greedy leftmost non-overlapping symbol-level merge, EXACTLY. For a
+    SELF-pair (a, a) over a run of >= 5 repeated symbols the identity
+    does NOT hold: pass 1 merges occurrences 1-2, 4-5, ... and the
+    leftover singles sit isolated between merged symbols, so pass 2
+    finds nothing — 'a a a a a a' becomes 'aa a aa a' where standard
+    greedy BPE yields 'aa aa aa'. This is a deliberate, DOCUMENTED
+    variant semantics for self-pair runs (affects q_bpe_encode ratios
+    on repeated-char runs like '----'); both engines run the identical
+    expression, so the cross-engine oracle pins the variant exactly.
+    If standard-BPE self-pair fidelity is ever required, handle (a, a)
+    with a run-aware rewrite (floor(run_len/2) merges per run)."""
     pat = f"chr(31) || (SELECT pair FROM {best}) || chr(31)"
     rep = f"chr(31) || replace((SELECT pair FROM {best}), chr(31), '') || chr(31)"
     return (
@@ -560,8 +573,9 @@ def _bpe_merge_col(col: Column, pair: str) -> Column:
     """Spark side of _bpe_merge_sql: boundary-anchored two-pass merge of
     `pair` (a US b) into its concatenation, over a US-joined symbol
     string. See _bpe_merge_sql for the two-pass == one-greedy-merge
-    argument; both engines' replace() is leftmost non-overlapping, so
-    the results are bit-identical."""
+    argument (exact for a != b; documented variant semantics for
+    self-pair runs >= 5); both engines' replace() is leftmost
+    non-overlapping, so the results are bit-identical."""
     merged = pair.replace(_BPE_US, "")
     pat = F.lit(_BPE_US + pair + _BPE_US)
     rep = F.lit(_BPE_US + merged + _BPE_US)
