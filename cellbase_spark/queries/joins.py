@@ -270,17 +270,26 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold and the join degrades gracefully to the spillable
     SMJ/SHJ — no forced-broadcast hint anywhere. The co-location
     condition s_nationkey = c_nationkey rides the supplier broadcast."""
-    c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     l = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
+    )
+    # ASIA nation keys re-entered as literals (config-bounded collect):
+    # the In(c_nationkey)/In(s_nationkey) filters reach the customer and
+    # supplier parquet scans, so both relations enter their joins ~1/5
+    # sized instead of being reduced only after a full scan (round-9)
+    asia_keys = [int(row.n_nationkey) for row in nr.select("n_nationkey").collect()]
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(asia_keys)
+    )
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey").isin(asia_keys)
     )
     cr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
         "c_custkey", "c_nationkey", "n_name"
@@ -446,11 +455,19 @@ def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
+    )
+    # ASIA nation keys as a config collect (<= 25-row nation⋈region) so
+    # the supplier BROADCAST BUILD scans a nationkey-pruned relation —
+    # the In(s_nationkey) filter reaches the parquet reader and the
+    # build carries ~1/5 of supplier (round-9 endgame: the build side
+    # was the residual the round-7 decomposition priced at sf10)
+    asia_keys = [int(row.n_nationkey) for row in nr.select("n_nationkey").collect()]
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey").isin(asia_keys)
     )
     return (
         # ASIA nation reduction FIRST (25→5 keys, ~1/5 of scanned rows

@@ -555,10 +555,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pipeline_e2e_oracle() -> str:
-    from cellbase_spark.queries.llm_text import _ARGMAX_SQL
-
-    passes = """
+_GATE_SQL = """
   (len(string_split(text, ' ')) BETWEEN 10 AND 10000)
   AND ((length(text) - (len(string_split(text, ' ')) - 1))
        / len(string_split(text, ' ')) BETWEEN 2 AND 12)
@@ -567,13 +564,21 @@ def _pipeline_e2e_oracle() -> str:
   AND ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
        / CAST(length(text) AS DOUBLE) < 0.2)
 """
-    quality = """
+
+_QUALITY_SQL = """
   0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
   + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                  / length(text))
   + 0.3 * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1))
                       / len(string_split(text, ' '))) / 8.0)
 """
+
+
+def _pipeline_e2e_oracle() -> str:
+    from cellbase_spark.queries.llm_text import _ARGMAX_SQL
+
+    passes = _GATE_SQL
+    quality = _QUALITY_SQL
     return f"""
 WITH kept AS (
   SELECT * FROM documents WHERE {passes}
@@ -598,12 +603,135 @@ FROM scored GROUP BY lang_pred, source
 """
 
 
-# late-bind the oracle (needs llm_text's argmax fragment at import time;
-# QuerySpec is frozen, so swap the entry)
+@register(
+    "q_pipeline_e2e_neardup",
+    family="pipeline",
+    oracle=None,  # assembled below (imports llm_text + llm_dedup fragments)
+)
+def q_pipeline_e2e_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pipeline_e2e with the CAPPED near-dup stage spliced in — the
+    full deployment preprocessing chain as ONE declarative plan: gate ->
+    exact dedup -> skew-capped MinHash-LSH near-dedup (L55's band
+    buckets > 8 excluded; verified pairs at Jaccard >= 0.95 drop the
+    HIGHER doc_id, the min-id-anchor rule) -> lang-ID -> per
+    (language, source) corpus report. q_pipeline_e2e stays registered
+    as the fast form without pairwise verification.
+
+    Plan shape (pinned in tests/test_plans.py): the gate filter sits
+    directly on the documents scan, BELOW all of the exchanges — the
+    exact-dedup hash window, the band-key self-join, and the bucket-cap
+    window all shuffle gate SURVIVORS only. At 100 TB that ordering is
+    the difference between shuffling the corpus and shuffling the ~kept
+    fraction; the near-dup stage itself is the banded equi-join (never
+    all-pairs) with the mega-clique cap that kept sf1 candidate
+    generation 8x off the uncapped blow-up."""
+    from pyspark.sql import Window
+
+    from cellbase_spark.operators.dedup import minhash_lsh_pairs
+    from cellbase_spark.operators.text import lang_id, quality_score, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    mean_wl = (F.length("text") - (n_words - F.lit(1))) / n_words
+    uniq_frac = F.size(F.array_distinct(toks)).cast("double") / n_words
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ) / F.length("text").cast("double")
+    passes = (
+        n_words.between(10, 10000)
+        & mean_wl.between(2, 12)
+        & (uniq_frac >= 0.3)
+        & (digit_ratio < 0.2)
+    )
+    kept = d.where(passes)
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    pairs = minhash_lsh_pairs(
+        canon.select("doc_id", F.split("text", " ").alias("toks")),
+        id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
+        bitmap_vocab_limit=4096, band_bucket_cap=8,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = canon.join(drop, "doc_id", "left_anti")
+    scored = surv.withColumn("toks", tokens("text")).select(
+        lang_id("toks").alias("lang_pred"),
+        "source",
+        F.size("toks").alias("ntok"),
+        quality_score("text", "toks").alias("quality"),
+    )
+    return scored.groupBy("lang_pred", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            5,
+        ).alias("mean_quality"),
+    )
+
+
+def _pipeline_e2e_neardup_oracle() -> str:
+    from cellbase_spark.queries.llm_dedup import _SIG_SQL
+    from cellbase_spark.queries.llm_text import _ARGMAX_SQL
+
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents WHERE {_GATE_SQL}
+), dd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) AS rn
+  FROM kept
+), canon AS (
+  SELECT * FROM dd WHERE rn = 1
+), t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM canon
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, toks, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), bk AS (
+  SELECT id, toks, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM bd
+  ) WHERE bn <= 8
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id
+), verified AS (
+  SELECT c.id_b
+  FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+  WHERE len(list_intersect(ta.toks, tb.toks))
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+), surv AS (
+  SELECT * FROM canon WHERE doc_id NOT IN (SELECT id_b FROM verified)
+), scored AS (
+  SELECT {_ARGMAX_SQL} AS lang_pred, source,
+         len(string_split(text, ' ')) AS ntok,
+         {_QUALITY_SQL} AS quality
+  FROM surv
+)
+SELECT lang_pred, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(quality, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 5) AS mean_quality
+FROM scored GROUP BY lang_pred, source
+"""
+
+
+# late-bind the oracles (they need llm_text / llm_dedup fragments at
+# import time; QuerySpec is frozen, so swap the entries)
 import dataclasses as _dc  # noqa: E402
 
 from cellbase_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["q_pipeline_e2e"] = _dc.replace(
     _REG["q_pipeline_e2e"], oracle=_pipeline_e2e_oracle()
+)
+_REG["q_pipeline_e2e_neardup"] = _dc.replace(
+    _REG["q_pipeline_e2e_neardup"], oracle=_pipeline_e2e_neardup_oracle()
 )

@@ -770,12 +770,24 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed lineitem, so the orders bucket-join is gone too — the
     status filter is applied AFTER the windows (it is per-order
     constant, so filtering l1 afterwards ≡ the orders join) and the
-    only Exchange left is the final s_name agg."""
+    only Exchange left is the final s_name agg.
+
+    Round 9: the F-status filter moved from after the windows INTO the
+    bucketed scan (the r8-verdict endgame item). Correctness argument:
+    o_orderstatus is per-order constant and every window partitions by
+    l_orderkey, so l2/l3 witnesses for an l1 row live in the SAME order
+    — dropping a non-F order removes its l1 rows AND only witnesses no
+    surviving l1 row needs. The pushed filter (PushedFilters, pinned)
+    halves the window input instead of paying the status lane through
+    both windows; a Filter preserves the scan's HashPartitioning and
+    sort order, so the zero-exchange window plan is unchanged."""
     from cellbase_spark.queries.joins import _fact_bucketed_layout
 
     t_l, _ = _fact_bucketed_layout(spark, sf_dir)
-    l = spark.table(t_l).select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderstatus"
+    l = (
+        spark.table(t_l)
+        .where(F.col("o_orderstatus") == "F")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
     w_pair = Window.partitionBy("l_orderkey", "l_suppkey")
     w_ord = Window.partitionBy("l_orderkey")
@@ -786,7 +798,6 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         "l_shipdate",
-        "o_orderstatus",
         "s_max",
         F.size("pairs").alias("n_supp"),
         F.expr("array_max(transform(pairs, p -> p.s_max))").alias("m1"),
@@ -813,7 +824,6 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.where(
             (F.col("n_supp") >= 2)
             & (F.col("other_max") <= F.col("l_shipdate"))
-            & (F.col("o_orderstatus") == "F")
         )
         .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
     )

@@ -886,3 +886,48 @@ def test_ann_ivfpq_probe_reads_codes_only(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
     assert "Join" not in plan
+
+
+def test_pipeline_e2e_neardup_gate_below_all_shuffles(spark, sf_dir):
+    """The deployment pipeline's scale contract: the quality-gate Filter
+    sits directly on the documents scan, BELOW every Exchange — the
+    exact-dedup window, the LSH band self-join, and the bucket-cap
+    window shuffle gate survivors only. Checked structurally on every
+    scan branch of the plan tree (the plan re-scans documents per
+    branch; each branch must filter before it shuffles)."""
+    import re
+
+    plan = plan_of(spark, "q_pipeline_e2e_neardup", sf_dir)
+
+    # parse the tree section: depth from the connector prefix, name after
+    # an optional codegen '*' marker; stop at the node-details section
+    nodes = []
+    for ln in plan.splitlines():
+        if ln.startswith("("):
+            break
+        m = re.match(r"^([\s:+\-|]*)(\*\s*)?([A-Za-z].*)$", ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(3)))
+    scans = 0
+    stack: list[tuple[int, str]] = []
+    for depth, name in nodes:
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if name.startswith("Scan parquet"):
+            scans += 1
+            filt_i = exch_i = None
+            for i in range(len(stack) - 1, -1, -1):
+                head = stack[i][1].split(" ")[0]
+                if filt_i is None and head == "Filter":
+                    filt_i = i
+                if exch_i is None and head.endswith("Exchange"):
+                    exch_i = i
+            assert filt_i is not None, f"scan #{scans} has no Filter above it:\n{plan}"
+            assert exch_i is None or filt_i > exch_i, (
+                f"scan #{scans}: nearest Exchange (stack {exch_i}) is below the "
+                f"gate Filter (stack {filt_i}) — the shuffle carries unfiltered rows"
+            )
+        stack.append((depth, name))
+    assert scans >= 2  # canon is rebuilt per branch: multiple gated scans
+    # and the pair former is the banded equi-join, never a cross product
+    assert "CartesianProduct" not in plan
