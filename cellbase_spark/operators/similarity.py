@@ -557,6 +557,7 @@ def build_ann_index(
     n_planes: int = 8,
     vec_col: str = "embedding",
     centroids: dict[int, list[float]] | None = None,
+    pq_codebook: dict[int, dict[int, list[float]]] | None = None,
 ) -> None:
     """Write the PERSISTED ANN index: every vector coarse-quantized once
     (IVF centroid + LSH sign bucket) and laid out hive-partitioned by
@@ -622,7 +623,7 @@ def build_ann_index(
     # end would silently poison the codes otherwise) — the IVF/LSH/norm
     # tiers are dim-generic and unaffected.
     if dim == 64:
-        idx = pq_encode_arrow(idx, vec_col)
+        idx = pq_encode_arrow(idx, vec_col, codebook=pq_codebook)
     else:
         idx = idx.withColumn("codes", F.lit(None).cast("array<int>"))
     (
@@ -652,11 +653,25 @@ def build_ann_index(
 
         cj = json.dumps({str(j): centroids[j] for j in sorted(centroids)})
         props += f", 'cellbase.centroids' = '{cj}'"
+    if pq_codebook is not None:
+        import json
+
+        pj = json.dumps(
+            {
+                str(s): {str(c): pq_codebook[s][c] for c in sorted(pq_codebook[s])}
+                for s in sorted(pq_codebook)
+            }
+        )
+        props += f", 'cellbase.pq_codebook' = '{pj}'"
     embeddings.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
     _TBLPROPS_CACHE.pop((id(embeddings.sparkSession), table), None)
 
 
-def pq_encode_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def pq_encode_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codebook: dict[int, dict[int, list[float]]] | None = None,
+) -> DataFrame:
     """Append the PQ `codes` column (array<bigint>, one argmin code per
     subspace) via an Arrow-vectorized mapInPandas kernel — the ingest
     cost lever BASELINE.md names: the pure-expression form
@@ -679,9 +694,15 @@ def pq_encode_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
       by construction (repr and Double.toString emit the same shortest
       round-trip decimal).
 
-    Geometry is the formula codebook (8 subspaces x 16 centroids over
-    the GLOBAL dim index, 64-dim-tied) — same contract as
-    pq_codes_expr. Narrow map, no shuffle; Arrow batches bound memory."""
+    Geometry: the formula codebook (8 subspaces x 16 centroids over the
+    GLOBAL dim index, 64-dim-tied — same contract as pq_codes_expr), or
+    a LEARNED `codebook` {subspace -> {code -> 8-dim centroid}} from
+    train_pq_codebook. A learned codebook may have non-contiguous,
+    per-subspace-varying code sets (k-means drops empty codes); the
+    argmin runs over each subspace's ascending code list, so ties break
+    to the LOWEST surviving code exactly like the oracle's
+    ROW_NUMBER(ORDER BY d, c). Narrow map, no shuffle; Arrow batches
+    bound memory."""
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -696,12 +717,27 @@ def pq_encode_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         import numpy as np
 
         six = Decimal("0.000001")
-        # cents[s, i-1, c] = ((c*13 + (s*8+i)*7) % 29) / 29 — the global
-        # dim index g = s*8+i (1-based i) exactly as pq_dls_expr
-        s_idx = np.arange(8)[:, None, None]
-        i_idx = np.arange(1, 9)[None, :, None]
-        c_idx = np.arange(16)[None, None, :]
-        cents = ((c_idx * 13 + (s_idx * 8 + i_idx) * 7) % 29) / np.float64(29.0)
+        if codebook is None:
+            # cents[s, i-1, c] = ((c*13 + (s*8+i)*7) % 29) / 29 — the
+            # global dim index g = s*8+i (1-based i) as in pq_dls_expr;
+            # code ids are the contiguous 0..15
+            s_idx = np.arange(8)[:, None, None]
+            i_idx = np.arange(1, 9)[None, :, None]
+            c_idx = np.arange(16)[None, None, :]
+            cents_by_s = [
+                (((c_idx * 13 + (s_idx * 8 + i_idx) * 7) % 29)
+                 / np.float64(29.0))[s]
+                for s in range(8)
+            ]  # each (8, 16)
+            ids_by_s = [np.arange(16, dtype=np.int64)] * 8
+        else:
+            cents_by_s, ids_by_s = [], []
+            for s in range(8):
+                cs = sorted(codebook[s])
+                ids_by_s.append(np.array(cs, dtype=np.int64))
+                cents_by_s.append(
+                    np.array([[codebook[s][c][i] for c in cs] for i in range(8)])
+                )  # (8 dims, n_codes_s)
         for pdf in batches:
             if not len(pdf):
                 yield pdf.assign(codes=pd.Series([], dtype=object))
@@ -709,24 +745,72 @@ def pq_encode_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             emb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             b = emb.shape[0]
             e3 = emb.reshape(b, 8, 8)  # (row, subspace, dim-in-subspace)
-            acc = np.zeros((b, 8, 16))
-            for i in range(8):  # sequential: fold-order bit-identity
-                diff = e3[:, :, i, None] - cents[None, :, i, :]
-                acc = acc + diff * diff
-            d_min = acc.min(axis=2, keepdims=True)
-            codes = acc.argmin(axis=2).astype(np.int64)
-            n_close = ((acc - d_min) < 2.000001e-6).sum(axis=2)
-            for r, s in zip(*np.nonzero(n_close > 1)):
-                cand = np.nonzero((acc[r, s] - acc[r, s].min()) < 2.000001e-6)[0]
-                rv = [
-                    Decimal(repr(float(acc[r, s, c]))).quantize(six, ROUND_HALF_UP)
-                    for c in cand
-                ]
-                m = min(rv)
-                codes[r, s] = int(cand[next(i for i, v in enumerate(rv) if v == m)])
+            codes = np.zeros((b, 8), dtype=np.int64)
+            for s in range(8):
+                cents = cents_by_s[s]  # (8, n_codes)
+                acc = np.zeros((b, cents.shape[1]))
+                for i in range(8):  # sequential: fold-order bit-identity
+                    diff = e3[:, s, i, None] - cents[None, i, :]
+                    acc = acc + diff * diff
+                d_min = acc.min(axis=1)
+                pos = acc.argmin(axis=1)
+                n_close = ((acc - d_min[:, None]) < 2.000001e-6).sum(axis=1)
+                for r in np.nonzero(n_close > 1)[0]:
+                    cand = np.nonzero((acc[r] - acc[r].min()) < 2.000001e-6)[0]
+                    rv = [
+                        Decimal(repr(float(acc[r, c]))).quantize(six, ROUND_HALF_UP)
+                        for c in cand
+                    ]
+                    m = min(rv)
+                    pos[r] = int(cand[next(i for i, v in enumerate(rv) if v == m)])
+                codes[:, s] = ids_by_s[s][pos]
             yield pdf.assign(codes=list(codes))
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def train_pq_codebook(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> dict[int, dict[int, list[float]]]:
+    """One exact k-means mean-update per PQ subspace from the formula
+    codes (q_pq_train's stage-1 verb extracted for COMPOSITION): encode
+    every vector with the formula codebook (pq_encode_arrow), explode
+    into (subspace, code, subvector), recompute each surviving code's
+    centroid as the exact decimal-summed per-dim mean. Returns
+    {subspace -> {code -> 8-dim centroid}} — a config-bounded collect
+    (<= 8 x 16 x 8 values, never row data). Empty codes are DROPPED
+    (k-means with no members has no mean); consumers derive each
+    subspace's code set from the returned keys, exactly like
+    train_ivf_centroids' contract.
+
+    Pass the result to build_ann_index(pq_codebook=...) so the stored
+    codes tier uses the trained geometry, then serve ADC against the
+    codebook read back from the index's cellbase.pq_codebook property."""
+    enc = pq_encode_arrow(embeddings.select(F.col(vec_col).alias("v")), "v")
+    sub = enc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s -> struct(s AS s,"
+                " element_at(codes, s + 1) AS c,"
+                " transform(sequence(1, 8), i ->"
+                " cast(element_at(v, s * 8 + i) as double)) AS sv))"
+            )
+        ).alias("z")
+    ).select("z.*")
+    cent_cols = [
+        (
+            F.round(
+                F.sum(F.element_at("sv", i).cast("decimal(25,10)")), 4
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"m{i}")
+        for i in range(1, 9)
+    ]
+    rows = sub.groupBy("s", "c").agg(*cent_cols).collect()
+    cb: dict[int, dict[int, list[float]]] = {s: {} for s in range(8)}
+    for r in rows:
+        cb[int(r.s)][int(r.c)] = [float(r[f"m{i}"]) for i in range(1, 9)]
+    return cb
 
 
 def pq_dls_expr(vec_col: str, m: int = 8, sub: int = 8, ks: int = 16) -> str:

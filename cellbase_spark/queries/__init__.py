@@ -71,6 +71,9 @@ GATE_PRIORITY = [
     "q_window_range_frame",
     # -- (b) NEW round-9 keys get appended here as they land
     "q_ann_index_trained",
+    "q_pipeline_e2e_neardup",
+    "q_ann_ivfpq_trained",
+    "q_pq_eval_trained",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

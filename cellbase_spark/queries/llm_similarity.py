@@ -1396,13 +1396,18 @@ FROM (
 
 def _ensure_trained_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once scratch copy of the TRAINED persisted ANN index: one
-    exact Lloyd mean-update from the formula seeds (train_ivf_centroids
-    — its first production caller), then the same hive-partitioned
-    catalog layout as _ensure_ann_index, with the learned geometry
-    recorded in the table properties so ann_search ranks against it."""
+    exact Lloyd mean-update from the formula seeds for the IVF coarse
+    tier (train_ivf_centroids) AND one per-subspace k-means mean-update
+    for the PQ codes tier (train_pq_codebook), then the same
+    hive-partitioned catalog layout as _ensure_ann_index with BOTH
+    learned geometries recorded in the table properties — one artifact,
+    every tier trained; ann_search ranks the learned centroids and the
+    ADC key scores the learned codebook, each read back from the index
+    itself."""
     from cellbase_spark.operators.similarity import (
         build_ann_index,
         train_ivf_centroids,
+        train_pq_codebook,
     )
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
@@ -1410,8 +1415,10 @@ def _ensure_trained_ann_index(spark: SparkSession, sf_dir: str) -> str:
     if not spark.catalog.tableExists(t):
         e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         trained = train_ivf_centroids(e, n_centroids=8, dim=64, iters=1)
+        cb = train_pq_codebook(e)
         build_ann_index(
-            e, t, scratch_path(sf_dir, "annindex_tr"), centroids=trained
+            e, t, scratch_path(sf_dir, "annindex_tr"),
+            centroids=trained, pq_codebook=cb,
         )
     return t
 
@@ -1838,3 +1845,281 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qerr"),
     ).select(F.lit(2).alias("iter"), F.col("s").cast("int").alias("s"), "n", "n_codes", "qerr")
     return r1.unionByName(r2)
+
+
+def _ivfpq_trained_sql() -> str:
+    """Oracle for q_ann_ivfpq_trained: BOTH training chains re-derived
+    from the data — the IVF Lloyd update (a1→cent→carr→a2, as in the
+    q_ann_index_trained oracle) and the per-subspace PQ mean-update
+    (sub→cent2→carr2→enc, as in q_pq_train) — then the served ADC:
+    candidates from the 2 nearest LEARNED lists, each scored by the sum
+    over subspaces of round-6dp distances from the query subvector to
+    its LEARNED code centroid, summed exactly in DECIMAL (order-free on
+    both engines)."""
+    return f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+a2 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.j AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM a1 e, carr c
+  ) WHERE rk = 1
+),
+qd AS (
+  SELECT c.j,
+         round(list_reduce(list_transform(range(1, 65),
+           i -> (qv[i] - c.cvec[i]) * (qv[i] - c.cvec[i])), (x, y) -> x + y), 6) AS d
+  FROM carr c, cfg
+),
+sub AS ({_PQ_SUB_DUCK}),
+cent2 AS (
+  SELECT s, c, t.i AS i,
+         CAST(ROUND(SUM(CAST(sv[t.i] AS DECIMAL(25,10))), 4) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM sub, range(1, 9) t(i)
+  GROUP BY 1, 2, 3
+),
+carr2 AS (SELECT s, c, list(m ORDER BY i) AS cvec FROM cent2 GROUP BY s, c),
+enc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT e.vec_id, e.s, k.c, {_PQ_D2_DUCK} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                              ORDER BY {_PQ_D2_DUCK} ASC, k.c ASC) AS rk
+    FROM sub e JOIN carr2 k ON e.s = k.s
+  ) WHERE rk = 1
+),
+qdist AS (
+  SELECT en.vec_id, en.s,
+         round(list_reduce(list_transform(range(1, 9), i ->
+           ((((en.s * 8 + i) * 37) % 101) / CAST(101 AS DOUBLE) - k.cvec[i])
+           * ((((en.s * 8 + i) * 37) % 101) / CAST(101 AS DOUBLE) - k.cvec[i])),
+           (x, y) -> x + y), 6) AS d
+  FROM enc en JOIN carr2 k ON en.s = k.s AND en.c = k.c
+)
+SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+       CAST(SUM(CAST(q.d AS DECIMAL(25,10))) AS DOUBLE) AS adc_dist
+FROM a2 a JOIN qdist q ON a.vec_id = q.vec_id
+WHERE a.centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT 2)
+GROUP BY 1, 2
+ORDER BY adc_dist ASC, a.vec_id ASC
+LIMIT 20
+"""
+
+
+@register("q_ann_ivfpq_trained", family="llm-sim", oracle=_ivfpq_trained_sql())
+def q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack FULLY TRAINED, served end to end (round
+    9): the persisted index is built from a trained IVF coarse tier
+    (train_ivf_centroids) AND a trained PQ codes tier
+    (train_pq_codebook) — q_ann_ivfpq_indexed's composition with both
+    formula geometries replaced by learned ones. The probe ranks the
+    nprobe=2 lists against the centroids read back from
+    cellbase.centroids; candidates are scored by ASYMMETRIC DISTANCE
+    over the STORED learned codes against the codebook read back from
+    cellbase.pq_codebook — the index is self-describing; neither
+    geometry has a side-channel to desync (the round-8 ADVICE failure
+    mode, closed for both tiers).
+
+    Cross-engine exactness: per-subspace query-to-code distances are
+    the proven folds rounded 6dp; the 8-term ADC total is an exact
+    DECIMAL sum (order-free, so the small groupBy can hash-aggregate
+    freely); codebook floats round-trip exactly through JSON repr.
+
+    Scale shape: training = two config-sized collects; the probe scans
+    2 of 8 lists reading vec_id+codes only; the codebook join is a
+    broadcast of a <=128-row config relation; the ADC agg exchanges
+    only (candidates x 8) rows. Nothing grows with corpus size but the
+    pruned scan."""
+    import json
+
+    from cellbase_spark.operators.similarity import table_props
+
+    t = _ensure_trained_ann_index(spark, sf_dir)
+    props = table_props(spark, t)
+    centroids = {
+        int(j): [float(v) for v in vec]
+        for j, vec in json.loads(props["cellbase.centroids"]).items()
+    }
+    codebook = {
+        int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
+        for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
+    }
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    carr = spark.createDataFrame(
+        [(s, c, codebook[s][c]) for s in sorted(codebook) for c in sorted(codebook[s])],
+        "s int, c long, cvec array<double>",
+    )
+    qdist = (
+        "round(aggregate(sequence(1, 8), cast(0 as double), (acc, i) ->"
+        " acc + ((((s * 8 + i) * 37) % 101) / cast(101 as double) - element_at(cvec, i))"
+        " * ((((s * 8 + i) * 37) % 101) / cast(101 as double) - element_at(cvec, i))), 6)"
+    )
+    idx = spark.table(t).where(F.col("centroid_id").isin(ids))
+    exp = idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.posexplode("codes").alias("s", "c"),
+    )
+    return (
+        exp.join(F.broadcast(carr), ["s", "c"])
+        .select("vec_id", "centroid_id", F.expr(qdist).alias("d"))
+        .groupBy("vec_id", "centroid_id")
+        .agg(F.sum(F.col("d").cast("decimal(25,10)")).cast("double").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def _pq_eval_trained_sql() -> str:
+    """Oracle for q_pq_eval_trained: the q_pq_eval recall measurement
+    run twice — ADC over the FORMULA codebook and ADC over the TRAINED
+    codebook (sub→cent2→carr2→enc2 re-derived from the data) — against
+    the same exact squared-L2 top-10."""
+    return f"""
+WITH q AS (SELECT {_QV} AS qv),
+exact AS (
+  SELECT vec_id, round({_sq_dist('embedding', 'qv')}, 6) AS d
+  FROM embeddings, q ORDER BY d ASC, vec_id ASC LIMIT 10
+),
+encf AS (
+  SELECT vec_id, {_PQ_CODES} AS codes FROM embeddings
+),
+adcf AS (
+  SELECT vec_id, {_PQ_ADC} AS adc_dist
+  FROM encf ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+),
+sub AS ({_PQ_SUB_DUCK}),
+cent2 AS (
+  SELECT s, c, t.i AS i,
+         CAST(ROUND(SUM(CAST(sv[t.i] AS DECIMAL(25,10))), 4) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM sub, range(1, 9) t(i)
+  GROUP BY 1, 2, 3
+),
+carr2 AS (SELECT s, c, list(m ORDER BY i) AS cvec FROM cent2 GROUP BY s, c),
+enc2 AS (
+  SELECT vec_id, s, c FROM (
+    SELECT e.vec_id, e.s, k.c, {_PQ_D2_DUCK} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                              ORDER BY {_PQ_D2_DUCK} ASC, k.c ASC) AS rk
+    FROM sub e JOIN carr2 k ON e.s = k.s
+  ) WHERE rk = 1
+),
+qdist AS (
+  SELECT en.vec_id,
+         round(list_reduce(list_transform(range(1, 9), i ->
+           ((((en.s * 8 + i) * 37) % 101) / CAST(101 AS DOUBLE) - k.cvec[i])
+           * ((((en.s * 8 + i) * 37) % 101) / CAST(101 AS DOUBLE) - k.cvec[i])),
+           (x, y) -> x + y), 6) AS d
+  FROM enc2 en JOIN carr2 k ON en.s = k.s AND en.c = k.c
+),
+adct AS (
+  SELECT vec_id, CAST(SUM(CAST(d AS DECIMAL(25,10))) AS DOUBLE) AS adc_dist
+  FROM qdist GROUP BY 1 ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+)
+SELECT 'pq_formula' AS method, CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / 10.0, 2) AS recall_at_10
+FROM exact JOIN adcf USING (vec_id)
+UNION ALL
+SELECT 'pq_trained' AS method, CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / 10.0, 2) AS recall_at_10
+FROM exact JOIN adct USING (vec_id)
+"""
+
+
+@register("q_pq_eval_trained", family="llm-sim", oracle=_pq_eval_trained_sql())
+def q_pq_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ training's before/after recall witness (round 9, the codes
+    analog of q_ann_eval_trained): recall@10 of ADC top-10 vs the exact
+    squared-L2 top-10, measured for BOTH codebooks — the formula seeds
+    (q_pq_eval's 0.1 on this corpus) and the trained one (one k-means
+    mean-update per subspace, train_pq_codebook) — so the training
+    verb's value is a measured delta, not an assumption.
+
+    Scale shape: exact baseline and formula-ADC are narrow scans ending
+    in top-10 heaps; the trained-ADC pass is the Arrow-kernel encode +
+    a (rows x 8) decimal-sum agg — offline-eval cost, linear in corpus.
+    The codebook is a config-sized collect re-entered as a broadcast
+    relation."""
+    from cellbase_spark.io import fan_out
+    from cellbase_spark.operators.similarity import (
+        pq_adc_expr,
+        pq_codes_expr,
+        pq_encode_arrow,
+        train_pq_codebook,
+    )
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qv = F.expr(qvec_expr())
+    exact = (
+        e.withColumn("qv", qv)
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, qv, (x, y) ->"
+                    " (cast(x as double) - cast(y as double))"
+                    " * (cast(x as double) - cast(y as double))),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    pq_struct = (
+        f"element_at(transform(array({pq_codes_expr('embedding')}), codes ->"
+        f" struct({pq_adc_expr('codes')} AS adc_dist)), 1)"
+    )
+    adcf = (
+        e.select("vec_id", F.expr(pq_struct).alias("z"))
+        .select("vec_id", "z.adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    cb = train_pq_codebook(e)
+    carr = spark.createDataFrame(
+        [(s, c, cb[s][c]) for s in sorted(cb) for c in sorted(cb[s])],
+        "s int, c long, cvec array<double>",
+    )
+    qdist = (
+        "round(aggregate(sequence(1, 8), cast(0 as double), (acc, i) ->"
+        " acc + ((((s * 8 + i) * 37) % 101) / cast(101 as double) - element_at(cvec, i))"
+        " * ((((s * 8 + i) * 37) % 101) / cast(101 as double) - element_at(cvec, i))), 6)"
+    )
+    adct = (
+        pq_encode_arrow(e.select("vec_id", "embedding"), codebook=cb)
+        .select("vec_id", F.posexplode("codes").alias("s", "c"))
+        .join(F.broadcast(carr), ["s", "c"])
+        .select("vec_id", F.expr(qdist).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(25,10)")).cast("double").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+    def row(method: str, short: DataFrame) -> DataFrame:
+        return exact.join(short, "vec_id").agg(
+            F.lit(method).alias("method"),
+            F.lit(10).cast("long").alias("k"),
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / F.lit(10.0), 2).alias("recall_at_10"),
+        )
+
+    return row("pq_formula", adcf).unionByName(row("pq_trained", adct))

@@ -644,3 +644,35 @@ def test_pq_encode_arrow_bit_identical(spark, sf_dir):
     }
     assert expr == kern
     assert len(expr) == both.count()
+
+
+def test_trained_pq_codebook_recorded_and_used(spark, sf_dir, tmp_path):
+    """Round-9 trained-codes tier: build_ann_index(pq_codebook=...) must
+    (a) record the codebook in table properties with exact float
+    round-trip, and (b) store codes drawn ONLY from each subspace's
+    surviving learned code set (k-means drops empty codes, so the
+    stored ids must match the codebook keys, not 0..15)."""
+    import json
+    import os
+
+    from cellbase_spark.io import load_table
+    from cellbase_spark.operators.similarity import (
+        build_ann_index,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = train_pq_codebook(e)
+    assert set(cb) == set(range(8))
+    table = f"cb_op_pqtr_{os.getpid()}"
+    build_ann_index(e, table, str(tmp_path / "pqtr"), pq_codebook=cb)
+    props = {r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    got = {
+        int(s): {int(c): v for c, v in cs.items()}
+        for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
+    }
+    assert got == cb  # exact float round-trip through JSON repr
+    rows = spark.table(table).select("codes").collect()
+    for r in rows:
+        for s, c in enumerate(r.codes):
+            assert c in cb[s], f"stored code {c} not in subspace {s} codebook"
