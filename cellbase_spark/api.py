@@ -205,6 +205,7 @@ class CellTable:
         query_vec: list[float],
         k: int = 20,
         nprobe: int = 2,
+        method: str = "cosine",
     ) -> DataFrame:
         """Approximate top-k cosine neighbors of an ARBITRARY query
         vector against a persisted index (build_ann_index): the query's
@@ -228,6 +229,17 @@ class CellTable:
         — same behavior as before, now with the dim check. The property
         lookup is cached per (session, table); build_ann_index
         invalidates it on rebuild.
+
+        `method`: "cosine" (default) scores candidates by exact cosine
+        over the raw vectors; "adc" scores by ASYMMETRIC DISTANCE over
+        the STORED 8-byte PQ codes — the serving tier never reads the
+        raw vector column (8 bytes/candidate instead of 256; ascending
+        distance, so smaller is closer). ADC uses the codebook the
+        index was built with: cellbase.pq_codebook for a trained-codes
+        index, else the formula codebook; only 64-dim indexes carry a
+        codes tier, anything else is rejected loudly. The 8-term ADC
+        total is an exact DECIMAL sum of round-6dp subspace distances
+        (order-free — the agg may hash-combine freely).
 
         Static method on the table only for namespacing: the search
         touches the index, never this table's rows."""
@@ -266,12 +278,61 @@ class CellTable:
             dim=dim,
             centroids=centroids,
         )
+        idx = spark.table(index_table).where(F.col("centroid_id").isin(ids))
+        if method == "adc":
+            if dim != 64:
+                raise ValueError(
+                    f"ann_search(method='adc'): index {index_table!r} has no "
+                    f"codes tier (dim={dim}; the PQ codebook is 64-dim-tied)"
+                )
+            if "cellbase.pq_codebook" in props:
+                cb = {
+                    int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
+                    for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
+                }
+            else:  # formula codebook: cent[c][g] = ((c*13 + g*7) % 29) / 29
+                cb = {
+                    s: {
+                        c: [((c * 13 + (s * 8 + i) * 7) % 29) / 29.0 for i in range(1, 9)]
+                        for c in range(16)
+                    }
+                    for s in range(8)
+                }
+            carr = spark.createDataFrame(
+                [(s, c, cb[s][c]) for s in sorted(cb) for c in sorted(cb[s])],
+                "s int, c long, cvec array<double>",
+            )
+            qcfg = spark.range(1).select(F.expr(qv_sql).alias("qv"))
+            qdist = (
+                "round(aggregate(sequence(1, 8), cast(0 as double), (acc, i) ->"
+                " acc + (element_at(qv, s * 8 + i) - element_at(cvec, i))"
+                " * (element_at(qv, s * 8 + i) - element_at(cvec, i))), 6)"
+            )
+            return (
+                idx.select(
+                    "vec_id",
+                    F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.posexplode("codes").alias("s", "c"),
+                )
+                .join(F.broadcast(carr), ["s", "c"])
+                .crossJoin(F.broadcast(qcfg))
+                .select("vec_id", "centroid_id", F.expr(qdist).alias("d"))
+                .groupBy("vec_id", "centroid_id")
+                .agg(
+                    F.sum(F.col("d").cast("decimal(25,10)"))
+                    .cast("double")
+                    .alias("adc_dist")
+                )
+                .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+                .limit(k)
+            )
+        if method != "cosine":
+            raise ValueError(f"ann_search: unknown method {method!r}")
         cfg = (
             spark.range(1)
             .select(F.expr(qv_sql).alias("qv"))
             .select("qv", F.expr(norm_expr("qv")).alias("qnorm"))
         )
-        idx = spark.table(index_table).where(F.col("centroid_id").isin(ids))
         return (
             idx.crossJoin(F.broadcast(cfg))
             .select(

@@ -74,6 +74,7 @@ GATE_PRIORITY = [
     "q_pipeline_e2e_neardup",
     "q_ann_ivfpq_trained",
     "q_pq_eval_trained",
+    "q_ann_ivfpq_rerank",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -550,3 +550,49 @@ def test_facade_ann_search_trained_centroids(spark, tmp_path):
     t.build_ann_index("vec", table2, str(tmp_path / "annidxtr2"), centroids=trained)
     got2 = t.ann_search(table2, blob_a, k=2 * per, nprobe=len(trained)).collect()
     assert len(got2) == 2 * per
+
+
+def test_facade_ann_search_adc(spark, sf_dir, tmp_path):
+    """Round-9 facade ADC mode: ann_search(method='adc') must score the
+    STORED codes against the index's codebook and rank identically to
+    the inline pq_adc_expr computation for the same query vector (the
+    facade's decimal-summed ADC equals the expression's rounded double
+    fold because every subspace term is a round-6dp value and the total
+    is a multiple of 1e-6). Unknown methods and no-codes indexes are
+    rejected loudly."""
+    import os
+
+    import pytest
+
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.operators.similarity import (
+        ivf_assign,
+        pq_adc_expr,
+        pq_codes_expr,
+    )
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    table = f"cb_api_adc_{os.getpid()}"
+    emb.build_ann_index("embedding", table, str(tmp_path / "adcidx"))
+
+    qv = [((i * 37) % 101) / 101.0 for i in range(1, 65)]
+    got = emb.ann_search(table, qv, k=40, nprobe=8, method="adc").collect()
+    assert len(got) == 40
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+
+    truth = (
+        ivf_assign(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("codes", F.expr(pq_codes_expr("embedding")))
+        .select("vec_id", F.expr(pq_adc_expr("codes")).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(40)
+        .collect()
+    )
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (r.vec_id, r.adc_dist) for r in truth
+    ]
+
+    with pytest.raises(ValueError, match="unknown method"):
+        emb.ann_search(table, qv, k=5, method="euclid")
