@@ -75,6 +75,7 @@ GATE_PRIORITY = [
     "q_ann_ivfpq_trained",
     "q_pq_eval_trained",
     "q_ann_ivfpq_rerank",
+    "q_ann_index_update_trained",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

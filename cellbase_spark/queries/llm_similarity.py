@@ -2198,3 +2198,139 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "centroid_id", _stored_norm_score().alias("score"))
     )
     return rer.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
+
+
+def _trained_update_sql() -> str:
+    """Oracle for q_ann_index_update_trained: the learned-centroid chain
+    derived from the BASE corpus only (training is frozen at base-build
+    time), the delta batch assigned under those SAME centroids, then the
+    probe over the union's 2 nearest learned lists."""
+    return f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 97 = 3
+),
+a2 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.j AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM corpus e, carr c
+  ) WHERE rk = 1
+),
+qd AS (
+  SELECT c.j,
+         round(list_reduce(list_transform(range(1, 65),
+           i -> (qv[i] - c.cvec[i]) * (qv[i] - c.cvec[i])), (x, y) -> x + y), 6) AS d
+  FROM carr c, cfg
+)
+SELECT vec_id,
+       CASE WHEN vec_id >= 10000000 THEN 'delta' ELSE 'base' END AS gen,
+       CAST(centroid_id AS INTEGER) AS centroid_id,
+       round({_COS_Q}, 6) AS score
+FROM a2, cfg
+WHERE centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT 2)
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+def _ensure_trained_ann_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DELTA generation for the TRAINED index, quantized
+    under the base's FROZEN recorded geometry: the centroids and
+    codebook are read back from the base index's table properties and
+    passed to build_ann_index verbatim — the delta NEVER retrains
+    (retraining per batch would silently shift list boundaries between
+    generations, the exact desync class the round-8 ADVICE flagged on
+    the probe side)."""
+    import json
+
+    from cellbase_spark.operators.similarity import build_ann_index, table_props
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_anndelta_tr")
+    if not spark.catalog.tableExists(t):
+        base_t = _ensure_trained_ann_index(spark, sf_dir)
+        props = table_props(spark, base_t)
+        centroids = {
+            int(j): [float(v) for v in vec]
+            for j, vec in json.loads(props["cellbase.centroids"]).items()
+        }
+        cb = {
+            int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
+            for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
+        }
+        batch = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 97 == 3)
+            .select((F.col("vec_id") + 10000000).alias("vec_id"), "embedding")
+        )
+        build_ann_index(
+            batch, t, scratch_path(sf_dir, "anndelta_tr"),
+            centroids=centroids, pq_codebook=cb,
+        )
+    return t
+
+
+@register(
+    "q_ann_index_update_trained", family="llm-sim", oracle=_trained_update_sql()
+)
+def q_ann_index_update_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under TRAINED geometry (round 9): a new-batch
+    delta generation is quantized with the base index's FROZEN recorded
+    centroids + codebook (read back from its table properties — the
+    delta never retrains), and the probe unions base + delta with the
+    learned-centroid ranking pushed into both scans as the same
+    PartitionFilters IN-list. q_ann_index_update proved the
+    immutable-generation lifecycle for the formula geometry; this key
+    proves the part that only exists once training exists: generation
+    CONSISTENCY. If the delta re-derived its own centroids, the same
+    vector could land in different lists across generations and a
+    pruned probe would silently miss it — the cross-generation analog
+    of the round-8 probe-desync ADVICE.
+
+    Scale shape: delta work is proportional to the batch; the probe
+    scans nprobe lists of each generation; the learned ranking is a
+    config-sized job. Compaction (q_compact_files) remains the periodic
+    repair as generations accumulate."""
+    base = spark.table(_ensure_trained_ann_index(spark, sf_dir))
+    delta = spark.table(_ensure_trained_ann_delta(spark, sf_dir))
+    import json
+
+    from cellbase_spark.operators.similarity import table_props
+
+    props = table_props(spark, _ensure_trained_ann_index(spark, sf_dir))
+    centroids = {
+        int(j): [float(v) for v in vec]
+        for j, vec in json.loads(props["cellbase.centroids"]).items()
+    }
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    probed = base.unionByName(delta).where(F.col("centroid_id").isin(ids))
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") >= 10000000, F.lit("delta"))
+            .otherwise(F.lit("base"))
+            .alias("gen"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
