@@ -302,29 +302,33 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    runs_rerun: dict[str, list[float]] = {}
 
-    def battery() -> None:
+    def battery(dest: dict[str, list[float]]) -> None:
         """Time every selected key, merging per-key MIN into timings
-        (so a contended-pass rerun can only improve a key's figure)."""
+        (so a contended-pass rerun can only improve a key's figure);
+        raw samples land in `dest`, kept separate per pass so a
+        variance-judging consumer never mixes contended pass-1 samples
+        with clean pass-2 ones."""
         for name in names:
             fn = qs[name]
             try:
                 ts = run_steady_state(fn, spark, SF_DIR)
-                runs.setdefault(name, []).extend(round(t, 4) for t in ts)
+                dest.setdefault(name, []).extend(round(t, 4) for t in ts)
                 best = round(min(ts), 4)
                 prev = timings.get(name)
                 timings[name] = best if prev is None or prev < 0 else min(prev, best)
             except Exception as exc:  # never let one query kill the bench
                 print(f"bench error {name}: {exc!r}", file=sys.stderr)
                 timings.setdefault(name, -1.0)
-                runs.setdefault(name, [])
+                dest.setdefault(name, [])
 
     guard: dict = {
         "micro_ref_sec": MICRO_REF_SEC,
         "loadavg_start": [round(v, 2) for v in os.getloadavg()],
         "micro_start_sec": round(micro_op_sec(spark), 4),
     }
-    battery()
+    battery(runs)
     guard["micro_end_sec"] = round(micro_op_sec(spark), 4)
     contended = _is_contended(guard["micro_start_sec"], guard["micro_end_sec"])
     guard["reran"] = False
@@ -332,13 +336,12 @@ def main() -> None:
         print("bench: contention detected, re-running battery once", file=sys.stderr)
         guard["reran"] = True
         guard["micro_rerun_start_sec"] = round(micro_op_sec(spark), 4)
-        battery()
+        battery(runs_rerun)
         guard["micro_rerun_end_sec"] = round(micro_op_sec(spark), 4)
         contended = _is_contended(
             guard["micro_rerun_start_sec"], guard["micro_rerun_end_sec"]
         )
     guard["contended"] = contended
-    guard["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
     try:
         streaming = measure_streaming(spark, SF_DIR)
     except Exception as exc:
@@ -349,6 +352,13 @@ def main() -> None:
     except Exception as exc:
         print(f"bench error streaming_sustained: {exc!r}", file=sys.stderr)
         streaming_sustained = {"error": str(exc)[:120]}
+    # close the guard bracket AFTER the streaming measurements too —
+    # otherwise the streaming ladder stays phantom-regression territory
+    # (a box that loads up during the sustained run would read as a
+    # streaming code regression with a clean guard)
+    guard["micro_post_streaming_sec"] = round(micro_op_sec(spark), 4)
+    guard["streaming_contended"] = _is_contended(guard["micro_post_streaming_sec"])
+    guard["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
     headline = {n: t for n, t in timings.items() if n in HEADLINE}
     total = round(sum(t for t in headline.values() if t >= 0), 4)
     result = {
@@ -366,6 +376,8 @@ def main() -> None:
     full = dict(
         result, queries=timings, runs=runs, metric="sum_headline_steady_state_sec_full"
     )
+    if runs_rerun:
+        full["runs_rerun"] = runs_rerun
     try:
         with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)

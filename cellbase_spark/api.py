@@ -170,6 +170,7 @@ class CellTable:
         n_centroids: int = 8,
         n_planes: int = 8,
         centroids: dict[int, list[float]] | None = None,
+        pq_codebook: dict[int, dict[int, list[float]]] | None = None,
     ) -> None:
         """Persist this table's ANN index: every vector coarse-quantized
         once (IVF centroid + LSH bucket) into ONE catalog table
@@ -182,7 +183,11 @@ class CellTable:
         `centroids` switches the IVF lists from the formula seeds to a
         LEARNED centroid table (train_ivf_centroids) — the geometry is
         recorded with the index and `ann_search` ranks against it, so
-        the served probe opens the same lists the build populated."""
+        the served probe opens the same lists the build populated.
+        `pq_codebook` likewise switches the stored codes tier to a
+        LEARNED codebook (train_pq_codebook), served by
+        `ann_search(method='adc')` — the facade builds everything it
+        can serve."""
         from pyspark.sql import functions as F
 
         from cellbase_spark.operators.similarity import build_ann_index
@@ -197,6 +202,7 @@ class CellTable:
             n_centroids=n_centroids,
             n_planes=n_planes,
             centroids=centroids,
+            pq_codebook=pq_codebook,
         )
 
     def ann_search(
@@ -243,17 +249,19 @@ class CellTable:
 
         Static method on the table only for namespacing: the search
         touches the index, never this table's rows."""
-        import json
-
         from pyspark.sql import functions as F
 
         from cellbase_spark.operators.similarity import (
+            decode_index_props,
             dot_expr,
+            formula_pq_codebook,
             norm_expr,
             table_props,
         )
         from cellbase_spark.queries.llm_similarity import _query_probe_centroids
 
+        if method not in ("cosine", "adc"):
+            raise ValueError(f"ann_search: unknown method {method!r}")
         spark = self.df.sparkSession
         props = table_props(spark, index_table)
         n_centroids = int(props.get("cellbase.n_centroids", 8))
@@ -263,12 +271,12 @@ class CellTable:
                 f"ann_search: query vector has {len(query_vec)} dims but "
                 f"index {index_table!r} was built over {dim} dims"
             )
-        centroids = None
-        if "cellbase.centroids" in props:
-            centroids = {
-                int(j): [float(v) for v in vec]
-                for j, vec in json.loads(props["cellbase.centroids"]).items()
-            }
+        if method == "adc" and dim != 64:
+            raise ValueError(
+                f"ann_search(method='adc'): index {index_table!r} has no "
+                f"codes tier (dim={dim}; the PQ codebook is 64-dim-tied)"
+            )
+        centroids, recorded_cb = decode_index_props(props)
         qv_sql = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in query_vec) + ")"
         ids = _query_probe_centroids(
             spark,
@@ -280,24 +288,7 @@ class CellTable:
         )
         idx = spark.table(index_table).where(F.col("centroid_id").isin(ids))
         if method == "adc":
-            if dim != 64:
-                raise ValueError(
-                    f"ann_search(method='adc'): index {index_table!r} has no "
-                    f"codes tier (dim={dim}; the PQ codebook is 64-dim-tied)"
-                )
-            if "cellbase.pq_codebook" in props:
-                cb = {
-                    int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
-                    for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
-                }
-            else:  # formula codebook: cent[c][g] = ((c*13 + g*7) % 29) / 29
-                cb = {
-                    s: {
-                        c: [((c * 13 + (s * 8 + i) * 7) % 29) / 29.0 for i in range(1, 9)]
-                        for c in range(16)
-                    }
-                    for s in range(8)
-                }
+            cb = recorded_cb if recorded_cb is not None else formula_pq_codebook()
             carr = spark.createDataFrame(
                 [(s, c, cb[s][c]) for s in sorted(cb) for c in sorted(cb[s])],
                 "s int, c long, cvec array<double>",
@@ -326,8 +317,6 @@ class CellTable:
                 .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
                 .limit(k)
             )
-        if method != "cosine":
-            raise ValueError(f"ann_search: unknown method {method!r}")
         cfg = (
             spark.range(1)
             .select(F.expr(qv_sql).alias("qv"))

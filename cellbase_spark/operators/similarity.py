@@ -592,6 +592,13 @@ def build_ann_index(
     if first is None:
         raise ValueError("build_ann_index: embeddings table is empty")
     dim = int(first.d)
+    if pq_codebook is not None and dim != 64:
+        # the codes column is NULL for non-64-dim vectors; recording a
+        # codebook the index cannot carry would make the artifact
+        # self-describe a codes tier it doesn't have
+        raise ValueError(
+            f"build_ann_index: pq_codebook requires 64-dim vectors (got dim={dim})"
+        )
     if centroids is not None:
         n_centroids = len(centroids)
     idx = (
@@ -767,6 +774,46 @@ def pq_encode_arrow(
             yield pdf.assign(codes=list(codes))
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def formula_pq_codebook(m: int = 8, sub: int = 8, ks: int = 16) -> dict[int, dict[int, list[float]]]:
+    """The deterministic formula codebook as a Python dict — the SAME
+    cent[c][g] = ((c*13 + g*7) % 29) / 29 family pq_dls_expr and the
+    pq_encode_arrow kernel derive (integer ops + one double division,
+    so the values are bit-identical in any engine or host language).
+    One definition for every driver-side consumer (api.ann_search's ADC
+    fallback) — the formula must never fork across layers."""
+    return {
+        s: {
+            c: [((c * 13 + (s * sub + i) * 7) % 29) / 29.0 for i in range(1, sub + 1)]
+            for c in range(ks)
+        }
+        for s in range(m)
+    }
+
+
+def decode_index_props(
+    props: dict[str, str],
+) -> tuple[dict[int, list[float]] | None, dict[int, dict[int, list[float]]] | None]:
+    """Decode a persisted index's learned geometries from its table
+    properties: (centroids, pq_codebook), either None when the index
+    was built from the formula seeds. JSON floats round-trip exactly
+    through repr, so the decoded values are the built values."""
+    import json
+
+    centroids = None
+    if "cellbase.centroids" in props:
+        centroids = {
+            int(j): [float(v) for v in vec]
+            for j, vec in json.loads(props["cellbase.centroids"]).items()
+        }
+    codebook = None
+    if "cellbase.pq_codebook" in props:
+        codebook = {
+            int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
+            for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
+        }
+    return centroids, codebook
 
 
 def train_pq_codebook(

@@ -1942,45 +1942,20 @@ def q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 of 8 lists reading vec_id+codes only; the codebook join is a
     broadcast of a <=128-row config relation; the ADC agg exchanges
     only (candidates x 8) rows. Nothing grows with corpus size but the
-    pruned scan."""
-    import json
+    pruned scan.
 
-    from cellbase_spark.operators.similarity import table_props
+    Served through the REAL user path — api.CellTable.ann_search
+    (method='adc') — so the hash gate pins exactly the code a
+    deployment calls: geometry decode, learned probe ranking, codebook
+    broadcast and decimal ADC live ONCE in the facade/operator layer
+    (round-9 review: three inline copies collapsed to one)."""
+    from cellbase_spark.api import CellTable
 
+    e = load_table(spark, sf_dir, "embeddings")
     t = _ensure_trained_ann_index(spark, sf_dir)
-    props = table_props(spark, t)
-    centroids = {
-        int(j): [float(v) for v in vec]
-        for j, vec in json.loads(props["cellbase.centroids"]).items()
-    }
-    codebook = {
-        int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
-        for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
-    }
-    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
-    carr = spark.createDataFrame(
-        [(s, c, codebook[s][c]) for s in sorted(codebook) for c in sorted(codebook[s])],
-        "s int, c long, cvec array<double>",
-    )
-    qdist = (
-        "round(aggregate(sequence(1, 8), cast(0 as double), (acc, i) ->"
-        " acc + ((((s * 8 + i) * 37) % 101) / cast(101 as double) - element_at(cvec, i))"
-        " * ((((s * 8 + i) * 37) % 101) / cast(101 as double) - element_at(cvec, i))), 6)"
-    )
-    idx = spark.table(t).where(F.col("centroid_id").isin(ids))
-    exp = idx.select(
-        "vec_id",
-        F.col("centroid_id").cast("int").alias("centroid_id"),
-        F.posexplode("codes").alias("s", "c"),
-    )
-    return (
-        exp.join(F.broadcast(carr), ["s", "c"])
-        .select("vec_id", "centroid_id", F.expr(qdist).alias("d"))
-        .groupBy("vec_id", "centroid_id")
-        .agg(F.sum(F.col("d").cast("decimal(25,10)")).cast("double").alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(20)
-    )
+    ct = CellTable(e, "embeddings", key_col="vec_id")
+    qv = [((i * 37) % 101) / 101.0 for i in range(1, 65)]
+    return ct.ann_search(t, qv, k=20, nprobe=2, method="adc")
 
 
 def _pq_eval_trained_sql() -> str:
@@ -2258,23 +2233,17 @@ def _ensure_trained_ann_delta(spark: SparkSession, sf_dir: str) -> str:
     (retraining per batch would silently shift list boundaries between
     generations, the exact desync class the round-8 ADVICE flagged on
     the probe side)."""
-    import json
-
-    from cellbase_spark.operators.similarity import build_ann_index, table_props
+    from cellbase_spark.operators.similarity import (
+        build_ann_index,
+        decode_index_props,
+        table_props,
+    )
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_anndelta_tr")
     if not spark.catalog.tableExists(t):
         base_t = _ensure_trained_ann_index(spark, sf_dir)
-        props = table_props(spark, base_t)
-        centroids = {
-            int(j): [float(v) for v in vec]
-            for j, vec in json.loads(props["cellbase.centroids"]).items()
-        }
-        cb = {
-            int(s): {int(c): [float(v) for v in vec] for c, vec in cs.items()}
-            for s, cs in json.loads(props["cellbase.pq_codebook"]).items()
-        }
+        centroids, cb = decode_index_props(table_props(spark, base_t))
         batch = (
             load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") % 97 == 3)
@@ -2308,17 +2277,12 @@ def q_ann_index_update_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans nprobe lists of each generation; the learned ranking is a
     config-sized job. Compaction (q_compact_files) remains the periodic
     repair as generations accumulate."""
-    base = spark.table(_ensure_trained_ann_index(spark, sf_dir))
+    from cellbase_spark.operators.similarity import decode_index_props, table_props
+
+    base_t = _ensure_trained_ann_index(spark, sf_dir)
+    base = spark.table(base_t)
     delta = spark.table(_ensure_trained_ann_delta(spark, sf_dir))
-    import json
-
-    from cellbase_spark.operators.similarity import table_props
-
-    props = table_props(spark, _ensure_trained_ann_index(spark, sf_dir))
-    centroids = {
-        int(j): [float(v) for v in vec]
-        for j, vec in json.loads(props["cellbase.centroids"]).items()
-    }
+    centroids, _ = decode_index_props(table_props(spark, base_t))
     ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
     probed = base.unionByName(delta).where(F.col("centroid_id").isin(ids))
     return (

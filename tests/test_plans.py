@@ -908,6 +908,20 @@ def test_pipeline_e2e_neardup_gate_below_all_shuffles(spark, sf_dir):
         m = re.match(r"^([\s:+\-|]*)(\*\s*)?([A-Za-z].*)$", ln)
         if m:
             nodes.append((len(m.group(1)), m.group(3)))
+
+    def _is_gate_filter(name: str) -> bool:
+        """True only for the QUALITY-GATE Filter: resolve the tree
+        node's id to its detail block and require the gate predicate
+        itself (a pushed isnotnull/rn filter must NOT satisfy the pin —
+        the round-9 review's false-pass hole)."""
+        mid = re.search(r"\((\d+)\)", name)
+        if not mid:
+            return False
+        blk = re.search(
+            rf"^\({mid.group(1)}\) Filter.*?(?=\n\(\d+\)|\Z)", plan, re.S | re.M
+        )
+        return blk is not None and "size(split(text" in blk.group(0)
+
     scans = 0
     stack: list[tuple[int, str]] = []
     for depth, name in nodes:
@@ -918,11 +932,13 @@ def test_pipeline_e2e_neardup_gate_below_all_shuffles(spark, sf_dir):
             filt_i = exch_i = None
             for i in range(len(stack) - 1, -1, -1):
                 head = stack[i][1].split(" ")[0]
-                if filt_i is None and head == "Filter":
+                if filt_i is None and head == "Filter" and _is_gate_filter(stack[i][1]):
                     filt_i = i
                 if exch_i is None and head.endswith("Exchange"):
                     exch_i = i
-            assert filt_i is not None, f"scan #{scans} has no Filter above it:\n{plan}"
+            assert filt_i is not None, (
+                f"scan #{scans} has no quality-GATE Filter above it:\n{plan}"
+            )
             assert exch_i is None or filt_i > exch_i, (
                 f"scan #{scans}: nearest Exchange (stack {exch_i}) is below the "
                 f"gate Filter (stack {filt_i}) — the shuffle carries unfiltered rows"
