@@ -76,6 +76,7 @@ GATE_PRIORITY = [
     "q_pq_eval_trained",
     "q_ann_ivfpq_rerank",
     "q_ann_index_update_trained",
+    "q_mix_temperature",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

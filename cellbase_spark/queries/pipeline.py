@@ -735,3 +735,64 @@ _REG["q_pipeline_e2e"] = _dc.replace(
 _REG["q_pipeline_e2e_neardup"] = _dc.replace(
     _REG["q_pipeline_e2e_neardup"], oracle=_pipeline_e2e_neardup_oracle()
 )
+
+
+@register(
+    "q_mix_temperature",
+    family="pipeline",
+    oracle="""
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c
+), j AS (
+  SELECT source, n, CAST(n AS DOUBLE) / total AS share,
+         round(pow(CAST(n AS DOUBLE) / total, 0.3), 6) AS pa
+  FROM c, t
+), z AS (
+  SELECT CAST(SUM(CAST(pa AS DECIMAL(28,6))) AS DOUBLE) AS zz FROM j
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       round(share, 6) AS share,
+       round(pa / zz, 6) AS temp_weight,
+       round(round(pa / zz, 6) / round(share, 6), 6) AS boost
+FROM j, z
+""",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (round 9): the standard
+    multilingual-pretraining smoothing — sample source s with
+    probability q_s ∝ p_s^alpha (alpha = 0.3, the mT5/XLM-R setting)
+    instead of its natural share p_s, flattening the head and boosting
+    the tail; `boost` = q_s / p_s is the per-source up/downsampling
+    factor a pipeline feeds into q_mix_reweight-style row selection.
+    Complements q_mix_reweight (which hits GIVEN weights): this key
+    DERIVES the weights from corpus statistics.
+
+    Cross-engine exactness: pow is the one libm call — rounded at 6dp
+    (the registry's ln-rounding rule, q_tfidf precedent); the
+    normalizer is an order-free DECIMAL sum of the rounded values;
+    every downstream ratio is computed from already-rounded inputs.
+
+    Scale shape: one source-keyed count agg (map-side combined), then
+    config-sized arithmetic over a per-source relation (sources are
+    bounded, never rows) with two 1-row broadcasts. Nothing but the
+    count scan touches the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").cast("double").alias("total"))
+    j = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_docs") / F.col("total"))
+        .withColumn("pa", F.round(F.pow("share", F.lit(0.3)), 6))
+    )
+    z = j.agg(F.sum(F.col("pa").cast("decimal(28,6)")).cast("double").alias("zz"))
+    return j.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("share"), 6).alias("share"),
+        F.round(F.col("pa") / F.col("zz"), 6).alias("temp_weight"),
+        F.round(
+            F.round(F.col("pa") / F.col("zz"), 6) / F.round(F.col("share"), 6), 6
+        ).alias("boost"),
+    )

@@ -27,3 +27,25 @@ def test_flagship_groups(spark, sf_dir):
     # correlation (A/R ship old = F, N mostly O) but at minimum >=3 groups
     assert len(rows) >= 3
     assert all(rf in "ANR" and ls in "FO" for rf, ls in rows)
+
+
+def test_bench_contention_guard_logic():
+    """The bench guard's pure logic (no Spark): the contended predicate
+    trips only past ref*factor, and the battery min-merge can only
+    improve a key's figure across a rerun (errors replaced, never
+    propagated as min(-1, t))."""
+    import bench
+
+    thr = bench.MICRO_REF_SEC * bench.MICRO_CONTENDED_FACTOR
+    assert not bench._is_contended(thr * 0.99)
+    assert bench._is_contended(thr * 1.01)
+    assert bench._is_contended(0.01, thr * 1.01)  # either sample trips
+
+    # min-merge semantics mirrored from battery(): prev error -> replace
+    timings = {}
+    for prev, best, want in [(None, 1.0, 1.0), (1.0, 0.5, 0.5),
+                             (0.5, 0.9, 0.5), (-1.0, 0.7, 0.7)]:
+        timings["k"] = prev
+        p = timings.get("k")
+        timings["k"] = best if p is None or p < 0 else min(p, best)
+        assert timings["k"] == want
