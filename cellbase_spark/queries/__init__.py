@@ -77,6 +77,7 @@ GATE_PRIORITY = [
     "q_ann_ivfpq_rerank",
     "q_ann_index_update_trained",
     "q_mix_temperature",
+    "q_stream_run_ann_trained",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

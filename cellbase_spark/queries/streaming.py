@@ -1072,3 +1072,156 @@ def q_stream_run_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(results_dir).select(
         "query_id", "vec_id", "centroid_id", "score", "rk"
     )
+
+
+def _ann_stream_trained_oracle() -> str:
+    """Learned-geometry rewrite of _BATCH_PROBE_ORACLE: the corpus AND
+    the query batch are both assigned under the Lloyd-updated centroids
+    (a1→cent→carr re-derived from the data), mirroring the frozen
+    recorded geometry the streamed probe quantizes against."""
+    from cellbase_spark.queries.llm_similarity import (
+        _ARGMIN_STRUCT_DUCK,
+        _D2_LEARNED_DUCK,
+        _dot,
+    )
+
+    return f"""
+WITH a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+asg AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.j AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM a1 e, carr c
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id AS qc
+  FROM asg WHERE vec_id < 32
+)
+SELECT query_id, vec_id, centroid_id, score, rk FROM (
+  SELECT q.query_id, a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+         round({_dot('a.embedding', 'q.qv')}
+               / (sqrt({_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_dot('q.qv', 'q.qv')})), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_dot('a.embedding', 'q.qv')}
+                          / (sqrt({_dot('a.embedding', 'a.embedding')})
+                             * sqrt({_dot('q.qv', 'q.qv')})), 6) DESC,
+                    a.vec_id ASC) AS rk
+  FROM asg a JOIN q ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+) WHERE rk <= 5
+"""
+
+
+@register(
+    "q_stream_run_ann_trained", family="stream", oracle=_ann_stream_trained_oracle()
+)
+def q_stream_run_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-geometry ANN serving, genuinely streamed (round 9): the
+    q_stream_run_ann pipeline pointed at the TRAINED persisted index —
+    each micro-batch of query vectors is quantized under the index's
+    FROZEN recorded centroids (decode_index_props, read once on the
+    driver before the stream starts), broadcast, equi-joined on the
+    learned centroid partition key, ranked top-5, and idempotently
+    written per batch_id. The online-serving consistency rule this key
+    pins: the STREAM-side quantizer must use the same learned geometry
+    the lists were built with — a formula-seed quantizer against
+    trained lists would open the wrong directories for every query
+    batch (the round-8 ADVICE desync, now closed across batch, delta
+    AND streaming tiers).
+
+    Scale shape identical to q_stream_run_ann: per-batch cost is
+    (batch x probed-list) rows; the static trained index is never
+    rescanned in full; exactly-once via batch_id-keyed overwrite."""
+    from pyspark.sql.window import Window as W
+
+    from cellbase_spark.operators.similarity import (
+        decode_index_props,
+        ivf_assign,
+        norm_expr,
+        table_props,
+    )
+    from cellbase_spark.queries.llm_similarity import (
+        _ensure_trained_ann_index,
+        _stored_norm_score,
+    )
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    t = _ensure_trained_ann_index(spark, sf_dir)
+    centroids, _ = decode_index_props(table_props(spark, t))
+    qfile = _stage_query_vectors(spark, sf_dir)
+    results_dir = tempfile.mkdtemp(prefix="cb_stream_ann_tr_") + "/out"
+
+    stream = (
+        spark.readStream.format("cellbase_replay")
+        .schema("vec_id long, embedding array<float>")
+        .option("path", qfile)
+        .option("batches", "4")
+        .load()
+    )
+
+    def probe(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        q = (
+            ivf_assign(
+                batch_df.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                ),
+                vec_col="qv",
+                centroids=centroids,
+            )
+            .withColumnRenamed("centroid_id", "qc")
+            .withColumn("qnorm", F.expr(norm_expr("qv")))
+        )
+        idx = s.table(t)
+        cand = idx.join(
+            F.broadcast(q),
+            (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),
+        ).select(
+            "query_id",
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .write.mode("overwrite")
+            .parquet(f"{results_dir}/batch_id={int(batch_id)}")
+        )
+
+    name = "cb_stream_ann_trained"
+    for qq in spark.streams.active:
+        if qq.name == name:
+            qq.stop()
+    qq = (
+        stream.writeStream.foreachBatch(probe)
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        qq.processAllAvailable()
+    finally:
+        qq.stop()
+    return spark.read.parquet(results_dir).select(
+        "query_id", "vec_id", "centroid_id", "score", "rk"
+    )
