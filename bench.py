@@ -105,6 +105,13 @@ def _is_contended(*micro_secs: float) -> bool:
     return any(m > thr for m in micro_secs)
 
 
+def _merge_timing(prev: float | None, best: float) -> float:
+    """Per-key min-merge across battery passes: a rerun can only improve
+    a key's figure, and a prior error sentinel (-1) is REPLACED, never
+    propagated through min()."""
+    return best if prev is None or prev < 0 else min(prev, best)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -315,9 +322,7 @@ def main() -> None:
             try:
                 ts = run_steady_state(fn, spark, SF_DIR)
                 dest.setdefault(name, []).extend(round(t, 4) for t in ts)
-                best = round(min(ts), 4)
-                prev = timings.get(name)
-                timings[name] = best if prev is None or prev < 0 else min(prev, best)
+                timings[name] = _merge_timing(timings.get(name), round(min(ts), 4))
             except Exception as exc:  # never let one query kill the bench
                 print(f"bench error {name}: {exc!r}", file=sys.stderr)
                 timings.setdefault(name, -1.0)

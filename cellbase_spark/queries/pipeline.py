@@ -755,7 +755,7 @@ WITH c AS (
 SELECT source, CAST(n AS BIGINT) AS n_docs,
        round(share, 6) AS share,
        round(pa / zz, 6) AS temp_weight,
-       round(round(pa / zz, 6) / round(share, 6), 6) AS boost
+       round(round(pa / zz, 6) / share, 6) AS boost
 FROM j, z
 """,
 )
@@ -778,21 +778,33 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     config-sized arithmetic over a per-source relation (sources are
     bounded, never rows) with two 1-row broadcasts. Nothing but the
     count scan touches the corpus."""
+    from pyspark.sql import Window
+
+    # ONE corpus scan: the count agg, then global-window arithmetic over
+    # the per-source relation (sources are bounded, so the single-
+    # partition window holds config-sized rows — the crossJoin'd
+    # multi-agg form re-instantiated the corpus scan per subtree).
+    # boost divides by the RAW share (exact double division, identical
+    # both engines): a sub-5e-7 share rounds to 0 at 6dp and a rounded
+    # divisor would split NULL (Spark) vs inf (DuckDB) on a 1-doc
+    # source in a >2M-doc corpus (round-9 review).
+    w = Window.partitionBy()
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = c.agg(F.sum("n_docs").cast("double").alias("total"))
     j = (
-        c.crossJoin(F.broadcast(tot))
+        c.withColumn("total", F.sum("n_docs").over(w).cast("double"))
         .withColumn("share", F.col("n_docs") / F.col("total"))
         .withColumn("pa", F.round(F.pow("share", F.lit(0.3)), 6))
+        .withColumn(
+            "zz", F.sum(F.col("pa").cast("decimal(28,6)")).over(w).cast("double")
+        )
     )
-    z = j.agg(F.sum(F.col("pa").cast("decimal(28,6)")).cast("double").alias("zz"))
-    return j.crossJoin(F.broadcast(z)).select(
+    return j.select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round(F.col("share"), 6).alias("share"),
         F.round(F.col("pa") / F.col("zz"), 6).alias("temp_weight"),
         F.round(
-            F.round(F.col("pa") / F.col("zz"), 6) / F.round(F.col("share"), 6), 6
+            F.round(F.col("pa") / F.col("zz"), 6) / F.col("share"), 6
         ).alias("boost"),
     )

@@ -969,6 +969,95 @@ def _stage_query_vectors(spark: SparkSession, sf_dir: str) -> str:
     return _glob.glob(os.path.join(out, "*.parquet"))[0]
 
 
+
+def _run_ann_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str,
+    name: str,
+    tmp_prefix: str,
+    centroids: dict | None = None,
+) -> DataFrame:
+    """The shared streamed-ANN serving loop behind q_stream_run_ann and
+    q_stream_run_ann_trained (one copy, so sink/lifecycle fixes land
+    once): replay the 32 staged query vectors in 4 micro-batches; per
+    batch, quantize inline (formula seeds, or the LEARNED `centroids` —
+    the trained key decodes them from the index's recorded properties),
+    broadcast, equi-join on the centroid partition key, rank per-query
+    cosine top-5, and OVERWRITE the batch_id-keyed directory (idempotent
+    under micro-batch retry)."""
+    from pyspark.sql.window import Window as W
+
+    from cellbase_spark.operators.similarity import ivf_assign, norm_expr
+    from cellbase_spark.queries.llm_similarity import _stored_norm_score
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    qfile = _stage_query_vectors(spark, sf_dir)
+    results_dir = tempfile.mkdtemp(prefix=tmp_prefix) + "/out"
+
+    stream = (
+        spark.readStream.format("cellbase_replay")
+        .schema("vec_id long, embedding array<float>")
+        .option("path", qfile)
+        .option("batches", "4")
+        .load()
+    )
+
+    def probe(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        q = (
+            ivf_assign(
+                batch_df.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                ),
+                vec_col="qv",
+                centroids=centroids,
+            )
+            .withColumnRenamed("centroid_id", "qc")
+            .withColumn("qnorm", F.expr(norm_expr("qv")))
+        )
+        idx = s.table(index_table)
+        cand = idx.join(
+            F.broadcast(q),
+            (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),
+        ).select(
+            "query_id",
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        # batch_id-keyed overwrite = idempotent under micro-batch retry:
+        # a replayed batch rewrites its directory, never duplicates it
+        (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .write.mode("overwrite")
+            .parquet(f"{results_dir}/batch_id={int(batch_id)}")
+        )
+
+    for qq in spark.streams.active:
+        if qq.name == name:
+            qq.stop()
+    qq = (
+        stream.writeStream.foreachBatch(probe)
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        qq.processAllAvailable()
+    finally:
+        qq.stop()
+    return spark.read.parquet(results_dir).select(
+        "query_id", "vec_id", "centroid_id", "score", "rk"
+    )
+
+
 def _ann_stream_oracle() -> str:
     from cellbase_spark.queries.llm_similarity import _BATCH_PROBE_ORACLE
 
@@ -996,81 +1085,11 @@ def q_stream_run_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: identical to q_ann_batch_probe (the one-shot batch form) —
     streaming the same 32 queries through 4 batches must change nothing.
     """
-    import glob as _glob
+    from cellbase_spark.queries.llm_similarity import _ann_index_table
 
-    from pyspark.sql.window import Window as W
-
-    from cellbase_spark.operators.similarity import ivf_assign, norm_expr
-    from cellbase_spark.queries.llm_similarity import (
-        _ann_index_table,
-        _stored_norm_score,
-    )
-    from cellbase_spark.sources.pyds import register as register_pyds
-
-    register_pyds(spark)
     t = _ann_index_table(spark, sf_dir)
-    qfile = _stage_query_vectors(spark, sf_dir)
-    results_dir = tempfile.mkdtemp(prefix="cb_stream_ann_") + "/out"
-
-    stream = (
-        spark.readStream.format("cellbase_replay")
-        .schema("vec_id long, embedding array<float>")
-        .option("path", qfile)
-        .option("batches", "4")
-        .load()
-    )
-
-    def probe(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        q = (
-            ivf_assign(
-                batch_df.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qv"),
-                ),
-                vec_col="qv",
-            )
-            .withColumnRenamed("centroid_id", "qc")
-            .withColumn("qnorm", F.expr(norm_expr("qv")))
-        )
-        idx = s.table(t)
-        cand = idx.join(
-            F.broadcast(q),
-            (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),
-        ).select(
-            "query_id",
-            "vec_id",
-            F.col("centroid_id").cast("int").alias("centroid_id"),
-            _stored_norm_score().alias("score"),
-        )
-        w = W.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("vec_id").asc()
-        )
-        # batch_id-keyed overwrite = idempotent under micro-batch retry:
-        # a replayed batch rewrites its directory, never duplicates it
-        (
-            cand.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 5)
-            .write.mode("overwrite")
-            .parquet(f"{results_dir}/batch_id={int(batch_id)}")
-        )
-
-    name = "cb_stream_ann"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    q = (
-        stream.writeStream.foreachBatch(probe)
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.read.parquet(results_dir).select(
-        "query_id", "vec_id", "centroid_id", "score", "rk"
+    return _run_ann_stream(
+        spark, sf_dir, t, name="cb_stream_ann", tmp_prefix="cb_stream_ann_"
     )
 
 
@@ -1146,82 +1165,21 @@ def q_stream_run_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape identical to q_stream_run_ann: per-batch cost is
     (batch x probed-list) rows; the static trained index is never
     rescanned in full; exactly-once via batch_id-keyed overwrite."""
-    from pyspark.sql.window import Window as W
+    from cellbase_spark.operators.similarity import decode_index_props, table_props
+    from cellbase_spark.queries.llm_similarity import _ensure_trained_ann_index
 
-    from cellbase_spark.operators.similarity import (
-        decode_index_props,
-        ivf_assign,
-        norm_expr,
-        table_props,
-    )
-    from cellbase_spark.queries.llm_similarity import (
-        _ensure_trained_ann_index,
-        _stored_norm_score,
-    )
-    from cellbase_spark.sources.pyds import register as register_pyds
-
-    register_pyds(spark)
     t = _ensure_trained_ann_index(spark, sf_dir)
     centroids, _ = decode_index_props(table_props(spark, t))
-    qfile = _stage_query_vectors(spark, sf_dir)
-    results_dir = tempfile.mkdtemp(prefix="cb_stream_ann_tr_") + "/out"
-
-    stream = (
-        spark.readStream.format("cellbase_replay")
-        .schema("vec_id long, embedding array<float>")
-        .option("path", qfile)
-        .option("batches", "4")
-        .load()
-    )
-
-    def probe(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        q = (
-            ivf_assign(
-                batch_df.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qv"),
-                ),
-                vec_col="qv",
-                centroids=centroids,
-            )
-            .withColumnRenamed("centroid_id", "qc")
-            .withColumn("qnorm", F.expr(norm_expr("qv")))
+    if centroids is None:
+        # a half-built index (crash between saveAsTable and the
+        # properties ALTER) must fail LOUDLY: quantizing query batches
+        # under the formula-seed fallback against trained lists is the
+        # silent desync this key exists to prevent (round-9 review)
+        raise ValueError(
+            f"trained index {t!r} has no recorded cellbase.centroids — "
+            "rebuild it; refusing to quantize against formula seeds"
         )
-        idx = s.table(t)
-        cand = idx.join(
-            F.broadcast(q),
-            (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),
-        ).select(
-            "query_id",
-            "vec_id",
-            F.col("centroid_id").cast("int").alias("centroid_id"),
-            _stored_norm_score().alias("score"),
-        )
-        w = W.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("vec_id").asc()
-        )
-        (
-            cand.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 5)
-            .write.mode("overwrite")
-            .parquet(f"{results_dir}/batch_id={int(batch_id)}")
-        )
-
-    name = "cb_stream_ann_trained"
-    for qq in spark.streams.active:
-        if qq.name == name:
-            qq.stop()
-    qq = (
-        stream.writeStream.foreachBatch(probe)
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        qq.processAllAvailable()
-    finally:
-        qq.stop()
-    return spark.read.parquet(results_dir).select(
-        "query_id", "vec_id", "centroid_id", "score", "rk"
+    return _run_ann_stream(
+        spark, sf_dir, t, name="cb_stream_ann_trained",
+        tmp_prefix="cb_stream_ann_tr_", centroids=centroids,
     )

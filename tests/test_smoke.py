@@ -41,11 +41,7 @@ def test_bench_contention_guard_logic():
     assert bench._is_contended(thr * 1.01)
     assert bench._is_contended(0.01, thr * 1.01)  # either sample trips
 
-    # min-merge semantics mirrored from battery(): prev error -> replace
-    timings = {}
+    # min-merge semantics: the REAL bench helper, not an in-test copy
     for prev, best, want in [(None, 1.0, 1.0), (1.0, 0.5, 0.5),
                              (0.5, 0.9, 0.5), (-1.0, 0.7, 0.7)]:
-        timings["k"] = prev
-        p = timings.get("k")
-        timings["k"] = best if p is None or p < 0 else min(p, best)
-        assert timings["k"] == want
+        assert bench._merge_timing(prev, best) == want
