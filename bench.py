@@ -20,11 +20,14 @@ noise floor). Per-key run lists land in BENCH_FULL.json ("runs") so any
 consumer can judge variance; session startup is excluded. `value` is the
 sum of per-query steady-state seconds over the headline set.
 
-Contention guard (round 9): a fixed CPU-bound micro-op is timed before
-and after the battery (plus loadavg) and recorded under "guard"; if it
-leaves its idle band the battery reruns once and the artifact is marked
-"contended"/"reran" — a loaded box self-identifies in the record instead
-of reading as a code regression (two prior rounds carried phantoms).
+Contention guard v2 (round 10): TWO fixed micro-ops — CPU-bound
+range-sum AND a shuffle-shaped repartition+agg — bracket the battery
+(plus loadavg) and land under "guard"; if EITHER leaves its calibrated
+per-host idle band (.bench_ref.json rolling min) the battery reruns once
+and the artifact is marked "contended"/"reran" — a loaded box
+self-identifies in the record instead of reading as a code regression
+(three prior rounds carried phantoms; r9's was shuffle-side and the
+CPU-only guard missed it).
 """
 
 from __future__ import annotations
@@ -71,23 +74,75 @@ HEADLINE = [
 ]
 
 
-# Contention guard (round-9: two consecutive driver artifacts carried
-# phantom regressions — r7 whole-run, r8 one key — that idle-box re-runs
-# could not reproduce). Every bench run times a FIXED reference micro-op
-# (codegen'd range-sum, CPU-bound, parallel over all cores) before and
-# after the battery and records it plus os.getloadavg() in the artifact:
-# a contended box slows the micro-op the same way it slows the keys, so
-# the artifact self-identifies instead of reading as a code regression.
-# If either sample exceeds the recorded idle band by >30%, the battery
-# is re-run ONCE (per-key min across both passes) and the artifact says
-# so ("contended"/"reran"). Band recorded on the bench box (best-of-N
-# min 0.19-0.24 s idle, local[32]); override: $SPARK_GRAFT_MICRO_REF.
-MICRO_REF_SEC = float(os.environ.get("SPARK_GRAFT_MICRO_REF", "0.22"))
-MICRO_CONTENDED_FACTOR = 1.3
+# Contention guard v2 (round-10: BENCH_r09 was the THIRD consecutive
+# driver artifact with an environment phantom, and the round-9 CPU-only
+# guard certified it clean — the drifted keys were all shuffle/IO-heavy,
+# which a codegen'd range-sum never exercises). TWO fixed micro-ops now
+# bracket the battery:
+#   cpu     — whole-stage-codegen'd range-sum (no IO, no shuffle): pure
+#             CPU availability.
+#   shuffle — 2M-row repartition + hash-agg: shuffle write/read, disk,
+#             and scheduler round-trips — the contention mode the r9
+#             phantoms lived in.
+# Contended = EITHER op out of its idle band on EITHER side of the
+# battery; a contended pass re-runs the battery ONCE (per-key min
+# across passes) and the artifact says so ("contended"/"reran").
+#
+# Idle bands are CALIBRATED, not hard-coded (r9 ADVICE: the old 0.22 s
+# constant was one box's number — any slower host would re-run every
+# battery and stamp artifacts 'contended' forever). References persist
+# per (hostname, cpu-count) in .bench_ref.json as a rolling MIN over
+# all runs, kept SEPARATELY per warm-up class: the pre-battery sample
+# runs in a cold JVM (no JIT, no shuffle-service buffers — measured ~2x
+# the warm figure for the shuffle op on an idle box), so comparing it
+# against a warm-JVM min would read ordinary cold-start as contention.
+# "cold" = the first bracket of a process; "warm" = every later
+# bracket. A host's first run self-references within each class (its
+# own fastest same-class sample), which still catches load arriving or
+# leaving mid-run. The shuffle op gets a wider factor (scheduler +
+# disk variance is inherently noisier than codegen'd CPU). Env
+# overrides win and apply to both classes:
+# $SPARK_GRAFT_MICRO_REF / $SPARK_GRAFT_SHUFFLE_REF.
+CONTENDED_FACTOR = {"cpu": 1.3, "shuffle": 1.6}
+_REF_PATH = os.path.join(_REPO, ".bench_ref.json")
+GUARD_OPS = ("cpu", "shuffle")
+GUARD_CLASSES = ("cold", "warm")
+_ENV_REF = {
+    "cpu": os.environ.get("SPARK_GRAFT_MICRO_REF"),
+    "shuffle": os.environ.get("SPARK_GRAFT_SHUFFLE_REF"),
+}
+
+
+def _host_key() -> str:
+    import platform
+
+    return f"{platform.node()}_c{os.cpu_count()}"
+
+
+def _load_refs() -> dict:
+    try:
+        with open(_REF_PATH) as f:
+            return json.load(f).get(_host_key(), {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_refs(refs: dict) -> None:
+    try:
+        with open(_REF_PATH) as f:
+            allrefs = json.load(f)
+    except (OSError, ValueError):
+        allrefs = {}
+    allrefs[_host_key()] = refs
+    try:
+        with open(_REF_PATH, "w") as f:
+            json.dump(allrefs, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench ref persist failed: {exc!r}", file=sys.stderr)
 
 
 def micro_op_sec(spark, runs: int = 3) -> float:
-    """Best-of-N seconds for the fixed reference micro-op (one untimed
+    """Best-of-N seconds for the CPU reference micro-op (one untimed
     warm-up). Work is a whole-stage-codegen'd sum over range — no IO, no
     shuffle — so its only variable is CPU availability."""
 
@@ -100,9 +155,109 @@ def micro_op_sec(spark, runs: int = 3) -> float:
     return min(one() for _ in range(runs))
 
 
-def _is_contended(*micro_secs: float) -> bool:
-    thr = MICRO_REF_SEC * MICRO_CONTENDED_FACTOR
-    return any(m > thr for m in micro_secs)
+def shuffle_op_sec(spark, runs: int = 3) -> float:
+    """Best-of-N seconds for the SHUFFLE reference micro-op (one untimed
+    warm-up): 2M rows repartitioned by key then hash-aggregated to 1024
+    groups — real shuffle write + fetch + two exchanges, so it degrades
+    under disk/scheduler contention that leaves the CPU op in band."""
+
+    def one() -> float:
+        t0 = time.time()
+        (
+            spark.range(2_000_000)
+            .repartition(32, "id")
+            .selectExpr("id % 1024 as g")
+            .groupBy("g")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    one()
+    return min(one() for _ in range(runs))
+
+
+GUARD_FNS = {"cpu": micro_op_sec, "shuffle": shuffle_op_sec}
+
+
+class GuardBands:
+    """Per-(op, warm-up class) idle reference: env override > persisted
+    per-host rolling min > this run's own fastest same-class sample
+    (first run on a host). Samples are (class, sec) pairs per op; the
+    first bracket a process observes is "cold", all later ones "warm"."""
+
+    def __init__(self) -> None:
+        stored = _load_refs()
+        self.samples: dict[str, list[tuple[str, float]]] = {
+            op: [] for op in GUARD_OPS
+        }
+        self.stored = {
+            op: {
+                kl: (stored.get(op) or {}).get(kl)
+                if isinstance(stored.get(op), dict)
+                else None
+                for kl in GUARD_CLASSES
+            }
+            for op in GUARD_OPS
+        }
+        self._n_brackets = 0
+
+    def observe(self, spark) -> dict[str, float]:
+        klass = "cold" if self._n_brackets == 0 else "warm"
+        self._n_brackets += 1
+        out = {}
+        for op in GUARD_OPS:
+            sec = round(GUARD_FNS[op](spark), 4)
+            self.samples[op].append((klass, sec))
+            out[op] = sec
+        return out
+
+    def ref(self, op: str, klass: str) -> float | None:
+        if _ENV_REF[op]:
+            return float(_ENV_REF[op])
+        cands = [s for kl, s in self.samples[op] if kl == klass]
+        if self.stored[op][klass] is not None:
+            cands.append(self.stored[op][klass])
+        return min(cands) if cands else None
+
+    def _out_of_band(self, op: str, klass: str, sec: float) -> bool:
+        ref = self.ref(op, klass)
+        return ref is not None and sec > ref * CONTENDED_FACTOR[op]
+
+    def contended(self) -> bool:
+        """True if ANY sample of ANY op so far exceeds its class band."""
+        return any(
+            self._out_of_band(op, kl, s)
+            for op in GUARD_OPS
+            for kl, s in self.samples[op]
+        )
+
+    def contended_last(self, n: int = 2) -> bool:
+        """True if any of the last n samples of either op is out of band
+        (used after a rerun: pass-1's contended samples shouldn't
+        permanently stamp a pass-2 that recovered)."""
+        return any(
+            self._out_of_band(op, kl, s)
+            for op in GUARD_OPS
+            for kl, s in self.samples[op][-n:]
+        )
+
+    def persist(self) -> dict[str, dict[str, float | None]]:
+        """Roll the per-host per-class reference mins forward from
+        observations + prior stored values (env overrides are
+        deliberately NOT persisted — they classify this run only)."""
+        refs: dict[str, dict[str, float | None]] = {}
+        for op in GUARD_OPS:
+            refs[op] = {}
+            for kl in GUARD_CLASSES:
+                cands = [s for k, s in self.samples[op] if k == kl]
+                if self.stored[op][kl] is not None:
+                    cands.append(self.stored[op][kl])
+                refs[op][kl] = min(cands) if cands else None
+        _save_refs(refs)
+        return refs
 
 
 def _merge_timing(prev: float | None, best: float) -> float:
@@ -328,24 +483,23 @@ def main() -> None:
                 timings.setdefault(name, -1.0)
                 dest.setdefault(name, [])
 
+    bands = GuardBands()
     guard: dict = {
-        "micro_ref_sec": MICRO_REF_SEC,
+        "ops": list(GUARD_OPS),
         "loadavg_start": [round(v, 2) for v in os.getloadavg()],
-        "micro_start_sec": round(micro_op_sec(spark), 4),
+        "start_sec": bands.observe(spark),
     }
     battery(runs)
-    guard["micro_end_sec"] = round(micro_op_sec(spark), 4)
-    contended = _is_contended(guard["micro_start_sec"], guard["micro_end_sec"])
+    guard["end_sec"] = bands.observe(spark)
+    contended = bands.contended()
     guard["reran"] = False
     if contended:
         print("bench: contention detected, re-running battery once", file=sys.stderr)
         guard["reran"] = True
-        guard["micro_rerun_start_sec"] = round(micro_op_sec(spark), 4)
+        guard["rerun_start_sec"] = bands.observe(spark)
         battery(runs_rerun)
-        guard["micro_rerun_end_sec"] = round(micro_op_sec(spark), 4)
-        contended = _is_contended(
-            guard["micro_rerun_start_sec"], guard["micro_rerun_end_sec"]
-        )
+        guard["rerun_end_sec"] = bands.observe(spark)
+        contended = bands.contended_last(2)
     guard["contended"] = contended
     try:
         streaming = measure_streaming(spark, SF_DIR)
@@ -361,9 +515,12 @@ def main() -> None:
     # otherwise the streaming ladder stays phantom-regression territory
     # (a box that loads up during the sustained run would read as a
     # streaming code regression with a clean guard)
-    guard["micro_post_streaming_sec"] = round(micro_op_sec(spark), 4)
-    guard["streaming_contended"] = _is_contended(guard["micro_post_streaming_sec"])
+    guard["post_streaming_sec"] = bands.observe(spark)
+    guard["streaming_contended"] = bands.contended_last(1)
     guard["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
+    # Persist the rolled-forward per-host idle mins AFTER all samples are
+    # in; record the bands this run was classified against.
+    guard["ref_sec"] = bands.persist()
     headline = {n: t for n, t in timings.items() if n in HEADLINE}
     total = round(sum(t for t in headline.values() if t >= 0), 4)
     result = {

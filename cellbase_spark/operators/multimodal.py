@@ -8,13 +8,18 @@ on the raw bytes vectorized, and the iterator contract keeps memory
 bounded per batch regardless of table size.
 
 Codec reality in this container: PIL/ffmpeg/librosa are absent, so
-formats NEEDING them (JPEG, video containers, lossy audio) keep the
-import-try seam in `decode_image` (NotImplementedError with a clear
-message). Everything else is decoded FOR REAL with stdlib + numpy:
+formats NEEDING them (progressive JPEG, video containers, lossy audio)
+keep the import-try seam in `decode_image` (NotImplementedError with a
+clear message). Everything else is decoded FOR REAL with stdlib + numpy:
 - images: 24-bit BI_RGB BMP (`decode_bmp`, bottom-up rows, BGR, 4-byte
-  padding), binary P6 PPM (`decode_ppm`), and PNG 8-bit truecolor
+  padding), binary P6 PPM (`decode_ppm`), PNG 8-bit truecolor
   (`decode_png` — CRC-checked chunk walk, stdlib-zlib inflate, all five
-  scanline unfilters; `encode_png` emits any fixed filter for tests);
+  scanline unfilters; `encode_png` emits any fixed filter for tests),
+  and baseline sequential JPEG (`decode_jpeg` — full T.81 marker walk,
+  canonical-Huffman entropy decode, dequant + batched IDCT, 4:2:0/4:2:2
+  replication upsample, restart markers; `encode_jpeg` emits gray or
+  RGB baseline JFIF for tests, round-tripping EXACTLY on per-8x8-block
+  constant images under the all-ones quant table);
 - audio: mono PCM16 WAV (`decode_wav` — RIFF chunk walk with word-
   aligned unknown-chunk skip; `encode_wav`);
 - video: YUV4MPEG2 / Y4M C444 8-bit (`decode_y4m` — header-token parse
@@ -144,14 +149,18 @@ def decode_ppm(data: bytes):
 
 def decode_image(payload: bytes):
     """Real image decode: BMP / P6 PPM natively, PNG (8-bit truecolor)
-    via the stdlib-zlib codec below, other compressed formats through
-    the PIL seam where available."""
+    via the stdlib-zlib codec below, baseline JPEG via the T.81
+    sequential decoder below (progressive falls through its loud
+    NotImplementedError), other compressed formats through the PIL seam
+    where available."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     try:  # pragma: no cover - no codec libs in this container
         import io as _io
 
@@ -161,8 +170,9 @@ def decode_image(payload: bytes):
         return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed-image codecs (PIL) are not available in this "
-            "environment; BMP and P6 PPM decode natively"
+            "exotic-image codecs (PIL) are not available in this "
+            "environment; BMP, P6 PPM, PNG and baseline JPEG decode "
+            "natively"
         ) from exc
 
 
@@ -620,12 +630,13 @@ def decode_y4m(data: bytes):
 def sniff_modality(payload: bytes) -> str:
     """Classify an opaque asset payload by magic bytes — the dispatch a
     mixed-modality lake performs before routing to a decoder: 'image'
-    (PNG/BMP/PPM), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2), else
+    (PNG/BMP/PPM/JPEG), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2), else
     'unknown' (route to the quarantine/codec-seam path)."""
     if (
         payload[:8] == b"\x89PNG\r\n\x1a\n"
         or payload[:2] == b"BM"
         or payload[:2] == b"P6"
+        or payload[:3] == b"\xff\xd8\xff"
     ):
         return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -650,3 +661,482 @@ def decode_asset(payload: bytes):
     if kind == "video":
         return kind, decode_y4m(payload).astype(np.int64).ravel()
     raise NotImplementedError("unknown asset format (no magic match)")
+
+
+# --- Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) -------------------
+#
+# Round 10: the last multimodal codec seam closed stdlib+numpy-only. The
+# DECODER is general baseline JPEG: marker/segment walk, multi-table DQT
+# (8- and 16-bit) and DHT, SOF0/SOF1 frames with per-component sampling
+# factors (4:4:4, 4:2:0, 4:2:2 via replication upsample), restart
+# markers, byte-stuffing, and the canonical-Huffman entropy decode with
+# batched-numpy dequant + IDCT. Progressive (SOF2) and arithmetic-coded
+# frames stay behind the loud seam (PIL where available). The ENCODER is
+# the test harness: any 8-bit grayscale or RGB image, quality expressed
+# as an explicit quant table (default all-ones — constant 8x8 blocks
+# then round-trip EXACTLY, which is what makes the oracle key's pixel
+# stats formula-computable, the PNG playbook), optional 4:2:0 chroma
+# subsampling and restart intervals so the decoder's general paths are
+# exercised by tests, fixed-length canonical Huffman tables (legal per
+# T.81 — tables travel in DHT, so self-describing; zero transcription
+# risk vs copying Annex K).
+
+# zigzag scan order: index k -> (row, col); even diagonals walk
+# bottom-left -> top-right, odd ones the reverse (T.81 figure 5)
+_JPEG_ZIGZAG = [
+    (r, d - r)
+    for d in range(15)
+    for r in (
+        range(min(d, 7), max(0, d - 7) - 1, -1)
+        if d % 2 == 0
+        else range(max(0, d - 7), min(d, 7) + 1)
+    )
+]
+
+
+def _jpeg_dct_basis():
+    """Orthonormal 8-point DCT-II basis A (A[u,x] = C(u)/2 cos((2x+1)u pi/16)):
+    forward S = A s A^T, inverse s = A^T S A."""
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, 8).astype(np.float64)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+def _jpeg_huff_canonical(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol map from a DHT (bits, vals) pair —
+    the canonical code assignment of T.81 annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# Encoder tables: FIXED-LENGTH canonical codes (all DC categories at 4
+# bits, all 162 standard AC symbols at 8 bits). Legal canonical Huffman
+# (the all-ones code stays unused in both), self-described by the DHT
+# segment, and immune to table-transcription errors.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_BITS = [0] * 7 + [len(_ENC_AC_VALS)] + [0] * 8
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _enc_block(writer, coefs, dc_pred, dc_codes, ac_codes) -> int:
+    """Entropy-encode one quantized block (natural order) and return its
+    DC value (the next block's predictor)."""
+    zz = [int(coefs[r][c]) for r, c in _JPEG_ZIGZAG]
+    diff = zz[0] - dc_pred
+    s = _jpeg_category(diff)
+    writer.write(*dc_codes[s])
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_codes[0xF0])
+            run -= 16
+        s = _jpeg_category(zz[k])
+        writer.write(*ac_codes[(run << 4) | s])
+        v = zz[k]
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        writer.write(*ac_codes[0x00])
+    return zz[0]
+
+
+def encode_jpeg(
+    img,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+    subsample: bool = False,
+) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    baseline sequential JFIF JPEG. `qtable` is the 64-entry natural-order
+    quantization table (default all ones: constant 8x8 blocks round-trip
+    EXACTLY — the property the oracle key builds on); `subsample=True`
+    emits 4:2:0 chroma (round-half-up 2x2 means) so the decoder's
+    interleaved-MCU + upsample path is test-reachable; `restart_interval`
+    emits DRI + RSTn markers."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if qtable is None:
+        qtable = [1] * 64
+    q8 = np.array(qtable, dtype=np.float64).reshape(8, 8)
+    if gray:
+        planes = [img.astype(np.int64)]
+        samp = [(1, 1)]
+    else:
+        r = img[:, :, 0].astype(np.int64)
+        g = img[:, :, 1].astype(np.int64)
+        b = img[:, :, 2].astype(np.int64)
+        # JFIF integer YCbCr (round half up via floor(x + .5) on exact
+        # .0/.5-free rationals is fine; both ends use the same math)
+        yy = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(np.int64)
+        cb = np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).astype(np.int64)
+        cr = np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).astype(np.int64)
+        cb = np.clip(cb, 0, 255)
+        cr = np.clip(cr, 0, 255)
+        if subsample:
+            # pad to even dims (edge replicate), then round-half-up 2x2 mean
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2) // 4
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2) // 4
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [yy, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    basis = _jpeg_dct_basis()
+    padded = []
+    for plane, (sh, sv) in zip(planes, samp):
+        th, tw = mcy * sv * 8, mcx * sh * 8
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        padded.append(plane)
+
+    dc_codes = {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_huff_canonical(
+            _ENC_DC_BITS, _ENC_DC_VALS
+        ).items()
+    }
+    ac_codes = {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_huff_canonical(
+            _ENC_AC_BITS, _ENC_AC_VALS
+        ).items()
+    }
+    # dict above maps sym -> (code, length); writer takes (value, nbits)
+    dc_codes = {s: (c, l) for s, (c, l) in dc_codes.items()}
+    ac_codes = {s: (c, l) for s, (c, l) in ac_codes.items()}
+
+    writer = _JpegBitWriter()
+    preds = [0] * len(planes)
+    n_mcu = 0
+    body = bytearray()
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                body += writer.out
+                writer = _JpegBitWriter()
+                body += bytes([0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)])
+                preds = [0] * len(planes)
+            for ci, (plane, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = plane[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+                        coefs = np.round((basis @ blk @ basis.T) / q8).astype(np.int64)
+                        preds[ci] = _enc_block(
+                            writer, coefs, preds[ci], dc_codes, ac_codes
+                        )
+            n_mcu += 1
+    writer.flush()
+    body += writer.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(int(q8[r, c]) for r, c in _JPEG_ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_q)  # DQT, 8-bit, id 0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)  # SOF0 baseline
+    out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(ncomp)
+    ) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at real markers (exposing restart sync)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise ValueError(f"marker 0x{nxt:02x} inside entropy data")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, n: int) -> None:
+        """Discard pad bits, consume the expected RSTn marker."""
+        self._n = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected RST{n % 8} at offset {self.pos}, got"
+                f" {self.data[self.pos:self.pos + 2]!r}"
+            )
+        self.pos += 2
+
+
+def _jpeg_read_symbol(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG entropy data")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline sequential-DCT Huffman JPEG (SOF0/SOF1) into an
+    (H, W) grayscale or (H, W, 3) RGB uint8 array: full marker walk
+    (multi-table DQT incl. 16-bit, multi-table DHT, DRI, APPn/COM skip),
+    interleaved-MCU entropy decode with byte-unstuffing and restart
+    markers, batched-numpy dequant + IDCT (one einsum over all of a
+    component's blocks), per-component replication upsample for
+    subsampled chroma (4:2:0 / 4:2:2), JFIF YCbCr -> RGB. Progressive
+    (SOF2) and arithmetic-coded frames raise NotImplementedError — the
+    documented seam (PIL where available, via decode_image).
+
+    The bit-serial Huffman walk is a per-document Python loop like the
+    PNG Average/Paeth unfilters: genuinely sequential (each code's
+    length is only known once decoded), corpus-parallel under
+    mapInPandas, a constant per asset."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while data[pos + 1] == 0xFF:  # fill bytes
+            pos += 1
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + ln]
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = struct.unpack_from(f">{64}H", body, i)
+                    i += 128
+                else:
+                    vals = body[i : i + 64]
+                    i += 64
+                tab = np.zeros((8, 8), dtype=np.float64)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    tab[r, c] = vals[k]
+                qt[tq] = tab
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _jpeg_huff_canonical(bits, vals)
+                i += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (marker 0xff{m:02x} — progressive/"
+                "lossless/arithmetic); the PIL seam in decode_image handles"
+                " these where available"
+            )
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            tables = {}
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                tables[cs] = (tdta >> 4, tdta & 0x0F)
+            scan = (tables, pos + ln)
+            break
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    tables, data_pos = scan
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-frame["w"] // (8 * hmax))
+    mcy = -(-frame["h"] // (8 * vmax))
+
+    reader = _JpegBitReader(data, data_pos)
+    preds = {c["id"]: 0 for c in comps}
+    blocks = {c["id"]: [] for c in comps}  # zigzag coef rows, MCU order
+    n_mcu = 0
+    for _ in range(mcy * mcx):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            reader.sync_restart(n_mcu // restart_interval - 1)
+            preds = {c["id"]: 0 for c in comps}
+        for c in comps:
+            dc_t = huff[(0, tables[c["id"]][0])]
+            ac_t = huff[(1, tables[c["id"]][1])]
+            for _b in range(c["v"] * c["h"]):
+                zz = [0] * 64
+                s = _jpeg_read_symbol(reader, dc_t)
+                preds[c["id"]] += _jpeg_extend(reader.read(s), s)
+                zz[0] = preds[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_read_symbol(reader, ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    zz[k] = _jpeg_extend(reader.read(rs & 0x0F), rs & 0x0F)
+                    k += 1
+                blocks[c["id"]].append(zz)
+        n_mcu += 1
+
+    basis = _jpeg_dct_basis()
+    dez = np.zeros((64, 8, 8), dtype=np.float64)
+    for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+        dez[k, r, c] = 1.0
+    planes = []
+    for c in comps:
+        zzs = np.array(blocks[c["id"]], dtype=np.float64)  # (n, 64)
+        coefs = np.einsum("nk,krc->nrc", zzs, dez) * qt[c["tq"]]
+        pix = np.einsum("ux,nuv,vy->nxy", basis, coefs, basis)
+        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        # reassemble: blocks are in MCU order, c.v x c.h per MCU
+        ph, pw = mcy * c["v"] * 8, mcx * c["h"] * 8
+        plane = np.zeros((ph, pw), dtype=np.uint8)
+        i = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = pix[i]
+                        i += 1
+        # replication upsample to frame grid, crop to frame dims
+        plane = np.repeat(
+            np.repeat(plane, hmax // c["h"], axis=1), vmax // c["v"], axis=0
+        )
+        planes.append(plane[: frame["h"], : frame["w"]])
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+    yy = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [yy + 1.402 * cr, yy - 0.344136 * cb - 0.714136 * cr, yy + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

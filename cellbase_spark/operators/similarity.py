@@ -27,23 +27,45 @@ from pyspark.sql import functions as F
 
 DIM = 64
 
-# SHOW TBLPROPERTIES results per (session, table) — config-sized rows a
-# serving path would otherwise re-collect on every ann_search call.
-# build_ann_index invalidates its table's entry after (re)writing.
-_TBLPROPS_CACHE: dict[tuple[int, str], dict[str, str]] = {}
+# SHOW TBLPROPERTIES cache TTL: a long-lived serving session re-reads an
+# index's recorded geometry after this many seconds, so a rebuild by
+# ANOTHER process (or SQL/external tooling) is picked up within the TTL
+# instead of never (r9 ADVICE medium: the forever-cache could leave a
+# server ranking against stale learned centroids — silently opening the
+# wrong IVF lists). In-process build_ann_index still invalidates its
+# table's entry immediately; the TTL only bounds CROSS-process
+# staleness. Override per call via table_props(max_age_sec=...);
+# 0 forces a re-read.
+TBLPROPS_TTL_SEC = 300.0
 
 
-def table_props(spark, table: str) -> dict[str, str]:
-    """Cached table-properties lookup (one SHOW TBLPROPERTIES collect per
-    (session, table), invalidated by build_ann_index on rebuild)."""
-    key = (id(spark), table)
-    props = _TBLPROPS_CACHE.get(key)
-    if props is None:
-        props = {
-            r.key: r.value
-            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        }
-        _TBLPROPS_CACHE[key] = props
+def _tblprops_cache(spark) -> dict:
+    from cellbase_spark.memo import session_memo
+
+    return session_memo(spark, "tblprops")
+
+
+def table_props(
+    spark, table: str, max_age_sec: float = TBLPROPS_TTL_SEC
+) -> dict[str, str]:
+    """Cached table-properties lookup: one SHOW TBLPROPERTIES collect per
+    (session, table), invalidated by in-process build_ann_index on
+    rebuild and expired after `max_age_sec` so cross-process rebuilds
+    (which this session cannot observe directly) are picked up within
+    the TTL. The recorded cellbase.build_id changes on every rebuild,
+    so a consumer that pins geometry across calls can detect a swap by
+    comparing build ids across reads."""
+    import time as _time
+
+    cache = _tblprops_cache(spark)
+    hit = cache.get(table)
+    if hit is not None and (_time.monotonic() - hit[0]) <= max_age_sec:
+        return hit[1]
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    cache[table] = (_time.monotonic(), props)
     return props
 
 
@@ -650,10 +672,20 @@ def build_ann_index(
     # JSON; floats round-trip exactly through repr), so query-time
     # ranking probes the SAME geometry the lists were built with — the
     # index is self-describing, there is no side-channel to desync.
+    import uuid
+
     props = (
         f"'cellbase.n_centroids' = '{int(n_centroids)}', "
         f"'cellbase.n_planes' = '{int(n_planes)}', "
-        f"'cellbase.dim' = '{dim}'"
+        f"'cellbase.dim' = '{dim}', "
+        # A fresh id per build: consumers that cache geometry can detect
+        # a rebuild (in- or cross-process) by comparing build ids. All
+        # properties land in this ONE ALTER, so geometry is all-or-
+        # nothing: a crash between saveAsTable and here leaves a table
+        # with NO cellbase.* props, which ann_search now refuses loudly
+        # instead of silently probing with formula-seed defaults
+        # (r9 ADVICE low — the non-atomic window is detectable).
+        f"'cellbase.build_id' = '{uuid.uuid4().hex}'"
     )
     if centroids is not None:
         import json
@@ -671,7 +703,7 @@ def build_ann_index(
         )
         props += f", 'cellbase.pq_codebook' = '{pj}'"
     embeddings.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
-    _TBLPROPS_CACHE.pop((id(embeddings.sparkSession), table), None)
+    _tblprops_cache(embeddings.sparkSession).pop(table, None)
 
 
 def pq_encode_arrow(
@@ -913,3 +945,86 @@ def pq_adc_expr(codes_col: str, m: int = 8, sub: int = 8) -> str:
         f"round(aggregate(sequence(0, {m - 1}), cast(0 as double),"
         f" (acc, s) -> acc + {inner}), 6)"
     )
+
+
+def compact_ann_index(
+    spark,
+    out_table: str,
+    path: str,
+    generations: list[str],
+) -> None:
+    """Merge N index generations that share ONE frozen geometry into a
+    single compacted artifact — the "periodic repair" of the
+    delta-generation lifecycle (build_ann_index base + frozen-geometry
+    deltas accumulate one small table per batch; probes pay one catalog
+    resolution + one file-open per generation per probed leaf, which
+    grows linearly with days-since-rebuild until compaction resets it).
+
+    Compaction is pure DATA MOVEMENT, never recomputation: centroid_id,
+    bucket, nrm and codes were quantized at each generation's ingest
+    under the SAME recorded geometry, so the merged artifact carries the
+    rows verbatim — one hash exchange on the partition keys re-clusters
+    every (centroid_id, bucket) leaf into exactly one task, and the
+    write lands one file per leaf (the same layout discipline as the
+    original build; the exchange moves each byte once per compaction
+    cycle, which at deployment scale you amortize further by compacting
+    only delta-touched leaves under dynamic partition overwrite).
+
+    The shared geometry is VERIFIED, not assumed: every generation's
+    recorded cellbase.* properties (n_centroids / n_planes / dim /
+    centroids / pq_codebook) must be identical — a delta quantized under
+    retrained centroids mixed into a base's lists would corrupt every
+    probe that prunes on centroid_id, silently. The verified geometry is
+    carried forward onto the compacted table (fresh build_id), so a
+    probe of the compacted artifact ranks against exactly the geometry
+    the source generations were built with."""
+    if not generations:
+        raise ValueError("compact_ann_index: no generations to compact")
+    geo_keys = (
+        "cellbase.n_centroids",
+        "cellbase.n_planes",
+        "cellbase.dim",
+        "cellbase.centroids",
+        "cellbase.pq_codebook",
+    )
+    geos = {
+        g: {k: table_props(spark, g).get(k) for k in geo_keys}
+        for g in generations
+    }
+    base_geo = geos[generations[0]]
+    for g, geo in geos.items():
+        if geo != base_geo:
+            diff = [k for k in geo_keys if geo[k] != base_geo[k]]
+            raise ValueError(
+                f"compact_ann_index: generation {g!r} was built under a"
+                f" different geometry than {generations[0]!r}"
+                f" (differing: {diff}) — compacting mixed geometries"
+                " would scatter one list's vectors across foreign leaf"
+                " directories. Rebuild the stragglers under the base's"
+                " recorded geometry first."
+            )
+    if base_geo["cellbase.n_centroids"] is None:
+        raise ValueError(
+            f"compact_ann_index: {generations[0]!r} has no recorded"
+            " cellbase.* geometry (interrupted build?) — refusing to"
+            " propagate an unknown geometry onto the compacted artifact"
+        )
+    merged = spark.table(generations[0])
+    for g in generations[1:]:
+        merged = merged.unionByName(spark.table(g))
+    (
+        merged.repartition(F.col("centroid_id"), F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id", "bucket")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(out_table)
+    )
+    import uuid
+
+    props = ", ".join(
+        f"'{k}' = '{v}'" for k, v in base_geo.items() if v is not None
+    )
+    props += f", 'cellbase.build_id' = '{uuid.uuid4().hex}'"
+    spark.sql(f"ALTER TABLE {out_table} SET TBLPROPERTIES ({props})")
+    _tblprops_cache(spark).pop(out_table, None)

@@ -12,72 +12,72 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-9 gate priority (VERDICT r8 task #1 — FIRST commit of the
-# round). Order: (a) ALL 45 keys whose newest official green row is
-# still r3-vintage (derived from the CORRECTNESS_r01..r08 union by
-# script, matches the r8 verdict list exactly: 20 streaming keys,
-# TPC-H Q7-Q22 shapes, the UDF surface, text/scalar keys, two window
-# frames), then (b) NEW/changed round-9 keys appended as they land.
-# After this round's ~50-key prefix is witnessed, no key's newest
-# official row predates r4. The full battery always runs locally
-# regardless of order (scripts/check_oracle.py).
+# Round-10 gate priority (VERDICT r9 task #1 — FIRST commit of the
+# round). Order: (a) the 3 round-9 keys that have NEVER appeared in a
+# driver sample, then (b) ALL 47 keys whose newest official green row
+# is r4-vintage (derived from the CORRECTNESS_r01..r09 union by
+# script; 3+47 = exactly the ~50-key gate prefix). After this round,
+# every key has an official row and none predates r5. New round-10
+# keys append at the tail as they land (the prefix is already full,
+# so they ride the next rotation unless a slot frees up). The full
+# battery always runs locally regardless of order
+# (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- (a) the 45 r3-vintage keys: streaming first (oldest tier),
-    #    then TPC-H shapes, UDFs, text/scalars, window frames
-    "q_stream_run_tumbling",
-    "q_stream_run_sliding",
-    "q_stream_run_session",
-    "q_stream_run_dedup",
-    "q_stream_run_late",
-    "q_stream_run_join",
-    "q_stream_run_join_interval",
-    "q_stream_run_replay",
-    "q_stream_run_sink",
-    "q_stream_run_stateful",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q22",
-    "q_udf_scalar",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_udtf_bigrams",
-    "q_tfidf",
-    "q_text_tokenfreq",
-    "q_text_quality",
-    "q_token_count",
-    "q_token_entropy",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_fuzzy_name_match",
-    "q_kl_source_drift",
-    "q_phonetic_key",
-    "q_embed_quantize",
-    "q_window_running_sum",
-    "q_window_range_frame",
-    # -- (b) NEW round-9 keys get appended here as they land
-    "q_ann_index_trained",
-    "q_pipeline_e2e_neardup",
-    "q_ann_ivfpq_trained",
-    "q_pq_eval_trained",
-    "q_ann_ivfpq_rerank",
+    # -- (a) never driver-sampled (round-9 additions)
     "q_ann_index_update_trained",
     "q_mix_temperature",
     "q_stream_run_ann_trained",
+    # -- (b) the 47 r4-vintage keys (newest official row = r4)
+    "q_agg_approx_distinct",
+    "q_ann_lsh",
+    "q_bm25",
+    "q_boilerplate",
+    "q_bucketed_join",
+    "q_chunk_cdc",
+    "q_contain_fuzzy",
+    "q_copurchase_lift",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dpp_join",
+    "q_embed_centroid",
+    "q_event_transitions",
+    "q_json_variant",
+    "q_lang_confusion",
+    "q_length_histogram",
+    "q_max_concurrency",
+    "q_merge_upsert",
+    "q_mix_reweight",
+    "q_mm_decode_meta",
+    "q_mm_decode_real",
+    "q_mm_features",
+    "q_mm_frame_sample",
+    "q_mm_resize",
+    "q_multimodal_join",
+    "q_neardup_eval",
+    "q_ngram_jaccard",
+    "q_pack_sequences",
+    "q_pii_mask",
+    "q_point_lookup",
+    "q_profile_table",
+    "q_quality_checks",
+    "q_quality_gopher",
+    "q_repetition_ratio",
+    "q_roundtrip_xlsx_pyds",
+    "q_rrf_fusion",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scan_orc",
+    "q_scan_parquet",
+    "q_scan_xlsx_pyds",
+    "q_split_train_test",
+    "q_stream_run_tws",
+    "q_stream_run_upsert",
+    "q_tpch_q21",
+    "q_vocab_oov",
+    "q_winsorize",
+    # -- (c) NEW round-10 keys appended here as they land
+    "q_ann_index_compact",
+    "q_mm_decode_jpeg",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

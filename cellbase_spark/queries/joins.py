@@ -332,23 +332,26 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# build-once memos, keyed (session, sf_dir): the layout-ensure catalog
-# checks and q5's ASIA-key config collect are per-process constants over
-# immutable testdata — paying them once per session instead of per call
-# trims the measured 0.1-0.2 s driver floor on every bucketed/q5 call
-# (BASELINE round-9 decomposition).
-_LAYOUT_MEMO: dict[tuple[int, str], tuple[str, str]] = {}
-_ASIA_KEYS_MEMO: dict[tuple[int, str], list[int]] = {}
+# build-once memos, held per-session via memo.session_memo (WeakKey —
+# entries die with the session, so a recycled id() can never alias a
+# dead session's cached table names / nation keys; r9 ADVICE low),
+# keyed sf_dir inside: the layout-ensure catalog checks and q5's
+# ASIA-key config collect are per-process constants over immutable
+# testdata — paying them once per session instead of per call trims the
+# measured 0.1-0.2 s driver floor on every bucketed/q5 call (BASELINE
+# round-9 decomposition).
 
 
 def _asia_nation_keys(spark: SparkSession, sf_dir: str, nr) -> list[int]:
     """The ASIA nation keys as literals (<= 25-row nation⋈region config
     collect), memoized per (session, sf_dir)."""
-    memo_key = (id(spark), sf_dir)
-    keys = _ASIA_KEYS_MEMO.get(memo_key)
+    from cellbase_spark.memo import session_memo
+
+    memo = session_memo(spark, "asia_keys")
+    keys = memo.get(sf_dir)
     if keys is None:
         keys = [int(row.n_nationkey) for row in nr.select("n_nationkey").collect()]
-        _ASIA_KEYS_MEMO[memo_key] = keys
+        memo[sf_dir] = keys
     return keys
 
 
@@ -375,8 +378,10 @@ def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
-    memo_key = (id(spark), sf_dir)
-    memo = _LAYOUT_MEMO.get(memo_key)
+    from cellbase_spark.memo import session_memo
+
+    layout_memo = session_memo(spark, "fact_layout")
+    memo = layout_memo.get(sf_dir)
     if memo is not None:
         return memo
 
@@ -436,7 +441,7 @@ def _fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .format("parquet")
             .saveAsTable(name)
         )
-    _LAYOUT_MEMO[memo_key] = (t_l, t_o)
+    layout_memo[sf_dir] = (t_l, t_o)
     return t_l, t_o
 
 

@@ -138,6 +138,72 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_jpeg",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(64 * list_sum(flatten(list_transform(range(0, 2), by ->
+              list_transform(range(0, 2 + doc_id % 3), bx ->
+                (doc_id * 7 + by * 31 + bx * 13) % 256)))) AS BIGINT)
+         AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (round 10 — the last image-codec seam):
+    each doc gets a deterministic grayscale image of 2 x (2 + doc_id%3)
+    8x8 blocks, block (by, bx) constant at (doc_id*7 + by*31 + bx*13) %
+    256, encoded as a genuine baseline JFIF (SOI/DQT/SOF0/DHT/SOS
+    segments, canonical-Huffman entropy coding, byte stuffing; odd docs
+    additionally carry DRI + RSTn restart markers so that path runs
+    under the official gate) with the all-ones quant table, then decoded
+    back by the independent T.81 parser (Huffman walk, dequant, batched
+    IDCT) and reduced to the pixel sum. Per-8x8-block CONSTANT images
+    make the lossy pipeline exact: every AC coefficient quantizes to 0
+    and the DC round-trips through the IDCT to the block value, so the
+    oracle computes the expected sum straight from the block formula
+    WITHOUT any codec — the hash can only match if every entropy-decode,
+    dezigzag, dequant and IDCT step reconstructs every pixel. Per-doc
+    width variation pins the MCU layout; the plumbing is the standard
+    bounded-memory Arrow mapInPandas asset kernel.
+
+    Lossy-path coverage (nonzero AC, color, 4:2:0, restart re-sync on
+    random images) lives in tests/test_multimodal.py round-trip bounds;
+    progressive/arithmetic frames remain the documented loud seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                bw = 2 + doc_id % 3
+                by, bx = np.meshgrid(np.arange(2), np.arange(bw), indexing="ij")
+                blocks = ((doc_id * 7 + by * 31 + bx * 13) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                arr = decode_jpeg(
+                    encode_jpeg(img, restart_interval=2 if doc_id % 2 else 0)
+                )
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+@register(
     "q_mm_decode_wav",
     family="llm-multimodal",
     oracle="""

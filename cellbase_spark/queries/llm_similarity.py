@@ -2298,3 +2298,154 @@ def q_ann_index_update_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+def _compact_sql() -> str:
+    """Oracle for q_ann_index_compact: identical chain to
+    q_ann_index_update_trained's, with the corpus widened to base + TWO
+    delta batches — compaction must be INVISIBLE to the probe, so the
+    oracle is simply the union probe's answer (if the compaction lost,
+    duplicated, or re-quantized one row, the top-20 would diverge)."""
+    return f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 97 = 3
+  UNION ALL
+  SELECT vec_id + 20000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 97 = 11
+),
+a2 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.j AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM corpus e, carr c
+  ) WHERE rk = 1
+),
+qd AS (
+  SELECT c.j,
+         round(list_reduce(list_transform(range(1, 65),
+           i -> (qv[i] - c.cvec[i]) * (qv[i] - c.cvec[i])), (x, y) -> x + y), 6) AS d
+  FROM carr c, cfg
+)
+SELECT vec_id,
+       CASE WHEN vec_id >= 20000000 THEN 'delta2'
+            WHEN vec_id >= 10000000 THEN 'delta1'
+            ELSE 'base' END AS gen,
+       CAST(centroid_id AS INTEGER) AS centroid_id,
+       round({_COS_Q}, 6) AS score
+FROM a2, cfg
+WHERE centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT 2)
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+def _ensure_trained_ann_delta2(spark: SparkSession, sf_dir: str) -> str:
+    """Second frozen-geometry delta batch (vec_id % 97 == 11, offset
+    +20M), quantized under the base's recorded centroids + codebook
+    exactly like _ensure_trained_ann_delta — two deltas exist so the
+    compaction key exercises a REAL multi-generation merge, not a
+    two-table special case."""
+    from cellbase_spark.operators.similarity import (
+        build_ann_index,
+        decode_index_props,
+        table_props,
+    )
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_anndelta2_tr")
+    if not spark.catalog.tableExists(t):
+        base_t = _ensure_trained_ann_index(spark, sf_dir)
+        centroids, cb = decode_index_props(table_props(spark, base_t))
+        batch = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 97 == 11)
+            .select((F.col("vec_id") + 20000000).alias("vec_id"), "embedding")
+        )
+        build_ann_index(
+            batch, t, scratch_path(sf_dir, "anndelta2_tr"),
+            centroids=centroids, pq_codebook=cb,
+        )
+    return t
+
+
+def _ensure_trained_ann_compact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once COMPACTED generation: base + both frozen-geometry
+    deltas merged into one artifact by compact_ann_index (geometry
+    verified identical across generations, carried forward onto the
+    compacted table). Probes then resolve ONE catalog table and open
+    one file per probed leaf, however many delta days accumulated."""
+    from cellbase_spark.operators.similarity import compact_ann_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_anncompact_tr")
+    if not spark.catalog.tableExists(t):
+        gens = [
+            _ensure_trained_ann_index(spark, sf_dir),
+            _ensure_trained_ann_delta(spark, sf_dir),
+            _ensure_trained_ann_delta2(spark, sf_dir),
+        ]
+        compact_ann_index(
+            spark, t, scratch_path(sf_dir, "anncompact_tr"), gens
+        )
+    return t
+
+
+@register("q_ann_index_compact", family="llm-sim", oracle=_compact_sql())
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-index COMPACTION across delta generations (round-10
+    verdict task #3 — the last unwitnessed verb of the index
+    lifecycle): base + two frozen-geometry delta batches are merged by
+    compact_ann_index into ONE artifact — rows carried verbatim (no
+    re-quantization; centroid_id/codes/nrm are ingest-time facts under
+    the frozen geometry), one exchange on the partition keys
+    re-clustering every (centroid_id, bucket) leaf to a single file,
+    geometry properties verified identical across generations and
+    carried forward. The probe then scans the COMPACTED table only —
+    ranked against the geometry read back from the compacted table's
+    own properties (proving the carry-forward, not just the merge) —
+    and must return the union probe's answer verbatim (the oracle IS
+    q_ann_index_update_trained's chain widened to two deltas).
+
+    Scale shape: compaction cost is one shuffle of the merged bytes per
+    repair cycle (amortized across the days of deltas it absorbs; a
+    leaf-targeted variant under dynamic partition overwrite narrows it
+    further); probe cost drops from one file-open per generation per
+    probed leaf back to one per leaf. tests/test_plans.py pins that no
+    base/delta path appears in the compacted probe's scan."""
+    from cellbase_spark.operators.similarity import decode_index_props, table_props
+
+    t = _ensure_trained_ann_compact(spark, sf_dir)
+    centroids, _ = decode_index_props(table_props(spark, t))
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    probed = spark.table(t).where(F.col("centroid_id").isin(ids))
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") >= 20000000, F.lit("delta2"))
+            .when(F.col("vec_id") >= 10000000, F.lit("delta1"))
+            .otherwise(F.lit("base"))
+            .alias("gen"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

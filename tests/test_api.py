@@ -596,3 +596,116 @@ def test_facade_ann_search_adc(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="unknown method"):
         emb.ann_search(table, qv, k=5, method="euclid")
+
+
+def test_ann_search_refuses_propsless_index(spark, sf_dir, tmp_path):
+    """Round-10 (r9 ADVICE): an index table with NO recorded cellbase.*
+    geometry (interrupted build between saveAsTable and the properties
+    ALTER, or genuinely pre-properties) is REFUSED by default — probing
+    it with formula-seed defaults silently opens the wrong lists for a
+    trained index. allow_legacy=True opts back in, loudly (a warning),
+    and then behaves exactly like the old default-geometry path."""
+    import os
+    import warnings
+
+    import pytest
+
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.operators.similarity import _tblprops_cache
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    table = f"cb_api_noprops_{os.getpid()}"
+    emb.build_ann_index("embedding", table, str(tmp_path / "noprops"))
+
+    # simulate the interrupted-build window: strip the recorded geometry
+    spark.sql(
+        f"ALTER TABLE {table} UNSET TBLPROPERTIES"
+        " ('cellbase.n_centroids', 'cellbase.n_planes', 'cellbase.dim',"
+        " 'cellbase.build_id')"
+    )
+    _tblprops_cache(spark).pop(table, None)
+
+    qv = [((i * 3) % 7) / 7.0 for i in range(1, 65)]
+    with pytest.raises(ValueError, match="no recorded"):
+        emb.ann_search(table, qv, k=5)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = emb.ann_search(table, qv, k=5, allow_legacy=True).collect()
+    assert any("legacy default geometry" in str(w.message) for w in caught)
+    assert 0 < len(got) <= 5
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_table_props_ttl_and_build_id(spark, sf_dir, tmp_path):
+    """Round-10 (r9 ADVICE medium): the table-properties cache EXPIRES —
+    a stale entry past the TTL is re-read from the catalog, so a
+    cross-process rebuild is picked up within TBLPROPS_TTL_SEC instead
+    of never; within the TTL the cache serves without a collect. Every
+    build records a fresh cellbase.build_id, so an in-process rebuild is
+    observable immediately (invalidation) and a geometry-pinning
+    consumer can detect a swap by comparing ids."""
+    import os
+    import time
+
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.operators.similarity import _tblprops_cache, table_props
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    table = f"cb_api_ttl_{os.getpid()}"
+    emb.build_ann_index("embedding", table, str(tmp_path / "ttlidx"))
+
+    props1 = table_props(spark, table)
+    bid1 = props1["cellbase.build_id"]
+    assert bid1
+
+    # in-process rebuild invalidates the cache -> new build_id visible
+    emb.build_ann_index("embedding", table, str(tmp_path / "ttlidx"))
+    bid2 = table_props(spark, table)["cellbase.build_id"]
+    assert bid2 != bid1
+
+    # cross-process staleness: plant a poisoned cache entry. Fresh
+    # timestamp -> served as-is (cache hit); timestamp past the TTL ->
+    # re-read from the catalog, poison discarded.
+    cache = _tblprops_cache(spark)
+    poisoned = dict(table_props(spark, table), **{"cellbase.build_id": "stale"})
+    cache[table] = (time.monotonic(), poisoned)
+    assert table_props(spark, table)["cellbase.build_id"] == "stale"
+    cache[table] = (time.monotonic() - 10_000.0, poisoned)
+    assert table_props(spark, table)["cellbase.build_id"] == bid2
+    # max_age_sec=0 forces a re-read regardless of entry age
+    cache[table] = (time.monotonic(), poisoned)
+    assert table_props(spark, table, max_age_sec=0)[
+        "cellbase.build_id"
+    ] == bid2
+
+
+def test_session_memo_dies_with_session():
+    """Round-10 (r9 ADVICE low): the per-session memos hold their owner
+    weakly — entries vanish when the session object is collected, so a
+    recycled id() can never alias a dead session's cache (the old
+    id(spark)-keyed dicts could serve a new session the dead one's
+    table names / partition counts / index geometry)."""
+    import gc
+
+    from cellbase_spark.memo import _SESSION_MEMOS, session_memo
+
+    class FakeSession:  # stands in for SparkSession (weakref-able, hashable)
+        pass
+
+    before = len(_SESSION_MEMOS)
+    s = FakeSession()
+    memo = session_memo(s, "layout")
+    memo["sf"] = ("t_l", "t_o")
+    assert session_memo(s, "layout")["sf"] == ("t_l", "t_o")
+    # distinct names are isolated
+    session_memo(s, "other")["sf"] = "different"
+    assert session_memo(s, "layout")["sf"] == ("t_l", "t_o")
+    assert len(_SESSION_MEMOS) == before + 1
+
+    del s, memo
+    gc.collect()
+    assert len(_SESSION_MEMOS) == before

@@ -55,13 +55,14 @@ def test_frame_sample_expansion_and_fingerprint(assets):
 
 def test_real_decoder_seam_raises_without_codecs():
     # covered in more detail by test_decode_image_compressed_needs_pil;
-    # kept as the minimal seam contract: compressed bytes either decode
-    # (PIL present) or raise NotImplementedError, never garbage.
+    # kept as the minimal seam contract: bytes of a format with no
+    # native codec (GIF here — JPEG went native in round 10) either
+    # decode (PIL present) or raise NotImplementedError, never garbage.
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(b"\xff\xd8\xff\xe0")
+            mm.decode_image(b"GIF89a\x01\x00\x01\x00")
 
 
 def test_bmp_roundtrip_including_padding():
@@ -105,15 +106,17 @@ def test_decode_image_compressed_needs_pil():
         pytest.skip("PIL present; compressed path exercised elsewhere")
     except ImportError:
         pass
-    # PNG now decodes natively (stdlib-zlib codec); the PIL seam is for
-    # formats without a native path, e.g. JPEG
+    # PNG and baseline JPEG now decode natively; the PIL seam is for
+    # formats without a native path, e.g. GIF
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0not-really-a-jpeg")
-    # a malformed PNG fails loudly in the native codec, never silently
+        decode_image(b"GIF89anot-really-a-gif")
+    # malformed payloads fail loudly in the native codecs, never silently
     import struct as _struct
 
     with pytest.raises((ValueError, NotImplementedError, _struct.error)):
         decode_image(b"\x89PNG\r\n\x1a\nnot-really-a-png")
+    with pytest.raises((ValueError, NotImplementedError, _struct.error, IndexError)):
+        decode_image(b"\xff\xd8\xff\xe0not-really-a-jpeg")
 
 
 def test_wav_roundtrip_and_chunk_skip():
@@ -158,3 +161,81 @@ def test_y4m_roundtrip_and_header_tolerance():
         decode_y4m(encode_y4m(v).replace(b"C444", b"C420"))
     with pytest.raises(ValueError):
         decode_y4m(b"NOTY4M W1 H1\n")
+
+
+def test_jpeg_roundtrip_exact_on_constant_blocks():
+    """Per-8x8-block constant grayscale images round-trip EXACTLY through
+    the baseline JPEG codec under the all-ones quant table (every AC
+    coefficient quantizes to 0; the DC survives the IDCT bit-clean) —
+    the property q_mm_decode_jpeg's formula oracle is built on. Restart
+    markers must not change a single pixel."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    blocks = np.array([[0, 255, 128, 7], [90, 201, 13, 254]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    data = encode_jpeg(img)
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.array_equal(out, img)
+    out_rst = decode_jpeg(encode_jpeg(img, restart_interval=1))
+    assert np.array_equal(out_rst, img)
+
+
+def test_jpeg_lossy_paths_bounded():
+    """The general decoder paths the oracle key can't pin: nonzero AC
+    coefficients (random images -> run-length/ZRL/EOB entropy coding),
+    odd (non-multiple-of-8) dimensions, restart re-sync mid-stream,
+    4:4:4 color, and 4:2:0 subsampled color. Under the all-ones quant
+    table, reconstruction error is bounded by quantizer rounding (plus
+    YCbCr rounding for color): small, deterministic tolerances."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, (29, 43), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 3
+    out_rst = decode_jpeg(encode_jpeg(gray, restart_interval=3))
+    assert np.array_equal(out_rst, out)  # restarts change framing, not pixels
+
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    out_c = decode_jpeg(encode_jpeg(rgb))
+    assert out_c.shape == rgb.shape
+    assert np.abs(out_c.astype(int) - rgb.astype(int)).max() <= 5
+
+    flat = np.full((24, 40, 3), [90, 160, 40], dtype=np.uint8)
+    out_s = decode_jpeg(encode_jpeg(flat, subsample=True))
+    assert out_s.shape == flat.shape
+    assert np.abs(out_s.astype(int) - flat.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_progressive_and_bad_payloads():
+    """Progressive (SOF2) frames hit the loud seam; truncated/garbage
+    payloads raise, never return wrong pixels; sniff_modality routes
+    JPEG magic to 'image' and decode_asset reaches the codec."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import (
+        decode_asset,
+        decode_jpeg,
+        encode_jpeg,
+        sniff_modality,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = encode_jpeg(img)
+    # rewrite SOF0 (0xffc0) to SOF2 (0xffc2): progressive must raise
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    assert sniff_modality(data) == "image"
+    kind, vals = decode_asset(data)
+    assert kind == "image" and vals.sum() == 64 * 100

@@ -947,3 +947,115 @@ def test_pipeline_e2e_neardup_gate_below_all_shuffles(spark, sf_dir):
     assert scans >= 2  # canon is rebuilt per branch: multiple gated scans
     # and the pair former is the banded equi-join, never a cross product
     assert "CartesianProduct" not in plan
+
+
+def test_ann_index_compact_probe_scans_compacted_only(spark, sf_dir):
+    """q_ann_index_compact (round 10): after compaction the probe must
+    resolve ONE artifact — exactly one scan, on the compacted table's
+    path; no base/delta generation path anywhere in the plan (the
+    q_dedup_generations day-2 discipline). The probe IN-list rides
+    PartitionFilters into that single scan, nothing exchanges, and the
+    only join is the 1-row (qv, qnorm) config broadcast."""
+    import re
+
+    plan = plan_of(spark, "q_ann_index_compact", sf_dir)
+    pfs = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert len(pfs) == 1, f"expected 1 pruned scan, got {len(pfs)}"
+    assert " IN (" in pfs[0]
+    assert "anncompact_tr" in plan
+    for gen_path in ("annindex_tr", "anndelta_tr", "anndelta2_tr"):
+        assert gen_path not in plan, f"probe still scans {gen_path}"
+    assert "embeddings.parquet" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_index_compact_layout_and_geometry(spark, sf_dir):
+    """compact_ann_index's physical + metadata contract: (a) every
+    (centroid_id, bucket) leaf of the compacted artifact holds exactly
+    ONE parquet file (the repair q_compact_files does post-hoc, applied
+    at merge time); (b) the frozen geometry is carried forward verbatim
+    — centroids/codebook/n_centroids/dim on the compacted table equal
+    the base generation's, under a FRESH build_id; (c) row payloads are
+    carried verbatim: the compacted table equals the generation union
+    exactly (no re-quantization drift); (d) compacting generations with
+    MISMATCHED geometry refuses loudly."""
+    import glob
+    import os
+
+    import pytest
+
+    from cellbase_spark.operators.similarity import (
+        compact_ann_index,
+        table_props,
+    )
+    from cellbase_spark.queries.llm_similarity import (
+        _ensure_trained_ann_compact,
+        _ensure_trained_ann_delta,
+        _ensure_trained_ann_delta2,
+        _ensure_trained_ann_index,
+    )
+    from cellbase_spark.queries.scans import scratch_path
+
+    t = _ensure_trained_ann_compact(spark, sf_dir)
+    base_t = _ensure_trained_ann_index(spark, sf_dir)
+
+    root = scratch_path(sf_dir, "anncompact_tr")
+    leaves = glob.glob(os.path.join(root, "centroid_id=*", "bucket=*"))
+    assert leaves, f"no leaf dirs under {root}"
+    for leaf in leaves:
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{leaf}: {len(files)} files"
+
+    base_props = table_props(spark, base_t)
+    comp_props = table_props(spark, t)
+    for k in (
+        "cellbase.n_centroids",
+        "cellbase.n_planes",
+        "cellbase.dim",
+        "cellbase.centroids",
+        "cellbase.pq_codebook",
+    ):
+        assert comp_props.get(k) == base_props.get(k), k
+    assert comp_props["cellbase.build_id"] != base_props["cellbase.build_id"]
+
+    union = (
+        spark.table(base_t)
+        .unionByName(spark.table(_ensure_trained_ann_delta(spark, sf_dir)))
+        .unionByName(spark.table(_ensure_trained_ann_delta2(spark, sf_dir)))
+    )
+    cols = sorted(spark.table(t).columns)
+    assert (
+        spark.table(t).select(*cols).exceptAll(union.select(*cols)).isEmpty()
+        and union.select(*cols).exceptAll(spark.table(t).select(*cols)).isEmpty()
+    )
+
+    # (d) mixed geometry refuses: a generation with different recorded
+    # centroids must not silently merge into the base's lists
+    from cellbase_spark.operators.similarity import _tblprops_cache
+
+    delta_t = _ensure_trained_ann_delta(spark, sf_dir)
+    orig = table_props(spark, delta_t)["cellbase.centroids"]
+    try:
+        spark.sql(
+            f"ALTER TABLE {delta_t} SET TBLPROPERTIES"
+            " ('cellbase.centroids' = '{\"0\": [0.0]}')"
+        )
+        _tblprops_cache(spark).pop(delta_t, None)
+        with pytest.raises(ValueError, match="different geometry"):
+            compact_ann_index(
+                spark,
+                "cb_should_not_exist",
+                str(scratch_path(sf_dir, "anncompact_bad")),
+                [base_t, delta_t],
+            )
+    finally:
+        escaped = orig.replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {delta_t} SET TBLPROPERTIES"
+            f" ('cellbase.centroids' = '{escaped}')"
+        )
+        _tblprops_cache(spark).pop(delta_t, None)
+    assert not spark.catalog.tableExists("cb_should_not_exist")

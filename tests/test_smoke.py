@@ -30,16 +30,81 @@ def test_flagship_groups(spark, sf_dir):
 
 
 def test_bench_contention_guard_logic():
-    """The bench guard's pure logic (no Spark): the contended predicate
-    trips only past ref*factor, and the battery min-merge can only
-    improve a key's figure across a rerun (errors replaced, never
-    propagated as min(-1, t))."""
+    """The bench guard-v2 pure logic (no Spark): two ops (cpu+shuffle),
+    contended = EITHER op out of its band; bands come from the rolling
+    per-host min (a sample below the stored ref tightens the band); the
+    rerun check (contended_last) ignores pass-1 samples so a recovered
+    pass-2 isn't permanently stamped; min-merge can only improve a key
+    across a rerun (errors replaced, never propagated as min(-1, t))."""
     import bench
 
-    thr = bench.MICRO_REF_SEC * bench.MICRO_CONTENDED_FACTOR
-    assert not bench._is_contended(thr * 0.99)
-    assert bench._is_contended(thr * 1.01)
-    assert bench._is_contended(0.01, thr * 1.01)  # either sample trips
+    def fresh(stored_cpu_warm=0.20, stored_sh_warm=0.40):
+        b = bench.GuardBands()
+        b.stored = {
+            "cpu": {"cold": 0.25, "warm": stored_cpu_warm},
+            "shuffle": {"cold": 0.70, "warm": stored_sh_warm},
+        }
+        return b
+
+    fc = bench.CONTENDED_FACTOR["cpu"]
+    fs = bench.CONTENDED_FACTOR["shuffle"]
+
+    # in-band on both ops (cold bracket vs cold band) -> clean
+    b = fresh()
+    b.samples = {"cpu": [("cold", 0.26)], "shuffle": [("cold", 0.72)]}
+    assert not b.contended()
+    # shuffle out of band while cpu clean -> contended (the r9 phantom
+    # mode the cpu-only guard missed)
+    b = fresh()
+    b.samples = {
+        "cpu": [("warm", 0.21)],
+        "shuffle": [("warm", 0.40 * fs * 1.01)],
+    }
+    assert b.contended()
+    # cpu out of band alone still trips
+    b = fresh()
+    b.samples = {
+        "cpu": [("warm", 0.20 * fc * 1.01)],
+        "shuffle": [("warm", 0.41)],
+    }
+    assert b.contended()
+    # a COLD sample is judged against the cold band, not the warm min:
+    # ordinary cold-start (2x the warm figure) must NOT read as load
+    b = fresh()
+    b.samples = {"cpu": [("cold", 0.26)], "shuffle": [("cold", 0.69)]}
+    assert not b.contended()
+    # a faster-than-stored sample TIGHTENS its class band (rolling min):
+    # a second warm sample past factor x the new min trips
+    b = fresh()
+    b.samples = {
+        "cpu": [("warm", 0.10), ("warm", 0.10 * fc * 1.01)],
+        "shuffle": [("warm", 0.41), ("warm", 0.41)],
+    }
+    assert b.ref("cpu", "warm") == 0.10
+    assert b.contended()
+    # contended_last(2) judges only the rerun bracket: contaminated
+    # pass-1 samples followed by a clean pass-2 -> not contended
+    b = fresh()
+    b.samples = {
+        "cpu": [("cold", 0.9), ("warm", 0.9), ("warm", 0.21), ("warm", 0.21)],
+        "shuffle": [("cold", 0.71)] + [("warm", 0.41)] * 3,
+    }
+    assert b.contended()  # full-history view stays true
+    assert not b.contended_last(2)  # rerun bracket recovered
+    # first run on a host (no stored refs): self-referenced off the
+    # run's own fastest same-class sample, so mid-run load still trips
+    b = bench.GuardBands()
+    b.stored = {
+        op: {kl: None for kl in bench.GUARD_CLASSES} for op in bench.GUARD_OPS
+    }
+    b.samples = {
+        "cpu": [("cold", 0.30), ("warm", 0.20), ("warm", 0.20 * fc * 1.01)],
+        "shuffle": [("cold", 0.8), ("warm", 0.5), ("warm", 0.5)],
+    }
+    assert b.contended()
+    # observe() classifies the first bracket cold, later ones warm
+    b2 = bench.GuardBands()
+    assert b2._n_brackets == 0
 
     # min-merge semantics: the REAL bench helper, not an in-test copy
     for prev, best, want in [(None, 1.0, 1.0), (1.0, 0.5, 0.5),
