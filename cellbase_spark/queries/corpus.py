@@ -509,36 +509,39 @@ def _bpe_pairs_sql(sym_src: str) -> str:
 
 
 def _bpe_merge_sql(best: str) -> str:
-    """DuckDB: one standard BPE merge step of {best}'s winning pair over
-    symbol-string column `s`, boundary-ANCHORED: the string is wrapped
-    in US sentinels and the pattern is US||a||US||b||US, so a pair can
-    only match two whole adjacent symbols — never a prefix of a longer
-    symbol (the pre-round-8 unanchored replace could turn symbols
-    [a, th] into bogus 'ath' when merging (a, t)). Applied twice:
-    leftmost non-overlapping string replace consumes the shared
-    boundary US between two back-to-back occurrences, skipping every
-    other one in a run.
+    """DuckDB: one TEXTBOOK BPE merge step of {best}'s winning pair over
+    symbol-string column `s` — greedy leftmost non-overlapping,
+    self-pairs included — via the round-10 DOUBLED-DELIMITER rewrite
+    (upgrading the round-8/9 two-pass variant whose self-pair runs
+    under-merged: 'a a a a a a' became 'aa a aa a' where textbook BPE
+    yields 'aa aa aa').
 
-    Exactness scope (round-8 ADVICE low): for a pair (a, b) with
-    a != b, the skipped occurrences are never themselves adjacent
-    (each skipped b...a straddles a merged ab on its left), so the
-    second pass catches exactly the skipped set — two passes == one
-    greedy leftmost non-overlapping symbol-level merge, EXACTLY. For a
-    SELF-pair (a, a) over a run of >= 5 repeated symbols the identity
-    does NOT hold: pass 1 merges occurrences 1-2, 4-5, ... and the
-    leftover singles sit isolated between merged symbols, so pass 2
-    finds nothing — 'a a a a a a' becomes 'aa a aa a' where standard
-    greedy BPE yields 'aa aa aa'. This is a deliberate, DOCUMENTED
-    variant semantics for self-pair runs (affects q_bpe_encode ratios
-    on repeated-char runs like '----'); both engines run the identical
-    expression, so the cross-engine oracle pins the variant exactly.
-    If standard-BPE self-pair fidelity is ever required, handle (a, a)
-    with a run-aware rewrite (floor(run_len/2) merges per run)."""
-    pat = f"chr(31) || (SELECT pair FROM {best}) || chr(31)"
-    rep = f"chr(31) || replace((SELECT pair FROM {best}), chr(31), '') || chr(31)"
+    The rewrite: wrap the string in US sentinels, then double every US
+    (each symbol now sits between US-PAIRS), then ONE anchored replace
+    of US||a||US||US||b||US with US||ab||US, then collapse US-pairs
+    back and trim. Why this is exactly greedy: anchoring to a full US
+    on both ends means a pattern can only match two whole adjacent
+    symbols (never a prefix of a longer symbol — the pre-round-8
+    hazard), and because every inter-symbol boundary is now TWO
+    characters, back-to-back occurrences no longer contend for a shared
+    boundary character: each match consumes the second US of its left
+    boundary pair and the first US of its right pair, leaving one US on
+    each side, so the very next adjacency is still matchable and
+    leftmost non-overlapping replace() — identical semantics in Spark
+    and DuckDB — lands exactly the greedy pairing: a run of n repeated
+    symbols merges floor(n/2) times at positions (1,2),(3,4),...
+    Uniform US-pair spacing is preserved by construction (the
+    replacement reinstates one US per side; symbols are non-empty so
+    no US-run ever exceeds 2), which makes the final collapse exact."""
+    us = "chr(31)"
+    pat = (
+        f"{us} || replace((SELECT pair FROM {best}), {us}, {us} || {us})"
+        f" || {us}"
+    )
+    rep = f"{us} || replace((SELECT pair FROM {best}), {us}, '') || {us}"
     return (
-        f"trim(replace(replace(chr(31) || s || chr(31), {pat}, {rep}), "
-        f"{pat}, {rep}), chr(31))"
+        f"trim(replace(replace(replace({us} || s || {us}, {us},"
+        f" {us} || {us}), {pat}, {rep}), {us} || {us}, {us}), {us})"
     )
 
 
@@ -570,17 +573,21 @@ def _bpe_pair_counts(sdf: DataFrame) -> DataFrame:
 
 
 def _bpe_merge_col(col: Column, pair: str) -> Column:
-    """Spark side of _bpe_merge_sql: boundary-anchored two-pass merge of
-    `pair` (a US b) into its concatenation, over a US-joined symbol
-    string. See _bpe_merge_sql for the two-pass == one-greedy-merge
-    argument (exact for a != b; documented variant semantics for
-    self-pair runs >= 5); both engines' replace() is leftmost
-    non-overlapping, so the results are bit-identical."""
-    merged = pair.replace(_BPE_US, "")
-    pat = F.lit(_BPE_US + pair + _BPE_US)
-    rep = F.lit(_BPE_US + merged + _BPE_US)
-    once = F.replace(F.concat(F.lit(_BPE_US), col, F.lit(_BPE_US)), pat, rep)
-    return F.btrim(F.replace(once, pat, rep), F.lit(_BPE_US))
+    """Spark side of _bpe_merge_sql: the doubled-delimiter greedy merge
+    of `pair` (a US b) into its concatenation, over a US-joined symbol
+    string — textbook BPE for every pair, self-pair runs included (see
+    _bpe_merge_sql for the exactness argument); both engines' replace()
+    is leftmost non-overlapping, so the results are bit-identical."""
+    us = _BPE_US
+    pat = F.lit(us + pair.replace(us, us + us) + us)
+    rep = F.lit(us + pair.replace(us, "") + us)
+    doubled = F.replace(
+        F.concat(F.lit(us), col, F.lit(us)), F.lit(us), F.lit(us + us)
+    )
+    collapsed = F.replace(
+        F.replace(doubled, pat, rep), F.lit(us + us), F.lit(us)
+    )
+    return F.btrim(collapsed, F.lit(us))
 
 
 @register(
@@ -619,11 +626,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Representation that keeps BOTH engines exact: a token's symbol
     sequence is a single string with U+001F between symbols, so the
-    merge is a boundary-ANCHORED string replace — the string is wrapped
-    in US sentinels and the pattern US||a||US||b||US can only match two
-    whole adjacent symbols, applied twice (= exactly one greedy
-    leftmost non-overlapping merge step; proof sketch in
-    _bpe_merge_sql). Pair extraction is a split + windowed concat,
+    merge is a boundary-ANCHORED string replace over DOUBLED delimiters
+    — one pass lands exactly the greedy leftmost non-overlapping merge
+    step for every pair, self-pair runs included (round 10; proof
+    sketch in _bpe_merge_sql). Pair extraction is a split + windowed
+    concat,
     guarded for words that collapse to a single symbol
     (_bpe_pair_counts). U+001F not appearing in text is the documented
     precondition.

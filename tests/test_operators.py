@@ -531,6 +531,59 @@ def test_bpe_single_symbol_word_and_boundary_anchoring(spark, tmp_path):
     assert enc["s1"].syms_after < enc["s1"].syms_before
 
 
+def test_bpe_self_pair_run_is_textbook_greedy(spark):
+    """Round-10 (r9 verdict task #5): the doubled-delimiter merge makes
+    SELF-pair merges textbook greedy BPE — a run of n repeated symbols
+    merges floor(n/2) times at positions (1,2),(3,4),... The retired
+    two-pass variant under-merged runs >= 4 ('------' gave 'aa a aa a'
+    shapes). Checked directly on the merge column against hand-computed
+    greedy results for every run length 2..9, plus the a != b case and
+    the prefix-hazard case the anchoring exists for."""
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.queries.corpus import _BPE_US, _bpe_merge_col
+
+    us = _BPE_US
+
+    def merge(sym_string: str, pair: str) -> str:
+        df = spark.createDataFrame([(sym_string,)], "s string")
+        return df.select(_bpe_merge_col(F.col("s"), pair).alias("m")).first().m
+
+    def greedy(syms: list[str], a: str, b: str) -> list[str]:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    # self-pair runs of every length 2..9 (pure and embedded in context)
+    for n in range(2, 10):
+        run = ["-"] * n
+        for syms in (run, ["x"] + run + ["y"], run + ["-x"] + run):
+            got = merge(us.join(syms), "-" + us + "-")
+            want = us.join(greedy(syms, "-", "-"))
+            assert got == want, (syms, got, want)
+    # a != b alternation stays exact
+    syms = ["a", "b", "a", "b", "a"]
+    assert merge(us.join(syms), "a" + us + "b") == us.join(
+        greedy(syms, "a", "b")
+    )
+    # prefix hazard: merging (a, t) must not touch symbols [a, th]
+    syms = ["a", "th", "a", "t"]
+    assert merge(us.join(syms), "a" + us + "t") == us.join(
+        ["a", "th", "at"]
+    )
+    # merged-symbol runs: merging (aa, aa) over 5 x 'aa'
+    syms = ["aa"] * 5
+    assert merge(us.join(syms), "aa" + us + "aa") == us.join(
+        ["aaaa", "aaaa", "aa"]
+    )
+
+
 def test_span_runs_island_stitching(spark, tmp_path):
     """Hand-built: two docs share a 9-token prefix (2 consecutive
     duplicated 8-token windows -> one island of run 2 -> max span 9
