@@ -364,6 +364,39 @@ class CellTable:
             .limit(k)
         )
 
+    def compact_ann_index(
+        self,
+        out_table: str,
+        path: str,
+        generations: list[str],
+    ) -> None:
+        """Merge index generations sharing one frozen geometry into a
+        single compacted artifact (full rewrite — the periodic deep
+        clean). Geometry is verified identical across generations and
+        carried forward; every (centroid_id, bucket) leaf lands as one
+        file. See operators.similarity.compact_ann_index; the daily
+        leaf-targeted form is compact_ann_index_into. Namespaced on the
+        table like ann_search: touches the index, never this table."""
+        from cellbase_spark.operators.similarity import compact_ann_index
+
+        compact_ann_index(self.df.sparkSession, out_table, path, generations)
+
+    def compact_ann_index_into(
+        self, base_table: str, generations: list[str]
+    ) -> int:
+        """Absorb delta generations INTO `base_table` in place,
+        rewriting only the leaves the deltas touch (dynamic partition
+        overwrite; untouched leaves are never opened). Returns the
+        number of rewritten leaves. The daily repair form; see
+        operators.similarity.compact_ann_index_partial."""
+        from cellbase_spark.operators.similarity import (
+            compact_ann_index_partial,
+        )
+
+        return compact_ann_index_partial(
+            self.df.sparkSession, base_table, generations
+        )
+
     def build_dedup_index(self, text_col: str, path: str) -> None:
         """Write this table's persisted dedup index to `path`: the
         MinHash band table (<path>/bands) and the token-set fingerprint

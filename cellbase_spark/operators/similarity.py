@@ -1028,3 +1028,99 @@ def compact_ann_index(
     props += f", 'cellbase.build_id' = '{uuid.uuid4().hex}'"
     spark.sql(f"ALTER TABLE {out_table} SET TBLPROPERTIES ({props})")
     _tblprops_cache(spark).pop(out_table, None)
+
+
+def compact_ann_index_partial(
+    spark,
+    base_table: str,
+    generations: list[str],
+) -> int:
+    """LEAF-TARGETED compaction — the deployment form compact_ann_index's
+    docstring promises: absorb delta generations INTO the base artifact
+    by rewriting ONLY the (centroid_id, bucket) leaves the deltas touch,
+    under dynamic partition overwrite. Where the full compaction's
+    exchange moves every byte of every generation, this one reads the
+    deltas plus the touched SLICE of the base (a PartitionFilters-pruned
+    scan) and writes only those leaves back — at deployment scale a
+    daily delta touches a bounded set of hot lists, so the repair cost
+    tracks the delta, not the corpus. Untouched base leaves are never
+    opened, never rewritten.
+
+    Same geometry discipline as compact_ann_index: every generation's
+    recorded cellbase.* properties must equal the base's (verified, not
+    assumed), rows are carried verbatim (no re-quantization), and each
+    rewritten leaf lands as one file (repartition on the partition keys
+    before the insert). The base's build_id is refreshed so geometry-
+    pinning consumers observe the mutation. Returns the number of
+    rewritten leaves.
+
+    The touched-leaf list is a config-bounded collect: it cannot exceed
+    n_centroids * 2^n_planes (the index's own geometry bound), and for a
+    real delta batch it is the batch's distinct quantization cells."""
+    if not generations:
+        raise ValueError("compact_ann_index_partial: no delta generations")
+    geo_keys = (
+        "cellbase.n_centroids",
+        "cellbase.n_planes",
+        "cellbase.dim",
+        "cellbase.centroids",
+        "cellbase.pq_codebook",
+    )
+    base_geo = {k: table_props(spark, base_table).get(k) for k in geo_keys}
+    if base_geo["cellbase.n_centroids"] is None:
+        raise ValueError(
+            f"compact_ann_index_partial: {base_table!r} has no recorded"
+            " cellbase.* geometry — refusing to absorb deltas into an"
+            " artifact of unknown geometry"
+        )
+    for g in generations:
+        geo = {k: table_props(spark, g).get(k) for k in geo_keys}
+        if geo != base_geo:
+            diff = [k for k in geo_keys if geo[k] != base_geo[k]]
+            raise ValueError(
+                f"compact_ann_index_partial: generation {g!r} was built"
+                f" under a different geometry than {base_table!r}"
+                f" (differing: {diff}) — rebuild it under the base's"
+                " recorded geometry first."
+            )
+    deltas = spark.table(generations[0])
+    for g in generations[1:]:
+        deltas = deltas.unionByName(spark.table(g))
+    # touched leaves: bounded by the index geometry (<= n_centroids *
+    # 2^n_planes), collected so the base read is a pruned IN-scan and
+    # the overwrite set is known for the return value
+    touched = [
+        (int(r.centroid_id), int(r.bucket))
+        for r in deltas.select("centroid_id", "bucket").distinct().collect()
+    ]
+    touch_pred = F.struct(F.col("centroid_id"), F.col("bucket")).isin(
+        [F.struct(F.lit(c), F.lit(b)) for c, b in touched]
+    )
+    base_slice = spark.table(base_table).where(touch_pred)
+    merged = base_slice.unionByName(deltas)
+    cols = spark.table(base_table).columns  # insertInto is positional;
+    # data columns first, partition columns last — exactly the catalog
+    # schema order saveAsTable(partitionBy=...) recorded
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.select(*cols)
+            .repartition(F.col("centroid_id"), F.col("bucket"))
+            .write.mode("overwrite")
+            .insertInto(base_table)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    import uuid
+
+    spark.sql(
+        f"ALTER TABLE {base_table} SET TBLPROPERTIES"
+        f" ('cellbase.build_id' = '{uuid.uuid4().hex}')"
+    )
+    _tblprops_cache(spark).pop(base_table, None)
+    return len(touched)

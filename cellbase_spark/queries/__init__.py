@@ -78,6 +78,7 @@ GATE_PRIORITY = [
     # -- (c) NEW round-10 keys appended here as they land
     "q_ann_index_compact",
     "q_mm_decode_jpeg",
+    "q_ann_index_compact_partial",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -2449,3 +2449,74 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+def _ensure_trained_ann_compact_partial(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IN-PLACE compacted artifact: a private copy of the
+    trained base (compact_ann_index over one generation = copy with the
+    geometry carried) that then ABSORBS both frozen-geometry deltas via
+    compact_ann_index_partial — only the delta-touched leaves are
+    rewritten, under dynamic partition overwrite. A copy is mutated (not
+    the shared base scratch table) so every other trained-serving key
+    keeps its immutable artifact."""
+    from cellbase_spark.operators.similarity import (
+        compact_ann_index,
+        compact_ann_index_partial,
+    )
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_annpart_tr")
+    if not spark.catalog.tableExists(t):
+        base = _ensure_trained_ann_index(spark, sf_dir)
+        compact_ann_index(
+            spark, t, scratch_path(sf_dir, "annpart_tr"), [base]
+        )
+        compact_ann_index_partial(
+            spark,
+            t,
+            [
+                _ensure_trained_ann_delta(spark, sf_dir),
+                _ensure_trained_ann_delta2(spark, sf_dir),
+            ],
+        )
+    return t
+
+
+@register(
+    "q_ann_index_compact_partial", family="llm-sim", oracle=_compact_sql()
+)
+def q_ann_index_compact_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAF-TARGETED in-place compaction (round 10 — the deployment form
+    of q_ann_index_compact): the two delta generations are absorbed INTO
+    the base artifact by rewriting only the (centroid_id, bucket) leaves
+    the deltas touch — the base is read through a PartitionFilters-
+    pruned slice, the merge lands under dynamic partition overwrite, and
+    untouched leaves are never opened or rewritten
+    (tests/test_plans.py pins both the untouched-files-identical
+    invariant and the probe's single-artifact scan). The oracle is the
+    SAME union-probe chain as q_ann_index_compact: whichever repair form
+    ran, the probe answer must be unchanged.
+
+    Scale shape: repair cost tracks the DELTA (its rows + the touched
+    slice of the base), not the corpus — the daily form; the full
+    rewrite (q_ann_index_compact) remains the periodic deep clean."""
+    from cellbase_spark.operators.similarity import decode_index_props, table_props
+
+    t = _ensure_trained_ann_compact_partial(spark, sf_dir)
+    centroids, _ = decode_index_props(table_props(spark, t))
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    probed = spark.table(t).where(F.col("centroid_id").isin(ids))
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") >= 20000000, F.lit("delta2"))
+            .when(F.col("vec_id") >= 10000000, F.lit("delta1"))
+            .otherwise(F.lit("base"))
+            .alias("gen"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

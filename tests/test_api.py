@@ -737,3 +737,48 @@ def test_registry_checkpoint_handles_stay_bounded(spark, sf_dir):
     # an explicit drain empties the record entirely
     ckpt.release_prior()
     assert not ckpt._LIVE
+
+
+def test_facade_ann_compaction_lifecycle(spark, sf_dir, tmp_path):
+    """Round-10 facade: the full ANN index lifecycle is reachable from
+    the API — build (trained or not) -> delta generation under the
+    SAME geometry -> compact (full rewrite) AND compact-into (leaf-
+    targeted in-place). The compacted artifacts must serve ann_search
+    identically to probing before compaction."""
+    import os
+
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    pid = os.getpid()
+    base = f"cb_api_lc_base_{pid}"
+    delta = f"cb_api_lc_delta_{pid}"
+    emb.build_ann_index("embedding", base, str(tmp_path / "base"))
+    # delta batch: every 97th vector, offset ids (same formula geometry)
+    d = CellBase(spark, sf_dir).table("embeddings")
+    d.df = d.df.where("vec_id % 97 = 3").selectExpr(
+        "vec_id + 1000000 as vec_id", "embedding"
+    )
+    d.key_col = "vec_id"
+    d.build_ann_index("embedding", delta, str(tmp_path / "delta"))
+
+    qv = [((i * 3) % 7) / 7.0 for i in range(1, 65)]
+    # truth: probe base and delta separately (same geometry, same probe
+    # list), merge, re-rank — what a pre-compaction union serve returns
+    got_b = emb.ann_search(base, qv, k=50, nprobe=2).collect()
+    got_d = emb.ann_search(delta, qv, k=50, nprobe=2).collect()
+    want = sorted(
+        [(r.vec_id, r.score) for r in got_b] + [(r.vec_id, r.score) for r in got_d],
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+
+    comp = f"cb_api_lc_comp_{pid}"
+    emb.compact_ann_index(comp, str(tmp_path / "comp"), [base, delta])
+    got_c = emb.ann_search(comp, qv, k=10, nprobe=2).collect()
+    assert [(r.vec_id, r.score) for r in got_c] == want
+
+    n = emb.compact_ann_index_into(base, [delta])
+    assert n > 0
+    got_p = emb.ann_search(base, qv, k=10, nprobe=2).collect()
+    assert [(r.vec_id, r.score) for r in got_p] == want

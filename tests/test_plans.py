@@ -1059,3 +1059,146 @@ def test_ann_index_compact_layout_and_geometry(spark, sf_dir):
         )
         _tblprops_cache(spark).pop(delta_t, None)
     assert not spark.catalog.tableExists("cb_should_not_exist")
+
+
+def test_ann_index_compact_partial_probe_and_oracle_shape(spark, sf_dir):
+    """q_ann_index_compact_partial (round 10): after the in-place repair
+    the probe resolves ONE artifact — a single PartitionFilters-pruned
+    scan of the partial table, no delta/base generation path, no
+    exchange, only the 1-row config broadcast."""
+    import re
+
+    plan = plan_of(spark, "q_ann_index_compact_partial", sf_dir)
+    pfs = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert len(pfs) == 1 and " IN (" in pfs[0]
+    assert "annpart_tr" in plan
+    for gen_path in ("annindex_tr", "anndelta_tr", "anndelta2_tr", "anncompact_tr"):
+        assert gen_path not in plan, f"probe still scans {gen_path}"
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_index_compact_partial_rewrites_only_touched_leaves(
+    spark, sf_dir, tmp_path
+):
+    """compact_ann_index_partial's physical contract, pinned on a fresh
+    copy of the trained base: (a) leaves the delta does NOT touch keep
+    their exact parquet files (same names — never opened for write);
+    (b) touched leaves are rewritten to exactly ONE file; (c) the
+    repaired table equals base UNION delta row-for-row; (d) the return
+    value counts the touched leaves; (e) build_id changes, geometry
+    does not; (f) mixed geometry refuses before any write."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.operators.similarity import (
+        _tblprops_cache,
+        compact_ann_index,
+        compact_ann_index_partial,
+        table_props,
+    )
+    from cellbase_spark.queries.llm_similarity import (
+        _ensure_trained_ann_delta,
+        _ensure_trained_ann_index,
+    )
+
+    base_t = _ensure_trained_ann_index(spark, sf_dir)
+    delta_t = _ensure_trained_ann_delta(spark, sf_dir)
+    t = f"cb_partialtest_{os.getpid()}"
+    root = str(tmp_path / "partial")
+    compact_ann_index(spark, t, root, [base_t])
+
+    def leaf_files() -> dict[str, tuple[str, ...]]:
+        out = {}
+        for leaf in glob.glob(os.path.join(root, "centroid_id=*", "bucket=*")):
+            out[os.path.relpath(leaf, root)] = tuple(
+                sorted(f for f in os.listdir(leaf) if f.endswith(".parquet"))
+            )
+        return out
+
+    before = leaf_files()
+    bid_before = table_props(spark, t)["cellbase.build_id"]
+    touched_expected = {
+        f"centroid_id={int(r.centroid_id)}/bucket={int(r.bucket)}"
+        for r in spark.table(delta_t)
+        .select("centroid_id", "bucket")
+        .distinct()
+        .collect()
+    }
+
+    n = compact_ann_index_partial(spark, t, [delta_t])
+    assert n == len(touched_expected)
+
+    after = leaf_files()
+    for leaf, files in before.items():
+        if leaf in touched_expected:
+            assert after[leaf] != files, f"touched leaf {leaf} not rewritten"
+        else:
+            assert after[leaf] == files, f"untouched leaf {leaf} rewritten"
+    for leaf in touched_expected:
+        assert len(after[leaf]) == 1, (leaf, after[leaf])
+
+    cols = sorted(spark.table(t).columns)
+    union = spark.table(base_t).unionByName(spark.table(delta_t))
+    assert (
+        spark.table(t).select(*cols).exceptAll(union.select(*cols)).isEmpty()
+        and union.select(*cols).exceptAll(spark.table(t).select(*cols)).isEmpty()
+    )
+
+    props = table_props(spark, t)
+    assert props["cellbase.build_id"] != bid_before
+    assert props["cellbase.centroids"] == table_props(spark, base_t)[
+        "cellbase.centroids"
+    ]
+
+    # mixed geometry refuses BEFORE any write (build_id unchanged after)
+    bid = props["cellbase.build_id"]
+    orig = table_props(spark, delta_t)["cellbase.centroids"]
+    try:
+        spark.sql(
+            f"ALTER TABLE {delta_t} SET TBLPROPERTIES"
+            " ('cellbase.centroids' = '{\"0\": [1.0]}')"
+        )
+        _tblprops_cache(spark).pop(delta_t, None)
+        with pytest.raises(ValueError, match="different geometry"):
+            compact_ann_index_partial(spark, t, [delta_t])
+    finally:
+        escaped = orig.replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {delta_t} SET TBLPROPERTIES"
+            f" ('cellbase.centroids' = '{escaped}')"
+        )
+        _tblprops_cache(spark).pop(delta_t, None)
+    assert table_props(spark, t, max_age_sec=0)["cellbase.build_id"] == bid
+
+
+def test_partial_compaction_base_slice_is_partition_pruned(spark, sf_dir):
+    """compact_ann_index_partial's 'untouched leaves are never opened'
+    claim rests on struct(centroid_id, bucket) IN (...) reaching
+    PartitionFilters — pin that Catalyst property on the exact predicate
+    shape the operator builds (a regression here would silently turn
+    the pruned base-slice read into a full index scan)."""
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.queries.llm_similarity import _ensure_trained_ann_index
+
+    t = _ensure_trained_ann_index(spark, sf_dir)
+    pred = F.struct(F.col("centroid_id"), F.col("bucket")).isin(
+        [F.struct(F.lit(c), F.lit(b)) for c, b in [(1, 5), (2, 9)]]
+    )
+    plan = spark.table(t).where(pred)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert " IN (" in pf and "struct(centroid_id" in pf, pf
+    # and nothing is read besides the data columns (no post-scan filter
+    # re-evaluating the partition predicate over row data)
+    assert "PushedFilters: []" in plan or "PushedFilters" not in plan
