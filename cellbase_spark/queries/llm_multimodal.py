@@ -335,45 +335,52 @@ def q_mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="llm-multimodal",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS modality,
-       CASE doc_id % 3
+       CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            WHEN 2 THEN 'video' ELSE 'image' END AS modality,
+       CASE doc_id % 4
          WHEN 0 THEN CAST(8 * (8 + doc_id % 5) * 3 AS BIGINT)
          WHEN 1 THEN CAST(64 + doc_id % 17 AS BIGINT)
-         ELSE CAST(3 * 4 * (4 + doc_id % 3) * 3 AS BIGINT)
+         WHEN 2 THEN CAST(3 * 4 * (4 + doc_id % 3) * 3 AS BIGINT)
+         ELSE CAST(128 * (2 + doc_id % 3) AS BIGINT)
        END AS n_values,
-       CASE doc_id % 3
+       CASE doc_id % 4
          WHEN 0 THEN CAST(list_sum(flatten(list_transform(range(0, 8), y ->
               flatten(list_transform(range(0, 8 + doc_id % 5), x ->
                 list_transform(range(0, 3),
                                c -> (doc_id + 7*y + 3*x + c) % 256)))))) AS BIGINT)
          WHEN 1 THEN CAST(list_sum(list_transform(range(0, 64 + doc_id % 17),
               i -> (doc_id * 13 + i * 7) % 4096 - 2048)) AS BIGINT)
-         ELSE CAST(list_sum(flatten(list_transform(range(0, 3), f ->
+         WHEN 2 THEN CAST(list_sum(flatten(list_transform(range(0, 3), f ->
               flatten(list_transform(range(0, 4), y ->
                 flatten(list_transform(range(0, 4 + doc_id % 3), x ->
                   list_transform(range(0, 3),
                     c -> (doc_id + 11*f + 3*y + x + 97*c) % 256)))))))) AS BIGINT)
+         ELSE CAST(64 * list_sum(flatten(list_transform(range(0, 2), by ->
+              list_transform(range(0, 2 + doc_id % 3), bx ->
+                (doc_id * 7 + by * 31 + bx * 13) % 256)))) AS BIGINT)
        END AS val_sum
 FROM documents
 """,
 )
 def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIXED-modality corpus through ONE binary column — the real shape
-    of a multimodal lake: each doc's payload is a genuine PNG, WAV, or
-    Y4M (doc_id % 3 picks the modality, each with its formula content),
-    and the processing kernel knows nothing about which — it sniffs the
-    magic bytes (sniff_modality) and routes to the matching real codec
-    (decode_asset), emitting the modality plus decoded value stats. The
-    oracle re-derives everything from the per-modality formulas, so the
-    hash matches only if sniffing AND all three decoders are correct.
-    Two mapInPandas passes (author, then sniff+decode) keep the authored
-    binary column a genuine Arrow BinaryType round-trip."""
+    of a multimodal lake: each doc's payload is a genuine PNG, WAV, Y4M
+    or (round 10) baseline JPEG (doc_id % 4 picks the modality, each
+    with its formula content), and the processing kernel knows nothing
+    about which — it sniffs the magic bytes (sniff_modality) and routes
+    to the matching real codec (decode_asset), emitting the modality
+    plus decoded value stats. The oracle re-derives everything from the
+    per-modality formulas, so the hash matches only if sniffing AND all
+    four decoders are correct (the JPEG lane uses the constant-block
+    exact round-trip of q_mm_decode_jpeg). Two mapInPandas passes
+    (author, then sniff+decode) keep the authored binary column a
+    genuine Arrow BinaryType round-trip."""
     import numpy as np
     import pandas as pd
 
     from cellbase_spark.operators.multimodal import (
         decode_asset,
+        encode_jpeg,
         encode_png,
         encode_wav,
         encode_y4m,
@@ -384,7 +391,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for raw_id in pdf["doc_id"]:
                 doc_id = int(raw_id)
-                m = doc_id % 3
+                m = doc_id % 4
                 if m == 0:
                     w = 8 + doc_id % 5
                     y, x, c = np.meshgrid(
@@ -400,7 +407,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ((doc_id * 13 + i * 7) % 4096 - 2048).astype(np.int16)
                         )
                     )
-                else:
+                elif m == 2:
                     w = 4 + doc_id % 3
                     f, y, x, c = np.meshgrid(
                         np.arange(3), np.arange(4), np.arange(w), np.arange(3),
@@ -410,6 +417,17 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.uint8
                     )
                     payloads.append(encode_y4m(clip))
+                else:
+                    bw = 2 + doc_id % 3
+                    by, bx = np.meshgrid(
+                        np.arange(2), np.arange(bw), indexing="ij"
+                    )
+                    blocks = (
+                        (doc_id * 7 + by * 31 + bx * 13) % 256
+                    ).astype(np.uint8)
+                    payloads.append(
+                        encode_jpeg(np.kron(blocks, np.ones((8, 8), np.uint8)))
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def process(batches):
