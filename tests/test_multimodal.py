@@ -239,3 +239,43 @@ def test_jpeg_rejects_progressive_and_bad_payloads():
     assert sniff_modality(data) == "image"
     kind, vals = decode_asset(data)
     assert kind == "image" and vals.sum() == 64 * 100
+
+
+def test_jpeg_16bit_dqt_and_nontrivial_quant():
+    """Decoder-only paths the encoder never emits: (a) a Pq=1 (16-bit)
+    quantization table — built by rewriting the encoder's 8-bit DQT
+    segment into big-endian shorts — must decode identically; (b) a
+    quant table whose DC entry divides the constant-block DC exactly
+    (q0=8 vs DC=8(c-128)) stays pixel-exact through dequantization."""
+    import struct
+
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # the zigzag table is the standard T.81 order
+    assert _JPEG_ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert _JPEG_ZIGZAG[-1] == (7, 7) and len(set(_JPEG_ZIGZAG)) == 64
+
+    img = np.kron(np.array([[7, 250]], np.uint8), np.ones((8, 8), np.uint8))
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xdb")
+    (ln,) = struct.unpack_from(">H", data, i + 2)
+    body = bytes(data[i + 4 : i + 2 + ln])
+    assert body[0] == 0x00  # encoder emits 8-bit tables
+    q16 = bytes([0x10]) + b"".join(
+        struct.pack(">H", v) for v in body[1:]
+    )
+    seg = b"\xff\xdb" + struct.pack(">H", len(q16) + 2) + q16
+    rewritten = bytes(data[:i]) + seg + bytes(data[i + 2 + ln :])
+    assert np.array_equal(decode_jpeg(rewritten), img)
+
+    out = decode_jpeg(encode_jpeg(img, qtable=[8] + [1] * 63))
+    assert np.array_equal(out, img)
