@@ -12,9 +12,10 @@ formats NEEDING them (progressive JPEG, video containers, lossy audio)
 keep the import-try seam in `decode_image` (NotImplementedError with a
 clear message). Everything else is decoded FOR REAL with stdlib + numpy:
 - images: 24-bit BI_RGB BMP (`decode_bmp`, bottom-up rows, BGR, 4-byte
-  padding), binary P6 PPM (`decode_ppm`), PNG 8-bit truecolor
-  (`decode_png` — CRC-checked chunk walk, stdlib-zlib inflate, all five
-  scanline unfilters; `encode_png` emits any fixed filter for tests),
+  padding), binary P6 PPM (`decode_ppm`), PNG 8-bit gray / palette /
+  truecolor / RGBA (`decode_png` — CRC-checked chunk walk, stdlib-zlib
+  inflate, all five scanline unfilters, PLTE mapping; `encode_png`
+  emits any fixed filter + color type for tests),
   and baseline sequential JPEG (`decode_jpeg` — full T.81 marker walk,
   canonical-Huffman entropy decode, dequant + batched IDCT, 4:2:0/4:2:2
   replication upsample, restart markers; `encode_jpeg` emits gray or
@@ -148,11 +149,11 @@ def decode_ppm(data: bytes):
 
 
 def decode_image(payload: bytes):
-    """Real image decode: BMP / P6 PPM natively, PNG (8-bit truecolor)
-    via the stdlib-zlib codec below, baseline JPEG via the T.81
-    sequential decoder below (progressive falls through its loud
-    NotImplementedError), other compressed formats through the PIL seam
-    where available."""
+    """Real image decode: BMP / P6 PPM natively, PNG (8-bit gray /
+    palette / truecolor / RGBA) via the stdlib-zlib codec below,
+    baseline JPEG via the T.81 sequential decoder below (progressive
+    falls through its loud NotImplementedError), other compressed
+    formats through the PIL seam where available."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -350,17 +351,29 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_len: int = 16) -> Data
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def encode_png(img, filter_type: int = 0) -> bytes:
-    """Write an (H, W, 3|4) uint8 array as a real PNG (8-bit truecolor,
-    non-interlaced, single IDAT, zlib from the stdlib — no codec libs).
-    `filter_type` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
-    3=Average, 4=Paeth) so tests can exercise every decode path."""
+def encode_png(img, filter_type: int = 0, palette=None) -> bytes:
+    """Write a uint8 array as a real PNG (8-bit, non-interlaced, single
+    IDAT, zlib from the stdlib — no codec libs): (H, W) -> grayscale,
+    (H, W, 3|4) -> truecolor/RGBA, and with `palette` (an (N<=256, 3)
+    array) a 2-D array is written as color type 3 with its PLTE chunk
+    (values are palette indices). `filter_type` selects the
+    per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) so
+    tests can exercise every decode path."""
     import zlib
 
     import numpy as np
 
-    h, w, ch = img.shape
-    color_type = {3: 2, 4: 6}[ch]
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        ch = 1
+        img = img.reshape(h, w, 1)
+        color_type = 3 if palette is not None else 0
+    else:
+        if palette is not None:
+            raise ValueError("palette requires a 2-D index array")
+        h, w, ch = img.shape
+        color_type = {3: 2, 4: 6}[ch]
     raw = img.astype(np.int16)
     lines = []
     prev = np.zeros((w, ch), dtype=np.int16)
@@ -401,21 +414,23 @@ def encode_png(img, filter_type: int = 0) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     idat = zlib.compress(b"".join(lines))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
-    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(
+            b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes()
+        )
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def decode_png(data: bytes):
-    """Parse a PNG (8-bit truecolor RGB/RGBA, non-interlaced) into an
-    (H, W, C) uint8 array: real chunk walk (length/type/crc), multi-IDAT
-    concatenation, zlib inflate, and all five scanline unfilters. Other
-    color types / bit depths raise NotImplementedError (the documented
-    codec seam — palette/gray/16-bit need no new plumbing, only more
-    unfilter lanes).
+    """Parse a PNG (8-bit gray / palette / truecolor RGB / RGBA,
+    non-interlaced) into a uint8 array — (H, W) for grayscale, (H, W, 3)
+    for palette (indices mapped through PLTE), (H, W, C) otherwise: real
+    chunk walk (length/type/crc), multi-IDAT concatenation, zlib
+    inflate, and all five scanline unfilters (the filter lanes are
+    channel-count generic, so gray/palette ride the same code — round
+    10 closed that seam). 16-bit depth and interlacing still raise
+    NotImplementedError.
 
     Unfilter cost (128x128 RGB, micro-bench 2026-08-14): Sub rides an
     exact per-lane cumsum (63 -> 0.6 ms, 105x), Up stays wrapped uint8
@@ -430,6 +445,8 @@ def decode_png(data: bytes):
         raise ValueError("not a PNG payload")
     pos = 8
     w = h = None
+    color_type = 0
+    plte = None
     idat = bytearray()
     while pos < len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
@@ -443,12 +460,14 @@ def decode_png(data: bytes):
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+            if depth != 8 or color_type not in (0, 2, 3, 6) or interlace != 0:
                 raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported "
-                    f"(depth={depth}, color_type={color_type})"
+                    "only 8-bit non-interlaced gray/palette/truecolor PNG"
+                    f" supported (depth={depth}, color_type={color_type})"
                 )
-            ch = 3 if color_type == 2 else 4
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -509,7 +528,14 @@ def decode_png(data: bytes):
             out[y] = rc
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
-    return out.reshape(h, w, ch)
+    out = out.reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[out[:, :, 0]]
+    if color_type == 0:
+        return out[:, :, 0]
+    return out
 
 
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:

@@ -279,3 +279,41 @@ def test_jpeg_16bit_dqt_and_nontrivial_quant():
 
     out = decode_jpeg(encode_jpeg(img, qtable=[8] + [1] * 63))
     assert np.array_equal(out, img)
+
+
+def test_png_gray_and_palette_lanes():
+    """Round 10: the PNG gray (color type 0) and palette (type 3 + PLTE
+    mapping) lanes, round-tripped under every scanline filter — the
+    unfilter code is channel-count generic, so these ride the same five
+    paths the truecolor tests pin. 16-bit depth stays the loud seam."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for ft in range(5):
+        g = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+        out = decode_png(encode_png(g, filter_type=ft))
+        assert out.shape == (9, 13) and np.array_equal(out, g), ft
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for ft in range(5):
+        idx = rng.integers(0, 16, (7, 11), dtype=np.uint8)
+        out = decode_png(encode_png(idx, filter_type=ft, palette=pal))
+        assert out.shape == (7, 11, 3) and np.array_equal(out, pal[idx]), ft
+
+    # 16-bit depth still refuses loudly: rewrite IHDR's depth byte
+    data = bytearray(encode_png(rng.integers(0, 256, (4, 4), np.uint8)))
+    i = data.find(b"IHDR")
+    data[i + 12] = 16  # depth byte (IHDR: w(4) h(4) depth ...)
+    body = bytes(data[i + 4 : i + 4 + 13])
+    import zlib
+
+    st.pack_into(
+        ">I", data, i + 4 + 13, zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(data))
