@@ -231,11 +231,17 @@ class CellTable:
         lists and silently miss neighbors whenever nprobe < n_centroids
         — round-8 ADVICE high), and a query vector whose length differs
         from the indexed dimension is rejected loudly instead of
-        silently scoring null. Indexes written before the properties
-        existed fall back to the build defaults (8 centroids, 64 dims)
-        — same behavior as before, now with the dim check. The property
-        lookup is cached per (session, table); build_ann_index
-        invalidates it on rebuild.
+        silently scoring null. An index with NO recorded cellbase.*
+        geometry (a build that crashed between the table write and the
+        properties ALTER, or a genuinely pre-properties index) is
+        REFUSED unless allow_legacy=True, which opts back into the old
+        default geometry (8 centroids, 64 dims, formula seeds) with a
+        warning (round-9 ADVICE). The property lookup is cached per
+        (session, table) with a TTL (operators.similarity.
+        TBLPROPS_TTL_SEC) so cross-process rebuilds are picked up;
+        in-process build_ann_index invalidates immediately, and every
+        build records a fresh cellbase.build_id for staleness
+        detection.
 
         `method`: "cosine" (default) scores candidates by exact cosine
         over the raw vectors; "adc" scores by ASYMMETRIC DISTANCE over
