@@ -20,7 +20,11 @@ clear message). Everything else is decoded FOR REAL with stdlib + numpy:
   canonical-Huffman entropy decode, dequant + batched IDCT, 4:2:0/4:2:2
   replication upsample, restart markers; `encode_jpeg` emits gray or
   RGB baseline JFIF for tests, round-tripping EXACTLY on per-8x8-block
-  constant images under the all-ones quant table);
+  constant images under the all-ones quant table), and GIF87a/89a
+  (`decode_gif` — full variable-width LZW with CLEAR/EOI and the KwKwK
+  case, extension skipping, global/local color tables; `encode_gif`
+  emits real single-frame GIF89a — LZW is lossless, so round-trips are
+  pixel-exact);
 - audio: mono PCM16 WAV (`decode_wav` — RIFF chunk walk with word-
   aligned unknown-chunk skip; `encode_wav`);
 - video: YUV4MPEG2 / Y4M C444 8-bit (`decode_y4m` — header-token parse
@@ -162,6 +166,8 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     try:  # pragma: no cover - no codec libs in this container
         import io as _io
 
@@ -172,8 +178,8 @@ def decode_image(payload: bytes):
     except ImportError as exc:
         raise NotImplementedError(
             "exotic-image codecs (PIL) are not available in this "
-            "environment; BMP, P6 PPM, PNG and baseline JPEG decode "
-            "natively"
+            "environment; BMP, P6 PPM, PNG, baseline JPEG and GIF "
+            "decode natively"
         ) from exc
 
 
@@ -656,13 +662,14 @@ def decode_y4m(data: bytes):
 def sniff_modality(payload: bytes) -> str:
     """Classify an opaque asset payload by magic bytes — the dispatch a
     mixed-modality lake performs before routing to a decoder: 'image'
-    (PNG/BMP/PPM/JPEG), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2), else
-    'unknown' (route to the quarantine/codec-seam path)."""
+    (PNG/BMP/PPM/JPEG/GIF), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2),
+    else 'unknown' (route to the quarantine/codec-seam path)."""
     if (
         payload[:8] == b"\x89PNG\r\n\x1a\n"
         or payload[:2] == b"BM"
         or payload[:2] == b"P6"
         or payload[:3] == b"\xff\xd8\xff"
+        or payload[:6] in (b"GIF87a", b"GIF89a")
     ):
         return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1136,7 +1143,12 @@ def decode_jpeg(data: bytes):
         zzs = np.array(blocks[c["id"]], dtype=np.float64)  # (n, 64)
         coefs = np.einsum("nk,krc->nrc", zzs, dez) * qt[c["tq"]]
         pix = np.einsum("ux,nuv,vy->nxy", basis, coefs, basis)
-        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        # floor(x + .5) = round-half-UP: chosen over np.round (half-even)
+        # so the color oracle can replicate the decoder's rounding as
+        # plain floor arithmetic in SQL (identical IEEE doubles both
+        # engines). For the constant-block exact path the argument is
+        # within ~1e-13 of an integer, so the two roundings agree.
+        pix = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
         # reassemble: blocks are in MCU order, c.v x c.h per MCU
         ph, pw = mcy * c["v"] * 8, mcx * c["h"] * 8
         plane = np.zeros((ph, pw), dtype=np.uint8)
@@ -1165,4 +1177,196 @@ def decode_jpeg(data: bytes):
         [yy + 1.402 * cr, yy - 0.344136 * cb - 0.714136 * cr, yy + 1.772 * cb],
         axis=2,
     )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# --- GIF87a/89a (LZW) ------------------------------------------------------
+#
+# Round 10, after JPEG: GIF is LOSSLESS (LZW over palette indices), so —
+# like PNG — formula-derived images round-trip exactly and the oracle
+# can compute pixel stats codec-free. The decoder handles single-frame
+# GIF87a/89a: logical screen descriptor, global/local color tables,
+# extension-block skipping (GCE/comment/application), sub-block
+# reassembly, and the full variable-width LZW decode with CLEAR/EOI
+# codes and code-width growth; interlaced frames and animations raise
+# loudly. The encoder emits non-interlaced GIF89a with a global palette
+# for tests.
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Write a 2-D uint8 palette-index array as a single-frame GIF89a
+    with the given (N<=256, 3) global color table. Real LZW: variable
+    code width from min-code-size+1, CLEAR emitted first and whenever
+    the dictionary fills 4096, EOI last, 255-byte sub-blocks."""
+    import numpy as np
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())  # color-table size field, >= 2
+    table_n = 1 << bits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1) << 4 | (bits - 1), 0, 0])  # GCT flag+size
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+
+    min_code = max(2, bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    seq = b""
+    for px in indices.tobytes():
+        cand = seq + bytes([px])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # dictionary full: reset (keeps the decoder path exercised)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = bytes([px])
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        data.append(acc & 0xFF)
+
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """Decode a single-frame GIF87a/89a into an (H, W, 3) uint8 RGB
+    array: screen/image descriptors, global or local color table,
+    extension skipping, sub-block reassembly, variable-width LZW with
+    CLEAR/EOI and the deferred-clear rule. Interlaced frames and
+    multi-frame animations raise NotImplementedError (the loud seam —
+    per-frame decode is the same path, only raster reordering and GCE
+    disposal logic are missing)."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frame = None
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x} at {pos}")
+        if frame is not None:
+            raise NotImplementedError(
+                "multi-frame (animated) GIF unsupported — decode is"
+                " per-frame identical, disposal/raster logic is the seam"
+            )
+        x0, y0, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        iflags = data[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+        table += [b"", b""]  # clear, eoi placeholders
+        acc = nbits = bi = 0
+        out = bytearray()
+        prev: bytes | None = None
+        while True:
+            while nbits < width:
+                if bi >= len(stream):
+                    raise ValueError("GIF LZW stream truncated (no EOI)")
+                acc |= stream[bi] << nbits
+                bi += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"invalid GIF LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+        if len(out) != w * h:
+            raise ValueError(
+                f"GIF pixel count mismatch: got {len(out)}, want {w * h}"
+            )
+        frame = pal[np.frombuffer(bytes(out), np.uint8).reshape(h, w)]
+    if frame is None:
+        raise ValueError("GIF missing image block")
+    return frame

@@ -79,6 +79,8 @@ GATE_PRIORITY = [
     "q_ann_index_compact",
     "q_mm_decode_jpeg",
     "q_ann_index_compact_partial",
+    "q_mm_decode_jpeg_color",
+    "q_mm_decode_gif",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -203,6 +203,161 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JFIF YCbCr forward + inverse, written EXACTLY as the codec computes
+# them (same literals, same left-to-right association, floor(x + .5)
+# rounding) so DuckDB reproduces the identical IEEE doubles — the color
+# oracle is the codec's math replayed on the block formula, no codec.
+# Composed by textual substitution because DuckDB lambdas cannot hold
+# subqueries: r/g/b expand into y/cb/cr which expand into the three
+# reconstructed channels, all inline.
+_R = "CAST((doc_id * 5 + by * 17 + bx * 29) % 256 AS DOUBLE)"
+_G = "CAST((doc_id * 11 + by * 7 + bx * 3) % 256 AS DOUBLE)"
+_B = "CAST((doc_id * 13 + by * 23 + bx * 19) % 256 AS DOUBLE)"
+_Y = f"floor(0.299 * {_R} + 0.587 * {_G} + 0.114 * {_B} + 0.5)"
+_CB = (
+    "least(255, greatest(0,"
+    f" floor(128 - 0.168736 * {_R} - 0.331264 * {_G} + 0.5 * {_B} + 0.5)))"
+)
+_CR = (
+    "least(255, greatest(0,"
+    f" floor(128 + 0.5 * {_R} - 0.418688 * {_G} - 0.081312 * {_B} + 0.5)))"
+)
+_R2 = f"least(255, greatest(0, floor({_Y} + 1.402 * ({_CR} - 128) + 0.5)))"
+_G2 = (
+    "least(255, greatest(0,"
+    f" floor({_Y} - 0.344136 * ({_CB} - 128) - 0.714136 * ({_CR} - 128)"
+    " + 0.5)))"
+)
+_B2 = f"least(255, greatest(0, floor({_Y} + 1.772 * ({_CB} - 128) + 0.5)))"
+_JPEG_COLOR_SQL = f"""
+SELECT doc_id,
+       CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(64 * list_sum(flatten(list_transform(range(0, 2), by ->
+         list_transform(range(0, 2 + doc_id % 3), bx ->
+           CAST({_R2} + {_G2} + {_B2} AS BIGINT))))) AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
+@register(
+    "q_mm_decode_gif",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(9 + doc_id % 4 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+         flatten(list_transform(range(0, 9 + doc_id % 4), x ->
+           list_value(
+             (doc_id * 3 + ((doc_id + y * 5 + x * 3) % 8) * 11) % 256,
+             (doc_id * 7 + ((doc_id + y * 5 + x * 3) % 8) * 5) % 256,
+             (doc_id * 13 + ((doc_id + y * 5 + x * 3) % 8) * 3) % 256
+           )))))) AS BIGINT) AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (round 10): each doc gets a deterministic
+    6 x (9 + doc_id%4) frame over an 8-color formula palette
+    (pal[i][c] and idx[y,x] pure integer formulas), encoded as a
+    genuine single-frame GIF89a — real LZW with variable code width,
+    CLEAR/EOI, 255-byte sub-blocks — then decoded back by the
+    independent parser (screen/image descriptors, color table, LZW
+    with the KwKwK case) and reduced to the pixel sum. LZW is LOSSLESS,
+    so like PNG the oracle computes the expected sum straight from the
+    formulas with no codec: the hash matches only if every LZW code and
+    palette lookup reconstructs every byte. Variable width pins the
+    sub-block/stream framing per doc."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_gif, encode_gif
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 9 + doc_id % 4
+                y, x = np.meshgrid(np.arange(6), np.arange(w), indexing="ij")
+                idx = ((doc_id + y * 5 + x * 3) % 8).astype(np.uint8)
+                i = np.arange(8)
+                pal = np.stack(
+                    [
+                        (doc_id * 3 + i * 11) % 256,
+                        (doc_id * 7 + i * 5) % 256,
+                        (doc_id * 13 + i * 3) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                arr = decode_gif(encode_gif(idx, pal))
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+@register("q_mm_decode_jpeg_color", family="llm-multimodal", oracle=_JPEG_COLOR_SQL)
+def q_mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline-JPEG decode under the gate (round 10): each doc is
+    a 2 x (2 + doc_id%3)-block image whose 8x8 blocks are CONSTANT RGB
+    (per-channel block formulas), encoded 4:4:4 and decoded back through
+    the full three-component path — YCbCr forward transform at encode,
+    per-component Huffman/DCT, inverse transform + clipping at decode.
+    Constant blocks make the DCT lossless (q_mm_decode_jpeg's property,
+    now per component), so the only transformations left are the two
+    color transforms — and those are REPLAYED VERBATIM in the oracle SQL
+    (same literals, same association order, floor(x+.5) half-up rounding
+    — the reason decode_jpeg rounds with floor instead of numpy's
+    half-even round): DuckDB computes the identical IEEE doubles, so the
+    hash pins the whole color pipeline bit-exactly, codec-free."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                bw = 2 + doc_id % 3
+                by, bx = np.meshgrid(np.arange(2), np.arange(bw), indexing="ij")
+                rgb_blocks = np.stack(
+                    [
+                        (doc_id * 5 + by * 17 + bx * 29) % 256,
+                        (doc_id * 11 + by * 7 + bx * 3) % 256,
+                        (doc_id * 13 + by * 23 + bx * 19) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                img = np.kron(
+                    rgb_blocks.transpose(2, 0, 1), np.ones((8, 8), np.uint8)
+                ).transpose(1, 2, 0)
+                arr = decode_jpeg(encode_jpeg(img))
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
 @register(
     "q_mm_decode_wav",
     family="llm-multimodal",
@@ -335,15 +490,16 @@ def q_mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="llm-multimodal",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' ELSE 'image' END AS modality,
-       CASE doc_id % 4
+       CASE doc_id % 5
          WHEN 0 THEN CAST(8 * (8 + doc_id % 5) * 3 AS BIGINT)
          WHEN 1 THEN CAST(64 + doc_id % 17 AS BIGINT)
          WHEN 2 THEN CAST(3 * 4 * (4 + doc_id % 3) * 3 AS BIGINT)
-         ELSE CAST(128 * (2 + doc_id % 3) AS BIGINT)
+         WHEN 3 THEN CAST(128 * (2 + doc_id % 3) AS BIGINT)
+         ELSE CAST(6 * (9 + doc_id % 4) * 3 AS BIGINT)
        END AS n_values,
-       CASE doc_id % 4
+       CASE doc_id % 5
          WHEN 0 THEN CAST(list_sum(flatten(list_transform(range(0, 8), y ->
               flatten(list_transform(range(0, 8 + doc_id % 5), x ->
                 list_transform(range(0, 3),
@@ -355,31 +511,40 @@ SELECT doc_id,
                 flatten(list_transform(range(0, 4 + doc_id % 3), x ->
                   list_transform(range(0, 3),
                     c -> (doc_id + 11*f + 3*y + x + 97*c) % 256)))))))) AS BIGINT)
-         ELSE CAST(64 * list_sum(flatten(list_transform(range(0, 2), by ->
+         WHEN 3 THEN CAST(64 * list_sum(flatten(list_transform(range(0, 2), by ->
               list_transform(range(0, 2 + doc_id % 3), bx ->
                 (doc_id * 7 + by * 31 + bx * 13) % 256)))) AS BIGINT)
+         ELSE CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+              flatten(list_transform(range(0, 9 + doc_id % 4), x ->
+                list_value(
+                  (doc_id * 3 + ((doc_id + y * 5 + x * 3) % 8) * 11) % 256,
+                  (doc_id * 7 + ((doc_id + y * 5 + x * 3) % 8) * 5) % 256,
+                  (doc_id * 13 + ((doc_id + y * 5 + x * 3) % 8) * 3) % 256
+                )))))) AS BIGINT)
        END AS val_sum
 FROM documents
 """,
 )
 def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIXED-modality corpus through ONE binary column — the real shape
-    of a multimodal lake: each doc's payload is a genuine PNG, WAV, Y4M
-    or (round 10) baseline JPEG (doc_id % 4 picks the modality, each
-    with its formula content), and the processing kernel knows nothing
-    about which — it sniffs the magic bytes (sniff_modality) and routes
-    to the matching real codec (decode_asset), emitting the modality
-    plus decoded value stats. The oracle re-derives everything from the
-    per-modality formulas, so the hash matches only if sniffing AND all
-    four decoders are correct (the JPEG lane uses the constant-block
-    exact round-trip of q_mm_decode_jpeg). Two mapInPandas passes
-    (author, then sniff+decode) keep the authored binary column a
-    genuine Arrow BinaryType round-trip."""
+    of a multimodal lake: each doc's payload is a genuine PNG, WAV,
+    Y4M, baseline JPEG or GIF (round 10; doc_id % 5 picks the modality,
+    each with its formula content), and the processing kernel knows
+    nothing about which — it sniffs the magic bytes (sniff_modality)
+    and routes to the matching real codec (decode_asset), emitting the
+    modality plus decoded value stats. The oracle re-derives everything
+    from the per-modality formulas, so the hash matches only if
+    sniffing AND all FIVE decoders are correct (the JPEG lane uses the
+    constant-block exact round-trip of q_mm_decode_jpeg; the GIF lane
+    is lossless LZW). Two mapInPandas passes (author, then
+    sniff+decode) keep the authored binary column a genuine Arrow
+    BinaryType round-trip."""
     import numpy as np
     import pandas as pd
 
     from cellbase_spark.operators.multimodal import (
         decode_asset,
+        encode_gif,
         encode_jpeg,
         encode_png,
         encode_wav,
@@ -391,7 +556,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for raw_id in pdf["doc_id"]:
                 doc_id = int(raw_id)
-                m = doc_id % 4
+                m = doc_id % 5
                 if m == 0:
                     w = 8 + doc_id % 5
                     y, x, c = np.meshgrid(
@@ -417,7 +582,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.uint8
                     )
                     payloads.append(encode_y4m(clip))
-                else:
+                elif m == 3:
                     bw = 2 + doc_id % 3
                     by, bx = np.meshgrid(
                         np.arange(2), np.arange(bw), indexing="ij"
@@ -428,6 +593,22 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         encode_jpeg(np.kron(blocks, np.ones((8, 8), np.uint8)))
                     )
+                else:
+                    w = 9 + doc_id % 4
+                    y, x = np.meshgrid(
+                        np.arange(6), np.arange(w), indexing="ij"
+                    )
+                    idx = ((doc_id + y * 5 + x * 3) % 8).astype(np.uint8)
+                    i = np.arange(8)
+                    pal = np.stack(
+                        [
+                            (doc_id * 3 + i * 11) % 256,
+                            (doc_id * 7 + i * 5) % 256,
+                            (doc_id * 13 + i * 3) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8)
+                    payloads.append(encode_gif(idx, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def process(batches):

@@ -56,13 +56,14 @@ def test_frame_sample_expansion_and_fingerprint(assets):
 def test_real_decoder_seam_raises_without_codecs():
     # covered in more detail by test_decode_image_compressed_needs_pil;
     # kept as the minimal seam contract: bytes of a format with no
-    # native codec (GIF here — JPEG went native in round 10) either
-    # decode (PIL present) or raise NotImplementedError, never garbage.
+    # native codec (TIFF here — JPEG and GIF went native in round 10)
+    # either decode (PIL present) or raise NotImplementedError, never
+    # garbage.
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(b"GIF89a\x01\x00\x01\x00")
+            mm.decode_image(b"II*\x00not-really-a-tiff")
 
 
 def test_bmp_roundtrip_including_padding():
@@ -106,10 +107,10 @@ def test_decode_image_compressed_needs_pil():
         pytest.skip("PIL present; compressed path exercised elsewhere")
     except ImportError:
         pass
-    # PNG and baseline JPEG now decode natively; the PIL seam is for
-    # formats without a native path, e.g. GIF
+    # PNG, baseline JPEG and GIF now decode natively; the PIL seam is
+    # for formats without a native path, e.g. TIFF
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89anot-really-a-gif")
+        decode_image(b"II*\x00not-really-a-tiff")
     # malformed payloads fail loudly in the native codecs, never silently
     import struct as _struct
 
@@ -317,3 +318,55 @@ def test_png_gray_and_palette_lanes():
     )
     with pytest.raises(NotImplementedError):
         decode_png(bytes(data))
+
+
+def test_gif_roundtrip_and_seams():
+    """Round 10: GIF87a/89a LZW codec — pixel-exact round-trips
+    (lossless), extension blocks skipped, dictionary growth + the 4096
+    reset exercised by a repetitive stream, interlaced and multi-frame
+    payloads refused loudly, dispatch + sniff routing."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        sniff_modality,
+    )
+
+    rng = np.random.default_rng(9)
+    for n_colors, shape in [(4, (5, 7)), (256, (40, 61)), (3, (1, 1))]:
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, shape, dtype=np.uint8)
+        data = encode_gif(idx, pal)
+        assert sniff_modality(data) == "image"
+        out = decode_image(data)  # dispatch path
+        assert out.shape == shape + (3,)
+        assert np.array_equal(out, pal[idx])
+
+    # repetitive stream -> code-width growth and the 4096-entry reset
+    idx = np.tile(np.arange(7, dtype=np.uint8).repeat(5), 3000).reshape(300, 350)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+    # a GCE extension block before the image descriptor is skipped
+    base = encode_gif(np.zeros((2, 2), np.uint8), pal[:2])
+    i = base.find(b"\x2c")
+    with_ext = base[:i] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + base[i:]
+    assert np.array_equal(decode_gif(with_ext), decode_gif(base))
+
+    # interlace flag refused
+    interlaced = bytearray(base)
+    interlaced[i + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+
+    # second frame refused (animation seam)
+    trailer = base.rindex(b"\x3b")
+    two_frames = base[:trailer] + base[i:trailer] + b"\x3b"
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        decode_gif(two_frames)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 7 + b"\xff")
