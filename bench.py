@@ -97,13 +97,25 @@ HEADLINE = [
 # the warm figure for the shuffle op on an idle box), so comparing it
 # against a warm-JVM min would read ordinary cold-start as contention.
 # "cold" = the first bracket of a process; "warm" = every later
-# bracket. A host's first run self-references within each class (its
-# own fastest same-class sample), which still catches load arriving or
-# leaving mid-run. The shuffle op gets a wider factor (scheduler +
-# disk variance is inherently noisier than codegen'd CPU). Env
-# overrides win and apply to both classes:
+# bracket. A host with NO persisted refs bootstraps from the
+# DEFAULT_REF bands below (round-10 review: pure self-reference was
+# INERT on a first run — one cold sample can never exceed its own
+# band, so a loaded new box would record a clean guard, the exact
+# phantom class the guard exists for). The defaults are this repo's
+# measured idle bands padded ~20%; a genuinely slower host's first run
+# may therefore rerun once and stamp 'contended', after which its OWN
+# rolling minima are persisted and every later run classifies against
+# host truth — a one-run conservative bootstrap instead of a
+# permanently wrong constant (the r9 ADVICE failure) or a silent first
+# run (the r10 review failure). The shuffle op gets a wider factor
+# (scheduler + disk variance is inherently noisier than codegen'd
+# CPU). Env overrides win and apply to both classes:
 # $SPARK_GRAFT_MICRO_REF / $SPARK_GRAFT_SHUFFLE_REF.
 CONTENDED_FACTOR = {"cpu": 1.3, "shuffle": 1.6}
+DEFAULT_REF = {
+    "cpu": {"cold": 0.32, "warm": 0.12},
+    "shuffle": {"cold": 0.80, "warm": 0.63},
+}
 _REF_PATH = os.path.join(_REPO, ".bench_ref.json")
 GUARD_OPS = ("cpu", "shuffle")
 GUARD_CLASSES = ("cold", "warm")
@@ -220,6 +232,11 @@ class GuardBands:
         cands = [s for kl, s in self.samples[op] if kl == klass]
         if self.stored[op][klass] is not None:
             cands.append(self.stored[op][klass])
+        else:
+            # no persisted host truth yet: bootstrap from the default
+            # band so a loaded first run is DETECTED (own samples alone
+            # can never exceed their own minimum — inert guard)
+            cands.append(DEFAULT_REF[op][klass])
         return min(cands) if cands else None
 
     def _out_of_band(self, op: str, klass: str, sec: float) -> bool:

@@ -891,10 +891,6 @@ def encode_jpeg(
             _ENC_AC_BITS, _ENC_AC_VALS
         ).items()
     }
-    # dict above maps sym -> (code, length); writer takes (value, nbits)
-    dc_codes = {s: (c, l) for s, (c, l) in dc_codes.items()}
-    ac_codes = {s: (c, l) for s, (c, l) in ac_codes.items()}
-
     writer = _JpegBitWriter()
     preds = [0] * len(planes)
     n_mcu = 0
@@ -1310,6 +1306,17 @@ def decode_gif(data: bytes):
         pos += 10
         if iflags & 0x40:
             raise NotImplementedError("interlaced GIF unsupported")
+        if (x0, y0) != (0, 0) or (w, h) != (sw, sh):
+            # valid GIFs may place a smaller frame inside the logical
+            # screen; compositing onto the screen (background color,
+            # disposal) is the animation seam — refuse loudly rather
+            # than silently returning a frame-sized raster with the
+            # offset discarded (round-10 review finding)
+            raise NotImplementedError(
+                f"GIF frame ({w}x{h} at {x0},{y0}) does not cover the"
+                f" logical screen ({sw}x{sh}) — sub-frame compositing"
+                " unsupported"
+            )
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)

@@ -947,6 +947,44 @@ def pq_adc_expr(codes_col: str, m: int = 8, sub: int = 8) -> str:
     )
 
 
+_GEO_KEYS = (
+    "cellbase.n_centroids",
+    "cellbase.n_planes",
+    "cellbase.dim",
+    "cellbase.centroids",
+    "cellbase.pq_codebook",
+)
+
+
+def _verify_shared_geometry(
+    spark, reference: str, generations: list[str], verb: str
+) -> dict:
+    """The compaction invariant, in ONE place (both compaction forms
+    call it): every generation's recorded cellbase.* geometry must
+    equal `reference`'s — a delta quantized under retrained centroids
+    merged into the base's lists would corrupt every pruned probe,
+    silently. Returns the verified geometry; refuses a reference with
+    no recorded geometry at all (interrupted build)."""
+    base_geo = {k: table_props(spark, reference).get(k) for k in _GEO_KEYS}
+    if base_geo["cellbase.n_centroids"] is None:
+        raise ValueError(
+            f"{verb}: {reference!r} has no recorded cellbase.* geometry"
+            " (interrupted build?) — refusing to propagate an unknown"
+            " geometry"
+        )
+    for g in generations:
+        geo = {k: table_props(spark, g).get(k) for k in _GEO_KEYS}
+        if geo != base_geo:
+            diff = [k for k in _GEO_KEYS if geo[k] != base_geo[k]]
+            raise ValueError(
+                f"{verb}: generation {g!r} was built under a"
+                f" different geometry than {reference!r}"
+                f" (differing: {diff}) — rebuild it under the"
+                " reference's recorded geometry first."
+            )
+    return base_geo
+
+
 def compact_ann_index(
     spark,
     out_table: str,
@@ -980,35 +1018,9 @@ def compact_ann_index(
     the source generations were built with."""
     if not generations:
         raise ValueError("compact_ann_index: no generations to compact")
-    geo_keys = (
-        "cellbase.n_centroids",
-        "cellbase.n_planes",
-        "cellbase.dim",
-        "cellbase.centroids",
-        "cellbase.pq_codebook",
+    base_geo = _verify_shared_geometry(
+        spark, generations[0], generations[1:], "compact_ann_index"
     )
-    geos = {
-        g: {k: table_props(spark, g).get(k) for k in geo_keys}
-        for g in generations
-    }
-    base_geo = geos[generations[0]]
-    for g, geo in geos.items():
-        if geo != base_geo:
-            diff = [k for k in geo_keys if geo[k] != base_geo[k]]
-            raise ValueError(
-                f"compact_ann_index: generation {g!r} was built under a"
-                f" different geometry than {generations[0]!r}"
-                f" (differing: {diff}) — compacting mixed geometries"
-                " would scatter one list's vectors across foreign leaf"
-                " directories. Rebuild the stragglers under the base's"
-                " recorded geometry first."
-            )
-    if base_geo["cellbase.n_centroids"] is None:
-        raise ValueError(
-            f"compact_ann_index: {generations[0]!r} has no recorded"
-            " cellbase.* geometry (interrupted build?) — refusing to"
-            " propagate an unknown geometry onto the compacted artifact"
-        )
     merged = spark.table(generations[0])
     for g in generations[1:]:
         merged = merged.unionByName(spark.table(g))
@@ -1059,30 +1071,9 @@ def compact_ann_index_partial(
     real delta batch it is the batch's distinct quantization cells."""
     if not generations:
         raise ValueError("compact_ann_index_partial: no delta generations")
-    geo_keys = (
-        "cellbase.n_centroids",
-        "cellbase.n_planes",
-        "cellbase.dim",
-        "cellbase.centroids",
-        "cellbase.pq_codebook",
+    _verify_shared_geometry(
+        spark, base_table, generations, "compact_ann_index_partial"
     )
-    base_geo = {k: table_props(spark, base_table).get(k) for k in geo_keys}
-    if base_geo["cellbase.n_centroids"] is None:
-        raise ValueError(
-            f"compact_ann_index_partial: {base_table!r} has no recorded"
-            " cellbase.* geometry — refusing to absorb deltas into an"
-            " artifact of unknown geometry"
-        )
-    for g in generations:
-        geo = {k: table_props(spark, g).get(k) for k in geo_keys}
-        if geo != base_geo:
-            diff = [k for k in geo_keys if geo[k] != base_geo[k]]
-            raise ValueError(
-                f"compact_ann_index_partial: generation {g!r} was built"
-                f" under a different geometry than {base_table!r}"
-                f" (differing: {diff}) — rebuild it under the base's"
-                " recorded geometry first."
-            )
     deltas = spark.table(generations[0])
     for g in generations[1:]:
         deltas = deltas.unionByName(spark.table(g))

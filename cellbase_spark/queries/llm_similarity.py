@@ -683,6 +683,23 @@ _QD_D2_DUCK = (
 )
 
 
+def _index_ready(spark: SparkSession, t: str) -> bool:
+    """True when index table `t` exists AND carries its recorded
+    cellbase.* geometry. A build that crashed between saveAsTable and
+    the properties ALTER leaves a propsless table; treating it as built
+    would make every probe silently rank against fallback formula-seed
+    geometry (round-10 review finding — the facade refuses this, the
+    internal ensure helpers must REBUILD instead). build_ann_index /
+    compact_ann_index write with mode overwrite, so the rebuild simply
+    replaces the half-finished artifact."""
+    from cellbase_spark.operators.similarity import table_props
+
+    return (
+        spark.catalog.tableExists(t)
+        and "cellbase.n_centroids" in table_props(spark, t, max_age_sec=0)
+    )
+
+
 def _ann_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per sf) and return the persisted ANN
     index CATALOG TABLE: embeddings hive-partitioned by (centroid_id,
@@ -694,7 +711,7 @@ def _ann_index_table(spark: SparkSession, sf_dir: str) -> str:
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_annindex")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         build_ann_index(
             load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
             t,
@@ -969,7 +986,7 @@ def _ann_delta_table(spark: SparkSession, sf_dir: str) -> str:
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_annindex_d1")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         delta = (
             load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") % 97 == 3)
@@ -1412,7 +1429,7 @@ def _ensure_trained_ann_index(spark: SparkSession, sf_dir: str) -> str:
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_annindex_tr")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         trained = train_ivf_centroids(e, n_centroids=8, dim=64, iters=1)
         cb = train_pq_codebook(e)
@@ -2241,7 +2258,7 @@ def _ensure_trained_ann_delta(spark: SparkSession, sf_dir: str) -> str:
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_anndelta_tr")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         base_t = _ensure_trained_ann_index(spark, sf_dir)
         centroids, cb = decode_index_props(table_props(spark, base_t))
         batch = (
@@ -2370,7 +2387,7 @@ def _ensure_trained_ann_delta2(spark: SparkSession, sf_dir: str) -> str:
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_anndelta2_tr")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         base_t = _ensure_trained_ann_index(spark, sf_dir)
         centroids, cb = decode_index_props(table_props(spark, base_t))
         batch = (
@@ -2395,7 +2412,7 @@ def _ensure_trained_ann_compact(spark: SparkSession, sf_dir: str) -> str:
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_anncompact_tr")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         gens = [
             _ensure_trained_ann_index(spark, sf_dir),
             _ensure_trained_ann_delta(spark, sf_dir),
@@ -2466,7 +2483,7 @@ def _ensure_trained_ann_compact_partial(spark: SparkSession, sf_dir: str) -> str
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_annpart_tr")
-    if not spark.catalog.tableExists(t):
+    if not _index_ready(spark, t):
         base = _ensure_trained_ann_index(spark, sf_dir)
         compact_ann_index(
             spark, t, scratch_path(sf_dir, "annpart_tr"), [base]

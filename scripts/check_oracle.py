@@ -175,11 +175,12 @@ def main() -> int:
         # 200 of the battery.
         from cellbase_spark.operators import ckpt
 
-        assert len(ckpt._LIVE) <= 64, (
-            f"eager-checkpoint handle leak after {key}: "
-            f"{len(ckpt._LIVE)} recorded handles (release_prior drain "
-            "regression — see operators/ckpt.py)"
-        )
+        if len(ckpt._LIVE) > 64:  # if/raise, not assert: survives -O
+            raise RuntimeError(
+                f"eager-checkpoint handle leak after {key}: "
+                f"{len(ckpt._LIVE)} recorded handles (release_prior "
+                "drain regression — see operators/ckpt.py)"
+            )
     print(f"\n{n_pass} ok, {n_fail} FAIL, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
 

@@ -782,3 +782,33 @@ def test_facade_ann_compaction_lifecycle(spark, sf_dir, tmp_path):
     assert n > 0
     got_p = emb.ann_search(base, qv, k=10, nprobe=2).collect()
     assert [(r.vec_id, r.score) for r in got_p] == want
+
+
+def test_ensure_rebuilds_propsless_index(spark, sf_dir):
+    """Round-10 review: an index table left WITHOUT its cellbase.*
+    geometry (a build that crashed between saveAsTable and the
+    properties ALTER) must be REBUILT by the ensure helpers, not served
+    — a propsless trained index probed with fallback formula seeds
+    would silently open the wrong lists. Strip the props, re-ensure,
+    and the geometry must be back (fresh build)."""
+    from cellbase_spark.operators.similarity import _tblprops_cache, table_props
+    from cellbase_spark.queries.llm_similarity import (
+        _ensure_trained_ann_delta,
+        _index_ready,
+    )
+
+    t = _ensure_trained_ann_delta(spark, sf_dir)
+    assert _index_ready(spark, t)
+    spark.sql(
+        f"ALTER TABLE {t} UNSET TBLPROPERTIES"
+        " ('cellbase.n_centroids', 'cellbase.n_planes', 'cellbase.dim',"
+        " 'cellbase.centroids', 'cellbase.pq_codebook',"
+        " 'cellbase.build_id')"
+    )
+    _tblprops_cache(spark).clear()
+    assert not _index_ready(spark, t)
+
+    t2 = _ensure_trained_ann_delta(spark, sf_dir)
+    assert t2 == t
+    props = table_props(spark, t, max_age_sec=0)
+    assert "cellbase.centroids" in props and "cellbase.build_id" in props

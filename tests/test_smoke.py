@@ -91,17 +91,37 @@ def test_bench_contention_guard_logic():
     }
     assert b.contended()  # full-history view stays true
     assert not b.contended_last(2)  # rerun bracket recovered
-    # first run on a host (no stored refs): self-referenced off the
-    # run's own fastest same-class sample, so mid-run load still trips
+    # first run on a host (no stored refs): bootstrapped from the
+    # DEFAULT_REF bands, so a UNIFORMLY loaded first run is detected —
+    # pure self-reference was inert here (one cold sample can never
+    # exceed its own minimum; round-10 review finding)
     b = bench.GuardBands()
     b.stored = {
         op: {kl: None for kl in bench.GUARD_CLASSES} for op in bench.GUARD_OPS
     }
+    slow = {
+        op: {kl: bench.DEFAULT_REF[op][kl] * 3 for kl in bench.GUARD_CLASSES}
+        for op in bench.GUARD_OPS
+    }
     b.samples = {
-        "cpu": [("cold", 0.30), ("warm", 0.20), ("warm", 0.20 * fc * 1.01)],
-        "shuffle": [("cold", 0.8), ("warm", 0.5), ("warm", 0.5)],
+        op: [("cold", slow[op]["cold"]), ("warm", slow[op]["warm"])]
+        for op in bench.GUARD_OPS
     }
     assert b.contended()
+    # ...and an idle-looking first run (at or under the defaults) stays
+    # clean; persist() records host truth WITHOUT the default floor
+    b2 = bench.GuardBands()
+    b2.stored = {
+        op: {kl: None for kl in bench.GUARD_CLASSES} for op in bench.GUARD_OPS
+    }
+    b2.samples = {
+        op: [
+            ("cold", bench.DEFAULT_REF[op]["cold"] * 0.9),
+            ("warm", bench.DEFAULT_REF[op]["warm"] * 0.9),
+        ]
+        for op in bench.GUARD_OPS
+    }
+    assert not b2.contended()
     # observe() classifies the first bracket cold, later ones warm
     b2 = bench.GuardBands()
     assert b2._n_brackets == 0
