@@ -560,3 +560,168 @@ def test_sessionize_twophase_equals_onepass(spark, tmp_path_factory, rows):
         )
 
     assert canon(q_sessionize_batch) == canon(q_sessionize_twophase)
+
+
+# --- Round-10 codec properties (pure Python/numpy — no Spark session,
+# so these can afford more examples than the session-bound laws above).
+
+_CODEC_SETTINGS = settings(max_examples=40, deadline=None)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ri=st.sampled_from([0, 1, 3]),
+)
+@_CODEC_SETTINGS
+def test_jpeg_gray_roundtrip_property(h, w, seed, ri):
+    """ANY grayscale image, ANY dims (incl. non-multiple-of-8), with or
+    without restart markers: decode(encode(img)) preserves shape/dtype
+    and stays within the all-ones-quant rounding bound (max |diff| <= 3,
+    empirically <= 2; a framing/Huffman/IDCT bug produces wild pixels,
+    not off-by-rounding)."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+)
+@_CODEC_SETTINGS
+def test_jpeg_color_roundtrip_property(h, w, seed, subsample):
+    """ANY RGB image through 4:4:4 or 4:2:0: the decode must match an
+    INDEPENDENT in-test reference model of the non-DCT pipeline (JFIF
+    YCbCr forward, round-half-up 2x2 chroma mean + replication upsample
+    when subsampled, inverse transform with floor(x+.5) + clip) within
+    the all-ones-quant DCT rounding bound. 4:2:0 legitimately shifts
+    RGB far on adversarial neighboring hues (chroma is averaged, and
+    clipping then bends even luma for saturated pixels) — so the
+    property is fidelity to the MODEL, not to the input."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    yy = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.clip(np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0, 255)
+    cr = np.clip(np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, 255)
+    if subsample:
+        cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.int64)
+        crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.int64)
+        cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2) // 4
+        cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2) // 4
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w].astype(np.float64)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w].astype(np.float64)
+    cbd, crd = cb - 128.0, cr - 128.0
+    model = np.clip(
+        np.floor(
+            np.stack(
+                [
+                    yy + 1.402 * crd,
+                    yy - 0.344136 * cbd - 0.714136 * crd,
+                    yy + 1.772 * cbd,
+                ],
+                axis=2,
+            )
+            + 0.5
+        ),
+        0,
+        255,
+    )
+    assert np.abs(out.astype(np.float64) - model).max() <= 5
+
+
+@given(
+    h=st.integers(min_value=1, max_value=30),
+    w=st.integers(min_value=1, max_value=30),
+    n_colors=st.integers(min_value=2, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_gif_roundtrip_property(h, w, n_colors, seed):
+    """ANY palette image: GIF LZW is lossless — decode(encode) is
+    pixel-EXACT for every size, palette size, and content."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ch=st.sampled_from([0, 3, 4]),  # 0 = grayscale
+    ft=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_png_roundtrip_property(h, w, ch, ft, seed):
+    """ANY image, every color type x every scanline filter: PNG is
+    lossless — decode(encode) is pixel-EXACT."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type=ft))
+    assert out.shape == shape
+    assert np.array_equal(out, img)
+
+
+def _greedy_merge_ref(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference textbook BPE merge: greedy leftmost non-overlapping."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "-", "th"]), min_size=1, max_size=14),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("-", "-"), ("a", "th"), ("ab", "a")]),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bpe_merge_equals_textbook_greedy(spark, syms, pair):
+    """The doubled-delimiter merge == textbook greedy leftmost
+    non-overlapping for ARBITRARY symbol sequences and pairs, including
+    self-pairs, prefix-colliding symbols ('a' vs 'ab'), and runs — the
+    property the round-10 rewrite claims, checked against an
+    independent reference implementation."""
+    from cellbase_spark.queries.corpus import _BPE_US, _bpe_merge_col
+
+    a, b = pair
+    df = spark.createDataFrame([(_BPE_US.join(syms),)], "s string")
+    got = df.select(_bpe_merge_col(F.col("s"), a + _BPE_US + b).alias("m")).first().m
+    assert got == _BPE_US.join(_greedy_merge_ref(syms, a, b)), (syms, pair)
