@@ -12,75 +12,70 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-10 gate priority (VERDICT r9 task #1 — FIRST commit of the
-# round). Order: (a) the 3 round-9 keys that have NEVER appeared in a
-# driver sample, then (b) ALL 47 keys whose newest official green row
-# is r4-vintage (derived from the CORRECTNESS_r01..r09 union by
-# script; 3+47 = exactly the ~50-key gate prefix). After this round,
-# every key has an official row and none predates r5. New round-10
+# Round-11 gate priority (VERDICT r10 task #1 — FIRST commit of the
+# round). Order: (a) the 5 round-10 keys that have NEVER appeared in a
+# driver sample, then (b) ALL 45 keys whose newest official green row
+# is r5-vintage (derived from the CORRECTNESS_r01..r10 union by
+# script; 5+45 = exactly the ~50-key gate prefix). After this round,
+# every key has an official row and none predates r6. New round-11
 # keys append at the tail as they land (the prefix is already full,
 # so they ride the next rotation unless a slot frees up). The full
 # battery always runs locally regardless of order
 # (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- (a) never driver-sampled (round-9 additions)
-    "q_ann_index_update_trained",
-    "q_mix_temperature",
-    "q_stream_run_ann_trained",
-    # -- (b) the 47 r4-vintage keys (newest official row = r4)
-    "q_agg_approx_distinct",
-    "q_ann_lsh",
-    "q_bm25",
-    "q_boilerplate",
-    "q_bucketed_join",
-    "q_chunk_cdc",
-    "q_contain_fuzzy",
-    "q_copurchase_lift",
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_dpp_join",
-    "q_embed_centroid",
-    "q_event_transitions",
-    "q_json_variant",
-    "q_lang_confusion",
-    "q_length_histogram",
-    "q_max_concurrency",
-    "q_merge_upsert",
-    "q_mix_reweight",
-    "q_mm_decode_meta",
-    "q_mm_decode_real",
-    "q_mm_features",
-    "q_mm_frame_sample",
-    "q_mm_resize",
-    "q_multimodal_join",
-    "q_neardup_eval",
-    "q_ngram_jaccard",
-    "q_pack_sequences",
-    "q_pii_mask",
-    "q_point_lookup",
-    "q_profile_table",
-    "q_quality_checks",
-    "q_quality_gopher",
-    "q_repetition_ratio",
-    "q_roundtrip_xlsx_pyds",
-    "q_rrf_fusion",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scan_orc",
-    "q_scan_parquet",
-    "q_scan_xlsx_pyds",
-    "q_split_train_test",
-    "q_stream_run_tws",
-    "q_stream_run_upsert",
-    "q_tpch_q21",
-    "q_vocab_oov",
-    "q_winsorize",
-    # -- (c) NEW round-10 keys appended here as they land
+    # -- (a) never driver-sampled (round-10 additions)
     "q_ann_index_compact",
-    "q_mm_decode_jpeg",
     "q_ann_index_compact_partial",
+    "q_mm_decode_jpeg",
     "q_mm_decode_jpeg_color",
     "q_mm_decode_gif",
+    # -- (b) the 45 r5-vintage keys (newest official row = r5)
+    "q_agg_approx_percentile",
+    "q_agg_collect",
+    "q_agg_corr",
+    "q_agg_count_distinct",
+    "q_agg_cube",
+    "q_agg_global",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_median",
+    "q_agg_mode",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_ann_eval",
+    "q_cc_iterative",
+    "q_cluster_size_histogram",
+    "q_data_card",
+    "q_dedup_canonical",
+    "q_dedup_full",
+    "q_dedup_minhash_capped",
+    "q_distinct",
+    "q_doc_quality_filter",
+    "q_filter_compound",
+    "q_filter_in_between_like",
+    "q_filter_nulls",
+    "q_funnel",
+    "q_histogram_equidepth",
+    "q_join_inner",
+    "q_join_left",
+    "q_minhash_shingle",
+    "q_mm_decode_png",
+    "q_mm_decode_wav",
+    "q_mm_decode_y4m",
+    "q_mm_mixed_corpus",
+    "q_pagerank",
+    "q_pivot",
+    "q_project",
+    "q_retention",
+    "q_source_overlap",
+    "q_span_dedup",
+    "q_sql_recursive",
+    "q_stream_run_timer",
+    "q_tokenizer_fertility",
+    "q_tpch_q5",
+    "q_triangle_count",
+    "q_zscore_normalize",
+    # -- (c) NEW round-11 keys appended here as they land
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
