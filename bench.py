@@ -231,7 +231,14 @@ class GuardBands:
             return float(_ENV_REF[op])
         cands = [s for kl, s in self.samples[op] if kl == klass]
         if self.stored[op][klass] is not None:
-            cands.append(self.stored[op][klass])
+            # floor a possibly glitch-tight value persisted by an older
+            # bench (pre-decay) — see persist()
+            cands.append(
+                max(
+                    self.stored[op][klass],
+                    DEFAULT_REF[op][klass] * self.REF_FLOOR_FRAC,
+                )
+            )
         else:
             # no persisted host truth yet: bootstrap from the default
             # band so a loaded first run is DETECTED (own samples alone
@@ -261,9 +268,19 @@ class GuardBands:
             for kl, s in self.samples[op][-n:]
         )
 
+    # Stored mins DECAY 5% per persist unless re-confirmed by a fresh
+    # sample, and never persist below 20% of the default band: a single
+    # anomalously fast sample (timer glitch, turbo burst) used to
+    # tighten the idle band FOREVER, after which every normal idle run
+    # read as contended and was rerun (r10 ADVICE low). With decay, a
+    # glitch relaxes back toward real host speed within a few runs; the
+    # floor bounds how far a glitch can undershoot in the first place.
+    REF_DECAY = 1.05
+    REF_FLOOR_FRAC = 0.2
+
     def persist(self) -> dict[str, dict[str, float | None]]:
         """Roll the per-host per-class reference mins forward from
-        observations + prior stored values (env overrides are
+        observations + decayed prior stored values (env overrides are
         deliberately NOT persisted — they classify this run only)."""
         refs: dict[str, dict[str, float | None]] = {}
         for op in GUARD_OPS:
@@ -271,8 +288,13 @@ class GuardBands:
             for kl in GUARD_CLASSES:
                 cands = [s for k, s in self.samples[op] if k == kl]
                 if self.stored[op][kl] is not None:
-                    cands.append(self.stored[op][kl])
-                refs[op][kl] = min(cands) if cands else None
+                    cands.append(self.stored[op][kl] * self.REF_DECAY)
+                ref = min(cands) if cands else None
+                if ref is not None:
+                    ref = max(
+                        ref, DEFAULT_REF[op][kl] * self.REF_FLOOR_FRAC
+                    )
+                refs[op][kl] = round(ref, 4) if ref is not None else None
         _save_refs(refs)
         return refs
 

@@ -812,6 +812,21 @@ def _enc_block(writer, coefs, dc_pred, dc_codes, ac_codes) -> int:
             writer.write(*ac_codes[0xF0])
             run -= 16
         s = _jpeg_category(zz[k])
+        if s > 10:
+            # T.81 baseline caps the AC magnitude category at 10 (|v| <=
+            # 1023) — the value is unencodable, so fail with the
+            # constraint named instead of an opaque KeyError mid-encode
+            # (r10 ADVICE low). With the orthonormal DCT and any integer
+            # qtable >= 1 the exact coefficient bound is 1020 (measured:
+            # max over all sign-matched vertex blocks), so this is only
+            # reachable through an unvalidated sub-unity/fractional
+            # qtable entry — which this error names rather than
+            # KeyError-ing.
+            raise ValueError(
+                f"encode_jpeg: quantized AC coefficient {zz[k]} exceeds"
+                " the T.81 baseline limit of +/-1023 (size category"
+                f" {s} > 10) — use a larger quantization table entry"
+            )
         writer.write(*ac_codes[(run << 4) | s])
         v = zz[k]
         writer.write(v if v >= 0 else v + (1 << s) - 1, s)

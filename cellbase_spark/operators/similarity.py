@@ -964,8 +964,17 @@ def _verify_shared_geometry(
     equal `reference`'s — a delta quantized under retrained centroids
     merged into the base's lists would corrupt every pruned probe,
     silently. Returns the verified geometry; refuses a reference with
-    no recorded geometry at all (interrupted build)."""
-    base_geo = {k: table_props(spark, reference).get(k) for k in _GEO_KEYS}
+    no recorded geometry at all (interrupted build).
+
+    Properties are read with max_age_sec=0 (bypassing the TTL cache,
+    like _index_ready): a generation rebuilt by another process within
+    the TTL must be verified against its CURRENT geometry, not a stale
+    cache entry — stale-pass here is exactly the corruption this
+    verifier exists to prevent (r10 ADVICE low)."""
+    base_geo = {
+        k: table_props(spark, reference, max_age_sec=0).get(k)
+        for k in _GEO_KEYS
+    }
     if base_geo["cellbase.n_centroids"] is None:
         raise ValueError(
             f"{verb}: {reference!r} has no recorded cellbase.* geometry"
@@ -973,7 +982,10 @@ def _verify_shared_geometry(
             " geometry"
         )
     for g in generations:
-        geo = {k: table_props(spark, g).get(k) for k in _GEO_KEYS}
+        geo = {
+            k: table_props(spark, g, max_age_sec=0).get(k)
+            for k in _GEO_KEYS
+        }
         if geo != base_geo:
             diff = [k for k in _GEO_KEYS if geo[k] != base_geo[k]]
             raise ValueError(
@@ -1068,14 +1080,41 @@ def compact_ann_index_partial(
 
     The touched-leaf list is a config-bounded collect: it cannot exceed
     n_centroids * 2^n_planes (the index's own geometry bound), and for a
-    real delta batch it is the batch's distinct quantization cells."""
+    real delta batch it is the batch's distinct quantization cells.
+
+    IDEMPOTENT (r10 ADVICE medium): each absorbed generation's build_id
+    is recorded in the base's cellbase.absorbed_ids property and
+    already-absorbed generations are SKIPPED on a repeat call — an
+    operator retry no longer re-unions rows the base slice already
+    contains. The one non-atomic window left (crash between the
+    insertInto and the properties ALTER) is repaired rather than
+    compounded: the merged slice is deduplicated on vec_id before the
+    leaf rewrite, so a retry after that crash converges to the correct
+    leaves instead of duplicating every delta row again. The dedup
+    exchange is delta-slice-sized (touched leaves + deltas), never
+    corpus-sized. Returns 0 without touching the table when every
+    generation was already absorbed."""
     if not generations:
         raise ValueError("compact_ann_index_partial: no delta generations")
     _verify_shared_geometry(
         spark, base_table, generations, "compact_ann_index_partial"
     )
-    deltas = spark.table(generations[0])
-    for g in generations[1:]:
+    base_props = table_props(spark, base_table, max_age_sec=0)
+    absorbed = set(
+        filter(None, base_props.get("cellbase.absorbed_ids", "").split(","))
+    )
+    gen_ids = {
+        g: table_props(spark, g, max_age_sec=0).get("cellbase.build_id")
+        for g in generations
+    }
+    pending = [
+        g for g in generations
+        if gen_ids[g] is None or gen_ids[g] not in absorbed
+    ]
+    if not pending:
+        return 0
+    deltas = spark.table(pending[0])
+    for g in pending[1:]:
         deltas = deltas.unionByName(spark.table(g))
     # touched leaves: bounded by the index geometry (<= n_centroids *
     # 2^n_planes), collected so the base read is a pruned IN-scan and
@@ -1088,7 +1127,11 @@ def compact_ann_index_partial(
         [F.struct(F.lit(c), F.lit(b)) for c, b in touched]
     )
     base_slice = spark.table(base_table).where(touch_pred)
-    merged = base_slice.unionByName(deltas)
+    # vec_id is unique across base + unabsorbed deltas, so this dedup is
+    # a no-op on the happy path; after a crash between a previous call's
+    # insertInto and its ALTER it removes the duplicated delta rows,
+    # making a retry self-repairing (see docstring).
+    merged = base_slice.unionByName(deltas).dropDuplicates(["vec_id"])
     cols = spark.table(base_table).columns  # insertInto is positional;
     # data columns first, partition columns last — exactly the catalog
     # schema order saveAsTable(partitionBy=...) recorded
@@ -1109,9 +1152,13 @@ def compact_ann_index_partial(
         )
     import uuid
 
+    new_absorbed = absorbed | {
+        gen_ids[g] for g in pending if gen_ids[g] is not None
+    }
     spark.sql(
         f"ALTER TABLE {base_table} SET TBLPROPERTIES"
-        f" ('cellbase.build_id' = '{uuid.uuid4().hex}')"
+        f" ('cellbase.build_id' = '{uuid.uuid4().hex}',"
+        f" 'cellbase.absorbed_ids' = '{','.join(sorted(new_absorbed))}')"
     )
     _tblprops_cache(spark).pop(base_table, None)
     return len(touched)

@@ -2475,15 +2475,28 @@ def _ensure_trained_ann_compact_partial(spark: SparkSession, sf_dir: str) -> str
     compact_ann_index_partial — only the delta-touched leaves are
     rewritten, under dynamic partition overwrite. A copy is mutated (not
     the shared base scratch table) so every other trained-serving key
-    keeps its immutable artifact."""
+    keeps its immutable artifact.
+
+    CRASH-SAFE (r10 ADVICE low): readiness for THIS table additionally
+    requires the cellbase.absorbed_ids completion marker that
+    compact_ann_index_partial records only AFTER a successful absorb —
+    a crash between the base copy and the partial absorb (or inside the
+    absorb before its properties ALTER) leaves a table that passes the
+    geometry check but is missing delta rows; the marker check routes
+    that table through the rebuild path (overwrite copy + re-absorb)
+    instead of probing a base-only artifact."""
     from cellbase_spark.operators.similarity import (
         compact_ann_index,
         compact_ann_index_partial,
+        table_props,
     )
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     t = scratch_table(sf_dir, "cb_annpart_tr")
-    if not _index_ready(spark, t):
+    absorbed_done = _index_ready(spark, t) and table_props(
+        spark, t, max_age_sec=0
+    ).get("cellbase.absorbed_ids")
+    if not absorbed_done:
         base = _ensure_trained_ann_index(spark, sf_dir)
         compact_ann_index(
             spark, t, scratch_path(sf_dir, "annpart_tr"), [base]

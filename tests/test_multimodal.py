@@ -185,6 +185,31 @@ def test_jpeg_roundtrip_exact_on_constant_blocks():
     assert np.array_equal(out_rst, img)
 
 
+def test_jpeg_encode_ac_overflow_raises_clearly():
+    """An AC coefficient past the T.81 baseline cap (|v| > 1023, size
+    category 11) must raise a ValueError naming the constraint, not an
+    opaque KeyError from the fixed Huffman table (r10 ADVICE low). With
+    integer qtables >= 1 the bound is unreachable (exact max 1020), so
+    drive it through an unvalidated sub-unity qtable entry; the
+    worst-case block is the sign-matched vertex pattern for basis
+    (0, 4) — horizontal stripes."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    stripes = np.kron(
+        np.array([[255, 0, 0, 255, 255, 0, 0, 255]], np.uint8),
+        np.ones((8, 1), dtype=np.uint8),
+    )
+    qtable = [1] * 64
+    qtable[4] = 0.5  # natural-order (0, 4): halves the 1020 coef to 2040
+    with pytest.raises(ValueError, match=r"\+/-1023"):
+        encode_jpeg(stripes, qtable=qtable)
+    # the same block under a legal table stays encodable end-to-end
+    assert decode_jpeg(encode_jpeg(stripes)).shape == stripes.shape
+
+
 def test_jpeg_lossy_paths_bounded():
     """The general decoder paths the oracle key can't pin: nonzero AC
     coefficients (random images -> run-length/ZRL/EOB entropy coding),

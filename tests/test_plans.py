@@ -1175,6 +1175,29 @@ def test_ann_index_compact_partial_rewrites_only_touched_leaves(
         _tblprops_cache(spark).pop(delta_t, None)
     assert table_props(spark, t, max_age_sec=0)["cellbase.build_id"] == bid
 
+    # IDEMPOTENT (r10 ADVICE medium): a repeat absorb of an already-
+    # absorbed generation is a no-op — returns 0, no rows duplicated,
+    # build_id untouched.
+    rows_after = spark.table(t).count()
+    assert compact_ann_index_partial(spark, t, [delta_t]) == 0
+    assert spark.table(t).count() == rows_after
+    assert table_props(spark, t, max_age_sec=0)["cellbase.build_id"] == bid
+
+    # crash-window self-repair: a crash between a previous call's
+    # insertInto and its properties ALTER leaves the delta rows in the
+    # base but no absorbed marker — simulate by clearing the marker;
+    # the retry re-unions but the vec_id dedup keeps the leaves
+    # duplicate-free, so the retry CONVERGES instead of compounding.
+    spark.sql(
+        f"ALTER TABLE {t} UNSET TBLPROPERTIES ('cellbase.absorbed_ids')"
+    )
+    _tblprops_cache(spark).pop(t, None)
+    assert compact_ann_index_partial(spark, t, [delta_t]) == n
+    assert spark.table(t).count() == rows_after
+    assert table_props(spark, t, max_age_sec=0)[
+        "cellbase.absorbed_ids"
+    ] == table_props(spark, delta_t, max_age_sec=0)["cellbase.build_id"]
+
 
 def test_partial_compaction_base_slice_is_partition_pruned(spark, sf_dir):
     """compact_ann_index_partial's 'untouched leaves are never opened'

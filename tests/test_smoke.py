@@ -130,3 +130,35 @@ def test_bench_contention_guard_logic():
     for prev, best, want in [(None, 1.0, 1.0), (1.0, 0.5, 0.5),
                              (0.5, 0.9, 0.5), (-1.0, 0.7, 0.7)]:
         assert bench._merge_timing(prev, best) == want
+
+
+def test_bench_guard_ref_decay_and_floor(monkeypatch):
+    """Persisted guard minima DECAY 5% per run unless re-confirmed and
+    never drop below 20% of the default band (r10 ADVICE low: one timer
+    glitch used to tighten the idle band forever, stamping every later
+    idle run contended)."""
+    import bench
+
+    monkeypatch.setattr(bench, "_save_refs", lambda refs: None)
+    b = bench.GuardBands()
+    # unconfirmed stored min relaxes by REF_DECAY per persist
+    b.stored = {
+        "cpu": {"cold": 0.30, "warm": 0.10},
+        "shuffle": {"cold": 0.75, "warm": 0.50},
+    }
+    b.samples = {"cpu": [], "shuffle": []}
+    assert b.persist()["cpu"]["warm"] == round(0.10 * b.REF_DECAY, 4)
+    # a confirming fresh sample pins the min (no decay past the sample)
+    b.samples = {"cpu": [("warm", 0.10)], "shuffle": []}
+    assert b.persist()["cpu"]["warm"] == 0.10
+    # the floor bounds how far a glitch can undershoot on persist...
+    floor = bench.DEFAULT_REF["cpu"]["warm"] * b.REF_FLOOR_FRAC
+    b.stored = {
+        "cpu": {"cold": 0.30, "warm": 0.0001},
+        "shuffle": {"cold": 0.75, "warm": 0.50},
+    }
+    b.samples = {"cpu": [], "shuffle": []}
+    assert b.persist()["cpu"]["warm"] == round(floor, 4)
+    # ...and ref() floors a pre-decay glitch value loaded from disk, so
+    # the CURRENT run doesn't classify against it either
+    assert b.ref("cpu", "warm") == floor
