@@ -320,6 +320,11 @@ class CellTable:
             centroids=centroids,
         )
         idx = spark.table(index_table).where(F.col("centroid_id").isin(ids))
+        # logical deletes (delete_from_ann_index): tombstoned rows never
+        # reach ranking; one cached-props check, broadcast anti-join
+        from cellbase_spark.operators.similarity import apply_tombstones
+
+        idx = apply_tombstones(spark, index_table, idx)
         if method == "adc":
             cb = recorded_cb if recorded_cb is not None else formula_pq_codebook()
             carr = spark.createDataFrame(
@@ -403,6 +408,32 @@ class CellTable:
             self.df.sparkSession, base_table, generations
         )
 
+    def delete_from_ann_index(self, index_table: str, ids) -> int:
+        """DELETE vectors from a persisted ANN index (takedown/GDPR —
+        the lifecycle verb between update and compact): ids land in a
+        tombstone side-table, ann_search excludes them immediately, and
+        the next compaction (either form) drops the rows physically and
+        clears the tombstones. `ids` is a list or a DataFrame with a
+        vec_id column. Returns the total distinct tombstoned count.
+        See operators.similarity.delete_from_ann_index; namespaced on
+        the table like ann_search."""
+        from cellbase_spark.operators.similarity import delete_from_ann_index
+
+        return delete_from_ann_index(self.df.sparkSession, index_table, ids)
+
+    def delete_from_dedup_index(self, index_path: str, doc_ids) -> None:
+        """DELETE corpus docs from the persisted dedup index written by
+        build_dedup_index: ids land in the band table's tombstone
+        side-table, dedup_incremental excludes them immediately, and
+        compact_dedup_bands drops the band rows physically. `doc_ids`
+        is a list or a DataFrame whose first column is the id. See
+        operators.dedup.delete_from_dedup_index."""
+        from cellbase_spark.operators.dedup import delete_from_dedup_index
+
+        delete_from_dedup_index(
+            self.df.sparkSession, f"{index_path}/bands", doc_ids
+        )
+
     def build_dedup_index(self, text_col: str, path: str) -> None:
         """Write this table's persisted dedup index to `path`: the
         MinHash band table (<path>/bands) and the token-set fingerprint
@@ -450,10 +481,15 @@ class CellTable:
         index written by `build_dedup_index` — work scales with the
         batch, never the corpus (operators/dedup.incremental_dedup_pairs;
         the q_dedup_incremental_full composition: capped LSH probe +
-        exact fingerprint star with bounded output)."""
+        exact fingerprint star with bounded output). Docs deleted via
+        delete_from_dedup_index are excluded automatically (tombstone
+        anti-join on the corpus side)."""
         from pyspark.sql import functions as F
 
-        from cellbase_spark.operators.dedup import incremental_dedup_pairs
+        from cellbase_spark.operators.dedup import (
+            incremental_dedup_pairs,
+            read_dedup_tombstones,
+        )
 
         spark = self.df.sparkSession
         bt = batch.df.select(
@@ -476,6 +512,9 @@ class CellTable:
             band_bucket_cap=band_bucket_cap,
             corpus_fps=(
                 spark.read.parquet(f"{index_path}/fps") if exact_star else None
+            ),
+            corpus_tombstones=read_dedup_tombstones(
+                spark, f"{index_path}/bands"
             ),
         )
 

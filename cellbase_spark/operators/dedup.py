@@ -800,6 +800,101 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_tombstone_path(band_dir: str) -> str:
+    """Naming convention binding a band-table directory to its tombstone
+    side-table (a SIBLING directory — a subdirectory inside the parquet
+    dir would break the band table's own reads)."""
+    return band_dir.rstrip("/") + "_tombstones"
+
+
+def delete_from_dedup_index(spark, band_dir: str, doc_ids) -> None:
+    """DELETE corpus docs from a persisted dedup band table — the
+    takedown verb for the dedup index, mirroring
+    similarity.delete_from_ann_index (r10 VERDICT task #2). Logical and
+    O(|takedown list|): ids append to the tombstone side-table
+    (`<band_dir>_tombstones`, one _id bigint column) and every probe
+    anti-joins the corpus side against it
+    (incremental_dedup_pairs(corpus_tombstones=...)); no band file is
+    rewritten. The PHYSICAL drop happens at the next
+    compact_dedup_bands, which excludes tombstoned rows and clears the
+    side-table.
+
+    `doc_ids`: a list of ids or a DataFrame whose FIRST column is the
+    id (scale path — never collected). Duplicate tombstone rows across
+    calls are harmless to anti-join semantics and cleared at
+    compaction. Idempotent."""
+    if isinstance(doc_ids, DataFrame):
+        rows = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("long").alias("_id")
+        ).distinct()
+    else:
+        doc_ids = list(doc_ids)
+        if not doc_ids:
+            return
+        rows = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "_id long"
+        ).distinct()
+    rows.write.mode("append").parquet(dedup_tombstone_path(band_dir))
+
+
+def read_dedup_tombstones(spark, band_dir: str) -> DataFrame | None:
+    """Tombstone reader for `band_dir` (None when no delete ever ran —
+    the probe's no-tombstones fast path is one existence check)."""
+    import os
+
+    p = dedup_tombstone_path(band_dir)
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        return None
+    return spark.read.parquet(p)
+
+
+def compact_dedup_bands(
+    spark, band_dirs: list[str], out_dir: str, tombstone_dir: str | None = None
+) -> None:
+    """Band-table compaction with physical tombstone drop: union the
+    source generations, EXCLUDE tombstoned docs, land ~128 MB files in
+    a NEW immutable directory (the q_dedup_generations roll-forward
+    discipline — readers mid-probe keep their old generation), then
+    CLEAR the tombstones (overwrite with an empty frame, so the marks
+    cannot resurrect rows the new generation no longer holds and a
+    probe of the new generation pays no anti-join).
+
+    `tombstone_dir` defaults to band_dirs[0]'s conventional sibling.
+    Note the fp-star seam: compact only rewrites BAND tables; a
+    fingerprint star (build_dedup_index's fps/) holding a deleted
+    canon_id must be served with its own anti-join until the next full
+    index build — surviving exact-dupes still match through the band
+    path (identical token sets -> identical band keys), only the
+    O(1)-output star shortcut for that clique is lost."""
+    import math
+    import os
+
+    if not band_dirs:
+        raise ValueError("compact_dedup_bands: no band tables to compact")
+    merged = spark.read.parquet(band_dirs[0])
+    for d in band_dirs[1:]:
+        merged = merged.unionByName(spark.read.parquet(d))
+    ts_dir = tombstone_dir or dedup_tombstone_path(band_dirs[0])
+    tombs = None
+    if os.path.exists(os.path.join(ts_dir, "_SUCCESS")):
+        tombs = spark.read.parquet(ts_dir).select("_id").distinct()
+        merged = merged.join(F.broadcast(tombs), "_id", "left_anti")
+    n_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in band_dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    target = max(1, math.ceil(n_bytes / (128 * 1024 * 1024)))
+    merged.coalesce(target).write.mode("overwrite").parquet(out_dir)
+    if tombs is not None:
+        (
+            spark.createDataFrame([], "_id long")
+            .write.mode("overwrite")
+            .parquet(ts_dir)
+        )
+
+
 def incremental_dedup_pairs(
     batch: DataFrame,
     corpus_bands: DataFrame,
@@ -812,6 +907,7 @@ def incremental_dedup_pairs(
     band_bucket_cap: int = 0,
     corpus_fps: DataFrame | None = None,
     fp_delim: str = " ",
+    corpus_tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs against a PERSISTED index —
     the verb a 100 TB pipeline runs daily (never re-cluster the corpus).
@@ -839,6 +935,13 @@ def incremental_dedup_pairs(
       build and this probe — ["a","b c"] and ["a b","c"] collide under
       the space delimiter.
 
+    - `corpus_tombstones`: optional (_id) frame of DELETED corpus docs
+      (delete_from_dedup_index / read_dedup_tombstones): the corpus band
+      side is anti-joined before candidate generation (broadcast —
+      takedown-sized) and the exact-star tail drops pairs whose
+      canon_id was deleted, so a takedown is invisible to probes the
+      moment the tombstone lands, before any compaction rewrites files.
+
     Returns (id_new, id_corpus, jaccard) with jaccard >= threshold.
     Work: O(|batch| x bands) probe + O(candidates) verification; with
     the cap and the star both on, output is O(batch + tail). Backs
@@ -857,6 +960,11 @@ def incremental_dedup_pairs(
         "_bidx",
         "_bkey",
     )
+    if corpus_tombstones is not None:
+        ts = corpus_tombstones.select(
+            F.col(corpus_tombstones.columns[0]).alias("_id")
+        )
+        corpus_side = corpus_side.join(F.broadcast(ts), "_id", "left_anti")
     if band_bucket_cap > 0:
         all_bands = corpus_side.withColumn("_side", F.lit(0)).unionByName(
             probe.withColumn("_side", F.lit(1))
@@ -902,4 +1010,9 @@ def incremental_dedup_pairs(
     exact = bfp.join(corpus_fps, "fp").select(
         "id_new", F.col("canon_id").alias("id_corpus"), F.lit(1.0).alias("jaccard")
     )
+    if corpus_tombstones is not None:
+        ts_c = corpus_tombstones.select(
+            F.col(corpus_tombstones.columns[0]).alias("id_corpus")
+        )
+        exact = exact.join(F.broadcast(ts_c), "id_corpus", "left_anti")
     return exact.unionByName(tail).distinct()

@@ -997,6 +997,120 @@ def _verify_shared_geometry(
     return base_geo
 
 
+def tombstone_table_name(index_table: str) -> str:
+    """Naming convention binding an index to its tombstone side-table."""
+    return f"{index_table}__tombstones"
+
+
+def delete_from_ann_index(spark, index_table: str, ids) -> int:
+    """DELETE rows from a persisted ANN index — the takedown/GDPR/
+    license-revocation verb every production corpus runs (r10 VERDICT
+    task #2, the one missing lifecycle verb). Deletion is LOGICAL and
+    O(|takedown list|): the ids land in a tombstone side-table
+    (`<index>__tombstones`, managed parquet) and every probe anti-joins
+    them out (ann_search + the registry probes via apply_tombstones);
+    no index leaf is opened, let alone rewritten. The PHYSICAL drop
+    happens at the next compaction — both compact_ann_index and
+    compact_ann_index_partial exclude tombstoned rows and clear the
+    side-table — the same logical-now/physical-later contract as every
+    LSM/Delta/Iceberg delete.
+
+    `ids`: a list of vec_ids (the config-sized takedown-notice shape)
+    or a DataFrame with a vec_id column (the scale path — e.g. a
+    licensing join's output; never collected to the driver). Appends
+    are batch-deduplicated but NOT anti-joined against prior tombstones
+    (duplicate tombstone rows are harmless to anti-join semantics and
+    are cleared at compaction — cheaper than a read-modify-write cycle
+    on every takedown).
+
+    Records the distinct tombstone count in cellbase.tombstones (the
+    probe's cheap has-tombstones check rides the cached props) and
+    refreshes cellbase.build_id so geometry-pinning consumers observe
+    the mutation. Returns the total distinct tombstoned id count.
+    Idempotent: re-deleting the same ids changes nothing observable."""
+    import uuid
+
+    if not spark.catalog.tableExists(index_table):
+        raise ValueError(
+            f"delete_from_ann_index: no such index table {index_table!r}"
+        )
+    if isinstance(ids, DataFrame):
+        ts_rows = ids.select(F.col("vec_id").cast("long")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            return int(
+                table_props(spark, index_table, max_age_sec=0).get(
+                    "cellbase.tombstones", 0
+                )
+            )
+        ts_rows = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        ).distinct()
+    ts = tombstone_table_name(index_table)
+    ts_rows.write.mode("append").format("parquet").saveAsTable(ts)
+    total = spark.table(ts).select("vec_id").distinct().count()
+    spark.sql(
+        f"ALTER TABLE {index_table} SET TBLPROPERTIES"
+        f" ('cellbase.tombstones' = '{total}',"
+        f" 'cellbase.build_id' = '{uuid.uuid4().hex}')"
+    )
+    _tblprops_cache(spark).pop(index_table, None)
+    return total
+
+
+def apply_tombstones(spark, index_table: str, df: DataFrame) -> DataFrame:
+    """Anti-join `df` (rows of `index_table`) against the index's
+    tombstones, if any — the serving-side half of delete_from_ann_index.
+    The has-tombstones check is one cached property read (no catalog
+    round-trip on the hot path); the anti-join side is broadcast
+    (takedown lists are small relative to the corpus — a takedown the
+    size of the corpus is a rebuild, not a delete)."""
+    props = table_props(spark, index_table)
+    if int(props.get("cellbase.tombstones", 0) or 0) <= 0:
+        return df
+    ts = spark.table(tombstone_table_name(index_table))
+    return df.join(F.broadcast(ts), "vec_id", "left_anti")
+
+
+def _clear_tombstones(spark, index_table: str) -> None:
+    """Physical-drop epilogue shared by both compaction forms: drop the
+    tombstone side-table and zero the counter property (in the SAME
+    call sequence that refreshed build_id, so a probe never sees
+    compacted data with a stale tombstone count)."""
+    ts = tombstone_table_name(index_table)
+    spark.sql(f"DROP TABLE IF EXISTS {ts}")
+    spark.sql(
+        f"ALTER TABLE {index_table} SET TBLPROPERTIES"
+        " ('cellbase.tombstones' = '0')"
+    )
+    _tblprops_cache(spark).pop(index_table, None)
+
+
+def _union_tombstones(spark, tables: list[str]) -> DataFrame | None:
+    """Distinct union of the tombstone sets recorded on `tables` (None
+    when no table carries tombstones). Tombstones are vec_id-global —
+    whichever generation physically holds a deleted row, the anti-join
+    removes it."""
+    parts = [
+        spark.table(tombstone_table_name(t)).select("vec_id")
+        for t in tables
+        if int(
+            table_props(spark, t, max_age_sec=0).get(
+                "cellbase.tombstones", 0
+            )
+            or 0
+        )
+        > 0
+    ]
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def compact_ann_index(
     spark,
     out_table: str,
@@ -1036,6 +1150,11 @@ def compact_ann_index(
     merged = spark.table(generations[0])
     for g in generations[1:]:
         merged = merged.unionByName(spark.table(g))
+    # physical drop of tombstoned rows (delete_from_ann_index): the
+    # compacted artifact starts clean — no tombstone table, no counter
+    tombs = _union_tombstones(spark, generations)
+    if tombs is not None:
+        merged = merged.join(F.broadcast(tombs), "vec_id", "left_anti")
     (
         merged.repartition(F.col("centroid_id"), F.col("bucket"))
         .write.mode("overwrite")
@@ -1093,12 +1212,23 @@ def compact_ann_index_partial(
     leaves instead of duplicating every delta row again. The dedup
     exchange is delta-slice-sized (touched leaves + deltas), never
     corpus-sized. Returns 0 without touching the table when every
-    generation was already absorbed."""
-    if not generations:
-        raise ValueError("compact_ann_index_partial: no delta generations")
-    _verify_shared_geometry(
-        spark, base_table, generations, "compact_ann_index_partial"
-    )
+    generation was already absorbed and no tombstones are pending.
+
+    DELETE-AWARE (r10 VERDICT task #2): tombstoned rows
+    (delete_from_ann_index) are physically dropped from every rewritten
+    leaf and the tombstones cleared afterwards. Leaves holding
+    tombstoned rows count as touched (locating them is ONE
+    column-pruned scan of the base's vec_id + partition columns — the
+    price of not keeping a vec_id->leaf map; the delta side stays
+    pruned), and a leaf left EMPTY by deletion is DROPPED via ALTER
+    TABLE DROP PARTITION — dynamic partition overwrite only replaces
+    partitions present in the written data, so an emptied leaf's old
+    files would otherwise survive, silently resurrecting deleted rows.
+    `generations` may be empty for a delete-only repair."""
+    if generations:
+        _verify_shared_geometry(
+            spark, base_table, generations, "compact_ann_index_partial"
+        )
     base_props = table_props(spark, base_table, max_age_sec=0)
     absorbed = set(
         filter(None, base_props.get("cellbase.absorbed_ids", "").split(","))
@@ -1111,18 +1241,42 @@ def compact_ann_index_partial(
         g for g in generations
         if gen_ids[g] is None or gen_ids[g] not in absorbed
     ]
-    if not pending:
+    tombs = _union_tombstones(spark, [base_table] + pending)
+    if not pending and tombs is None:
         return 0
-    deltas = spark.table(pending[0])
-    for g in pending[1:]:
-        deltas = deltas.unionByName(spark.table(g))
-    # touched leaves: bounded by the index geometry (<= n_centroids *
-    # 2^n_planes), collected so the base read is a pruned IN-scan and
-    # the overwrite set is known for the return value
+    deltas = None
+    if pending:
+        deltas = spark.table(pending[0])
+        for g in pending[1:]:
+            deltas = deltas.unionByName(spark.table(g))
+    # touched leaves: the deltas' distinct quantization cells (bounded
+    # by the index geometry, <= n_centroids * 2^n_planes) plus the
+    # leaves physically holding tombstoned rows; collected so the base
+    # read is a pruned IN-scan and the overwrite set is known
+    touched_df = None
+    if deltas is not None:
+        touched_df = deltas.select("centroid_id", "bucket").distinct()
+    if tombs is not None:
+        tomb_leaves = (
+            spark.table(base_table)
+            .join(F.broadcast(tombs), "vec_id", "left_semi")
+            .select("centroid_id", "bucket")
+            .distinct()
+        )
+        touched_df = (
+            tomb_leaves
+            if touched_df is None
+            else touched_df.unionByName(tomb_leaves).distinct()
+        )
     touched = [
-        (int(r.centroid_id), int(r.bucket))
-        for r in deltas.select("centroid_id", "bucket").distinct().collect()
+        (int(r.centroid_id), int(r.bucket)) for r in touched_df.collect()
     ]
+    if not touched:
+        # tombstoned ids absent from the base and nothing to absorb:
+        # the delete is already physically true — just clear the marks
+        if tombs is not None:
+            _clear_tombstones(spark, base_table)
+        return 0
     touch_pred = F.struct(F.col("centroid_id"), F.col("bucket")).isin(
         [F.struct(F.lit(c), F.lit(b)) for c, b in touched]
     )
@@ -1131,7 +1285,19 @@ def compact_ann_index_partial(
     # a no-op on the happy path; after a crash between a previous call's
     # insertInto and its ALTER it removes the duplicated delta rows,
     # making a retry self-repairing (see docstring).
-    merged = base_slice.unionByName(deltas).dropDuplicates(["vec_id"])
+    merged = base_slice
+    if deltas is not None:
+        merged = merged.unionByName(deltas)
+    merged = merged.dropDuplicates(["vec_id"])
+    if tombs is not None:
+        merged = merged.join(F.broadcast(tombs), "vec_id", "left_anti")
+    # leaves the rewrite EMPTIES (every row tombstoned): dynamic
+    # overwrite won't touch them — they must be dropped explicitly
+    surviving = {
+        (int(r.centroid_id), int(r.bucket))
+        for r in merged.select("centroid_id", "bucket").distinct().collect()
+    } if tombs is not None else set(touched)
+    emptied = [lf for lf in touched if lf not in surviving]
     cols = spark.table(base_table).columns  # insertInto is positional;
     # data columns first, partition columns last — exactly the catalog
     # schema order saveAsTable(partitionBy=...) recorded
@@ -1150,6 +1316,28 @@ def compact_ann_index_partial(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
+    if emptied:
+        # DROP PARTITION removes only catalog metadata on an EXTERNAL
+        # table (these indexes are saveAsTable(path=...)); delete the
+        # leaf directory too, or a path-based read would resurrect the
+        # deleted rows the catalog no longer admits to
+        loc = (
+            spark.sql(f"DESC FORMATTED {base_table}")
+            .where("col_name = 'Location'")
+            .first()
+            .data_type
+        )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for c, b in emptied:
+            spark.sql(
+                f"ALTER TABLE {base_table} DROP IF EXISTS PARTITION"
+                f" (centroid_id={c}, bucket={b})"
+            )
+            leaf = jvm.org.apache.hadoop.fs.Path(
+                f"{loc}/centroid_id={c}/bucket={b}"
+            )
+            leaf.getFileSystem(hconf).delete(leaf, True)
     import uuid
 
     new_absorbed = absorbed | {
@@ -1161,4 +1349,6 @@ def compact_ann_index_partial(
         f" 'cellbase.absorbed_ids' = '{','.join(sorted(new_absorbed))}')"
     )
     _tblprops_cache(spark).pop(base_table, None)
+    if tombs is not None:
+        _clear_tombstones(spark, base_table)
     return len(touched)

@@ -76,6 +76,10 @@ GATE_PRIORITY = [
     "q_triangle_count",
     "q_zscore_normalize",
     # -- (c) NEW round-11 keys appended here as they land
+    "q_ann_index_delete",
+    "q_ann_index_delete_compact",
+    "q_dedup_band_delete",
+    "q_ann_index_lifecycle",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -1512,3 +1512,94 @@ def q_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run").alias("n_dup_windows"),
         (F.max("run") + F.lit(7)).alias("max_dup_span_tokens"),
     )
+
+
+def _ensure_band_tombstones(spark: SparkSession, sf_dir: str) -> str:
+    """Tombstone (once per process+sf) the corpus docs with
+    doc_id % 7 == 2 against the persisted band table — the dedup-index
+    takedown (operators.dedup.delete_from_dedup_index). Returns the
+    band-table DIRECTORY (the tombstones live at its conventional
+    sibling path). The side-table is O(|takedown|); no band file is
+    touched."""
+    from cellbase_spark.operators.dedup import (
+        delete_from_dedup_index,
+        read_dedup_tombstones,
+    )
+    from cellbase_spark.queries.scans import scratch_path
+
+    _corpus_band_table(spark, sf_dir)  # materialize the index first
+    band_dir = scratch_path(sf_dir, "bandtable", "corpus_bands")
+    if read_dedup_tombstones(spark, band_dir) is None:
+        doomed = (
+            load_table(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 2))
+            .select("doc_id")
+        )
+        delete_from_dedup_index(spark, band_dir, doomed)
+    return band_dir
+
+
+@register(
+    "q_dedup_band_delete",
+    family="llm-dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+  FROM bd a JOIN bd b
+    ON a.bidx = b.bidx AND a.bkey = b.bkey
+   AND a.id % 10 = 0 AND b.id % 10 <> 0
+   AND b.id % 7 <> 2
+)
+SELECT c.id_new, c.id_corpus,
+       len(list_intersect(ta.toks, tb.toks))
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+FROM cand c JOIN t ta ON c.id_new = ta.id JOIN t tb ON c.id_corpus = tb.id
+WHERE len(list_intersect(ta.toks, tb.toks))
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+""",
+)
+def q_dedup_band_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index DELETE (r10 VERDICT task #2, band-table half): the
+    takedown ids (corpus docs with doc_id % 7 == 2) are tombstoned by
+    delete_from_dedup_index — an O(|takedown|) side-table append next
+    to the persisted band table — and today's batch probe
+    (q_dedup_incremental's exact chain) excludes them via the
+    corpus-side broadcast anti-join BEFORE candidate generation, so a
+    deleted doc costs no verify work either. The oracle is the
+    incremental pair set REBUILT WITHOUT the deleted corpus docs: a
+    tombstone that leaked one deleted doc into a candidate pair, or
+    dropped a surviving doc's pair, hash-fails. The physical drop
+    (compact_dedup_bands excluding tombstoned rows and clearing the
+    side-table) is pinned in tests/test_operators.py — probing the
+    compacted generation with no tombstones at all must return this
+    same frame."""
+    from cellbase_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        read_dedup_tombstones,
+    )
+
+    band_dir = _ensure_band_tombstones(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(F.split("text", " ")).alias("_toks"),
+    )
+    return incremental_dedup_pairs(
+        batch=t.where(F.col("_id") % 10 == 0),
+        corpus_bands=spark.read.parquet(band_dir),
+        corpus_tokens=t,
+        id_col="_id",
+        tokens_col="_toks",
+        n_hashes=16,
+        bands=2,
+        threshold=0.95,
+        corpus_tombstones=read_dedup_tombstones(spark, band_dir),
+    )

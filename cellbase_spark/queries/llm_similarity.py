@@ -2550,3 +2550,264 @@ def q_ann_index_compact_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+def _delete_sql() -> str:
+    """Oracle for the index-DELETE keys: the q_ann_index_trained probe
+    chain with the corpus REBUILT WITHOUT the deleted ids (vec_id % 3
+    == 0) — the compaction-invariance playbook applied to deletion.
+    Training (a1/cent/carr) still runs over the FULL corpus: deletion
+    happens AFTER the build, under the frozen learned geometry — a
+    takedown never retrains. Both the tombstone-serving key and the
+    post-compaction key hash against this same rebuild, which is
+    exactly the delete contract: logical and physical deletion must be
+    indistinguishable to a probe."""
+    return f"""
+WITH cfg AS (SELECT {_QV} AS qv),
+a1 AS (
+  SELECT vec_id, embedding, best.j AS centroid_id
+  FROM (SELECT vec_id, embedding, {_ARGMIN_STRUCT_DUCK} AS best FROM embeddings)
+),
+cent AS (
+  SELECT centroid_id AS j, t.i AS i,
+         CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(25,10))), 4)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT j, list(m ORDER BY i) AS cvec FROM cent GROUP BY j),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+),
+a2 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.j AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_LEARNED_DUCK} ASC, c.j ASC) AS rk
+    FROM corpus e, carr c
+  ) WHERE rk = 1
+),
+qd AS (
+  SELECT c.j,
+         round(list_reduce(list_transform(range(1, 65),
+           i -> (qv[i] - c.cvec[i]) * (qv[i] - c.cvec[i])), (x, y) -> x + y), 6) AS d
+  FROM carr c, cfg
+)
+SELECT vec_id, CAST(centroid_id AS INTEGER) AS centroid_id,
+       round({_COS_Q}, 6) AS score
+FROM a2, cfg
+WHERE centroid_id IN (SELECT j FROM qd ORDER BY d, j LIMIT 2)
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+def _ensure_trained_ann_delete(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DELETED artifact: a private copy of the trained base
+    (compact_ann_index over one generation) that then TOMBSTONES every
+    vec_id % 3 == 0 via delete_from_ann_index — the ids stay physically
+    present in the leaves (this key witnesses the LOGICAL half of the
+    delete contract; the physical half is _ensure_trained_ann_delete_
+    compact). Readiness requires a nonzero cellbase.tombstones marker:
+    a crash between the copy and the delete would otherwise serve an
+    undeleted index under a green geometry check."""
+    from cellbase_spark.operators.similarity import (
+        compact_ann_index,
+        delete_from_ann_index,
+        table_props,
+    )
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_anndel_tr")
+    ready = _index_ready(spark, t) and int(
+        table_props(spark, t, max_age_sec=0).get("cellbase.tombstones", 0)
+        or 0
+    ) > 0
+    if not ready:
+        base = _ensure_trained_ann_index(spark, sf_dir)
+        compact_ann_index(
+            spark, t, scratch_path(sf_dir, "anndel_tr"), [base]
+        )
+        doomed = (
+            spark.table(t).where(F.col("vec_id") % 3 == 0).select("vec_id")
+        )
+        delete_from_ann_index(spark, t, doomed)
+    return t
+
+
+@register("q_ann_index_delete", family="llm-sim", oracle=_delete_sql())
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE, logical/serving half (r10 VERDICT task #2 — the
+    missing lifecycle verb: every production corpus runs takedowns):
+    one third of the trained index's ids (vec_id % 3 == 0, dense enough
+    that the undeleted top-20 is certainly disturbed) are tombstoned by
+    delete_from_ann_index — an O(|takedown|) side-table append, no leaf
+    opened — and the probe excludes them through apply_tombstones (the
+    same broadcast anti-join ann_search now applies). The oracle is a
+    from-scratch rebuild WITHOUT the deleted ids under the same frozen
+    learned geometry: a tombstone that leaked one deleted row into the
+    top-20, or over-deleted one survivor, hash-fails.
+
+    Scale shape: delete cost tracks the takedown list (append + one
+    distinct count), probe overhead is one broadcast anti-join of a
+    takedown-sized set — the corpus is never rescanned and no file is
+    rewritten until the next compaction absorbs the tombstones."""
+    from cellbase_spark.operators.similarity import (
+        apply_tombstones,
+        decode_index_props,
+        table_props,
+    )
+
+    t = _ensure_trained_ann_delete(spark, sf_dir)
+    centroids, _ = decode_index_props(table_props(spark, t))
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    probed = apply_tombstones(
+        spark, t, spark.table(t).where(F.col("centroid_id").isin(ids))
+    )
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def _ensure_trained_ann_delete_compact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once PHYSICALLY-deleted artifact: compact_ann_index over
+    the tombstoned copy — the full rewrite excludes every tombstoned
+    row and the new table starts with no tombstone side-table at all
+    (the physical half of the delete contract)."""
+    from cellbase_spark.operators.similarity import compact_ann_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_anndelc_tr")
+    if not _index_ready(spark, t):
+        src = _ensure_trained_ann_delete(spark, sf_dir)
+        compact_ann_index(
+            spark, t, scratch_path(sf_dir, "anndelc_tr"), [src]
+        )
+    return t
+
+
+@register("q_ann_index_delete_compact", family="llm-sim", oracle=_delete_sql())
+def q_ann_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE, physical half: compaction over the tombstoned
+    artifact drops every deleted row from the rewritten leaves and the
+    compacted table carries NO tombstones — the probe below runs with
+    no anti-join at all (apply_tombstones is a no-op on a clean table)
+    yet must hash-match the SAME rebuild-without-deleted oracle as
+    q_ann_index_delete. Same answer from the logical state and the
+    physical state is the whole delete contract; tests additionally
+    pin that the deleted vec_ids are absent from the compacted parquet
+    and that a leaf fully emptied by deletion is dropped rather than
+    left serving stale files (the dynamic-partition-overwrite gap)."""
+    from cellbase_spark.operators.similarity import (
+        apply_tombstones,
+        decode_index_props,
+        table_props,
+    )
+
+    t = _ensure_trained_ann_delete_compact(spark, sf_dir)
+    centroids, _ = decode_index_props(table_props(spark, t))
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    probed = apply_tombstones(
+        spark, t, spark.table(t).where(F.col("centroid_id").isin(ids))
+    )
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def _ensure_trained_ann_lifecycle(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once artifact for the FULL lifecycle composition (r10
+    VERDICT task #7 — the q_dedup_generations treatment for the vector
+    index): train -> build -> delta1 -> PARTIAL compact (leaf-targeted
+    absorb into a working copy) -> delta2 -> FULL compact (working copy
+    + delta2 merged into the final artifact). Every verb is the real
+    operator under the shared frozen geometry; the final table must be
+    indistinguishable from any other composition order to a probe.
+    Readiness of the intermediate working copy rides its absorbed_ids
+    completion marker (the crash-safety discipline of
+    _ensure_trained_ann_compact_partial); the final table's geometry
+    check covers the last step."""
+    from cellbase_spark.operators.similarity import (
+        compact_ann_index,
+        compact_ann_index_partial,
+        table_props,
+    )
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_annlife_tr")
+    if not _index_ready(spark, t):
+        base = _ensure_trained_ann_index(spark, sf_dir)
+        work = scratch_table(sf_dir, "cb_annlife_work")
+        work_done = _index_ready(spark, work) and table_props(
+            spark, work, max_age_sec=0
+        ).get("cellbase.absorbed_ids")
+        if not work_done:
+            compact_ann_index(
+                spark, work, scratch_path(sf_dir, "annlife_work"), [base]
+            )
+            compact_ann_index_partial(
+                spark, work, [_ensure_trained_ann_delta(spark, sf_dir)]
+            )
+        compact_ann_index(
+            spark,
+            t,
+            scratch_path(sf_dir, "annlife_tr"),
+            [work, _ensure_trained_ann_delta2(spark, sf_dir)],
+        )
+    return t
+
+
+@register("q_ann_index_lifecycle", family="llm-sim", oracle=_compact_sql())
+def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL index lifecycle under one hash (r10 VERDICT task #7): the
+    chain train -> build -> delta1 -> partial-compact -> delta2 ->
+    full-compact, probed once at the end — the composition witness that
+    the lifecycle verbs COMMUTE with serving (q_ann_index_compact
+    proves one full merge, q_ann_index_compact_partial one absorb; this
+    key proves a mixed multi-step history). The oracle is the same
+    union-probe rebuild as the compaction keys (base + both deltas,
+    frozen learned geometry): if any step lost, duplicated, or
+    re-quantized one row — e.g. the partial absorb double-counting
+    delta1 inside the later full merge — the gen-tagged top-20 diverges.
+
+    Scale shape: each verb keeps its own bound (absorb ∝ delta, full
+    merge = one exchange of merged bytes, probe = pruned flat scan);
+    the composition adds nothing — which is the property this key
+    pins."""
+    from cellbase_spark.operators.similarity import (
+        decode_index_props,
+        table_props,
+    )
+
+    t = _ensure_trained_ann_lifecycle(spark, sf_dir)
+    centroids, _ = decode_index_props(table_props(spark, t))
+    ids = _query_probe_centroids(spark, nprobe=2, centroids=centroids)
+    probed = spark.table(t).where(F.col("centroid_id").isin(ids))
+    return (
+        probed.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") >= 20000000, F.lit("delta2"))
+            .when(F.col("vec_id") >= 10000000, F.lit("delta1"))
+            .otherwise(F.lit("base"))
+            .alias("gen"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

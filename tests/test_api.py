@@ -812,3 +812,56 @@ def test_ensure_rebuilds_propsless_index(spark, sf_dir):
     assert t2 == t
     props = table_props(spark, t, max_age_sec=0)
     assert "cellbase.centroids" in props and "cellbase.build_id" in props
+
+
+def test_facade_delete_lifecycle(spark, sf_dir, tmp_path):
+    """The takedown verbs through the facade: ann_search excludes
+    tombstoned vectors the moment delete_from_ann_index runs (and the
+    next compaction serves the same answer physically); the dedup probe
+    excludes a deleted corpus doc via delete_from_dedup_index."""
+    import os
+
+    from cellbase_spark.api import CellBase, CellTable
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    table = f"cb_api_anndel_{os.getpid()}"
+    emb.build_ann_index("embedding", table, str(tmp_path / "anndel"))
+
+    qv = [((i * 5) % 11) / 11.0 for i in range(1, 65)]
+    before = emb.ann_search(table, qv, k=10, nprobe=2).collect()
+    assert before
+    doomed = [int(r.vec_id) for r in before[:3]]
+    assert emb.delete_from_ann_index(table, doomed) == len(doomed)
+    after = emb.ann_search(table, qv, k=10, nprobe=2).collect()
+    assert not {int(r.vec_id) for r in after} & set(doomed)
+    # survivors keep their order/scores; the head is the old rank minus
+    # the deleted prefix
+    kept = [int(r.vec_id) for r in before if int(r.vec_id) not in doomed]
+    assert [int(r.vec_id) for r in after][: len(kept)] == kept
+    # physical repair serves the same answer with no tombstones left
+    emb.compact_ann_index_into(table, [])
+    again = emb.ann_search(table, qv, k=10, nprobe=2).collect()
+    assert [int(r.vec_id) for r in again] == [int(r.vec_id) for r in after]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # dedup half
+    mk = lambda *rows: spark.createDataFrame(list(rows), "id long, text string")  # noqa: E731
+    base = " ".join(f"w{i}" for i in range(1, 21))
+    corpus = CellTable(
+        mk((1, base), (2, base + " extra21")), "corpus", key_col="id"
+    )
+    idx = str(tmp_path / "dedupidx")
+    corpus.build_dedup_index("text", idx)
+    batch = CellTable(mk((10, base)), "batch", key_col="id")
+    pairs = {
+        (r.id_new, r.id_corpus)
+        for r in corpus.dedup_incremental(batch, "text", idx).collect()
+    }
+    assert pairs == {(10, 1), (10, 2)}
+    corpus.delete_from_dedup_index(idx, [1])
+    pairs_after = {
+        (r.id_new, r.id_corpus)
+        for r in corpus.dedup_incremental(batch, "text", idx).collect()
+    }
+    assert pairs_after == {(10, 2)}

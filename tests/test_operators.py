@@ -729,3 +729,96 @@ def test_trained_pq_codebook_recorded_and_used(spark, sf_dir, tmp_path):
     for r in rows:
         for s, c in enumerate(r.codes):
             assert c in cb[s], f"stored code {c} not in subspace {s} codebook"
+
+
+def test_dedup_index_delete_and_compaction(spark, tmp_path):
+    """delete_from_dedup_index + compact_dedup_bands on a hand-built
+    corpus: (a) the tombstoned corpus doc stops pairing the moment the
+    tombstone lands (band-level anti-join — no band file rewritten);
+    (b) the exact-fp star drops pairs whose canon_id was deleted;
+    (c) compact_dedup_bands physically drops the tombstoned band rows
+    into a NEW generation and clears the side-table, after which a
+    probe with no tombstones at all returns the same pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.operators.dedup import (
+        compact_dedup_bands,
+        dedup_tombstone_path,
+        delete_from_dedup_index,
+        incremental_dedup_pairs,
+        lsh_band_keys_fused,
+        read_dedup_tombstones,
+    )
+
+    # corpus docs 1..3 (1 and 2 identical), batch doc 100 identical too
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, words),
+        (2, words),
+        (3, [f"x{i}" for i in range(40)]),
+        (100, words),
+    ]
+    t = spark.createDataFrame(rows, "_id long, _toks array<string>")
+    corpus = t.where(F.col("_id") < 100)
+    batch = t.where(F.col("_id") == 100)
+    band_dir = str(tmp_path / "bands")
+    corpus.select(
+        "_id",
+        F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias("_bidx", "_bkey"),
+    ).write.mode("overwrite").parquet(band_dir)
+    fps = (
+        corpus.select(
+            "_id", F.md5(F.concat_ws(" ", F.array_sort("_toks"))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("_id").alias("canon_id"))
+    )
+
+    def probe(tombs, with_fps=True):
+        return {
+            (int(r.id_new), int(r.id_corpus))
+            for r in incremental_dedup_pairs(
+                batch=batch,
+                corpus_bands=spark.read.parquet(band_dir),
+                corpus_tokens=t,
+                id_col="_id",
+                tokens_col="_toks",
+                corpus_fps=fps if with_fps else None,
+                corpus_tombstones=tombs,
+            ).collect()
+        }
+
+    assert read_dedup_tombstones(spark, band_dir) is None
+    assert probe(None) == {(100, 1), (100, 2)}
+
+    # (a)+(b): delete doc 1 (which is also the clique's fp canon)
+    delete_from_dedup_index(spark, band_dir, [1])
+    tombs = read_dedup_tombstones(spark, band_dir)
+    assert tombs is not None
+    # band path still finds the surviving dup; the deleted canon is gone
+    # from BOTH the band tail and the fp star
+    assert probe(tombs) == {(100, 2)}
+    assert probe(tombs, with_fps=False) == {(100, 2)}
+
+    # (c): physical drop into a new generation + cleared marks
+    gen2 = str(tmp_path / "bands_gen2")
+    compact_dedup_bands(spark, [band_dir], gen2)
+    assert spark.read.parquet(gen2).where(F.col("_id") == 1).isEmpty()
+    assert spark.read.parquet(dedup_tombstone_path(band_dir)).isEmpty()
+    after = {
+        (int(r.id_new), int(r.id_corpus))
+        for r in incremental_dedup_pairs(
+            batch=batch,
+            corpus_bands=spark.read.parquet(gen2),
+            corpus_tokens=t,
+            id_col="_id",
+            tokens_col="_toks",
+            corpus_tombstones=None,
+        ).collect()
+    }
+    assert after == {(100, 2)}
+    # idempotent: re-deleting an already-dropped id is harmless
+    delete_from_dedup_index(spark, band_dir, [1, 1])
+    assert os.path.exists(dedup_tombstone_path(band_dir))

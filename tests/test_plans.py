@@ -1199,6 +1199,119 @@ def test_ann_index_compact_partial_rewrites_only_touched_leaves(
     ] == table_props(spark, delta_t, max_age_sec=0)["cellbase.build_id"]
 
 
+def test_ann_index_delete_lifecycle(spark, sf_dir, tmp_path):
+    """delete_from_ann_index's full contract on a fresh base copy:
+    (a) the tombstone lands logically — ann_search/apply_tombstones
+        exclude the ids immediately, no file rewritten;
+    (b) re-deleting the same ids is a no-op (idempotent);
+    (c) a delete-only partial compaction (generations=[]) physically
+        drops the rows, clears the tombstone table, zeroes the counter;
+    (d) a leaf fully emptied by deletion is dropped from BOTH the
+        catalog and the filesystem (dynamic overwrite alone would leave
+        its old files resurrecting deleted rows);
+    (e) full compaction of a tombstoned generation lands clean."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.operators.similarity import (
+        apply_tombstones,
+        compact_ann_index,
+        compact_ann_index_partial,
+        delete_from_ann_index,
+        table_props,
+        tombstone_table_name,
+    )
+    from cellbase_spark.queries.llm_similarity import (
+        _ensure_trained_ann_index,
+    )
+
+    base_t = _ensure_trained_ann_index(spark, sf_dir)
+    t = f"cb_deltest_{os.getpid()}"
+    root = str(tmp_path / "deltest")
+    compact_ann_index(spark, t, root, [base_t])
+    all_rows = spark.table(t).count()
+
+    # victim leaf: every vec_id of one whole (centroid_id, bucket) leaf,
+    # plus a few ids from another leaf (partial-leaf delete)
+    leaves = [
+        (int(r.centroid_id), int(r.bucket), int(r.n))
+        for r in spark.table(t)
+        .groupBy("centroid_id", "bucket")
+        .count()
+        .selectExpr("centroid_id", "bucket", "count as n")
+        .collect()
+    ]
+    leaves.sort(key=lambda x: x[2])
+    victim_c, victim_b, victim_n = leaves[0]
+    other_c, other_b, _ = leaves[-1]
+    victim_ids = [
+        int(r.vec_id)
+        for r in spark.table(t)
+        .where(
+            (F.col("centroid_id") == victim_c) & (F.col("bucket") == victim_b)
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    partial_ids = [
+        int(r.vec_id)
+        for r in spark.table(t)
+        .where(
+            (F.col("centroid_id") == other_c) & (F.col("bucket") == other_b)
+        )
+        .select("vec_id")
+        .limit(3)
+        .collect()
+    ]
+    doomed = victim_ids + partial_ids
+
+    # (a) logical delete: list form, then DataFrame form for the rest
+    n_ts = delete_from_ann_index(spark, t, doomed)
+    assert n_ts == len(doomed)
+    assert int(table_props(spark, t, max_age_sec=0)["cellbase.tombstones"]) == len(doomed)
+    served = apply_tombstones(spark, t, spark.table(t))
+    assert served.where(F.col("vec_id").isin(doomed)).isEmpty()
+    assert served.count() == all_rows - len(doomed)
+    # physical files untouched by the logical delete
+    assert (
+        spark.read.parquet(root).where(F.col("vec_id").isin(doomed)).count()
+        == len(doomed)
+    )
+
+    # (b) idempotent re-delete (DataFrame form)
+    redo = spark.createDataFrame([(i,) for i in doomed], "vec_id long")
+    assert delete_from_ann_index(spark, t, redo) == len(doomed)
+
+    # (c)+(d) delete-only physical repair
+    n_leaves = compact_ann_index_partial(spark, t, [])
+    assert n_leaves == 2  # the emptied leaf + the partially-deleted one
+    assert spark.read.parquet(root).where(F.col("vec_id").isin(doomed)).isEmpty()
+    assert spark.table(t).count() == all_rows - len(doomed)
+    assert not spark.catalog.tableExists(tombstone_table_name(t))
+    assert table_props(spark, t, max_age_sec=0)["cellbase.tombstones"] == "0"
+    victim_dir = os.path.join(
+        root, f"centroid_id={victim_c}", f"bucket={victim_b}"
+    )
+    assert not glob.glob(os.path.join(victim_dir, "*.parquet")), (
+        "emptied leaf still holds files"
+    )
+    # repeat repair is a no-op
+    assert compact_ann_index_partial(spark, t, []) == 0
+
+    # (e) full compaction of a freshly-tombstoned generation lands clean
+    survivor = int(spark.table(t).select("vec_id").first().vec_id)
+    delete_from_ann_index(spark, t, [survivor])
+    t2 = f"cb_deltest2_{os.getpid()}"
+    compact_ann_index(spark, t2, str(tmp_path / "deltest2"), [t])
+    assert spark.table(t2).count() == all_rows - len(doomed) - 1
+    assert "cellbase.tombstones" not in table_props(spark, t2, max_age_sec=0)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(t)}")
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
 def test_partial_compaction_base_slice_is_partition_pruned(spark, sf_dir):
     """compact_ann_index_partial's 'untouched leaves are never opened'
     claim rests on struct(centroid_id, bucket) IN (...) reaching
