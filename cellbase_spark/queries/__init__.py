@@ -80,6 +80,7 @@ GATE_PRIORITY = [
     "q_ann_index_delete_compact",
     "q_dedup_band_delete",
     "q_ann_index_lifecycle",
+    "q_stream_run_recovery",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
