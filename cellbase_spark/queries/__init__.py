@@ -81,6 +81,7 @@ GATE_PRIORITY = [
     "q_dedup_band_delete",
     "q_ann_index_lifecycle",
     "q_stream_run_recovery",
+    "q_bm25_indexed",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

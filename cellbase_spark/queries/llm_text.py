@@ -863,3 +863,59 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(-F.col("slp") / F.col("n_pairs"), 5).alias("nll"),
     )
+
+
+def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted BM25 postings index over documents
+    (operators.text.build_bm25_index): token-bucket-partitioned catalog
+    table with frozen n_docs/total_len properties — the ingest-time
+    artifact the indexed serving key probes."""
+    from cellbase_spark.operators.similarity import table_props
+    from cellbase_spark.operators.text import build_bm25_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_bm25idx")
+    ready = spark.catalog.tableExists(t) and "cellbase.n_docs" in table_props(
+        spark, t, max_age_sec=0
+    )
+    if not ready:
+        build_bm25_index(
+            load_table(spark, sf_dir, "documents"),
+            t,
+            scratch_path(sf_dir, "bm25idx"),
+        )
+    return t
+
+
+@register(
+    "q_bm25_indexed",
+    family="llm-text",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index (r10 VERDICT task
+    #5 — the ANN-index playbook applied to text retrieval): the probe
+    opens ONLY the query tokens' (tok_bucket) partitions
+    (PartitionFilters IN-list, plan-pinned in tests/test_plans.py — the
+    documents table is never rescanned or re-tokenized), computes each
+    term's df inside that pruned read, scores matching postings against
+    the stats frozen in the index's table properties, and pivots the
+    per-term contributions so the final addition runs in the same
+    written order as q_bm25's expression tree — the result hash-matches
+    the RESCAN form's oracle exactly.
+
+    Scale shape: q_bm25 pays one full corpus scan + tokenize per query
+    (fine for batch slicing, wrong for serving); this probe pays
+    |terms| bucket opens + a matching-postings shuffle — flat in corpus
+    size for fixed query selectivity, the L13c flat-vs-linear story
+    (BASELINE.md records the measured ladder)."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    t = _ensure_bm25_index(spark, sf_dir)
+    return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)

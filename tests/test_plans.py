@@ -1338,3 +1338,23 @@ def test_partial_compaction_base_slice_is_partition_pruned(spark, sf_dir):
     # and nothing is read besides the data columns (no post-scan filter
     # re-evaluating the partition predicate over row data)
     assert "PushedFilters: []" in plan or "PushedFilters" not in plan
+
+
+def test_bm25_indexed_probe_is_partition_pruned(spark, sf_dir):
+    """q_bm25_indexed (r11): the serving probe must be partition pruning
+    of the persisted postings index — PartitionFilters carries the
+    query tokens' bucket IN-list, the token equality is PUSHED into the
+    pruned files, and the documents table is NEVER rescanned or
+    re-tokenized at query time (that full-scan-per-query cost is
+    exactly what the index exists to remove). The only wide ops are the
+    matching-postings df/pivot aggregations; top-20 is
+    TakeOrderedAndProject."""
+    import re
+
+    plan = plan_of(spark, "q_bm25_indexed", sf_dir)
+    pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "tok_bucket#" in pf and " IN (" in pf
+    assert "documents.parquet" not in plan
+    assert "PushedFilters" in plan and "In(token, [" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
