@@ -557,6 +557,27 @@ def main() -> None:
     guard["post_streaming_sec"] = bands.observe(spark)
     guard["streaming_contended"] = bands.contended_last(1)
     guard["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
+    # One-number-per-op load context (r10 VERDICT task #8): worst
+    # observed sample over the classification reference, per warm-up
+    # class — a judge adjudicates phantom regressions from the artifact
+    # alone (ratio >> CONTENDED_FACTOR = loaded box, whatever the
+    # contended flag ended up saying after the rerun).
+    guard["load_ratio"] = {
+        op: {
+            kl: (
+                round(
+                    max(s for k, s in bands.samples[op] if k == kl)
+                    / bands.ref(op, kl),
+                    3,
+                )
+                if any(k == kl for k, _ in bands.samples[op])
+                and bands.ref(op, kl)
+                else None
+            )
+            for kl in GUARD_CLASSES
+        }
+        for op in GUARD_OPS
+    }
     # Persist the rolled-forward per-host idle mins AFTER all samples are
     # in; record the bands this run was classified against.
     guard["ref_sec"] = bands.persist()

@@ -8,9 +8,9 @@ on the raw bytes vectorized, and the iterator contract keeps memory
 bounded per batch regardless of table size.
 
 Codec reality in this container: PIL/ffmpeg/librosa are absent, so
-formats NEEDING them (progressive JPEG, video containers, lossy audio)
-keep the import-try seam in `decode_image` (NotImplementedError with a
-clear message). Everything else is decoded FOR REAL with stdlib + numpy:
+formats NEEDING them (arithmetic/lossless JPEG, video containers, lossy
+audio) keep the import-try seam in `decode_image` (NotImplementedError
+with a clear message). Everything else is decoded FOR REAL with stdlib + numpy:
 - images: 24-bit BI_RGB BMP (`decode_bmp`, bottom-up rows, BGR, 4-byte
   padding), binary P6 PPM (`decode_ppm`), PNG 8-bit gray / palette /
   truecolor / RGBA (`decode_png` — CRC-checked chunk walk, stdlib-zlib
@@ -155,9 +155,10 @@ def decode_ppm(data: bytes):
 def decode_image(payload: bytes):
     """Real image decode: BMP / P6 PPM natively, PNG (8-bit gray /
     palette / truecolor / RGBA) via the stdlib-zlib codec below,
-    baseline JPEG via the T.81 sequential decoder below (progressive
-    falls through its loud NotImplementedError), other compressed
-    formats through the PIL seam where available."""
+    baseline AND progressive JPEG via the T.81 decoders below
+    (arithmetic/lossless frames fall through their loud
+    NotImplementedError), other compressed formats through the PIL
+    seam where available."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -703,8 +704,10 @@ def decode_asset(payload: bytes):
 # (8- and 16-bit) and DHT, SOF0/SOF1 frames with per-component sampling
 # factors (4:4:4, 4:2:0, 4:2:2 via replication upsample), restart
 # markers, byte-stuffing, and the canonical-Huffman entropy decode with
-# batched-numpy dequant + IDCT. Progressive (SOF2) and arithmetic-coded
-# frames stay behind the loud seam (PIL where available). The ENCODER is
+# batched-numpy dequant + IDCT. Progressive (SOF2) is decoded for real
+# as of round 11 (annex-G multi-scan decoder further below);
+# arithmetic-coded and lossless frames stay behind the loud seam (PIL
+# where available). The ENCODER is
 # the test harness: any 8-bit grayscale or RGB image, quality expressed
 # as an explicit quant table (default all-ones — constant 8x8 blocks
 # then round-trip EXACTLY, which is what makes the oracle key's pixel
@@ -1026,8 +1029,10 @@ def decode_jpeg(data: bytes):
     markers, batched-numpy dequant + IDCT (one einsum over all of a
     component's blocks), per-component replication upsample for
     subsampled chroma (4:2:0 / 4:2:2), JFIF YCbCr -> RGB. Progressive
-    (SOF2) and arithmetic-coded frames raise NotImplementedError — the
-    documented seam (PIL where available, via decode_image).
+    (SOF2) frames dispatch to the annex-G multi-scan decoder
+    (_decode_jpeg_progressive); arithmetic-coded and lossless frames
+    raise NotImplementedError — the documented seam (PIL where
+    available, via decode_image).
 
     The bit-serial Huffman walk is a per-document Python loop like the
     PNG Average/Paeth unfilters: genuinely sequential (each code's
@@ -1089,11 +1094,13 @@ def decode_jpeg(data: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m == 0xC2:  # SOF2 progressive — its own multi-scan decoder
+            return _decode_jpeg_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (marker 0xff{m:02x} — progressive/"
-                "lossless/arithmetic); the PIL seam in decode_image handles"
-                " these where available"
+                f"non-baseline JPEG frame (marker 0xff{m:02x} — lossless/"
+                "arithmetic); the PIL seam in decode_image handles these"
+                " where available"
             )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -1189,6 +1196,549 @@ def decode_jpeg(data: bytes):
         axis=2,
     )
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# --- Progressive JPEG (SOF2, round 11) --------------------------------------
+#
+# The last big real-web JPEG share behind the PIL seam (r10 VERDICT task
+# #4): spectral selection + successive approximation per T.81 annex G,
+# Huffman-coded. The decoder accumulates per-component coefficient
+# arrays across ALL scans (interleaved DC scans walk the MCU grid,
+# single-component AC scans walk the component's own ceil-block grid —
+# MCU padding blocks are DC-only by construction), then reuses the
+# baseline batched-numpy dequant/IDCT/upsample/color tail. The encoder
+# is the test harness: a classic 2-level successive-approximation scan
+# script (DC first Al=1, DC refine, per-component AC first/refine over
+# two spectral bands) with EOB-run coding — enough to exercise every
+# decoder code path (EOB runs, ZRL-in-refine, buffered correction bits,
+# newly-significant insertion) from formula assets the oracle can price
+# codec-free, the same constant-block playbook as baseline.
+
+
+def _jpeg_scan_grid(frame: dict, c: dict) -> tuple[int, int]:
+    """(blocks_wide, blocks_high) of a NON-interleaved scan for
+    component `c` — the ceil grid of the component's true size, which
+    can be one block smaller than the MCU-padded storage grid."""
+    hmax = max(k["h"] for k in frame["comps"])
+    vmax = max(k["v"] for k in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_next_marker(data: bytes, pos: int) -> int:
+    """First offset >= pos holding a real (non-stuffed, non-RST) marker."""
+    while pos < len(data) - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_jpeg_progressive(data: bytes):
+    """Decode a progressive-DCT Huffman JPEG (SOF2). Multi-scan marker
+    walk; DQT/DHT may be (re)defined between scans. Spectral selection
+    (Ss..Se), successive approximation (Ah/Al) first + refinement for
+    both DC and AC, EOB runs with buffered correction bits, restart
+    markers in any scan. Shares the baseline's bit reader, canonical
+    Huffman tables, and the numpy reconstruction tail."""
+    import numpy as np
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coef: dict[int, "np.ndarray"] = {}
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while data[pos + 1] == 0xFF:
+            pos += 1
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + ln]
+        if m == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = struct.unpack_from(f">{64}H", body, i)
+                    i += 128
+                else:
+                    vals = body[i : i + 64]
+                    i += 64
+                tab = np.zeros((8, 8), dtype=np.float64)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    tab[r, c] = vals[k]
+                qt[tq] = tab
+        elif m == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _jpeg_huff_canonical(bits, vals)
+                i += 17 + nv
+        elif m == 0xC2:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcx = -(-fw // (8 * hmax))
+            mcy = -(-fh // (8 * vmax))
+            frame["mcx"], frame["mcy"] = mcx, mcy
+            for c in comps:
+                coef[c["id"]] = np.zeros(
+                    (mcy * c["v"], mcx * c["h"], 64), dtype=np.int64
+                )
+        elif m == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("progressive JPEG: SOS before SOF2")
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            pos = _jpeg_decode_prog_scan(
+                data, pos + ln, frame, scan_comps, ss, se, ah, al,
+                huff, restart_interval, coef,
+            )
+            continue
+        pos += ln
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+
+    # reconstruction: identical math to baseline, block grid in raster
+    # order instead of MCU order (coef is already (by, bx, 64))
+    basis = _jpeg_dct_basis()
+    dez = np.zeros((64, 8, 8), dtype=np.float64)
+    for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+        dez[k, r, c] = 1.0
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    planes = []
+    for c in frame["comps"]:
+        arr = coef[c["id"]]
+        bh, bw = arr.shape[:2]
+        zzs = arr.reshape(bh * bw, 64).astype(np.float64)
+        coefs = np.einsum("nk,krc->nrc", zzs, dez) * qt[c["tq"]]
+        pix = np.einsum("ux,nuv,vy->nxy", basis, coefs, basis)
+        pix = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, hmax // c["h"], axis=1), vmax // c["v"], axis=0
+        )
+        planes.append(plane[: frame["h"], : frame["w"]])
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+    yy = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [yy + 1.402 * cr, yy - 0.344136 * cb - 0.714136 * cr, yy + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode_prog_scan(
+    data, start, frame, scan_comps, ss, se, ah, al,
+    huff, restart_interval, coef,
+) -> int:
+    """Entropy-decode ONE progressive scan into `coef`, returning the
+    offset of the next marker. DC scans (Ss=0) may be interleaved and
+    walk the MCU grid; AC scans are single-component over the
+    component's own scan grid. Restart markers reset DC predictors and
+    the EOB run."""
+    reader = _JpegBitReader(data, start)
+    comps = {c["id"]: c for c in frame["comps"]}
+    mcx, mcy = frame["mcx"], frame["mcy"]
+    p1 = 1 << al
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = {cs: 0 for cs, _, _ in scan_comps}
+        if len(scan_comps) > 1:
+            units = mcy * mcx
+        else:
+            cs0 = scan_comps[0][0]
+            bw, bh = _jpeg_scan_grid(frame, comps[cs0])
+            units = bw * bh
+        for n in range(units):
+            if restart_interval and n and n % restart_interval == 0:
+                reader.sync_restart(n // restart_interval - 1)
+                preds = {cs: 0 for cs, _, _ in scan_comps}
+            if len(scan_comps) > 1:
+                my, mx = divmod(n, mcx)
+                targets = []
+                for cs, td, _ in scan_comps:
+                    c = comps[cs]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            targets.append(
+                                (cs, td, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+            else:
+                cs, td, _ = scan_comps[0]
+                targets = [(cs, td, n // bw, n % bw)]
+            for cs, td, y, x in targets:
+                if ah == 0:
+                    s = _jpeg_read_symbol(reader, huff[(0, td)])
+                    preds[cs] += _jpeg_extend(reader.read(s), s)
+                    coef[cs][y, x, 0] = preds[cs] << al
+                else:
+                    if reader.read_bit():
+                        coef[cs][y, x, 0] |= p1
+        return _jpeg_next_marker(data, reader.pos)
+
+    # AC scan: exactly one component
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _, ta = scan_comps[0]
+    ac_t = huff[(1, ta)]
+    c = comps[cs]
+    bw, bh = _jpeg_scan_grid(frame, c)
+    arr = coef[cs]
+    m1 = -p1
+    eobrun = 0
+    for n in range(bw * bh):
+        if restart_interval and n and n % restart_interval == 0:
+            reader.sync_restart(n // restart_interval - 1)
+            eobrun = 0
+        blk = arr[n // bw, n % bw]
+        if ah == 0:  # first scan for this band/bit
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _jpeg_read_symbol(reader, ac_t)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                blk[k] = _jpeg_extend(reader.read(s), s) << al
+                k += 1
+        else:  # refinement: correction bits + newly-significant inserts
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_read_symbol(reader, ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s:
+                        val = p1 if reader.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        val = 0
+                    while k <= se:
+                        if blk[k]:
+                            if reader.read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k]:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return _jpeg_next_marker(data, reader.pos)
+
+
+# progressive encoder AC table: the baseline symbols PLUS the EOBn
+# symbols (r<<4 | 0 for r=1..14) progressive EOB-run coding needs —
+# 176 symbols, all at 8 bits (legal canonical, self-described via DHT)
+_ENC_AC_VALS_PROG = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_BITS_PROG = [0] * 7 + [len(_ENC_AC_VALS_PROG)] + [0] * 8
+
+
+def _prog_flush_eobrun(writer, ac_codes, state: dict) -> None:
+    """Emit the pending EOB run (count + extension bits), then the
+    correction bits buffered across the run's blocks (refine scans)."""
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        writer.write(*ac_codes[nbits << 4])
+        if nbits:
+            writer.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+    for b in state["bits"]:
+        writer.write(b, 1)
+    state["bits"] = []
+
+
+def encode_jpeg_progressive(
+    img, qtable: list[int] | None = None, subsample: bool = False
+) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    PROGRESSIVE (SOF2) JFIF JPEG — the test harness for the decoder
+    above. Classic 2-level successive-approximation scan script:
+
+      1. DC first, interleaved, Ah=0 Al=1
+      2. DC refine, Ah=1 Al=0 (raw bits)
+      3. per component: AC first (Ss=1..5, Al=1), AC first (6..63, Al=1)
+      4. per component: AC refine (1..5, Ah=1 Al=0), (6..63, Ah=1 Al=0)
+
+    exercising EOB runs, ZRL, buffered correction bits and newly-
+    significant insertion. Same quantization/rounding as encode_jpeg,
+    so progressive-then-decode equals baseline-then-decode pixel-exact
+    (same quantized coefficients, same reconstruction). No restart
+    markers (the baseline keys cover restart re-sync)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if qtable is None:
+        qtable = [1] * 64
+    q8 = np.array(qtable, dtype=np.float64).reshape(8, 8)
+    if gray:
+        planes = [img.astype(np.int64)]
+        samp = [(1, 1)]
+    else:
+        r = img[:, :, 0].astype(np.int64)
+        g = img[:, :, 1].astype(np.int64)
+        b = img[:, :, 2].astype(np.int64)
+        yy = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(np.int64)
+        cb = np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).astype(np.int64)
+        cr = np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).astype(np.int64)
+        cb = np.clip(cb, 0, 255)
+        cr = np.clip(cr, 0, 255)
+        if subsample:
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2) // 4
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2) // 4
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
+        planes = [yy, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    basis = _jpeg_dct_basis()
+    zig = _JPEG_ZIGZAG
+    zzq = []  # per comp: (bh_padded, bw_padded, 64) int64 zigzag coefs
+    for plane, (sh, sv) in zip(planes, samp):
+        th, tw = mcy * sv * 8, mcx * sh * 8
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        bh, bw = th // 8, tw // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                ) - 128.0
+                cf = np.round((basis @ blk @ basis.T) / q8).astype(np.int64)
+                arr[by, bx] = [cf[r][c] for r, c in zig]
+        zzq.append(arr)
+
+    dc_codes = {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_huff_canonical(
+            _ENC_DC_BITS, _ENC_DC_VALS
+        ).items()
+    }
+    ac_codes = {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_huff_canonical(
+            _ENC_AC_BITS_PROG, _ENC_AC_VALS_PROG
+        ).items()
+    }
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(comp_idx: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            body += bytes([ci + 1, 0x00])  # table ids 0/0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(int(q8[r, c]) for r, c in zig)
+    out += seg(0xDB, b"\x00" + zz_q)
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_BITS_PROG) + bytes(_ENC_AC_VALS_PROG)
+    out += seg(0xC4, dht)
+
+    # -- scan 1: DC first (interleaved), Al=1
+    writer = _JpegBitWriter()
+    preds = [0] * ncomp
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zzq[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _jpeg_category(diff)
+                        writer.write(*dc_codes[s])
+                        if s:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+    writer.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + writer.out
+
+    # -- scan 2: DC refine (interleaved), Ah=1 Al=0 — raw bits
+    writer = _JpegBitWriter()
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        writer.write(
+                            int(zzq[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1
+                        )
+    writer.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + writer.out
+
+    def scan_grid(ci: int) -> tuple[int, int]:
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        writer = _JpegBitWriter()
+        state = {"eobrun": 0, "bits": []}
+        bw, bh = scan_grid(ci)
+        for n in range(bw * bh):
+            blk = zzq[ci][n // bw, n % bw]
+            run = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                v = -((-v) >> al) if v < 0 else v >> al
+                if v == 0:
+                    run += 1
+                    continue
+                _prog_flush_eobrun(writer, ac_codes, state)
+                while run > 15:
+                    writer.write(*ac_codes[0xF0])
+                    run -= 16
+                s = _jpeg_category(v)
+                writer.write(*ac_codes[(run << 4) | s])
+                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+                wrote = True
+            if run > 0 or not wrote:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _prog_flush_eobrun(writer, ac_codes, state)
+        _prog_flush_eobrun(writer, ac_codes, state)
+        writer.flush()
+        return sos_header([ci], ss, se, 0, al) + writer.out
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        writer = _JpegBitWriter()
+        state = {"eobrun": 0, "bits": []}
+        bw, bh = scan_grid(ci)
+        for n in range(bw * bh):
+            blk = zzq[ci][n // bw, n % bw]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # index of last newly-significant coefficient
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k
+            run = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    _prog_flush_eobrun(writer, ac_codes, state)
+                    writer.write(*ac_codes[0xF0])
+                    run -= 16
+                    for bbit in br:
+                        writer.write(bbit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                _prog_flush_eobrun(writer, ac_codes, state)
+                writer.write(*ac_codes[(run << 4) | 1])
+                writer.write(1 if int(blk[k]) > 0 else 0, 1)
+                for bbit in br:
+                    writer.write(bbit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                state["eobrun"] += 1
+                state["bits"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    _prog_flush_eobrun(writer, ac_codes, state)
+        _prog_flush_eobrun(writer, ac_codes, state)
+        writer.flush()
+        return sos_header([ci], ss, se, 1, al) + writer.out
+
+    for ci in range(ncomp):
+        out += ac_first(ci, 1, 5, 1)
+        out += ac_first(ci, 6, 63, 1)
+    for ci in range(ncomp):
+        out += ac_refine(ci, 1, 5, 0)
+        out += ac_refine(ci, 6, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --- GIF87a/89a (LZW) ------------------------------------------------------

@@ -82,6 +82,7 @@ GATE_PRIORITY = [
     "q_ann_index_lifecycle",
     "q_stream_run_recovery",
     "q_bm25_indexed",
+    "q_mm_decode_jpeg_progressive",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

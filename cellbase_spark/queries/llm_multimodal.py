@@ -171,7 +171,9 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Lossy-path coverage (nonzero AC, color, 4:2:0, restart re-sync on
     random images) lives in tests/test_multimodal.py round-trip bounds;
-    progressive/arithmetic frames remain the documented loud seam."""
+    progressive frames decode for real as of round 11
+    (q_mm_decode_jpeg_progressive); arithmetic/lossless remain the
+    documented loud seam."""
     import numpy as np
     import pandas as pd
 
@@ -490,16 +492,17 @@ def q_mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="llm-multimodal",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       CASE doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' ELSE 'image' END AS modality,
-       CASE doc_id % 5
+       CASE doc_id % 6
          WHEN 0 THEN CAST(8 * (8 + doc_id % 5) * 3 AS BIGINT)
          WHEN 1 THEN CAST(64 + doc_id % 17 AS BIGINT)
          WHEN 2 THEN CAST(3 * 4 * (4 + doc_id % 3) * 3 AS BIGINT)
          WHEN 3 THEN CAST(128 * (2 + doc_id % 3) AS BIGINT)
-         ELSE CAST(6 * (9 + doc_id % 4) * 3 AS BIGINT)
+         WHEN 4 THEN CAST(6 * (9 + doc_id % 4) * 3 AS BIGINT)
+         ELSE CAST(192 * (2 + doc_id % 4) AS BIGINT)
        END AS n_values,
-       CASE doc_id % 5
+       CASE doc_id % 6
          WHEN 0 THEN CAST(list_sum(flatten(list_transform(range(0, 8), y ->
               flatten(list_transform(range(0, 8 + doc_id % 5), x ->
                 list_transform(range(0, 3),
@@ -514,13 +517,16 @@ SELECT doc_id,
          WHEN 3 THEN CAST(64 * list_sum(flatten(list_transform(range(0, 2), by ->
               list_transform(range(0, 2 + doc_id % 3), bx ->
                 (doc_id * 7 + by * 31 + bx * 13) % 256)))) AS BIGINT)
-         ELSE CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+         WHEN 4 THEN CAST(list_sum(flatten(list_transform(range(0, 6), y ->
               flatten(list_transform(range(0, 9 + doc_id % 4), x ->
                 list_value(
                   (doc_id * 3 + ((doc_id + y * 5 + x * 3) % 8) * 11) % 256,
                   (doc_id * 7 + ((doc_id + y * 5 + x * 3) % 8) * 5) % 256,
                   (doc_id * 13 + ((doc_id + y * 5 + x * 3) % 8) * 3) % 256
                 )))))) AS BIGINT)
+         ELSE CAST(64 * list_sum(flatten(list_transform(range(0, 3), by ->
+              list_transform(range(0, 2 + doc_id % 4), bx ->
+                (doc_id * 9 + by * 37 + bx * 17) % 256)))) AS BIGINT)
        END AS val_sum
 FROM documents
 """,
@@ -528,17 +534,20 @@ FROM documents
 def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIXED-modality corpus through ONE binary column — the real shape
     of a multimodal lake: each doc's payload is a genuine PNG, WAV,
-    Y4M, baseline JPEG or GIF (round 10; doc_id % 5 picks the modality,
-    each with its formula content), and the processing kernel knows
-    nothing about which — it sniffs the magic bytes (sniff_modality)
-    and routes to the matching real codec (decode_asset), emitting the
-    modality plus decoded value stats. The oracle re-derives everything
-    from the per-modality formulas, so the hash matches only if
-    sniffing AND all FIVE decoders are correct (the JPEG lane uses the
-    constant-block exact round-trip of q_mm_decode_jpeg; the GIF lane
-    is lossless LZW). Two mapInPandas passes (author, then
-    sniff+decode) keep the authored binary column a genuine Arrow
-    BinaryType round-trip."""
+    Y4M, baseline JPEG, GIF or PROGRESSIVE JPEG (round 11 widened to
+    6-way; doc_id % 6 picks the modality, each with its formula
+    content), and the processing kernel knows nothing about which — it
+    sniffs the magic bytes (sniff_modality) and routes to the matching
+    real codec (decode_asset), emitting the modality plus decoded value
+    stats. Both JPEG lanes share the FFD8 magic, so the route lands in
+    ONE decoder whose SOF marker walk dispatches baseline vs
+    multi-scan progressive — the realistic shape (a web corpus never
+    labels which JPEG flavor a payload is). The oracle re-derives
+    everything from the per-modality formulas, so the hash matches only
+    if sniffing AND all SIX decode paths are correct (the JPEG lanes
+    use the constant-block exact round-trip; the GIF lane is lossless
+    LZW). Two mapInPandas passes (author, then sniff+decode) keep the
+    authored binary column a genuine Arrow BinaryType round-trip."""
     import numpy as np
     import pandas as pd
 
@@ -546,6 +555,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_asset,
         encode_gif,
         encode_jpeg,
+        encode_jpeg_progressive,
         encode_png,
         encode_wav,
         encode_y4m,
@@ -556,7 +566,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for raw_id in pdf["doc_id"]:
                 doc_id = int(raw_id)
-                m = doc_id % 5
+                m = doc_id % 6
                 if m == 0:
                     w = 8 + doc_id % 5
                     y, x, c = np.meshgrid(
@@ -593,7 +603,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         encode_jpeg(np.kron(blocks, np.ones((8, 8), np.uint8)))
                     )
-                else:
+                elif m == 4:
                     w = 9 + doc_id % 4
                     y, x = np.meshgrid(
                         np.arange(6), np.arange(w), indexing="ij"
@@ -609,6 +619,19 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         axis=1,
                     ).astype(np.uint8)
                     payloads.append(encode_gif(idx, pal))
+                else:
+                    bw = 2 + doc_id % 4
+                    by, bx = np.meshgrid(
+                        np.arange(3), np.arange(bw), indexing="ij"
+                    )
+                    blocks = (
+                        (doc_id * 9 + by * 37 + bx * 17) % 256
+                    ).astype(np.uint8)
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            np.kron(blocks, np.ones((8, 8), np.uint8))
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def process(batches):
@@ -724,3 +747,71 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectrograms). Integer sums exact; mean is one IEEE division."""
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(d)
+
+
+@register(
+    "q_mm_decode_jpeg_progressive",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(8 * (2 + doc_id % 4) AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       CAST(64 * list_sum(flatten(list_transform(range(0, 3), by ->
+              list_transform(range(0, 2 + doc_id % 4), bx ->
+                (doc_id * 9 + by * 37 + bx * 17) % 256)))) AS BIGINT)
+         AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (round 11, r10 VERDICT task #4 —
+    the largest remaining real-web codec share behind the PIL seam):
+    each doc gets a deterministic grayscale image of 3 x (2 + doc_id%4)
+    8x8 blocks, block (by, bx) constant at (doc_id*9 + by*37 + bx*17) %
+    256, encoded as a genuine SOF2 progressive JFIF — the classic
+    2-level successive-approximation scan script (DC first Al=1, DC
+    refine raw bits, per-band AC first + AC refine with EOB runs) —
+    then decoded by the independent multi-scan T.81 annex-G parser
+    (spectral-selection accumulation, successive-approximation
+    refinement, EOB-run skips, buffered correction bits) and reduced to
+    the pixel sum. Constant blocks under the all-ones quant table make
+    the pipeline exact, so the oracle prices the expected sum straight
+    from the block formula WITHOUT any codec — the baseline playbook
+    (q_mm_decode_jpeg) applied to the progressive decoder; the hash
+    can only match if every scan's partial coefficients compose to the
+    exact DC. Per-doc width variation pins the scan-grid layout.
+
+    Lossy-path coverage (nonzero AC through all four scan types, color,
+    4:2:0 with the scan-grid/MCU-grid mismatch) lives in
+    tests/test_multimodal.py as progressive==baseline pixel-equality —
+    both forms decode the same quantized coefficients."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                bw = 2 + doc_id % 4
+                by, bx = np.meshgrid(np.arange(3), np.arange(bw), indexing="ij")
+                blocks = ((doc_id * 9 + by * 37 + bx * 17) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                arr = decode_jpeg(encode_jpeg_progressive(img))
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )

@@ -240,10 +240,14 @@ def test_jpeg_lossy_paths_bounded():
     assert np.abs(out_s.astype(int) - flat.astype(int)).max() <= 2
 
 
-def test_jpeg_rejects_progressive_and_bad_payloads():
-    """Progressive (SOF2) frames hit the loud seam; truncated/garbage
-    payloads raise, never return wrong pixels; sniff_modality routes
-    JPEG magic to 'image' and decode_asset reaches the codec."""
+def test_jpeg_rejects_bad_frames_and_bad_payloads():
+    """Arithmetic-coded (SOF9) frames hit the loud seam; a baseline
+    stream mislabeled SOF2 is a MALFORMED progressive file (its one
+    scan spans Ss=0..Se=63, illegal for a progressive DC scan) and
+    raises ValueError rather than decoding garbage (round 11 —
+    genuine SOF2 decodes for real now); truncated payloads raise,
+    never return wrong pixels; sniff_modality routes JPEG magic to
+    'image' and decode_asset reaches the codec."""
     import numpy as np
     import pytest
 
@@ -256,10 +260,12 @@ def test_jpeg_rejects_progressive_and_bad_payloads():
 
     img = np.full((8, 8), 100, dtype=np.uint8)
     data = encode_jpeg(img)
-    # rewrite SOF0 (0xffc0) to SOF2 (0xffc2): progressive must raise
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
-        decode_jpeg(prog)
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic|non-baseline"):
+        decode_jpeg(arith)
+    mislabeled = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(mislabeled)
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
     assert sniff_modality(data) == "image"
@@ -395,3 +401,69 @@ def test_gif_roundtrip_and_seams():
 
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a" + b"\x00" * 7 + b"\xff")
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive and baseline encode the SAME quantized coefficients,
+    so their decodes must be pixel-identical — across grayscale, color
+    4:4:4, color 4:2:0 with odd dims (exercising the scan-grid vs
+    MCU-padded-grid mismatch), a coarser quant table (multi-bit
+    magnitudes -> refinement correction bits), and a sparse image
+    (long EOB runs + ZRL-in-refine)."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (29, 43), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray)),
+        decode_jpeg(encode_jpeg(gray)),
+    )
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(rgb)),
+        decode_jpeg(encode_jpeg(rgb)),
+    )
+    odd = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(odd, subsample=True)),
+        decode_jpeg(encode_jpeg(odd, subsample=True)),
+    )
+    q = [16] * 64  # coarse quantization: small multi-bit coefficients
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray, qtable=q)),
+        decode_jpeg(encode_jpeg(gray, qtable=q)),
+    )
+    sparse = np.full((40, 40), 128, dtype=np.uint8)
+    sparse[3, 5] = 255
+    sparse[25, 31] = 0  # two isolated spikes in a flat field
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(sparse)),
+        decode_jpeg(encode_jpeg(sparse)),
+    )
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    """Constant 8x8 blocks under the all-ones quant table round-trip
+    EXACTLY through the progressive pipeline (all AC quantize to 0; the
+    DC recomposes across the successive-approximation scans) — the
+    property q_mm_decode_jpeg_progressive's formula oracle builds on.
+    The SOF2 marker must also be what lands in the stream."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    blocks = np.array([[0, 255, 128, 7], [90, 201, 13, 254], [66, 3, 199, 128]],
+                      dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    data = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert np.array_equal(decode_jpeg(data), img)
