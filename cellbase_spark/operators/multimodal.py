@@ -358,36 +358,29 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_len: int = 16) -> Data
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def encode_png(img, filter_type: int = 0, palette=None) -> bytes:
-    """Write a uint8 array as a real PNG (8-bit, non-interlaced, single
-    IDAT, zlib from the stdlib — no codec libs): (H, W) -> grayscale,
-    (H, W, 3|4) -> truecolor/RGBA, and with `palette` (an (N<=256, 3)
-    array) a 2-D array is written as color type 3 with its PLTE chunk
-    (values are palette indices). `filter_type` selects the
-    per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) so
-    tests can exercise every decode path."""
-    import zlib
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass — the PNG
+# spec's fixed 8x8 sampling pattern. A pass is EMPTY (contributes zero
+# scanlines, not even filter bytes) when the image has no pixels in it.
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_filter_rows(rows, bpp: int, filter_type: int) -> bytes:
+    """Filter an (nrows, stride) int16 byte matrix with one PNG filter
+    (byte-level per the spec — `bpp` is the left-neighbor distance);
+    returns the concatenated filter-byte + scanline stream. Works for
+    any depth because PNG filters are defined on BYTES."""
     import numpy as np
 
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        h, w = img.shape
-        ch = 1
-        img = img.reshape(h, w, 1)
-        color_type = 3 if palette is not None else 0
-    else:
-        if palette is not None:
-            raise ValueError("palette requires a 2-D index array")
-        h, w, ch = img.shape
-        color_type = {3: 2, 4: 6}[ch]
-    raw = img.astype(np.int16)
+    nrows, stride = rows.shape
     lines = []
-    prev = np.zeros((w, ch), dtype=np.int16)
-    for y in range(h):
-        row = raw[y]
-        left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
-        upleft = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(nrows):
+        row = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]]) if stride > bpp else np.zeros(stride, np.int16)
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]]) if stride > bpp else np.zeros(stride, np.int16)
         if filter_type == 0:
             filt = row
         elif filter_type == 1:
@@ -408,6 +401,62 @@ def encode_png(img, filter_type: int = 0, palette=None) -> bytes:
             raise ValueError(f"filter_type must be 0..4, got {filter_type}")
         lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
         prev = row
+    return b"".join(lines)
+
+
+def encode_png(
+    img, filter_type: int = 0, palette=None, interlace: bool = False
+) -> bytes:
+    """Write an array as a real PNG (single IDAT, zlib from the stdlib —
+    no codec libs): (H, W) -> grayscale, (H, W, 3|4) ->
+    truecolor/RGBA, and with `palette` (an (N<=256, 3) array) a 2-D
+    array is written as color type 3 with its PLTE chunk (values are
+    palette indices). A uint16 input writes 16-bit depth (big-endian
+    samples; palette stays 8-bit-index per the spec). `filter_type`
+    selects the per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth); `interlace=True` writes Adam7 (seven independently
+    filtered sub-images) — round 11, so every decoder lane is
+    test-reachable."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(np.uint16 if depth == 16 else np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        ch = 1
+        img = img.reshape(h, w, 1)
+        color_type = 3 if palette is not None else 0
+        if palette is not None and depth == 16:
+            raise ValueError("palette PNG indices are 8-bit only")
+    else:
+        if palette is not None:
+            raise ValueError("palette requires a 2-D index array")
+        h, w, ch = img.shape
+        color_type = {3: 2, 4: 6}[ch]
+    bpp = ch * (depth // 8)
+
+    def byte_rows(sub) -> "np.ndarray":
+        # (rows, stride) int16 byte matrix; 16-bit samples big-endian
+        sh, sw = sub.shape[:2]
+        if depth == 16:
+            b = sub.astype(">u2").tobytes()
+        else:
+            b = sub.astype(np.uint8).tobytes()
+        return np.frombuffer(b, np.uint8).reshape(sh, sw * bpp).astype(np.int16)
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(_png_filter_rows(byte_rows(sub), bpp, filter_type))
+        payload = b"".join(parts)
+    else:
+        payload = _png_filter_rows(byte_rows(img), bpp, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         import zlib as _z
@@ -419,8 +468,10 @@ def encode_png(img, filter_type: int = 0, palette=None) -> bytes:
             + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    idat = zlib.compress(payload)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(
@@ -429,77 +480,39 @@ def encode_png(img, filter_type: int = 0, palette=None) -> bytes:
     return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def decode_png(data: bytes):
-    """Parse a PNG (8-bit gray / palette / truecolor RGB / RGBA,
-    non-interlaced) into a uint8 array — (H, W) for grayscale, (H, W, 3)
-    for palette (indices mapped through PLTE), (H, W, C) otherwise: real
-    chunk walk (length/type/crc), multi-IDAT concatenation, zlib
-    inflate, and all five scanline unfilters (the filter lanes are
-    channel-count generic, so gray/palette ride the same code — round
-    10 closed that seam). 16-bit depth and interlacing still raise
-    NotImplementedError.
+def _png_unfilter(raw: bytes, off: int, nrows: int, stride: int, bpp: int):
+    """Unfilter `nrows` scanlines of `stride` bytes starting at
+    raw[off] (each preceded by its filter byte); returns the (nrows,
+    stride) uint8 byte matrix and the new offset. `bpp` is the
+    byte-level left-neighbor distance (channels x bytes-per-sample) —
+    PNG filters are defined on BYTES, which is what makes one code path
+    serve every depth, color type and Adam7 pass.
 
     Unfilter cost (128x128 RGB, micro-bench 2026-08-14): Sub rides an
     exact per-lane cumsum (63 -> 0.6 ms, 105x), Up stays wrapped uint8
     add; Average/Paeth are serial recurrences run on Python-int list
     buffers (72.5 -> 6.5 ms / 87.7 -> 12.5 ms vs per-byte numpy
     indexing). Per-document cost, parallel across the corpus."""
-    import zlib
-
     import numpy as np
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos = 8
-    w = h = None
-    color_type = 0
-    plte = None
-    idat = bytearray()
-    while pos < len(data):
-        (ln,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != struct.unpack_from(
-            ">I", data, pos + 8 + ln
-        )[0]:
-            raise ValueError(f"bad CRC in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color_type not in (0, 2, 3, 6) or interlace != 0:
-                raise NotImplementedError(
-                    "only 8-bit non-interlaced gray/palette/truecolor PNG"
-                    f" supported (depth={depth}, color_type={color_type})"
-                )
-            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    need = nrows * (stride + 1)
+    if len(raw) - off < need:
         raise ValueError("PNG scanline payload size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((nrows, stride), dtype=np.uint8)
     zeros = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+    for y in range(nrows):
+        base = off + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1)
         prev = out[y - 1] if y else zeros
         if ftype == 0:
             out[y] = line
         elif ftype == 1:
-            # Sub: rec[i] = (line[i] + rec[i-ch]) mod 256 — per channel
+            # Sub: rec[i] = (line[i] + rec[i-bpp]) mod 256 — per byte
             # lane this is a running sum, and mod distributes over +, so
             # one int64 cumsum per lane replaces the serial byte loop.
             out[y] = (
-                line.reshape(w, ch)
+                line.reshape(stride // bpp, bpp)
                 .cumsum(axis=0, dtype=np.int64)
                 .astype(np.uint8)
                 .reshape(stride)
@@ -516,13 +529,13 @@ def decode_png(data: bytes):
             rc = [0] * stride
             if ftype == 3:
                 for i in range(stride):
-                    a = rc[i - ch] if i >= ch else 0
+                    a = rc[i - bpp] if i >= bpp else 0
                     rc[i] = (ln[i] + ((a + pv[i]) >> 1)) & 255
             else:
                 for i in range(stride):
-                    if i >= ch:
-                        a = rc[i - ch]
-                        c = pv[i - ch]
+                    if i >= bpp:
+                        a = rc[i - bpp]
+                        c = pv[i - bpp]
                     else:
                         a = c = 0
                     b = pv[i]
@@ -535,7 +548,98 @@ def decode_png(data: bytes):
             out[y] = rc
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
-    out = out.reshape(h, w, ch)
+    return out, off + need
+
+
+def decode_png(data: bytes):
+    """Parse a PNG (8- or 16-bit gray / truecolor RGB / RGBA, 8-bit
+    palette; non-interlaced OR Adam7 — round 11 closed both remaining
+    lanes) into an array — (H, W) for grayscale, (H, W, 3) for palette
+    (indices mapped through PLTE), (H, W, C) otherwise; uint16 for
+    16-bit depth (big-endian samples): real chunk walk
+    (length/type/crc), multi-IDAT concatenation, zlib inflate, all five
+    scanline unfilters at byte level (one code path for every
+    depth/color/pass — _png_unfilter), and the seven-pass Adam7
+    scatter (each pass an independently filtered sub-image; empty
+    passes contribute no bytes). Sub-byte depths (1/2/4-bit) still
+    raise NotImplementedError."""
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    color_type = 0
+    depth = 8
+    interlace = 0
+    plte = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != struct.unpack_from(
+            ">I", data, pos + 8 + ln
+        )[0]:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                depth not in (8, 16)
+                or color_type not in (0, 2, 3, 6)
+                or interlace not in (0, 1)
+                or (depth == 16 and color_type == 3)
+            ):
+                raise NotImplementedError(
+                    "only 8/16-bit gray/palette/truecolor PNG supported"
+                    f" (depth={depth}, color_type={color_type},"
+                    f" interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = ch * (depth // 8)
+
+    def to_samples(byte_rows, sh, sw):
+        if depth == 16:
+            return (
+                np.frombuffer(byte_rows.tobytes(), ">u2")
+                .reshape(sh, sw, ch)
+                .astype(np.uint16)
+            )
+        return byte_rows.reshape(sh, sw, ch)
+
+    if interlace == 0:
+        rows, off = _png_unfilter(raw, 0, h, w * bpp, bpp)
+        if off != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+        out = to_samples(rows, h, w)
+    else:
+        out = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            out[y0::dy, x0::dx] = to_samples(rows, ph, pw)
+        if off != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -1775,8 +1879,26 @@ def encode_gif(indices, palette) -> bytes:
     out += bytes([0x80 | (bits - 1) << 4 | (bits - 1), 0, 0])  # GCT flag+size
     out += pal.tobytes()
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+    out += _gif_lzw_encode(indices.tobytes(), max(2, bits))
+    out += b"\x3b"  # trailer
+    return bytes(out)
 
-    min_code = max(2, bits)
+
+def _gif_lzw_encode(pixels: bytes, min_code: int) -> bytes:
+    """LZW-encode one image's index bytes: min-code byte + 255-byte
+    sub-blocks + terminator. Variable code width, CLEAR first and on
+    the 4096 dictionary reset, EOI last — shared by encode_gif and
+    encode_gif_animated.
+
+    The code width MIRRORS THE DECODER's table bookkeeping (one entry
+    added per data code read, starting from the SECOND after a clear;
+    grow when that table fills 2^width) instead of the encoder's own
+    add count. The two counts agree mid-stream (the decoder lags one
+    add but starts one later), but diverge at the FINAL data code: the
+    decoder still adds an entry for it, so when its table hits exactly
+    2^width there, it expects EOI one bit wider than the encoder's
+    add-based rule would emit — a latent off-by-one that hypothesis
+    found at 18 two-color pixels (round 11)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
 
     acc = 0
@@ -1795,36 +1917,274 @@ def encode_gif(indices, palette) -> bytes:
     table = {bytes([i]): i for i in range(1 << min_code)}
     next_code = eoi + 1
     width = min_code + 1
+    dec_len = eoi + 1  # the decoder's table size, tracked in lockstep
+    first_after_clear = True
     emit(clear, width)
     seq = b""
-    for px in indices.tobytes():
+    for px in pixels:
         cand = seq + bytes([px])
         if cand in table:
             seq = cand
             continue
         emit(table[seq], width)
+        # decoder mirror: it adds one entry per data code read except
+        # the first after a clear; the width for the NEXT code follows
+        # ITS table size, not ours
+        if first_after_clear:
+            first_after_clear = False
+        elif dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code == (1 << width) + 1 and width < 12:
-                width += 1
         else:  # dictionary full: reset (keeps the decoder path exercised)
             emit(clear, width)
             table = {bytes([i]): i for i in range(1 << min_code)}
             next_code = eoi + 1
             width = min_code + 1
+            dec_len = eoi + 1
+            first_after_clear = True
         seq = bytes([px])
     if seq:
         emit(table[seq], width)
+        if first_after_clear:
+            first_after_clear = False
+        elif dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
     emit(eoi, width)
     if nbits:
         data.append(acc & 0xFF)
 
-    out += bytes([min_code])
+    out = bytearray([min_code])
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += b"\x00"  # block terminator
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, pos: int, n_pixels: int) -> tuple[bytes, int]:
+    """Decode one GIF image block's LZW stream (min-code byte +
+    sub-blocks) starting at `pos`; returns (index bytes, new pos).
+    Variable code width with CLEAR/EOI, KwKwK, the 4096 cap and the
+    deferred-clear rule — shared by the single-frame and animated
+    decoders."""
+    min_code = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos] != 0:
+        ln = data[pos]
+        stream += data[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+    table += [b"", b""]  # clear, eoi placeholders
+    acc = nbits = bi = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if bi >= len(stream):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            acc |= stream[bi] << nbits
+            bi += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"GIF pixel count mismatch: got {len(out)}, want {n_pixels}"
+        )
+    return bytes(out), pos
+
+
+# GIF interlace: rows are stored in four passes (start, step): the
+# deinterlace permutation maps stored order back to natural order.
+_GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _gif_deinterlace(idx, h: int):
+    """Reorder an interlaced frame's (h, w) index rows from pass order
+    to natural order."""
+    import numpy as np
+
+    order = [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif_frames(data: bytes):
+    """Decode an ANIMATED (or single-frame) GIF87a/89a into the
+    (F, H, W, 3) uint8 array of COMPOSED frames — what a viewer shows
+    after each image block (round 11, the animation half of the GIF
+    seam): Graphic Control Extension per frame (transparency index,
+    disposal method), sub-rectangle placement onto the logical screen,
+    local color tables overriding the global one, interlaced frames
+    (4-pass row reorder), and the disposal rules BETWEEN frames —
+    0/1 leave, 2 restore the frame's rect to the background color,
+    3 restore the pre-draw canvas. The initial canvas is the background
+    color (GCT[bg] when a global table exists, else black)."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list = []
+    gce: dict | None = None
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            blocks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                blocks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and blocks:  # Graphic Control Extension
+                gflags = blocks[0][0]
+                gce = {
+                    "disposal": (gflags >> 2) & 0x07,
+                    "transparent": blocks[0][3] if gflags & 0x01 else None,
+                }
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x} at {pos}")
+        x0, y0, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if x0 + w > sw or y0 + h > sh:
+            raise ValueError("GIF frame rect exceeds the logical screen")
+        out, pos = _gif_lzw_decode(data, pos, w * h)
+        idx = np.frombuffer(out, np.uint8).reshape(h, w)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx, h)
+        disposal = gce["disposal"] if gce else 0
+        transparent = gce["transparent"] if gce else None
+        saved = canvas[y0 : y0 + h, x0 : x0 + w].copy() if disposal == 3 else None
+        rect = canvas[y0 : y0 + h, x0 : x0 + w]
+        painted = pal[idx]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            rect[:] = np.where(mask, painted, rect)
+        else:
+            rect[:] = painted
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[y0 : y0 + h, x0 : x0 + w] = bg_rgb
+        elif disposal == 3 and saved is not None:
+            canvas[y0 : y0 + h, x0 : x0 + w] = saved
+        gce = None  # a GCE governs exactly one following image
+    if not frames:
+        raise ValueError("GIF missing image block")
+    return np.stack(frames)
+
+
+def encode_gif_animated(
+    screen: tuple[int, int],
+    frames: list[dict],
+    palette,
+    bg_index: int = 0,
+) -> bytes:
+    """Write an animated GIF89a: `screen` = (H, W), `palette` the
+    global color table, `frames` a list of dicts with keys
+    `indices` (2-D uint8), `x0`/`y0` (placement, default 0),
+    `disposal` (default 1 = leave), `transparent` (index or None),
+    `palette` (optional LOCAL table overriding the global), and
+    `interlace` (bool). Each frame gets its own GCE + image block; LZW
+    is the same real encoder as encode_gif."""
+    import numpy as np
+
+    sh, sw = screen
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    table_n = 1 << bits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (bits - 1) << 4 | (bits - 1), bg_index, 0])
+    out += pal.tobytes()
+    for spec in frames:
+        idx = np.asarray(spec["indices"], dtype=np.uint8)
+        h, w = idx.shape
+        x0, y0 = int(spec.get("x0", 0)), int(spec.get("y0", 0))
+        disposal = int(spec.get("disposal", 1))
+        transparent = spec.get("transparent")
+        interlace = bool(spec.get("interlace", False))
+        lpal = spec.get("palette")
+        gflags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                      transparent if transparent is not None else 0, 0])
+        iflags = 0x40 if interlace else 0
+        lbits = bits
+        if lpal is not None:
+            lpal = np.asarray(lpal, dtype=np.uint8)
+            lbits = max(2, (len(lpal) - 1).bit_length())
+            lt = np.zeros((1 << lbits, 3), dtype=np.uint8)
+            lt[: len(lpal)] = lpal
+            iflags |= 0x80 | (lbits - 1)
+        out += b"\x2c" + struct.pack("<HHHH", x0, y0, w, h) + bytes([iflags])
+        if lpal is not None:
+            out += lt.tobytes()
+        if interlace:
+            order = [
+                y
+                for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)
+            ]
+            idx = idx[order]
+        out += _gif_lzw_encode(idx.tobytes(), max(2, lbits))
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -1832,10 +2192,11 @@ def decode_gif(data: bytes):
     """Decode a single-frame GIF87a/89a into an (H, W, 3) uint8 RGB
     array: screen/image descriptors, global or local color table,
     extension skipping, sub-block reassembly, variable-width LZW with
-    CLEAR/EOI and the deferred-clear rule. Interlaced frames and
-    multi-frame animations raise NotImplementedError (the loud seam —
-    per-frame decode is the same path, only raster reordering and GCE
-    disposal logic are missing)."""
+    CLEAR/EOI and the deferred-clear rule, interlaced frames (round 11:
+    4-pass row reorder). Multi-frame animations and sub-screen frames
+    need COMPOSITION semantics (background, transparency, disposal) —
+    this single-image API refuses them loudly and points at
+    decode_gif_frames, which handles both."""
     import numpy as np
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1863,14 +2224,12 @@ def decode_gif(data: bytes):
             raise ValueError(f"unexpected GIF block 0x{b0:02x} at {pos}")
         if frame is not None:
             raise NotImplementedError(
-                "multi-frame (animated) GIF unsupported — decode is"
-                " per-frame identical, disposal/raster logic is the seam"
+                "multi-frame (animated) GIF: use decode_gif_frames for"
+                " the composed (F, H, W, 3) animation"
             )
         x0, y0, w, h = struct.unpack_from("<HHHH", data, pos + 1)
         iflags = data[pos + 9]
         pos += 10
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF unsupported")
         if (x0, y0) != (0, 0) or (w, h) != (sw, sh):
             # valid GIFs may place a smaller frame inside the logical
             # screen; compositing onto the screen (background color,
@@ -1879,8 +2238,8 @@ def decode_gif(data: bytes):
             # offset discarded (round-10 review finding)
             raise NotImplementedError(
                 f"GIF frame ({w}x{h} at {x0},{y0}) does not cover the"
-                f" logical screen ({sw}x{sh}) — sub-frame compositing"
-                " unsupported"
+                f" logical screen ({sw}x{sh}) — use decode_gif_frames,"
+                " which composites onto the screen"
             )
         pal = gct
         if iflags & 0x80:
@@ -1889,56 +2248,11 @@ def decode_gif(data: bytes):
             pos += n * 3
         if pal is None:
             raise ValueError("GIF frame has no color table")
-        min_code = data[pos]
-        pos += 1
-        stream = bytearray()
-        while data[pos] != 0:
-            ln = data[pos]
-            stream += data[pos + 1 : pos + 1 + ln]
-            pos += 1 + ln
-        pos += 1
-
-        clear, eoi = 1 << min_code, (1 << min_code) + 1
-        width = min_code + 1
-        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
-        table += [b"", b""]  # clear, eoi placeholders
-        acc = nbits = bi = 0
-        out = bytearray()
-        prev: bytes | None = None
-        while True:
-            while nbits < width:
-                if bi >= len(stream):
-                    raise ValueError("GIF LZW stream truncated (no EOI)")
-                acc |= stream[bi] << nbits
-                bi += 1
-                nbits += 8
-            code = acc & ((1 << width) - 1)
-            acc >>= width
-            nbits -= width
-            if code == clear:
-                table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
-                width = min_code + 1
-                prev = None
-                continue
-            if code == eoi:
-                break
-            if code < len(table):
-                entry = table[code]
-            elif code == len(table) and prev is not None:
-                entry = prev + prev[:1]  # the KwKwK case
-            else:
-                raise ValueError(f"invalid GIF LZW code {code}")
-            out += entry
-            if prev is not None and len(table) < 4096:
-                table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
-                width += 1
-            prev = entry
-        if len(out) != w * h:
-            raise ValueError(
-                f"GIF pixel count mismatch: got {len(out)}, want {w * h}"
-            )
-        frame = pal[np.frombuffer(bytes(out), np.uint8).reshape(h, w)]
+        out, pos = _gif_lzw_decode(data, pos, w * h)
+        idx = np.frombuffer(out, np.uint8).reshape(h, w)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx, h)
+        frame = pal[idx]
     if frame is None:
         raise ValueError("GIF missing image block")
     return frame

@@ -83,6 +83,8 @@ GATE_PRIORITY = [
     "q_stream_run_recovery",
     "q_bm25_indexed",
     "q_mm_decode_jpeg_progressive",
+    "q_mm_decode_png16",
+    "q_mm_decode_gif_anim",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -815,3 +815,190 @@ def q_mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
+
+
+@register(
+    "q_mm_decode_png16",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(8 + doc_id % 5 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+            list_transform(range(0, 8 + doc_id % 5), x ->
+              (doc_id * 257 + 7 * y + 3 * x) % 65536)))) AS BIGINT)
+         AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit ADAM7-interlaced PNG decode (round 11 — the two remaining
+    PNG lanes closed together): each doc gets a deterministic
+    (8 x 8+doc_id%5) GRAY 16-bit image (pixel[y,x] = (doc_id*257 + 7y
+    + 3x) % 65536, exercising values past the 8-bit range in every
+    row), encoded as a genuine interlaced PNG with scanline filter
+    doc_id % 5 — so all five byte-level filters run over 2-byte pixels
+    across the seven Adam7 passes (each pass an independently filtered
+    sub-image; narrow images make some passes empty) — then decoded
+    back by the generic byte-level unfilter + pass scatter and reduced
+    to the pixel sum. PNG is lossless, so the oracle prices the sum
+    straight from the pixel formula, codec-free (the q_mm_decode_png
+    playbook at double depth + interlace)."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 8 + doc_id % 5
+                y, x = np.meshgrid(np.arange(8), np.arange(w), indexing="ij")
+                img = ((doc_id * 257 + 7 * y + 3 * x) % 65536).astype(np.uint16)
+                arr = decode_png(
+                    encode_png(img, filter_type=doc_id % 5, interlace=True)
+                )
+                assert arr.dtype == np.uint16
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+# palette-sum macros for the animated-GIF oracle: the global table is
+# the q_mm_decode_gif formula, the local table a second formula; idx
+# expressions are substituted textually (DuckDB lambdas can't hold
+# subqueries — the q_mm_decode_jpeg_color composition technique)
+def _gif_pal3(i: str) -> str:
+    return (
+        f"((doc_id * 3 + ({i}) * 11) % 256"
+        f" + (doc_id * 7 + ({i}) * 5) % 256"
+        f" + (doc_id * 13 + ({i}) * 3) % 256)"
+    )
+
+
+def _gif_lpal3(i: str) -> str:
+    return (
+        f"((doc_id * 5 + ({i}) * 7) % 256"
+        f" + (doc_id * 11 + ({i}) * 13) % 256"
+        f" + (doc_id + ({i}) * 17) % 256)"
+    )
+
+
+_GIF_ANIM_SQL = f"""
+SELECT doc_id,
+       CAST(3 AS INT) AS n_frames,
+       CAST(9 + doc_id % 3 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(
+         -- composed frame 1: full-screen interlaced frame
+         list_sum(flatten(list_transform(range(0, 8), y ->
+           list_transform(range(0, 9 + doc_id % 3), x ->
+             {_gif_pal3('(doc_id + 5*y + 3*x) % 8')}))))
+         -- composed frame 2: transparent sub-rect over frame 1
+       + list_sum(flatten(list_transform(range(0, 8), y ->
+           list_transform(range(0, 9 + doc_id % 3), x ->
+             CASE WHEN y >= 1 AND y < 5 AND x >= 2 AND x < 7
+                       AND (doc_id + 2*(y-1) + (x-2)) % 8 <> doc_id % 8
+                  THEN {_gif_pal3('(doc_id + 2*(y-1) + (x-2)) % 8')}
+                  ELSE {_gif_pal3('(doc_id + 5*y + 3*x) % 8')} END))))
+         -- composed frame 3: frame-2 rect restored to background
+         -- (disposal 2, bg index 0), then the local-palette rect
+       + list_sum(flatten(list_transform(range(0, 8), y ->
+           list_transform(range(0, 9 + doc_id % 3), x ->
+             CASE WHEN y >= 3 AND y < 6 AND x >= 3 AND x < 7
+                  THEN {_gif_lpal3('(doc_id * 2 + (y-3) + 2*(x-3)) % 8')}
+                  WHEN y >= 1 AND y < 5 AND x >= 2 AND x < 7
+                  THEN {_gif_pal3('0')}
+                  ELSE {_gif_pal3('(doc_id + 5*y + 3*x) % 8')} END))))
+         AS BIGINT) AS px_sum
+FROM documents
+"""
+
+
+@register("q_mm_decode_gif_anim", family="llm-multimodal", oracle=_GIF_ANIM_SQL)
+def q_mm_decode_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode with full composition semantics (round 11 —
+    the animation half of the GIF seam): each doc gets a 3-frame
+    GIF89a on an (8 x 9+doc_id%3) logical screen — frame 1 full-screen
+    and INTERLACED (4-pass row reorder), frame 2 a sub-rectangle with a
+    per-doc TRANSPARENT index (GCE) and disposal 2 (restore rect to
+    background), frame 3 a second sub-rectangle under a LOCAL color
+    table — decoded by decode_gif_frames into the three COMPOSED
+    viewer frames and reduced to the pixel sum across all of them. LZW
+    is lossless, so the oracle replays the composition rules on the
+    index/palette formulas codec-free: the hash matches only if
+    deinterlacing, transparency masking, sub-rect placement, disposal-2
+    restoration and local-table override each land pixel-exact.
+
+    Scale shape: constant-per-asset Python decode, corpus-parallel
+    under the bounded-memory Arrow mapInPandas kernel — the cost model
+    of every real-codec key."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 9 + doc_id % 3
+                i = np.arange(8)
+                pal = np.stack(
+                    [(doc_id * 3 + i * 11) % 256,
+                     (doc_id * 7 + i * 5) % 256,
+                     (doc_id * 13 + i * 3) % 256], axis=1
+                ).astype(np.uint8)
+                lpal = np.stack(
+                    [(doc_id * 5 + i * 7) % 256,
+                     (doc_id * 11 + i * 13) % 256,
+                     (doc_id + i * 17) % 256], axis=1
+                ).astype(np.uint8)
+                y1, x1 = np.meshgrid(np.arange(8), np.arange(w), indexing="ij")
+                idx1 = ((doc_id + 5 * y1 + 3 * x1) % 8).astype(np.uint8)
+                y2, x2 = np.meshgrid(np.arange(4), np.arange(5), indexing="ij")
+                idx2 = ((doc_id + 2 * y2 + x2) % 8).astype(np.uint8)
+                y3, x3 = np.meshgrid(np.arange(3), np.arange(4), indexing="ij")
+                idx3 = ((doc_id * 2 + y3 + 2 * x3) % 8).astype(np.uint8)
+                data = encode_gif_animated(
+                    (8, w),
+                    [
+                        dict(indices=idx1, disposal=1, interlace=True),
+                        dict(indices=idx2, x0=2, y0=1, disposal=2,
+                             transparent=doc_id % 8),
+                        dict(indices=idx3, x0=3, y0=3, disposal=1,
+                             palette=lpal),
+                    ],
+                    pal,
+                    bg_index=0,
+                )
+                frames = decode_gif_frames(data)
+                out.append(
+                    (doc_id, frames.shape[0], frames.shape[2],
+                     frames.shape[1], int(frames.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "width", "height", "px_sum"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id long, n_frames int, width int, height int, px_sum long",
+    )

@@ -337,10 +337,11 @@ def test_png_gray_and_palette_lanes():
         out = decode_png(encode_png(idx, filter_type=ft, palette=pal))
         assert out.shape == (7, 11, 3) and np.array_equal(out, pal[idx]), ft
 
-    # 16-bit depth still refuses loudly: rewrite IHDR's depth byte
+    # 16-bit went native in round 11; sub-byte depths still refuse
+    # loudly: rewrite IHDR's depth byte to 4
     data = bytearray(encode_png(rng.integers(0, 256, (4, 4), np.uint8)))
     i = data.find(b"IHDR")
-    data[i + 12] = 16  # depth byte (IHDR: w(4) h(4) depth ...)
+    data[i + 12] = 4  # depth byte (IHDR: w(4) h(4) depth ...)
     body = bytes(data[i + 4 : i + 4 + 13])
     import zlib
 
@@ -354,8 +355,9 @@ def test_png_gray_and_palette_lanes():
 def test_gif_roundtrip_and_seams():
     """Round 10: GIF87a/89a LZW codec — pixel-exact round-trips
     (lossless), extension blocks skipped, dictionary growth + the 4096
-    reset exercised by a repetitive stream, interlaced and multi-frame
-    payloads refused loudly, dispatch + sniff routing."""
+    reset exercised by a repetitive stream, multi-frame payloads routed
+    to decode_gif_frames (round 11: interlace decodes natively),
+    dispatch + sniff routing."""
     import numpy as np
     import pytest
 
@@ -387,13 +389,7 @@ def test_gif_roundtrip_and_seams():
     with_ext = base[:i] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + base[i:]
     assert np.array_equal(decode_gif(with_ext), decode_gif(base))
 
-    # interlace flag refused
-    interlaced = bytearray(base)
-    interlaced[i + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(interlaced))
-
-    # second frame refused (animation seam)
+    # second frame refused (animation routes to decode_gif_frames)
     trailer = base.rindex(b"\x3b")
     two_frames = base[:trailer] + base[i:trailer] + b"\x3b"
     with pytest.raises(NotImplementedError, match="multi-frame"):
@@ -467,3 +463,111 @@ def test_jpeg_progressive_constant_blocks_exact():
     data = encode_jpeg_progressive(img)
     assert b"\xff\xc2" in data and b"\xff\xc0" not in data
     assert np.array_equal(decode_jpeg(data), img)
+
+
+def test_png_16bit_and_adam7_roundtrip():
+    """Round 11 closed the last PNG lanes: 16-bit depth (big-endian
+    samples, byte-level filters with bpp = ch*2) and Adam7 interlace
+    (seven independently filtered passes, empty passes for narrow
+    images). Pin the full matrix: depths x color types x all five
+    filters x interlace on/off, palette+interlace, and tiny images
+    whose Adam7 passes are partly empty."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(13, 17), (13, 17, 3), (13, 17, 4)]:
+        img8 = rng.integers(0, 256, shape, dtype=np.uint8)
+        img16 = rng.integers(0, 65536, shape, dtype=np.uint16)
+        for ft in range(5):
+            for il in (False, True):
+                assert np.array_equal(
+                    decode_png(encode_png(img8, filter_type=ft, interlace=il)),
+                    img8,
+                )
+                out16 = decode_png(
+                    encode_png(img16, filter_type=ft, interlace=il)
+                )
+                assert out16.dtype == np.uint16
+                assert np.array_equal(out16, img16)
+    idx = rng.integers(0, 7, (9, 11), dtype=np.uint8)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    for il in (False, True):
+        assert np.array_equal(
+            decode_png(encode_png(idx, filter_type=4, palette=pal, interlace=il)),
+            pal[idx],
+        )
+    for shape in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 9)]:
+        tiny = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(tiny, filter_type=3, interlace=True)), tiny
+        )
+
+
+def test_gif_animation_composition_and_interlace():
+    """decode_gif_frames composes like a viewer: transparency masks,
+    sub-rect placement, disposal 1 (leave) / 2 (restore-to-background)
+    / 3 (restore-previous), local color tables, interlaced frames; the
+    single-image decode_gif handles interlace and refuses animation
+    pointing at the frames API."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (11, 13), dtype=np.uint8)
+
+    # interlaced single frame: both decoders agree with the source
+    data = encode_gif_animated((11, 13), [dict(indices=idx, interlace=True)], pal)
+    assert np.array_equal(decode_gif_frames(data)[0], pal[idx])
+    assert np.array_equal(decode_gif(data), pal[idx])
+    # plain single-frame writer still round-trips through both
+    assert np.array_equal(decode_gif_frames(encode_gif(idx, pal))[0], pal[idx])
+
+    idx1 = rng.integers(0, 8, (8, 10), dtype=np.uint8)
+    idx2 = rng.integers(0, 8, (4, 5), dtype=np.uint8)
+    idx3 = rng.integers(0, 8, (3, 4), dtype=np.uint8)
+    lpal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    data3 = encode_gif_animated(
+        (8, 10),
+        [dict(indices=idx1, disposal=1),
+         dict(indices=idx2, x0=2, y0=1, disposal=2, transparent=3),
+         dict(indices=idx3, x0=5, y0=4, disposal=1, palette=lpal)],
+        pal, bg_index=0,
+    )
+    frames = decode_gif_frames(data3)
+    assert frames.shape == (3, 8, 10, 3)
+    c1 = pal[idx1]
+    c2 = c1.copy()
+    m = idx2 != 3
+    c2[1:5, 2:7][m] = pal[idx2][m]
+    c3 = c1.copy()
+    c3[1:5, 2:7] = pal[0]      # disposal 2: rect restored to background
+    c3[4:7, 5:9] = lpal[idx3]  # local table wins for frame 3
+    assert np.array_equal(frames[0], c1)
+    assert np.array_equal(frames[1], c2)
+    assert np.array_equal(frames[2], c3)
+
+    # disposal 3: frame 2's rect restored to the PRE-draw canvas
+    data4 = encode_gif_animated(
+        (8, 10),
+        [dict(indices=idx1, disposal=1),
+         dict(indices=idx2, x0=2, y0=1, disposal=3),
+         dict(indices=idx3, x0=5, y0=4, disposal=1)],
+        pal,
+    )
+    want3 = c1.copy()
+    want3[4:7, 5:9] = pal[idx3]
+    assert np.array_equal(decode_gif_frames(data4)[2], want3)
+
+    # the single-image API still refuses animation, loudly and helpfully
+    with pytest.raises(NotImplementedError, match="decode_gif_frames"):
+        decode_gif(data3)
