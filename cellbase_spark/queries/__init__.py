@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "q_mm_decode_jpeg_progressive",
     "q_mm_decode_png16",
     "q_mm_decode_gif_anim",
+    "q_stream_run_recovery_stateful",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

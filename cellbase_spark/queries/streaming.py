@@ -1269,3 +1269,85 @@ def q_stream_run_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
     assert n_seen == 1, f"f0 referenced by {n_seen} source batches"
     return spark.read.parquet(out)
+
+
+@register(
+    "q_stream_run_recovery_stateful",
+    family="stream",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'total', 4)}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_run_recovery_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL restart recovery (round 11 — the state-store half of
+    q_stream_run_recovery): the tumbling windowed aggregation runs over
+    phase-1 files, the query STOPS, and a restart from the same
+    checkpoint drives the remaining files. The source seen-files log
+    guarantees phase-1 files are never re-read (pinned in-code, exactly
+    as the stateless key does) — so the ONLY way the restarted query's
+    complete-mode output can cover ALL events, which the oracle's
+    whole-table aggregate demands, is the STATE STORE reloading the
+    phase-1 window aggregates from the checkpoint and folding the new
+    batches into them. A from-scratch recomputation (lost state) would
+    under-count every window with phase-1 events and hash-fail; a
+    reprocessed source would double-count and hash-fail the other way.
+
+    At 100 TB this is the semantics that makes a planned restart or
+    executor loss invisible to a continuously-aggregating pipeline:
+    offsets + state snapshot/changelog recover, nothing re-reads."""
+    import json
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="cb_stream_recst_src_")
+    ckpt = tempfile.mkdtemp(prefix="cb_stream_recst_ckpt_")
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(mod: int, name: str) -> None:
+        tmp = tempfile.mkdtemp(prefix="cb_stream_recst_stage_")
+        (
+            ev.where(F.col("event_id") % 3 == mod)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def run(name: str) -> None:
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        q = (
+            pipelines.tumbling_agg(pipelines.read_events_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(0, "f0")
+    run("cb_recst_p1")
+    stage(1, "f1")
+    stage(2, "f2")
+    run("cb_recst_p2")  # restart: state reloads, only f1/f2 are read
+    src_log = os.path.join(ckpt, "sources", "0")
+    n_seen = 0
+    for batch_file in os.listdir(src_log):
+        if not batch_file.isdigit():
+            continue
+        with open(os.path.join(src_log, batch_file)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{"):
+                    n_seen += json.loads(line)["path"].endswith("f0.parquet")
+    assert n_seen == 1, f"f0 referenced by {n_seen} source batches"
+    return spark.table("cb_recst_p2")
