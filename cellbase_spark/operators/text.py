@@ -124,11 +124,12 @@ def build_bm25_index(
     Per-token document frequency is NOT precomputed: df(token) is the
     row count of that token's postings, available inside the pruned
     read (a config-sized per-term aggregate at query time), so the
-    artifact needs no second table. Deletes/deltas: stats are frozen
-    until the next rebuild (the standard serving trade — a delta batch
-    shifts N/avgdl/df, so generations of THIS artifact are absorbed by
-    re-ingest rather than union-probing; contrast the geometry-frozen
-    ANN deltas where per-row facts never change)."""
+    artifact needs no second table. DELTAS: a new batch builds its own
+    generation with this same function; bm25_probe unions generations
+    with stats SUMMED from their properties (n_docs/total_len are
+    additive over disjoint doc sets, df is computed in the union's
+    pruned read) — a generation probe is EXACT, never stale, and
+    compact_bm25_index merges generations back to one artifact."""
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("toks"),
@@ -168,7 +169,55 @@ def build_bm25_index(
     _tblprops_cache(spark).pop(table, None)
 
 
-def bm25_probe(spark, table: str, terms: list[str], k: int = 20):
+def compact_bm25_index(spark, out_table: str, path: str, generations: list[str]) -> None:
+    """Merge BM25 postings generations into one compacted artifact —
+    the band-table/ANN compaction discipline applied to text retrieval
+    (round 11): rows carried verbatim (tf/dl are per-(doc, token)
+    facts; nothing re-tokenizes), one exchange re-clustering every
+    tok_bucket leaf, and the corpus stats SUMMED across generations
+    (n_docs/total_len are additive over disjoint doc sets — the
+    property that keeps BM25 generations exact rather than stale, see
+    bm25_probe). n_buckets must match across generations (the bucket
+    function IS this index's geometry; a delta bucketed differently
+    would route probes to the wrong leaves, silently)."""
+    import uuid
+
+    from cellbase_spark.operators.similarity import (
+        _tblprops_cache,
+        table_props,
+    )
+
+    if not generations:
+        raise ValueError("compact_bm25_index: no generations to compact")
+    stats = [table_props(spark, g, max_age_sec=0) for g in generations]
+    buckets = {int(p["cellbase.n_buckets"]) for p in stats}
+    if len(buckets) != 1:
+        raise ValueError(
+            f"compact_bm25_index: generations disagree on n_buckets"
+            f" ({sorted(buckets)}) — rebuild the outliers first"
+        )
+    merged = spark.table(generations[0])
+    for g in generations[1:]:
+        merged = merged.unionByName(spark.table(g))
+    (
+        merged.repartition(F.col("tok_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(out_table)
+    )
+    spark.sql(
+        f"ALTER TABLE {out_table} SET TBLPROPERTIES ("
+        f"'cellbase.n_docs' = '{sum(int(p['cellbase.n_docs']) for p in stats)}', "
+        f"'cellbase.total_len' = '{sum(int(p['cellbase.total_len']) for p in stats)}', "
+        f"'cellbase.n_buckets' = '{buckets.pop()}', "
+        f"'cellbase.build_id' = '{uuid.uuid4().hex}')"
+    )
+    _tblprops_cache(spark).pop(out_table, None)
+
+
+def bm25_probe(spark, table, terms: list[str], k: int = 20):
     """Serve BM25 top-k for `terms` from the persisted postings index:
     the scan opens only the query tokens' buckets (PartitionFilters
     IN-list over tok_bucket — bucket ids recomputed with the SAME
@@ -181,16 +230,31 @@ def bm25_probe(spark, table: str, terms: list[str], k: int = 20):
     would re-associate the additions; with coalesce-to-0.0 for absent
     terms the pivoted addition is exactly the rescan expression).
 
-    Corpus stats come from the index's frozen table properties. Only
-    docs holding >= 1 query term are rankable — identical to the
+    `table` may be a LIST of generations (base + delta batches, the
+    build_ann_index lifecycle applied to text): each generation's scan
+    is pruned identically and unioned, and the corpus stats are SUMMED
+    across the generations' frozen properties — n_docs and total_len
+    are additive over disjoint doc sets and df is computed inside the
+    union's pruned read, so a generation probe is EXACT, not
+    stale-until-compaction (the nicety BM25 has over geometry-frozen
+    ANN deltas). n_buckets must agree across generations.
+
+    Only docs holding >= 1 query term are rankable — identical to the
     rescan top-k whenever k docs score positive (always, for real
     corpora and idf > 0)."""
     from cellbase_spark.operators.similarity import table_props
 
-    props = table_props(spark, table)
-    n_docs = int(props["cellbase.n_docs"])
-    total_len = int(props["cellbase.total_len"])
-    n_buckets = int(props["cellbase.n_buckets"])
+    tables = [table] if isinstance(table, str) else list(table)
+    stats = [table_props(spark, t) for t in tables]
+    buckets_set = {int(p["cellbase.n_buckets"]) for p in stats}
+    if len(buckets_set) != 1:
+        raise ValueError(
+            f"bm25_probe: generations disagree on n_buckets"
+            f" ({sorted(buckets_set)})"
+        )
+    n_docs = sum(int(p["cellbase.n_docs"]) for p in stats)
+    total_len = sum(int(p["cellbase.total_len"]) for p in stats)
+    n_buckets = buckets_set.pop()
     terms = list(terms)
     tdf = spark.createDataFrame([(t,) for t in terms], "token string")
     buckets = [
@@ -199,10 +263,12 @@ def bm25_probe(spark, table: str, terms: list[str], k: int = 20):
             F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("b")
         ).collect()
     ]
-    p = spark.table(table).where(
-        F.col("tok_bucket").isin(sorted(set(buckets)))
-        & F.col("token").isin(terms)
-    )
+    pred = F.col("tok_bucket").isin(sorted(set(buckets))) & F.col(
+        "token"
+    ).isin(terms)
+    p = spark.table(tables[0]).where(pred)
+    for t in tables[1:]:
+        p = p.unionByName(spark.table(t).where(pred))
     df_tab = p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     avgdl = float(total_len) / n_docs
     idf = F.round(

@@ -86,6 +86,8 @@ GATE_PRIORITY = [
     "q_mm_decode_png16",
     "q_mm_decode_gif_anim",
     "q_stream_run_recovery_stateful",
+    "q_bm25_indexed_update",
+    "q_bm25_indexed_compact",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

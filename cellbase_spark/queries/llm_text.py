@@ -919,3 +919,104 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _ensure_bm25_index(spark, sf_dir)
     return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)
+
+
+def _ensure_bm25_base_delta(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once base + delta BM25 postings generations: the corpus
+    (doc_id % 10 != 0) as the base artifact, the arriving batch
+    (doc_id % 10 == 0) as its own generation — the incremental-dedup
+    partitioning convention applied to the text index."""
+    from cellbase_spark.operators.similarity import table_props
+    from cellbase_spark.operators.text import build_bm25_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = []
+    for name, pred in (
+        ("cb_bm25base", F.col("doc_id") % 10 != 0),
+        ("cb_bm25delta", F.col("doc_id") % 10 == 0),
+    ):
+        t = scratch_table(sf_dir, name)
+        ready = spark.catalog.tableExists(t) and "cellbase.n_docs" in table_props(
+            spark, t, max_age_sec=0
+        )
+        if not ready:
+            build_bm25_index(docs.where(pred), t, scratch_path(sf_dir, name))
+        out.append(t)
+    return out[0], out[1]
+
+
+@register(
+    "q_bm25_indexed_update",
+    family="llm-text",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25_indexed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index UPDATE as an immutable delta generation (round 11 —
+    the ANN-index lifecycle applied to text): the corpus lives in the
+    base postings artifact, the arriving batch (doc_id % 10 == 0) is
+    ingested as its OWN generation by the same build, and the probe
+    UNIONS the two pruned scans with the corpus stats SUMMED from the
+    generations' frozen properties. n_docs/total_len are additive over
+    disjoint doc sets and df is computed inside the union's pruned
+    read, so the generation probe is EXACT — it must hash-match the
+    SAME full-corpus oracle as q_bm25 and q_bm25_indexed (three
+    serving states, one answer). Work: batch ingest ∝ batch; probe
+    opens |terms| buckets per generation, never rescans text."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    base, delta = _ensure_bm25_base_delta(spark, sf_dir)
+    return bm25_probe(spark, [base, delta], ["spark", "stream", "join"], k=20)
+
+
+def _ensure_bm25_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once compacted artifact: base + delta generations merged
+    by compact_bm25_index (rows verbatim, stats summed, one file per
+    bucket leaf)."""
+    from cellbase_spark.operators.similarity import table_props
+    from cellbase_spark.operators.text import compact_bm25_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_bm25compact")
+    ready = spark.catalog.tableExists(t) and "cellbase.n_docs" in table_props(
+        spark, t, max_age_sec=0
+    )
+    if not ready:
+        base, delta = _ensure_bm25_base_delta(spark, sf_dir)
+        compact_bm25_index(
+            spark, t, scratch_path(sf_dir, "bm25compact"), [base, delta]
+        )
+    return t
+
+
+@register(
+    "q_bm25_indexed_compact",
+    family="llm-text",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25_indexed_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index COMPACTION (round 11, closing the text-index
+    lifecycle: build -> update -> compact, each state hash-matching the
+    one oracle): base + delta generations merged into one artifact —
+    postings carried verbatim, one exchange on tok_bucket, corpus
+    stats summed into the compacted table's properties — then probed
+    as a single table. If the merge lost, duplicated, or re-bucketed
+    one posting, or mis-summed the stats, the top-20 diverges from the
+    rescan oracle. Probe cost returns to one file-open per bucket per
+    query (the generation probe paid one per generation)."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    t = _ensure_bm25_compacted(spark, sf_dir)
+    return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)

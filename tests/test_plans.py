@@ -1358,3 +1358,11 @@ def test_bm25_indexed_probe_is_partition_pruned(spark, sf_dir):
     assert "PushedFilters" in plan and "In(token, [" in plan
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+
+    # the generation probe (base UNION delta) keeps BOTH scans pruned —
+    # every postings scan carries the bucket IN-list, and the text is
+    # still never rescanned
+    plan_u = plan_of(spark, "q_bm25_indexed_update", sf_dir)
+    pfs = [l for l in plan_u.splitlines() if "PartitionFilters" in l and "tok_bucket#" in l]
+    assert len(pfs) >= 2 and all(" IN (" in l for l in pfs)
+    assert "documents.parquet" not in plan_u
