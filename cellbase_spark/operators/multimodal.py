@@ -12,19 +12,23 @@ formats NEEDING them (arithmetic/lossless JPEG, video containers, lossy
 audio) keep the import-try seam in `decode_image` (NotImplementedError
 with a clear message). Everything else is decoded FOR REAL with stdlib + numpy:
 - images: 24-bit BI_RGB BMP (`decode_bmp`, bottom-up rows, BGR, 4-byte
-  padding), binary P6 PPM (`decode_ppm`), PNG 8-bit gray / palette /
-  truecolor / RGBA (`decode_png` — CRC-checked chunk walk, stdlib-zlib
-  inflate, all five scanline unfilters, PLTE mapping; `encode_png`
-  emits any fixed filter + color type for tests),
-  and baseline sequential JPEG (`decode_jpeg` — full T.81 marker walk,
+  padding), binary P6 PPM (`decode_ppm`), PNG 8/16-bit gray / palette /
+  truecolor / RGBA, non-interlaced or Adam7 (`decode_png` — CRC-checked
+  chunk walk, stdlib-zlib inflate, all five scanline unfilters at byte
+  level, seven-pass scatter, PLTE mapping; `encode_png` emits any fixed
+  filter + color type + depth + interlace for tests),
+  baseline AND progressive JPEG (`decode_jpeg` — full T.81 marker walk,
   canonical-Huffman entropy decode, dequant + batched IDCT, 4:2:0/4:2:2
-  replication upsample, restart markers; `encode_jpeg` emits gray or
-  RGB baseline JFIF for tests, round-tripping EXACTLY on per-8x8-block
-  constant images under the all-ones quant table), and GIF87a/89a
-  (`decode_gif` — full variable-width LZW with CLEAR/EOI and the KwKwK
-  case, extension skipping, global/local color tables; `encode_gif`
-  emits real single-frame GIF89a — LZW is lossless, so round-trips are
-  pixel-exact);
+  replication upsample, restart markers; SOF2 dispatches to the annex-G
+  multi-scan decoder; `encode_jpeg`/`encode_jpeg_progressive` emit gray
+  or RGB JFIF for tests, round-tripping EXACTLY on per-8x8-block
+  constant images under the all-ones quant table), GIF87a/89a incl.
+  ANIMATION (`decode_gif`/`decode_gif_frames` — full variable-width LZW
+  with CLEAR/EOI and the KwKwK case, extension parsing, global/local
+  color tables, interlace, GCE transparency + disposal composition;
+  `encode_gif`/`encode_gif_animated` — LZW is lossless, so round-trips
+  are pixel-exact), and baseline TIFF (`decode_tiff` — IFD walk, both
+  byte orders, multi-strip, none/PackBits compression; `encode_tiff`);
 - audio: mono PCM16 WAV (`decode_wav` — RIFF chunk walk with word-
   aligned unknown-chunk skip; `encode_wav`);
 - video: YUV4MPEG2 / Y4M C444 8-bit (`decode_y4m` — header-token parse
@@ -169,6 +173,8 @@ def decode_image(payload: bytes):
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(payload)
     try:  # pragma: no cover - no codec libs in this container
         import io as _io
 
@@ -764,10 +770,214 @@ def decode_y4m(data: bytes):
     return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
 
 
+# --- TIFF (baseline: uncompressed + PackBits, round 11) --------------------
+#
+# The simplest of the remaining exotic-format seams made native: 8-bit
+# gray/RGB baseline TIFF in both byte orders, chunky planar config,
+# multi-strip layout, Compression 1 (none) and 32773 (PackBits — the
+# classic run-length scheme). LZW/JPEG-in-TIFF, tiles, 16-bit and
+# planar=2 stay behind the loud PIL seam. The encoder writes matching
+# files (strip-split + optional PackBits + either endianness) so every
+# decoder lane is test-reachable and the oracle key stays codec-free.
+
+
+def _packbits_decode(src: bytes, expected: int) -> bytes:
+    """Apple PackBits: n in 0..127 -> copy n+1 literals; n in 129..255
+    (signed -1..-127) -> repeat next byte 257-n times; 128 is a noop."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decoded to {len(out)} bytes, want {expected}"
+        )
+    return bytes(out)
+
+
+def _packbits_encode(src: bytes) -> bytes:
+    """PackBits encoder: runs of >= 3 as replicate packets, the rest as
+    literal packets of <= 128 bytes."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and src[i + run] == src[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, src[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and src[i] == src[i + 1] == src[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + src[lit:i]
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """Decode a baseline TIFF (8-bit gray or chunky RGB, Compression 1
+    or PackBits, either byte order, multi-strip) into a uint8 array.
+    Tiled/planar/16-bit/LZW files raise NotImplementedError — the
+    remaining loud seam (PIL where available, via decode_image)."""
+    import numpy as np
+
+    if data[:4] == b"II\x2a\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    (n_entries,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, ifd_off + 2 + 12 * k)
+        raw = data[ifd_off + 2 + 12 * k + 8 : ifd_off + 2 + 12 * k + 12]
+        tags[tag] = (typ, cnt, raw)
+
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, cnt, raw = tags[tag]
+        if typ not in type_size:
+            raise NotImplementedError(f"TIFF tag {tag} has type {typ}")
+        sz = type_size[typ] * cnt
+        if sz <= 4:
+            buf = raw[:sz]
+        else:
+            (off,) = struct.unpack_from(e + "I", raw, 0)
+            buf = data[off : off + sz]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack(e + fmt * cnt, buf))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    spp = values(277, [1])[0]
+    bits = values(258, [8] * spp)
+    comp = values(259, [1])[0]
+    photo = values(262)[0]
+    planar = values(284, [1])[0]
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (PIL seam)")
+    if set(bits) != {8} or spp not in (1, 3) or planar != 1:
+        raise NotImplementedError(
+            f"only 8-bit chunky gray/RGB TIFF supported (bits={bits},"
+            f" spp={spp}, planar={planar})"
+        )
+    if photo not in (1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} unsupported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (none/PackBits decode"
+            " natively; LZW/JPEG-in-TIFF ride the PIL seam)"
+        )
+    offsets = values(273)
+    counts = values(279)
+    rps = values(278, [h])[0]
+    raw = bytearray()
+    rows_left = h
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, rows_left)
+        rows_left -= rows
+        strip = data[off : off + cnt]
+        if comp == 32773:
+            strip = _packbits_decode(strip, rows * w * spp)
+        elif len(strip) != rows * w * spp:
+            raise ValueError("TIFF strip size mismatch")
+        raw += strip
+    import numpy as np
+
+    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    return arr[:, :, 0] if spp == 1 else arr
+
+
+def encode_tiff(
+    img,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Write a uint8 (H, W) gray or (H, W, 3) RGB array as a baseline
+    TIFF: header + strip data + one IFD, multi-strip (rows_per_strip),
+    optional PackBits, either byte order — every decoder lane
+    reachable."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    e = ">" if big_endian else "<"
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = img[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    out = bytearray(b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += b"\x00" * 4  # IFD offset patched below
+    strip_offsets = []
+    for sdata in strips:
+        strip_offsets.append(len(out))
+        out += sdata
+
+    entries = []  # (tag, type, count, packed-value-or-offset-filler)
+    extra = bytearray()  # out-of-line arrays, appended after the IFD
+
+    def entry(tag: int, typ: int, vals: list[int]) -> None:
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(vals)
+        packed = struct.pack(e + fmt * len(vals), *vals)
+        entries.append((tag, typ, len(vals), packed if sz <= 4 else None, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [1 if gray else 2])
+    entry(273, 4, strip_offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(sdata) for sdata in strips])
+    entry(284, 3, [1])
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = len(out)
+    struct.pack_into(e + "I", out, 4, ifd_off)
+    out += struct.pack(e + "H", len(entries))
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, cnt, packed, vals in entries:
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        if packed is not None:
+            out += packed + b"\x00" * (4 - len(packed))
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            out += struct.pack(e + "I", extra_base + len(extra))
+            extra += struct.pack(e + fmt * cnt, *vals)
+    out += b"\x00" * 4  # next-IFD pointer: none
+    out += extra
+    return bytes(out)
+
+
 def sniff_modality(payload: bytes) -> str:
     """Classify an opaque asset payload by magic bytes — the dispatch a
     mixed-modality lake performs before routing to a decoder: 'image'
-    (PNG/BMP/PPM/JPEG/GIF), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2),
+    (PNG/BMP/PPM/JPEG/GIF/TIFF), 'audio' (RIFF/WAVE), 'video' (YUV4MPEG2),
     else 'unknown' (route to the quarantine/codec-seam path)."""
     if (
         payload[:8] == b"\x89PNG\r\n\x1a\n"
@@ -775,6 +985,7 @@ def sniff_modality(payload: bytes) -> str:
         or payload[:2] == b"P6"
         or payload[:3] == b"\xff\xd8\xff"
         or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a")
     ):
         return "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -88,6 +88,7 @@ GATE_PRIORITY = [
     "q_stream_run_recovery_stateful",
     "q_bm25_indexed_update",
     "q_bm25_indexed_compact",
+    "q_mm_decode_tiff",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

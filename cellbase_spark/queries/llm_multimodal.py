@@ -492,17 +492,18 @@ def q_mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="llm-multimodal",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       CASE doc_id % 7 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' ELSE 'image' END AS modality,
-       CASE doc_id % 6
+       CASE doc_id % 7
          WHEN 0 THEN CAST(8 * (8 + doc_id % 5) * 3 AS BIGINT)
          WHEN 1 THEN CAST(64 + doc_id % 17 AS BIGINT)
          WHEN 2 THEN CAST(3 * 4 * (4 + doc_id % 3) * 3 AS BIGINT)
          WHEN 3 THEN CAST(128 * (2 + doc_id % 3) AS BIGINT)
          WHEN 4 THEN CAST(6 * (9 + doc_id % 4) * 3 AS BIGINT)
-         ELSE CAST(192 * (2 + doc_id % 4) AS BIGINT)
+         WHEN 5 THEN CAST(192 * (2 + doc_id % 4) AS BIGINT)
+         ELSE CAST(5 * (6 + doc_id % 4) * 3 AS BIGINT)
        END AS n_values,
-       CASE doc_id % 6
+       CASE doc_id % 7
          WHEN 0 THEN CAST(list_sum(flatten(list_transform(range(0, 8), y ->
               flatten(list_transform(range(0, 8 + doc_id % 5), x ->
                 list_transform(range(0, 3),
@@ -524,9 +525,13 @@ SELECT doc_id,
                   (doc_id * 7 + ((doc_id + y * 5 + x * 3) % 8) * 5) % 256,
                   (doc_id * 13 + ((doc_id + y * 5 + x * 3) % 8) * 3) % 256
                 )))))) AS BIGINT)
-         ELSE CAST(64 * list_sum(flatten(list_transform(range(0, 3), by ->
+         WHEN 5 THEN CAST(64 * list_sum(flatten(list_transform(range(0, 3), by ->
               list_transform(range(0, 2 + doc_id % 4), bx ->
                 (doc_id * 9 + by * 37 + bx * 17) % 256)))) AS BIGINT)
+         ELSE CAST(list_sum(flatten(list_transform(range(0, 5), y ->
+              flatten(list_transform(range(0, 6 + doc_id % 4), x ->
+                list_transform(range(0, 3),
+                  c -> (doc_id * 17 + 9 * y + 5 * x + 3 * c) % 256)))))) AS BIGINT)
        END AS val_sum
 FROM documents
 """,
@@ -534,9 +539,10 @@ FROM documents
 def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIXED-modality corpus through ONE binary column — the real shape
     of a multimodal lake: each doc's payload is a genuine PNG, WAV,
-    Y4M, baseline JPEG, GIF or PROGRESSIVE JPEG (round 11 widened to
-    6-way; doc_id % 6 picks the modality, each with its formula
-    content), and the processing kernel knows nothing about which — it
+    Y4M, baseline JPEG, GIF, PROGRESSIVE JPEG or TIFF (round 11
+    widened to 7-way; doc_id % 7 picks the modality, each with its
+    formula content), and the processing kernel knows nothing about
+    which — it
     sniffs the magic bytes (sniff_modality) and routes to the matching
     real codec (decode_asset), emitting the modality plus decoded value
     stats. Both JPEG lanes share the FFD8 magic, so the route lands in
@@ -544,10 +550,10 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-scan progressive — the realistic shape (a web corpus never
     labels which JPEG flavor a payload is). The oracle re-derives
     everything from the per-modality formulas, so the hash matches only
-    if sniffing AND all SIX decode paths are correct (the JPEG lanes
-    use the constant-block exact round-trip; the GIF lane is lossless
-    LZW). Two mapInPandas passes (author, then sniff+decode) keep the
-    authored binary column a genuine Arrow BinaryType round-trip."""
+    if sniffing AND all SEVEN decode paths are correct (the JPEG lanes
+    use the constant-block exact round-trip; the GIF and TIFF lanes are
+    lossless). Two mapInPandas passes (author, then sniff+decode) keep
+    the authored binary column a genuine Arrow BinaryType round-trip."""
     import numpy as np
     import pandas as pd
 
@@ -557,6 +563,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
         encode_jpeg_progressive,
         encode_png,
+        encode_tiff,
         encode_wav,
         encode_y4m,
     )
@@ -566,7 +573,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for raw_id in pdf["doc_id"]:
                 doc_id = int(raw_id)
-                m = doc_id % 6
+                m = doc_id % 7
                 if m == 0:
                     w = 8 + doc_id % 5
                     y, x, c = np.meshgrid(
@@ -619,7 +626,7 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         axis=1,
                     ).astype(np.uint8)
                     payloads.append(encode_gif(idx, pal))
-                else:
+                elif m == 5:
                     bw = 2 + doc_id % 4
                     by, bx = np.meshgrid(
                         np.arange(3), np.arange(bw), indexing="ij"
@@ -630,6 +637,23 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         encode_jpeg_progressive(
                             np.kron(blocks, np.ones((8, 8), np.uint8))
+                        )
+                    )
+                else:
+                    w = 6 + doc_id % 4
+                    y, x, c = np.meshgrid(
+                        np.arange(5), np.arange(w), np.arange(3),
+                        indexing="ij",
+                    )
+                    img = (
+                        (doc_id * 17 + 9 * y + 5 * x + 3 * c) % 256
+                    ).astype(np.uint8)
+                    payloads.append(
+                        encode_tiff(
+                            img,
+                            packbits=bool(doc_id % 2),
+                            big_endian=doc_id % 3 == 0,
+                            rows_per_strip=2,
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -1001,4 +1025,70 @@ def q_mm_decode_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         kernel,
         "doc_id long, n_frames int, width int, height int, px_sum long",
+    )
+
+
+@register(
+    "q_mm_decode_tiff",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(6 + doc_id % 4 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 5), y ->
+            flatten(list_transform(range(0, 6 + doc_id % 4), x ->
+              list_transform(range(0, 3),
+                c -> (doc_id * 17 + 9 * y + 5 * x + 3 * c) % 256)))))) AS BIGINT)
+         AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (round 11 — the simplest remaining
+    exotic-format seam made native): each doc gets a deterministic
+    (5 x 6+doc_id%4) RGB image (pixel[y,x,c] = (doc_id*17 + 9y + 5x +
+    3c) % 256), encoded as a genuine multi-strip TIFF — PackBits
+    compression for odd docs, big-endian (MM) byte order for doc_id %
+    3 == 0, rows_per_strip=2 so every file splits into three strips —
+    then decoded by the independent IFD-walking parser and reduced to
+    the pixel sum. TIFF here is lossless, so the oracle prices the sum
+    from the pixel formula codec-free; the per-doc variation pins the
+    endianness, compression and strip-reassembly lanes under one hash.
+    LZW/tiled/16-bit TIFF stays the loud PIL seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 6 + doc_id % 4
+                y, x, c = np.meshgrid(
+                    np.arange(5), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((doc_id * 17 + 9 * y + 5 * x + 3 * c) % 256).astype(
+                    np.uint8
+                )
+                arr = decode_tiff(
+                    encode_tiff(
+                        img,
+                        packbits=bool(doc_id % 2),
+                        big_endian=doc_id % 3 == 0,
+                        rows_per_strip=2,
+                    )
+                )
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
     )

@@ -56,14 +56,13 @@ def test_frame_sample_expansion_and_fingerprint(assets):
 def test_real_decoder_seam_raises_without_codecs():
     # covered in more detail by test_decode_image_compressed_needs_pil;
     # kept as the minimal seam contract: bytes of a format with no
-    # native codec (TIFF here — JPEG and GIF went native in round 10)
-    # either decode (PIL present) or raise NotImplementedError, never
-    # garbage.
+    # native codec (WebP here — TIFF went native in round 11) either
+    # decode (PIL present) or raise NotImplementedError, never garbage.
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(b"II*\x00not-really-a-tiff")
+            mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPnot-really")
 
 
 def test_bmp_roundtrip_including_padding():
@@ -107,10 +106,11 @@ def test_decode_image_compressed_needs_pil():
         pytest.skip("PIL present; compressed path exercised elsewhere")
     except ImportError:
         pass
-    # PNG, baseline JPEG and GIF now decode natively; the PIL seam is
-    # for formats without a native path, e.g. TIFF
+    # PNG, JPEG (baseline+progressive), GIF and TIFF now decode
+    # natively; the PIL seam is for formats without a native path,
+    # e.g. WebP
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00not-really-a-tiff")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPnot-really")
     # malformed payloads fail loudly in the native codecs, never silently
     import struct as _struct
 
@@ -118,6 +118,8 @@ def test_decode_image_compressed_needs_pil():
         decode_image(b"\x89PNG\r\n\x1a\nnot-really-a-png")
     with pytest.raises((ValueError, NotImplementedError, _struct.error, IndexError)):
         decode_image(b"\xff\xd8\xff\xe0not-really-a-jpeg")
+    with pytest.raises((ValueError, NotImplementedError, _struct.error, IndexError)):
+        decode_image(b"II\x2a\x00not-really-a-tiff")
 
 
 def test_wav_roundtrip_and_chunk_skip():
@@ -571,3 +573,58 @@ def test_gif_animation_composition_and_interlace():
     # the single-image API still refuses animation, loudly and helpfully
     with pytest.raises(NotImplementedError, match="decode_gif_frames"):
         decode_gif(data3)
+
+
+def test_tiff_roundtrip_matrix_and_seams():
+    """Round 11: baseline TIFF native — 8-bit gray/RGB x uncompressed/
+    PackBits x little/big endian x strip sizes, pixel-exact through
+    both the direct codec and the decode_image dispatch; PackBits
+    round-trips run-heavy and random streams; unsupported shapes
+    (16-bit, LZW, tiles) raise loudly."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+        sniff_modality,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        n = int(rng.integers(0, 300))
+        b = (
+            rng.integers(0, 4 if rng.random() < 0.5 else 256, n)
+            .astype(np.uint8)
+            .tobytes()
+        )
+        assert _packbits_decode(_packbits_encode(b), len(b)) == b
+    for shape in [(9, 13), (9, 13, 3), (1, 1), (17, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for pb in (False, True):
+            for be in (False, True):
+                for rps in (1, 4, 100):
+                    data = encode_tiff(
+                        img, packbits=pb, big_endian=be, rows_per_strip=rps
+                    )
+                    assert sniff_modality(data) == "image"
+                    assert np.array_equal(decode_tiff(data), img)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(img, packbits=True)), img)
+
+    # seams: rewrite Compression to LZW (5) -> loud refusal
+    data = bytearray(encode_tiff(img))
+    # find the IFD and patch tag 259's value
+    (ifd,) = st.unpack_from("<I", data, 4)
+    (n,) = st.unpack_from("<H", data, ifd)
+    for k in range(n):
+        tag, typ, cnt = st.unpack_from("<HHI", data, ifd + 2 + 12 * k)
+        if tag == 259:
+            st.pack_into("<H", data, ifd + 2 + 12 * k + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(data))
