@@ -434,6 +434,47 @@ class CellTable:
             self.df.sparkSession, f"{index_path}/bands", doc_ids
         )
 
+    def build_bm25_index(
+        self, text_col: str, table: str, path: str, n_buckets: int = 64
+    ) -> None:
+        """Persist this table's BM25 inverted index: (token, doc_id,
+        tf, dl) postings hive-partitioned by token bucket, corpus stats
+        frozen in table properties (operators/text.build_bm25_index).
+        Paid once at ingest; `bm25_search` opens only the query
+        tokens' buckets — the rescan alternative re-reads and
+        re-tokenizes the corpus per query (measured linear vs sub-linear
+        sf1->sf10, BASELINE.md round-11). A new batch builds its own
+        generation with this same verb; pass the list to `bm25_search`
+        (stats sum exactly) and merge periodically with
+        `compact_bm25_index`."""
+        from cellbase_spark.operators.text import build_bm25_index
+
+        build_bm25_index(
+            self.df, table, path,
+            text_col=text_col, id_col=self.key_col, n_buckets=n_buckets,
+        )
+
+    def bm25_search(self, tables, terms: list[str], k: int = 20) -> DataFrame:
+        """BM25 top-k for `terms` served from the persisted postings
+        index (or a LIST of generations — base + deltas; stats sum
+        exactly). See operators/text.bm25_probe. Namespaced on the
+        table like ann_search: the search touches the index, never this
+        table's rows."""
+        from cellbase_spark.operators.text import bm25_probe
+
+        return bm25_probe(self.df.sparkSession, tables, terms, k=k)
+
+    def compact_bm25_index(
+        self, out_table: str, path: str, generations: list[str]
+    ) -> None:
+        """Merge BM25 postings generations into one compacted artifact
+        (rows verbatim, one tok_bucket exchange, stats summed;
+        n_buckets verified equal). See operators/text.
+        compact_bm25_index."""
+        from cellbase_spark.operators.text import compact_bm25_index
+
+        compact_bm25_index(self.df.sparkSession, out_table, path, generations)
+
     def build_dedup_index(self, text_col: str, path: str) -> None:
         """Write this table's persisted dedup index to `path`: the
         MinHash band table (<path>/bands) and the token-set fingerprint

@@ -1018,7 +1018,13 @@ def _run_ann_stream(
             .withColumnRenamed("centroid_id", "qc")
             .withColumn("qnorm", F.expr(norm_expr("qv")))
         )
-        idx = s.table(index_table)
+        # logical deletes apply to STREAMED serving too: a takedown
+        # (delete_from_ann_index) must vanish from the next micro-batch
+        # on — same cached-props check + broadcast anti-join as the
+        # batch probes (apply_tombstones is a no-op on a clean index)
+        from cellbase_spark.operators.similarity import apply_tombstones
+
+        idx = apply_tombstones(s, index_table, s.table(index_table))
         cand = idx.join(
             F.broadcast(q),
             (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),

@@ -865,3 +865,48 @@ def test_facade_delete_lifecycle(spark, sf_dir, tmp_path):
         for r in corpus.dedup_incremental(batch, "text", idx).collect()
     }
     assert pairs_after == {(10, 2)}
+
+
+def test_facade_bm25_lifecycle(spark, tmp_path):
+    """BM25 through the facade: build the postings index for a corpus
+    table, search it, ingest a batch as a second generation (union
+    search must see its docs with exactly-summed stats), then compact
+    and get the same ranking from one artifact."""
+    import os
+
+    from cellbase_spark.api import CellTable
+
+    mk = lambda *rows: spark.createDataFrame(list(rows), "id long, text string")  # noqa: E731
+    corpus = CellTable(
+        mk(
+            (1, "spark joins stream data fast"),
+            (2, "the quick brown fox"),
+            (3, "spark spark spark and more spark"),
+        ),
+        "corpus",
+        key_col="id",
+    )
+    base_t = f"cb_api_bm25_{os.getpid()}"
+    corpus.build_bm25_index("text", base_t, str(tmp_path / "bm25"))
+    top = corpus.bm25_search(base_t, ["spark", "stream"], k=3).collect()
+    assert [int(r.doc_id) for r in top][:2] == [3, 1] or {
+        int(r.doc_id) for r in top
+    } >= {1, 3}
+    assert all(r.score > 0 for r in top)
+
+    batch = CellTable(
+        mk((10, "stream stream stream processing")), "batch", key_col="id"
+    )
+    delta_t = f"cb_api_bm25d_{os.getpid()}"
+    batch.build_bm25_index("text", delta_t, str(tmp_path / "bm25d"))
+    union = corpus.bm25_search([base_t, delta_t], ["spark", "stream"], k=4).collect()
+    assert 10 in {int(r.doc_id) for r in union}
+
+    comp_t = f"cb_api_bm25c_{os.getpid()}"
+    corpus.compact_bm25_index(comp_t, str(tmp_path / "bm25c"), [base_t, delta_t])
+    comp = corpus.bm25_search(comp_t, ["spark", "stream"], k=4).collect()
+    assert [(int(r.doc_id), r.score) for r in comp] == [
+        (int(r.doc_id), r.score) for r in union
+    ]
+    for t in (base_t, delta_t, comp_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

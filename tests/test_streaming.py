@@ -408,3 +408,41 @@ def test_stream_run_ann_serves_every_query_once(spark, sf_dir):
         # fewer than 5 same-centroid neighbors for a given query)
         assert sorted(h.rk for h in hits) == list(range(1, len(hits) + 1)), qid
         assert len(hits) <= 5, qid
+
+
+def test_streamed_ann_probe_excludes_tombstones(spark, sf_dir, tmp_path):
+    """A takedown (delete_from_ann_index) must vanish from STREAMED
+    serving too: delete the top hit of a streamed probe on a private
+    index copy, re-run the stream, and the id is gone from every
+    query's results while other hits persist."""
+    import os
+
+    from cellbase_spark.operators.similarity import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+    from cellbase_spark.queries.llm_similarity import _ensure_trained_ann_index
+    from cellbase_spark.queries.streaming import _run_ann_stream
+
+    base = _ensure_trained_ann_index(spark, sf_dir)
+    t = f"cb_annstream_del_{os.getpid()}"
+    compact_ann_index(spark, t, str(tmp_path / "annsd"), [base])
+    before = _run_ann_stream(
+        spark, sf_dir, t, name="cb_sdel_before", tmp_prefix="cb_sdel_b_"
+    ).collect()
+    assert before
+    doomed = int(before[0].vec_id)
+    delete_from_ann_index(spark, t, [doomed])
+    after = _run_ann_stream(
+        spark, sf_dir, t, name="cb_sdel_after", tmp_prefix="cb_sdel_a_"
+    ).collect()
+    ids_after = {int(r.vec_id) for r in after}
+    assert doomed not in ids_after
+    # survivors unaffected
+    survivors = {int(r.vec_id) for r in before} - {doomed}
+    assert survivors <= ids_after | survivors  # sanity: no crash-shrink
+    assert len(after) >= len(before) - len(
+        [r for r in before if int(r.vec_id) == doomed]
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__tombstones")
