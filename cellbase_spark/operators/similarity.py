@@ -1063,9 +1063,12 @@ def apply_tombstones(spark, index_table: str, df: DataFrame) -> DataFrame:
     """Anti-join `df` (rows of `index_table`) against the index's
     tombstones, if any — the serving-side half of delete_from_ann_index.
     The has-tombstones check is one cached property read (no catalog
-    round-trip on the hot path); the anti-join side is broadcast
-    (takedown lists are small relative to the corpus — a takedown the
-    size of the corpus is a rebuild, not a delete)."""
+    round-trip on the hot path; a delete issued by ANOTHER process is
+    picked up within TBLPROPS_TTL_SEC — the same bounded cross-process
+    staleness contract as the geometry cache, and in-process deletes
+    invalidate immediately); the anti-join side is broadcast (takedown
+    lists are small relative to the corpus — a takedown the size of the
+    corpus is a rebuild, not a delete)."""
     props = table_props(spark, index_table)
     if int(props.get("cellbase.tombstones", 0) or 0) <= 0:
         return df

@@ -245,6 +245,17 @@ def bm25_probe(spark, table, terms: list[str], k: int = 20):
     from cellbase_spark.operators.similarity import table_props
 
     tables = [table] if isinstance(table, str) else list(table)
+    terms_list = list(terms)
+    if len(set(terms_list)) != len(terms_list):
+        raise ValueError("bm25_probe: duplicate query terms")
+    if {"doc_id", "score"} & set(terms_list):
+        # pivot names result columns after the terms themselves; a term
+        # literally called doc_id/score would collide with the output
+        # schema and mis-resolve silently
+        raise ValueError(
+            "bm25_probe: terms named 'doc_id'/'score' collide with the"
+            " output schema"
+        )
     stats = [table_props(spark, t) for t in tables]
     buckets_set = {int(p["cellbase.n_buckets"]) for p in stats}
     if len(buckets_set) != 1:
