@@ -655,14 +655,31 @@ def decode_png(data: bytes):
     return out
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """Write a 1-D int16 array as a real mono PCM16 WAV (RIFF header,
-    fmt + data chunks) — the uncompressed-audio format as real writers
-    emit it; stdlib struct only."""
+def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
+    """Write an int array as a real PCM WAV (RIFF header, fmt + data
+    chunks) — 1-D mono or (N, C) multichannel (samples interleave
+    channel-major per frame, the RIFF rule), 16- or 24-bit
+    (`bits=24` packs each sample's low three little-endian bytes —
+    int32 inputs in [-2^23, 2^23)); stdlib struct/numpy only."""
     import numpy as np
 
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n_ch = arr.shape[1]
+    if bits == 16:
+        pcm = arr.astype("<i2").tobytes()
+    elif bits == 24:
+        le32 = arr.astype("<i4").tobytes()
+        b = np.frombuffer(le32, np.uint8).reshape(-1, 4)
+        pcm = b[:, :3].tobytes()  # drop each sample's high byte
+    else:
+        raise ValueError(f"encode_wav: bits must be 16 or 24, got {bits}")
+    bype = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate,
+        sample_rate * bype * n_ch, bype * n_ch, bits,
+    )
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
@@ -677,16 +694,19 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes):
-    """Parse a mono PCM16 WAV into (samples int16 array, sample_rate):
-    real RIFF chunk walk (fmt before data, unknown chunks skipped with
-    word alignment). Compressed/float/multichannel raise
-    NotImplementedError — the documented audio-codec seam."""
+    """Parse a PCM WAV into (samples, sample_rate): real RIFF chunk
+    walk (fmt before data, unknown chunks skipped with word alignment).
+    Round 11 widened the PCM lanes: mono returns a 1-D array, stereo/
+    multichannel an (N, C) array (de-interleaved); 16-bit returns
+    int16, 24-bit int32 (sign-extended from the packed 3-byte
+    little-endian samples). Compressed/float formats raise
+    NotImplementedError — the remaining audio-codec seam."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    rate = None
+    rate = n_ch = bits = None
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -695,18 +715,24 @@ def decode_wav(data: bytes):
             audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", data, body_at
             )
-            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+            if audio_fmt != 1 or bits not in (16, 24):
                 raise NotImplementedError(
-                    "only mono PCM16 WAV supported "
-                    f"(fmt={audio_fmt}, channels={n_ch}, bits={bits})"
+                    "only PCM16/PCM24 WAV supported "
+                    f"(fmt={audio_fmt}, bits={bits})"
                 )
         elif ctype == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            return (
-                np.frombuffer(data, "<i2", ln // 2, body_at).copy(),
-                rate,
-            )
+            if bits == 16:
+                flat = np.frombuffer(data, "<i2", ln // 2, body_at).copy()
+            else:
+                raw = np.frombuffer(data, np.uint8, ln - ln % 3, body_at)
+                tri = raw.reshape(-1, 3).astype(np.int32)
+                flat = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+                flat = flat - ((flat & 0x800000) << 1)  # sign-extend b23
+            if n_ch == 1:
+                return flat, rate
+            return flat.reshape(-1, n_ch), rate
         pos = body_at + ln + (ln & 1)  # RIFF chunks are word-aligned
     raise ValueError("WAV missing data chunk")
 

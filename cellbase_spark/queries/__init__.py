@@ -89,6 +89,7 @@ GATE_PRIORITY = [
     "q_bm25_indexed_update",
     "q_bm25_indexed_compact",
     "q_mm_decode_tiff",
+    "q_mm_decode_wav24",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -1092,3 +1092,60 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
+
+
+@register(
+    "q_mm_decode_wav24",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(48 + doc_id % 9 AS INT) AS n_frames,
+       CAST(2 AS INT) AS n_channels,
+       CAST(list_sum(flatten(list_transform(range(0, 48 + doc_id % 9), i ->
+            list_transform(range(0, 2),
+              c -> (doc_id * 19 + i * 11 + c * 7) % 16777216 - 8388608))))
+         AS BIGINT) AS sample_sum
+FROM documents
+""",
+)
+def q_mm_decode_wav24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO 24-bit PCM WAV decode (round 11 — the PCM lanes the mono
+    16-bit key left open): each doc gets a deterministic 2-channel
+    24-bit clip (sample[i, c] = (doc_id*19 + 11i + 7c) mod 2^24 -
+    2^23, exercising the full signed 24-bit range incl. negatives whose
+    sign lives in bit 23 of the packed 3-byte samples), written as a
+    genuine RIFF PCM24 file (channel-interleaved frames, 6-byte block
+    align) and decoded back by the independent chunk-walking parser
+    (3-byte little-endian reassembly + sign extension,
+    de-interleaving). PCM is lossless, so the oracle prices the sample
+    sum from the formula codec-free."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 48 + doc_id % 9
+                i, c = np.meshgrid(np.arange(n), np.arange(2), indexing="ij")
+                clip = (
+                    (doc_id * 19 + i * 11 + c * 7) % (1 << 24) - (1 << 23)
+                ).astype(np.int32)
+                samples, rate = decode_wav(encode_wav(clip, 48000, bits=24))
+                assert rate == 48000 and samples.dtype == np.int32
+                out.append(
+                    (doc_id, samples.shape[0], samples.shape[1],
+                     int(samples.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "n_channels", "sample_sum"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, n_frames int, n_channels int, sample_sum long"
+    )

@@ -628,3 +628,26 @@ def test_tiff_roundtrip_matrix_and_seams():
             st.pack_into("<H", data, ifd + 2 + 12 * k + 8, 5)
     with pytest.raises(NotImplementedError, match="compression 5"):
         decode_tiff(bytes(data))
+
+
+def test_wav_stereo_and_24bit_roundtrip():
+    """Round 11 PCM lanes: stereo de-interleave and 24-bit packed
+    samples (sign in bit 23) round-trip exactly; 16-bit mono keeps its
+    1-D int16 contract; unsupported bit depths refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    st = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    b, r = decode_wav(encode_wav(st, 44100))
+    assert b.shape == (500, 2) and np.array_equal(b, st) and r == 44100
+    s24 = rng.integers(-(1 << 23), (1 << 23) - 1, (200, 2), dtype=np.int32)
+    b24, _ = decode_wav(encode_wav(s24, 48000, bits=24))
+    assert b24.dtype == np.int32 and np.array_equal(b24, s24)
+    edge = np.array([-(1 << 23), (1 << 23) - 1, -1, 0, 1], dtype=np.int32)
+    be, _ = decode_wav(encode_wav(edge, bits=24))
+    assert np.array_equal(be, edge)
+    with pytest.raises(ValueError, match="bits"):
+        encode_wav(edge, bits=8)
