@@ -737,28 +737,57 @@ def decode_wav(data: bytes):
     raise ValueError("WAV missing data chunk")
 
 
-def encode_y4m(frames, fps: str = "25:1") -> bytes:
+def encode_y4m(frames, fps: str = "25:1", colorspace: str = "C444") -> bytes:
     """Write an (N, H, W, 3) uint8 YUV array as a real YUV4MPEG2 (Y4M)
-    stream, C444 8-bit: the uncompressed video interchange format
-    ffmpeg/mplayer read — stream header line + FRAME-delimited planar
-    rasters."""
+    stream — the uncompressed video interchange format ffmpeg/mplayer
+    read: stream header line + FRAME-delimited planar rasters. C444
+    writes full planes; C420/C422 (round 11) downsample the chroma
+    planes by round-half-up block means (2x2 / 2x1) — lossless when
+    each chroma block is constant, the property the oracle keys use."""
     import numpy as np
 
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
-    out = [f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C444\n".encode()]
+    if colorspace == "C444":
+        sx = sy = 1
+    elif colorspace == "C420":
+        sx = sy = 2
+    elif colorspace == "C422":
+        sx, sy = 2, 1
+    else:
+        raise ValueError(f"encode_y4m: unsupported colorspace {colorspace}")
+    if w % sx or h % sy:
+        raise ValueError(
+            f"encode_y4m: {colorspace} needs dims divisible by ({sx}, {sy})"
+        )
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 {colorspace}\n".encode()]
     for f in range(n):
         out.append(b"FRAME\n")
-        for c in range(3):  # planar: full Y plane, then U, then V
-            out.append(frames[f, :, :, c].tobytes())
+        out.append(frames[f, :, :, 0].tobytes())
+        for c in (1, 2):
+            plane = frames[f, :, :, c].astype(np.int64)
+            if sx == sy == 1:
+                out.append(plane.astype(np.uint8).tobytes())
+                continue
+            blocks = plane.reshape(h // sy, sy, w // sx, sx)
+            total = blocks.sum(axis=(1, 3))
+            npx = sx * sy
+            down = (total + npx // 2) // npx  # round half up
+            out.append(down.astype(np.uint8).tobytes())
     return b"".join(out)
 
 
 def decode_y4m(data: bytes):
-    """Parse a C444 8-bit Y4M stream into (N, H, W, 3) uint8 YUV: real
+    """Parse an 8-bit Y4M stream into (N, H, W, 3) uint8 YUV: real
     header-token parsing (W/H/C, unknown tokens skipped), FRAME-marker
-    walk, planar raster reassembly. Subsampled chroma (C420/C422) raises
-    NotImplementedError — the documented video-codec seam."""
+    walk, planar raster reassembly. C444 reads full planes; C420 /
+    C420jpeg / C420mpeg2 / C422 (round 11 — the subsampled-chroma video
+    lanes) read half-resolution chroma planes and replication-upsample
+    them onto the full grid (the siting variants differ only in FILTER
+    placement, which replication ignores — same choice as the JPEG
+    upsampler). Other colorspaces (C410, mono, 16-bit) stay the loud
+    seam. Subsampled dims must be even along the halved axes, as every
+    real encoder requires."""
     import numpy as np
 
     eol = data.index(b"\n")
@@ -776,11 +805,25 @@ def decode_y4m(data: bytes):
             colorspace = tok
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
-    if colorspace != "C444":
+    if colorspace == "C444":
+        sx = sy = 1
+    elif colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        sx = sy = 2
+    elif colorspace == "C422":
+        sx, sy = 2, 1
+    else:
         raise NotImplementedError(
-            f"only C444 8-bit supported (got {colorspace})"
+            f"Y4M colorspace {colorspace} unsupported (C444/C420*/C422"
+            " decode natively)"
         )
-    plane = w * h
+    if w % sx or h % sy:
+        raise ValueError(
+            f"Y4M {colorspace} needs dims divisible by ({sx}, {sy}),"
+            f" got {w}x{h}"
+        )
+    yplane = w * h
+    cplane = (w // sx) * (h // sy)
+    fsize = yplane + 2 * cplane
     pos = eol + 1
     frames = []
     while pos < len(data):
@@ -788,11 +831,15 @@ def decode_y4m(data: bytes):
         if data[pos : pos + 5] != b"FRAME":
             raise ValueError("expected FRAME marker")
         pos = fe + 1
-        yuv = np.frombuffer(data, np.uint8, plane * 3, pos)
-        frames.append(
-            np.stack([yuv[c * plane : (c + 1) * plane].reshape(h, w) for c in range(3)], axis=2)
-        )
-        pos += plane * 3
+        raw = np.frombuffer(data, np.uint8, fsize, pos)
+        yy = raw[:yplane].reshape(h, w)
+        uv = []
+        for ci in range(2):
+            c = raw[yplane + ci * cplane : yplane + (ci + 1) * cplane]
+            c = c.reshape(h // sy, w // sx)
+            uv.append(np.repeat(np.repeat(c, sy, axis=0), sx, axis=1))
+        frames.append(np.stack([yy, uv[0], uv[1]], axis=2))
+        pos += fsize
     return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
 
 

@@ -90,6 +90,7 @@ GATE_PRIORITY = [
     "q_bm25_indexed_compact",
     "q_mm_decode_tiff",
     "q_mm_decode_wav24",
+    "q_mm_decode_y4m420",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

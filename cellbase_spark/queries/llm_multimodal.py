@@ -1149,3 +1149,81 @@ def q_mm_decode_wav24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         kernel, "doc_id long, n_frames int, n_channels int, sample_sum long"
     )
+
+
+@register(
+    "q_mm_decode_y4m420",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_frames,
+       CAST(8 + 2 * (doc_id % 3) AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       CAST(
+         list_sum(flatten(list_transform(range(0, 2), f ->
+           flatten(list_transform(range(0, 6), y ->
+             list_transform(range(0, 8 + 2 * (doc_id % 3)), x ->
+               (doc_id + 7*f + 3*y + x) % 256))))))
+       + list_sum(flatten(list_transform(range(0, 2), f ->
+           flatten(list_transform(range(0, 3), by ->
+             list_transform(range(0, 4 + doc_id % 3), bx ->
+               4 * ((doc_id * 5 + f * 3 + by * 7 + bx * 11) % 256)))))))
+       + list_sum(flatten(list_transform(range(0, 2), f ->
+           flatten(list_transform(range(0, 3), by ->
+             list_transform(range(0, 4 + doc_id % 3), bx ->
+               4 * ((doc_id * 3 + f * 9 + by * 5 + bx * 13) % 256)))))))
+         AS BIGINT) AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_y4m420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSAMPLED-chroma video decode (round 11 — the C420 half of the
+    Y4M seam): each doc gets a 2-frame clip on a (6 x 8+2*(doc%3))
+    grid — full-resolution luma formula, chroma CONSTANT per 2x2 block
+    (U block (by,bx) = (doc_id*5 + 3f + 7by + 11bx) % 256, V similar) —
+    written as genuine C420 (half-res planar chroma, block-mean
+    downsample) and decoded back through the replication upsampler.
+    Constant chroma blocks make the lossy subsample path EXACT (the
+    constant-block playbook again), so the oracle prices luma directly
+    and each chroma block as 4x its value, codec-free — the hash pins
+    plane sizes, the planar walk, and both the down- and up-sample
+    geometry. C422 and the lossy bound live in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 8 + 2 * (doc_id % 3)
+                f, y, x = np.meshgrid(
+                    np.arange(2), np.arange(6), np.arange(w), indexing="ij"
+                )
+                yy = ((doc_id + 7 * f + 3 * y + x) % 256).astype(np.uint8)
+                fb, by, bx = np.meshgrid(
+                    np.arange(2), np.arange(3), np.arange(w // 2), indexing="ij"
+                )
+                ub = ((doc_id * 5 + fb * 3 + by * 7 + bx * 11) % 256)
+                vb = ((doc_id * 3 + fb * 9 + by * 5 + bx * 13) % 256)
+                u = np.kron(ub, np.ones((1, 2, 2))).astype(np.uint8)
+                v = np.kron(vb, np.ones((1, 2, 2))).astype(np.uint8)
+                clip = np.stack([yy, u, v], axis=3)
+                arr = decode_y4m(encode_y4m(clip, colorspace="C420"))
+                assert np.array_equal(arr, clip)
+                out.append(
+                    (doc_id, arr.shape[0], arr.shape[2], arr.shape[1],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "width", "height", "px_sum"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id long, n_frames int, width int, height int, px_sum long",
+    )

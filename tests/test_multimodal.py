@@ -160,8 +160,13 @@ def test_y4m_roundtrip_and_header_tolerance():
     assert np.array_equal(decode_y4m(encode_y4m(v)), v)
     raw = encode_y4m(v).replace(b"C444\n", b"C444 XCUSTOM=1\n")
     assert np.array_equal(decode_y4m(raw), v)
-    with pytest.raises(NotImplementedError):
+    # C420 decodes natively as of round 11, but a C444-sized stream
+    # relabeled C420 is MALFORMED (odd width here) and refuses loudly
+    with pytest.raises(ValueError):
         decode_y4m(encode_y4m(v).replace(b"C444", b"C420"))
+    # exotic colorspaces stay the loud seam
+    with pytest.raises(NotImplementedError):
+        decode_y4m(encode_y4m(v).replace(b"C444", b"C410"))
     with pytest.raises(ValueError):
         decode_y4m(b"NOTY4M W1 H1\n")
 
@@ -651,3 +656,31 @@ def test_wav_stereo_and_24bit_roundtrip():
     assert np.array_equal(be, edge)
     with pytest.raises(ValueError, match="bits"):
         encode_wav(edge, bits=8)
+
+
+def test_y4m_subsampled_chroma_lanes():
+    """Round 11: C420/C422 decode natively — half-resolution chroma
+    planes replication-upsampled; the encoder's round-half-up block-
+    mean downsample is EXACT on constant chroma blocks (the oracle
+    playbook), Y always lossless, and odd dims refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 256, (3, 8, 10), dtype=np.uint8)
+    u = np.kron(rng.integers(0, 256, (3, 4, 5)), np.ones((1, 2, 2))).astype(np.uint8)
+    v = np.kron(rng.integers(0, 256, (3, 4, 5)), np.ones((1, 2, 2))).astype(np.uint8)
+    clip = np.stack([y, u, v], axis=3)
+    assert np.array_equal(decode_y4m(encode_y4m(clip, colorspace="C420")), clip)
+    u2 = np.kron(rng.integers(0, 256, (3, 8, 5)), np.ones((1, 1, 2))).astype(np.uint8)
+    v2 = np.kron(rng.integers(0, 256, (3, 8, 5)), np.ones((1, 1, 2))).astype(np.uint8)
+    clip2 = np.stack([y, u2, v2], axis=3)
+    assert np.array_equal(decode_y4m(encode_y4m(clip2, colorspace="C422")), clip2)
+    # random chroma: Y stays untouched through the lossy chroma path
+    r = rng.integers(0, 256, (2, 4, 6, 3), dtype=np.uint8)
+    out = decode_y4m(encode_y4m(r, colorspace="C420"))
+    assert np.array_equal(out[:, :, :, 0], r[:, :, :, 0])
+    with pytest.raises(ValueError, match="divisible"):
+        encode_y4m(rng.integers(0, 256, (1, 4, 7, 3), dtype=np.uint8), colorspace="C420")
