@@ -725,3 +725,125 @@ def test_bpe_merge_equals_textbook_greedy(spark, syms, pair):
     df = spark.createDataFrame([(_BPE_US.join(syms),)], "s string")
     got = df.select(_bpe_merge_col(F.col("s"), a + _BPE_US + b).alias("m")).first().m
     assert got == _BPE_US.join(_greedy_merge_ref(syms, a, b)), (syms, pair)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    ch=st.sampled_from([0, 3, 4]),  # 0 = grayscale
+    ft=st.integers(min_value=0, max_value=4),
+    depth16=st.booleans(),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_png_depth_interlace_property(h, w, ch, ft, depth16, interlace, seed):
+    """Round 11 lanes: ANY image x {8, 16}-bit x {plain, Adam7} x every
+    filter x every color type — PNG stays lossless through the
+    byte-level unfilter + pass scatter."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    if depth16:
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+    else:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type=ft, interlace=interlace))
+    assert out.dtype == img.dtype
+    assert np.array_equal(out, img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=14),
+    w=st.integers(min_value=1, max_value=14),
+    gray=st.booleans(),
+    packbits=st.booleans(),
+    big_endian=st.booleans(),
+    rps=st.sampled_from([1, 3, 64]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_tiff_roundtrip_property(h, w, gray, packbits, big_endian, rps, seed):
+    """ANY image x {gray, RGB} x {none, PackBits} x {II, MM} x strip
+    sizes: baseline TIFF is lossless — decode(encode) pixel-EXACT."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_tiff(
+        encode_tiff(img, packbits=packbits, big_endian=big_endian,
+                    rows_per_strip=rps)
+    )
+    assert np.array_equal(out, img)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    n_ch=st.sampled_from([1, 2, 4]),
+    bits=st.sampled_from([16, 24]),
+    runny=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_wav_pcm_roundtrip_property(n, n_ch, bits, runny, seed):
+    """ANY clip x {mono, stereo, 4ch} x {16, 24}-bit PCM: WAV is
+    lossless — decode(encode) sample-EXACT incl. the 24-bit sign bit."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    lim = (1 << (bits - 1)) - 1
+    shape = (n,) if n_ch == 1 else (n, n_ch)
+    if runny:  # long constant runs stress nothing here but mirror GIF's style
+        clip = np.full(shape, rng.integers(-lim, lim), dtype=np.int64)
+    else:
+        clip = rng.integers(-lim - 1, lim, shape).astype(np.int64)
+    clip = clip.astype(np.int16 if bits == 16 else np.int32)
+    out, rate = decode_wav(encode_wav(clip, 32000, bits=bits))
+    assert rate == 32000
+    assert out.shape == shape
+    assert np.array_equal(out, clip)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=4).map(lambda v: v * 8),
+    w=st.integers(min_value=1, max_value=4).map(lambda v: v * 8),
+    color=st.booleans(),
+    subsample=st.booleans(),
+    qshift=st.sampled_from([1, 8, 16]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_jpeg_progressive_equals_baseline_property(
+    h, w, color, subsample, qshift, seed
+):
+    """ANY image x {gray, color} x {4:4:4, 4:2:0} x quant coarseness:
+    progressive and baseline encode the SAME quantized coefficients, so
+    their decodes are pixel-IDENTICAL — the strongest cross-check the
+    two independent entropy pipelines admit."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    if subsample and not color:
+        subsample = False  # gray has no chroma to subsample
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    q = [qshift] * 64
+    base = decode_jpeg(encode_jpeg(img, qtable=q, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, qtable=q, subsample=subsample)
+    )
+    assert np.array_equal(prog, base)
