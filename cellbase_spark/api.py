@@ -475,6 +475,17 @@ class CellTable:
 
         compact_bm25_index(self.df.sparkSession, out_table, path, generations)
 
+    def delete_from_bm25_index(self, table: str, doc_ids) -> int:
+        """Takedown verb for the BM25 postings index: tombstone
+        `doc_ids` (list or DataFrame) — O(|takedown|), no leaf
+        rewritten; `bm25_search` excludes them and corrects avgdl
+        exactly, and the next `compact_bm25_index` drops the rows
+        physically. Returns the distinct tombstone count. See
+        operators/text.delete_from_bm25_index."""
+        from cellbase_spark.operators.text import delete_from_bm25_index
+
+        return delete_from_bm25_index(self.df.sparkSession, table, doc_ids)
+
     def build_dedup_index(self, text_col: str, path: str) -> None:
         """Write this table's persisted dedup index to `path`: the
         MinHash band table (<path>/bands) and the token-set fingerprint

@@ -900,11 +900,144 @@ def _packbits_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(src: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): 8-bit symbols, codes packed
+    MSB-first (GIF packs LSB-first), Clear=256/EOI=257, and the
+    'early change' rule — the code width bumps when the table reaches
+    2^width - 1 entries, one entry EARLIER than straight LZW, because
+    historical writers counted the entry about to be added. Shares
+    nothing but the algorithm family with _gif_lzw_decode: bit order,
+    width schedule and reset protocol all differ, so a shared core
+    would be all flag-branches."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(src):
+                raise ValueError("TIFF LZW stream truncated (no EOI)")
+            acc = (acc << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"invalid TIFF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW strip decoded to {len(out)} bytes, want {expected}"
+        )
+    return bytes(out)
+
+
+def _tiff_lzw_encode(src: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (MSB-first, early change, Clear-led
+    stream, table reset at 4094 per the spec's writer protocol) — the
+    test-side producer that makes every decoder lane reachable,
+    including width bumps and mid-stream resets on large strips."""
+    CLEAR, EOI = 256, 257
+    bitbuf = bitcnt = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    d: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for b in src:
+        c = bytes([b])
+        wc = w + c
+        if wc in d:
+            w = wc
+            continue
+        emit(d[w], width)
+        d[wc] = next_code
+        next_code += 1
+        # Early-change pairing: the decoder widens after APPENDING entry
+        # 2^w - 2 (table size hits 2^w - 1), which it does one code
+        # behind this writer's registration — so the writer widens when
+        # next_code reaches 2^w, and the first wider code is the one the
+        # decoder first reads at the wider width.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = c
+        if next_code == 4094:
+            emit(CLEAR, width)
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if w:
+        emit(d[w], width)
+    emit(EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_undiff(strip: bytes, rows: int, w: int, spp: int) -> bytes:
+    """Undo TIFF Predictor 2 (horizontal differencing): each stored
+    sample is the delta from the sample to its left in the same
+    channel; reconstruction is a per-row per-channel cumulative sum
+    mod 256."""
+    import numpy as np
+
+    arr = np.frombuffer(strip, np.uint8).reshape(rows, w, spp)
+    return (np.cumsum(arr, axis=1, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).tobytes()
+
+
+def _tiff_diff(strip: bytes, rows: int, w: int, spp: int) -> bytes:
+    """Apply TIFF Predictor 2 on encode: per-row per-channel left
+    difference mod 256 (first column carried verbatim)."""
+    import numpy as np
+
+    arr = np.frombuffer(strip, np.uint8).reshape(rows, w, spp).astype(np.int64)
+    d = arr.copy()
+    d[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
+    return d.astype(np.uint8).tobytes()
+
+
 def decode_tiff(data: bytes):
-    """Decode a baseline TIFF (8-bit gray or chunky RGB, Compression 1
-    or PackBits, either byte order, multi-strip) into a uint8 array.
-    Tiled/planar/16-bit/LZW files raise NotImplementedError — the
-    remaining loud seam (PIL where available, via decode_image)."""
+    """Decode a baseline TIFF (8-bit gray or chunky RGB; Compression 1,
+    PackBits, or LZW with optional Predictor 2; either byte order,
+    multi-strip) into a uint8 array. Tiled/planar/16-bit files raise
+    NotImplementedError — the remaining loud seam (PIL where available,
+    via decode_image)."""
     import numpy as np
 
     if data[:4] == b"II\x2a\x00":
@@ -956,10 +1089,16 @@ def decode_tiff(data: bytes):
         )
     if photo not in (1, 2):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
-    if comp not in (1, 32773):
+    if comp not in (1, 32773, 5):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (none/PackBits decode"
-            " natively; LZW/JPEG-in-TIFF ride the PIL seam)"
+            f"TIFF compression {comp} unsupported (none/PackBits/LZW"
+            " decode natively; JPEG-in-TIFF/deflate ride the PIL seam)"
+        )
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} unsupported (none/horizontal"
+            " differencing decode natively)"
         )
     offsets = values(273)
     counts = values(279)
@@ -972,8 +1111,12 @@ def decode_tiff(data: bytes):
         strip = data[off : off + cnt]
         if comp == 32773:
             strip = _packbits_decode(strip, rows * w * spp)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, rows * w * spp)
         elif len(strip) != rows * w * spp:
             raise ValueError("TIFF strip size mismatch")
+        if predictor == 2:
+            strip = _tiff_undiff(strip, rows, w, spp)
         raw += strip
     import numpy as np
 
@@ -986,13 +1129,19 @@ def encode_tiff(
     packbits: bool = False,
     big_endian: bool = False,
     rows_per_strip: int = 4,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Write a uint8 (H, W) gray or (H, W, 3) RGB array as a baseline
     TIFF: header + strip data + one IFD, multi-strip (rows_per_strip),
-    optional PackBits, either byte order — every decoder lane
-    reachable."""
+    optional PackBits or LZW (with optional Predictor-2 horizontal
+    differencing), either byte order — every decoder lane reachable."""
     import numpy as np
 
+    if packbits and lzw:
+        raise ValueError("encode_tiff: pick one of packbits/lzw")
+    if predictor not in (1, 2):
+        raise ValueError("encode_tiff: predictor must be 1 or 2")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -1000,8 +1149,15 @@ def encode_tiff(
     e = ">" if big_endian else "<"
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        raw = img[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        rows = img[y0 : y0 + rows_per_strip]
+        raw = rows.tobytes()
+        if predictor == 2:
+            raw = _tiff_diff(raw, rows.shape[0], w, spp)
+        if packbits:
+            raw = _packbits_encode(raw)
+        elif lzw:
+            raw = _tiff_lzw_encode(raw)
+        strips.append(raw)
     out = bytearray(b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
     out += b"\x00" * 4  # IFD offset patched below
     strip_offsets = []
@@ -1021,8 +1177,10 @@ def encode_tiff(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [8] * spp)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [32773 if packbits else (5 if lzw else 1)])
     entry(262, 3, [1 if gray else 2])
+    if predictor == 2:
+        entry(317, 3, [2])
     entry(273, 4, strip_offsets)
     entry(277, 3, [spp])
     entry(278, 4, [rows_per_strip])

@@ -169,6 +169,101 @@ def build_bm25_index(
     _tblprops_cache(spark).pop(table, None)
 
 
+def delete_from_bm25_index(spark, table: str, doc_ids) -> int:
+    """DELETE documents from a persisted BM25 postings artifact — the
+    takedown verb (round 11), completing the text-index lifecycle to
+    parity with the ANN index (similarity.delete_from_ann_index) and
+    the dedup band table. Deletion is LOGICAL: the doomed doc_ids land
+    in a tombstone side-table and every probe anti-joins them out; no
+    postings leaf is rewritten until the next compaction drops the rows
+    physically (the LSM/Delta logical-now/physical-later contract).
+
+    BM25 needs one thing the ANN delete did not: the deleted documents'
+    lengths. The index's frozen corpus stats (n_docs, total_len) feed
+    avgdl, so a probe over the surviving docs must subtract the
+    takedown's count and summed dl — otherwise every surviving score is
+    computed against a stale avgdl and the delete is approximate, not
+    exact. Each doc's dl rides on every one of its posting rows, so the
+    tombstone row is (doc_id, dl), captured here by one pruned read of
+    the generation being deleted from (ReadSchema doc_id+dl only, the
+    doc_id filter pushed to parquet; nothing rewritten). A doc_id not
+    present in this generation contributes no tombstone row — it was
+    never in this generation's stats, so there is nothing to subtract
+    (issue the delete against the generation(s) holding the doc; extra
+    generations are harmless no-ops).
+
+    `doc_ids`: a list (takedown-notice shape) or a DataFrame with a
+    doc_id column (the scale path — never collected). Appends dedupe
+    within the batch; repeats across calls are deduplicated at probe
+    time by a distinct() over the takedown-sized side-table, keeping
+    re-deletes idempotent for BOTH the anti-join and the stats
+    subtraction. Records cellbase.tombstones (distinct count) and
+    refreshes cellbase.build_id. Returns the distinct tombstone count."""
+    import uuid
+
+    from cellbase_spark.operators.similarity import (
+        _tblprops_cache,
+        table_props,
+        tombstone_table_name,
+    )
+
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"delete_from_bm25_index: no such index table {table!r}"
+        )
+    from pyspark.sql import DataFrame
+
+    if isinstance(doc_ids, DataFrame):
+        doomed = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        doc_ids = list(doc_ids)
+        if not doc_ids:
+            return int(
+                table_props(spark, table, max_age_sec=0).get(
+                    "cellbase.tombstones", 0
+                )
+            )
+        doomed = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        ).distinct()
+    ts_rows = (
+        spark.table(table)
+        .join(F.broadcast(doomed), "doc_id", "semi")
+        .select("doc_id", F.col("dl").cast("long"))
+        .distinct()
+    )
+    ts = tombstone_table_name(table)
+    ts_rows.write.mode("append").format("parquet").saveAsTable(ts)
+    total = spark.table(ts).select("doc_id").distinct().count()
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES"
+        f" ('cellbase.tombstones' = '{total}',"
+        f" 'cellbase.build_id' = '{uuid.uuid4().hex}')"
+    )
+    _tblprops_cache(spark).pop(table, None)
+    return total
+
+
+def _bm25_tombstones(spark, tables: list[str], stats: list[dict]):
+    """Distinct union of the (doc_id, dl) tombstone rows recorded on
+    `tables` (None when no generation carries tombstones). `stats` are
+    the generations' already-read properties — the has-tombstones check
+    costs no extra catalog round-trip."""
+    from cellbase_spark.operators.similarity import tombstone_table_name
+
+    parts = [
+        spark.table(tombstone_table_name(t)).select("doc_id", "dl")
+        for t, p in zip(tables, stats)
+        if int(p.get("cellbase.tombstones", 0) or 0) > 0
+    ]
+    if not parts:
+        return None
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+    return u.distinct()
+
+
 def compact_bm25_index(spark, out_table: str, path: str, generations: list[str]) -> None:
     """Merge BM25 postings generations into one compacted artifact —
     the band-table/ANN compaction discipline applied to text retrieval
@@ -179,12 +274,21 @@ def compact_bm25_index(spark, out_table: str, path: str, generations: list[str])
     property that keeps BM25 generations exact rather than stale, see
     bm25_probe). n_buckets must match across generations (the bucket
     function IS this index's geometry; a delta bucketed differently
-    would route probes to the wrong leaves, silently)."""
+    would route probes to the wrong leaves, silently).
+
+    Tombstoned documents (delete_from_bm25_index) are dropped
+    PHYSICALLY here — their posting rows excluded from the rewrite and
+    their count/summed-dl subtracted from the compacted stats — and the
+    compacted table starts with no tombstones at all: probed with no
+    anti-join and no stats correction, it must answer exactly as the
+    tombstoned generations did (logical and physical deletion
+    indistinguishable to a probe — the delete contract)."""
     import uuid
 
     from cellbase_spark.operators.similarity import (
         _tblprops_cache,
         table_props,
+        tombstone_table_name,
     )
 
     if not generations:
@@ -199,6 +303,18 @@ def compact_bm25_index(spark, out_table: str, path: str, generations: list[str])
     merged = spark.table(generations[0])
     for g in generations[1:]:
         merged = merged.unionByName(spark.table(g))
+    n_docs = sum(int(p["cellbase.n_docs"]) for p in stats)
+    total_len = sum(int(p["cellbase.total_len"]) for p in stats)
+    tombs = _bm25_tombstones(spark, generations, stats)
+    if tombs is not None:
+        adj = tombs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+        ).first()
+        n_docs -= int(adj.n)
+        total_len -= int(adj.dl or 0)
+        merged = merged.join(
+            F.broadcast(tombs.select("doc_id")), "doc_id", "left_anti"
+        )
     (
         merged.repartition(F.col("tok_bucket"))
         .write.mode("overwrite")
@@ -207,11 +323,16 @@ def compact_bm25_index(spark, out_table: str, path: str, generations: list[str])
         .format("parquet")
         .saveAsTable(out_table)
     )
+    # The compacted artifact is born clean: a stale side-table under the
+    # output name (e.g. from a dropped-and-rebuilt table of the same
+    # name) would resurrect someone else's takedowns into this probe.
+    spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(out_table)}")
     spark.sql(
         f"ALTER TABLE {out_table} SET TBLPROPERTIES ("
-        f"'cellbase.n_docs' = '{sum(int(p['cellbase.n_docs']) for p in stats)}', "
-        f"'cellbase.total_len' = '{sum(int(p['cellbase.total_len']) for p in stats)}', "
+        f"'cellbase.n_docs' = '{n_docs}', "
+        f"'cellbase.total_len' = '{total_len}', "
         f"'cellbase.n_buckets' = '{buckets.pop()}', "
+        f"'cellbase.tombstones' = '0', "
         f"'cellbase.build_id' = '{uuid.uuid4().hex}')"
     )
     _tblprops_cache(spark).pop(out_table, None)
@@ -238,6 +359,13 @@ def bm25_probe(spark, table, terms: list[str], k: int = 20):
     union's pruned read, so a generation probe is EXACT, not
     stale-until-compaction (the nicety BM25 has over geometry-frozen
     ANN deltas). n_buckets must agree across generations.
+
+    TOMBSTONES (delete_from_bm25_index): deleted docs are anti-joined
+    out BEFORE df is computed (df over survivors only), and the frozen
+    n_docs/total_len are corrected by the takedown's distinct count and
+    summed dl — one takedown-sized aggregate collected to the driver —
+    so the probe over a tombstoned index EXACTLY matches a rescan of
+    the surviving corpus, avgdl included.
 
     Only docs holding >= 1 query term are rankable — identical to the
     rescan top-k whenever k docs score positive (always, for real
@@ -280,6 +408,14 @@ def bm25_probe(spark, table, terms: list[str], k: int = 20):
     p = spark.table(tables[0]).where(pred)
     for t in tables[1:]:
         p = p.unionByName(spark.table(t).where(pred))
+    tombs = _bm25_tombstones(spark, tables, stats)
+    if tombs is not None:
+        adj = tombs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+        ).first()
+        n_docs -= int(adj.n)
+        total_len -= int(adj.dl or 0)
+        p = p.join(F.broadcast(tombs.select("doc_id")), "doc_id", "left_anti")
     df_tab = p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     avgdl = float(total_len) / n_docs
     idf = F.round(

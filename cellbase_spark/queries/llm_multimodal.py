@@ -1095,6 +1095,76 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_tiff_lzw",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(18 + doc_id % 5 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 16), y ->
+            flatten(list_transform(range(0, 18 + doc_id % 5), x ->
+              list_transform(range(0, 3),
+                c -> (doc_id * 23 + 13 * y + 7 * x + 5 * c) % 256)))))) AS BIGINT)
+         AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW-compressed TIFF decode (round 11 — the biggest remaining
+    TIFF lane behind the PIL seam: Compression 5 with the TIFF-flavor
+    LZW that differs from GIF's in bit order (MSB-first), width
+    schedule (the 'early change' one-entry-early bump) and reset
+    protocol, plus the Predictor-2 horizontal-differencing transform
+    real writers pair with it). Each doc gets a deterministic
+    (16 x 18+doc_id%5) RGB image (pixel[y,x,c] = (doc_id*23 + 13y +
+    7x + 5c) % 256 — low-redundancy on purpose, so each 8-row strip's
+    dictionary crosses the 511-entry early-change boundary and the
+    9->10-bit width bump is exercised under the hash), written as a
+    genuine LZW TIFF — Predictor 2 for odd docs, big-endian for
+    doc_id % 3 == 0 — and decoded by the independent parser. LZW is
+    lossless, so the oracle prices the pixel sum from the formula
+    codec-free. Tiled/planar/16-bit TIFF stays the loud seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 18 + doc_id % 5
+                y, x, c = np.meshgrid(
+                    np.arange(16), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((doc_id * 23 + 13 * y + 7 * x + 5 * c) % 256).astype(
+                    np.uint8
+                )
+                arr = decode_tiff(
+                    encode_tiff(
+                        img,
+                        lzw=True,
+                        predictor=2 if doc_id % 2 else 1,
+                        big_endian=doc_id % 3 == 0,
+                        rows_per_strip=8,
+                    )
+                )
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+@register(
     "q_mm_decode_wav24",
     family="llm-multimodal",
     oracle="""

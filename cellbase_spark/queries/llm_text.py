@@ -482,11 +482,14 @@ def _bm25_term_sql(t: str) -> str:
 
 
 # Shared CTE prefix: per-doc arrays + 1-row corpus stats + raw BM25 score,
-# reused verbatim by the q_bm25 oracle and the q_rrf_fusion oracle.
-_BM25_SCORED_SQL = f"""d AS (
+# reused verbatim by the q_bm25 oracle and the q_rrf_fusion oracle; the
+# `where` hook scopes the corpus (stats included) for the takedown keys,
+# whose oracle is the same rescan WITHOUT the deleted documents.
+def _bm25_scored_sql(where: str = "") -> str:
+    return f"""d AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS dl
-  FROM documents
+  FROM documents {where}
 ), stats AS (
   SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len,
          SUM(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS df_spark,
@@ -503,6 +506,9 @@ _BM25_SCORED_SQL = f"""d AS (
     ) AS score
   FROM d CROSS JOIN stats s
 )"""
+
+
+_BM25_SCORED_SQL = _bm25_scored_sql()
 
 
 @register(
@@ -1019,4 +1025,118 @@ def q_bm25_indexed_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.operators.text import bm25_probe
 
     t = _ensure_bm25_compacted(spark, sf_dir)
+    return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)
+
+
+# The takedown keys' oracle: the SAME rescan expression over the corpus
+# WITHOUT the deleted documents (doc_id % 7 == 3) — stats, df and avgdl
+# all recomputed over the survivors, exactly what the tombstone-aware
+# probe must reproduce from the frozen stats + takedown-sized correction.
+_BM25_DELETE_SQL = f"""
+WITH {_bm25_scored_sql("WHERE doc_id % 7 <> 3")}
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def _ensure_bm25_deleted(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once TOMBSTONED postings artifact: a private full-corpus
+    index that then deletes every doc_id % 7 == 3 via
+    delete_from_bm25_index — posting rows stay physically present (this
+    is the logical half; _ensure_bm25_delete_compacted is the physical
+    half). Readiness requires a nonzero cellbase.tombstones marker so a
+    crash between build and delete can't serve an undeleted index (the
+    _ensure_trained_ann_delete discipline)."""
+    from cellbase_spark.operators.similarity import table_props
+    from cellbase_spark.operators.text import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_bm25del")
+    props = (
+        table_props(spark, t, max_age_sec=0)
+        if spark.catalog.tableExists(t)
+        else {}
+    )
+    ready = "cellbase.n_docs" in props and int(
+        props.get("cellbase.tombstones", 0) or 0
+    ) > 0
+    if not ready:
+        docs = load_table(spark, sf_dir, "documents")
+        build_bm25_index(docs, t, scratch_path(sf_dir, "bm25del"))
+        delete_from_bm25_index(
+            spark, t, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        )
+    return t
+
+
+@register("q_bm25_indexed_delete", family="llm-text", oracle=_BM25_DELETE_SQL)
+def q_bm25_indexed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index DELETE, logical/serving half (round 11 — the takedown
+    verb, closing the text index's lifecycle to parity with the ANN
+    index and the dedup band table: build -> update -> compact ->
+    DELETE). One seventh of the corpus (doc_id % 7 == 3) is tombstoned
+    by delete_from_bm25_index — an O(|takedown|) side-table append of
+    (doc_id, dl) rows, no postings leaf rewritten — and the probe
+    excludes them with a broadcast anti-join BEFORE computing df, while
+    correcting the frozen n_docs/total_len by the takedown's count and
+    summed dl so avgdl is the survivors'. The oracle is the full BM25
+    rescan WITHOUT the deleted docs: a leaked deleted doc in the
+    top-20, an over-deleted survivor, or a stale avgdl (the BM25-specific
+    failure mode — every surviving score shifts) hash-fails.
+
+    Scale shape: delete cost tracks the takedown list (one pruned
+    doc_id+dl read + append), probe overhead is one broadcast anti-join
+    and a takedown-sized driver aggregate; the corpus is never
+    rescanned and nothing is rewritten until compaction."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    t = _ensure_bm25_deleted(spark, sf_dir)
+    return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)
+
+
+def _ensure_bm25_delete_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once PHYSICALLY-deleted artifact: compact_bm25_index over
+    the tombstoned index — posting rows of deleted docs excluded from
+    the rewrite, stats reduced by the takedown, and the compacted table
+    born with no tombstones (props set only after the write succeeds,
+    so a mid-compaction crash leaves the table unready, not wrong)."""
+    from cellbase_spark.operators.similarity import table_props
+    from cellbase_spark.operators.text import compact_bm25_index
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_bm25delc")
+    ready = spark.catalog.tableExists(t) and "cellbase.n_docs" in table_props(
+        spark, t, max_age_sec=0
+    )
+    if not ready:
+        src = _ensure_bm25_deleted(spark, sf_dir)
+        compact_bm25_index(spark, t, scratch_path(sf_dir, "bm25delc"), [src])
+    return t
+
+
+@register(
+    "q_bm25_indexed_delete_compact",
+    family="llm-text",
+    oracle=_BM25_DELETE_SQL,
+)
+def q_bm25_indexed_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index DELETE, physical half: compaction over the tombstoned
+    postings drops every deleted doc's rows from the rewritten leaves,
+    subtracts the takedown from the compacted stats, and the new table
+    carries NO tombstones — the probe below runs with no anti-join and
+    no stats correction at all, yet must hash-match the SAME
+    rescan-without-deleted oracle as q_bm25_indexed_delete. Logical and
+    physical deletion indistinguishable to a probe is the delete
+    contract; tests additionally pin that the deleted doc_ids are
+    physically absent from the compacted parquet and that re-deleting
+    already-tombstoned docs before compaction doesn't double-subtract
+    the stats (the distinct() idempotency seam)."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    t = _ensure_bm25_delete_compacted(spark, sf_dir)
     return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)

@@ -910,3 +910,86 @@ def test_facade_bm25_lifecycle(spark, tmp_path):
     ]
     for t in (base_t, delta_t, comp_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_facade_bm25_delete_lifecycle(spark, tmp_path):
+    """The BM25 takedown verb end-to-end: a tombstoned index must
+    answer EXACTLY like an index built from scratch over the survivors
+    (the avgdl-correction pin — scores, not just membership), re-deletes
+    are idempotent for both the anti-join and the stats subtraction,
+    deleting a doc the generation never held is a no-op, and compaction
+    drops the rows physically, leaving no tombstone side-table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.api import CellTable
+    from cellbase_spark.operators.similarity import (
+        table_props,
+        tombstone_table_name,
+    )
+    from cellbase_spark.operators.text import compact_bm25_index
+
+    mk = lambda *rows: spark.createDataFrame(list(rows), "id long, text string")  # noqa: E731
+    rows = [
+        (1, "spark joins stream data fast"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "spark spark spark and more spark"),
+        (4, "stream processing with spark structured stream"),
+        (5, "completely unrelated text about gardening and soil"),
+    ]
+    corpus = CellTable(mk(*rows), "corpus", key_col="id")
+    pid = os.getpid()
+    full_t = f"cb_api_bm25x_{pid}"
+    corpus.build_bm25_index("text", full_t, str(tmp_path / "bm25x"))
+
+    # reference: a from-scratch index over the survivors only
+    survivors = CellTable(
+        mk(*[r for r in rows if r[0] not in (2, 5)]), "surv", key_col="id"
+    )
+    ref_t = f"cb_api_bm25xr_{pid}"
+    survivors.build_bm25_index("text", ref_t, str(tmp_path / "bm25xr"))
+    want = [
+        (int(r.doc_id), r.score)
+        for r in survivors.bm25_search(ref_t, ["spark", "stream"], k=5).collect()
+    ]
+
+    assert corpus.delete_from_bm25_index(full_t, [2, 5]) == 2
+    got = [
+        (int(r.doc_id), r.score)
+        for r in corpus.bm25_search(full_t, ["spark", "stream"], k=5).collect()
+    ]
+    # exact score equality: df, n_docs AND avgdl all corrected (doc 2/5
+    # hold no query term, so only the stats correction can make this pass)
+    assert got == want
+
+    # idempotent re-delete + deleting an id this generation never held
+    assert corpus.delete_from_bm25_index(full_t, [2, 5, 999]) == 2
+    again = [
+        (int(r.doc_id), r.score)
+        for r in corpus.bm25_search(full_t, ["spark", "stream"], k=5).collect()
+    ]
+    assert again == got
+
+    # physical half: compaction drops the rows and the tombstones
+    comp_t = f"cb_api_bm25xc_{pid}"
+    compact_bm25_index(spark, comp_t, str(tmp_path / "bm25xc"), [full_t])
+    assert not spark.catalog.tableExists(tombstone_table_name(comp_t))
+    assert int(table_props(spark, comp_t, max_age_sec=0)["cellbase.tombstones"]) == 0
+    left = {
+        int(r.doc_id)
+        for r in spark.table(comp_t).select("doc_id").distinct().collect()
+    }
+    assert left == {1, 3, 4}
+    props = table_props(spark, comp_t, max_age_sec=0)
+    assert int(props["cellbase.n_docs"]) == 3
+    surv_len = sum(len(r[1].split(" ")) for r in rows if r[0] not in (2, 5))
+    assert int(props["cellbase.total_len"]) == surv_len
+    comp = [
+        (int(r.doc_id), r.score)
+        for r in corpus.bm25_search(comp_t, ["spark", "stream"], k=5).collect()
+    ]
+    assert comp == want
+    for t in (full_t, ref_t, comp_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(t)}")

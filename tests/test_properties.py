@@ -784,6 +784,64 @@ def test_tiff_roundtrip_property(h, w, gray, packbits, big_endian, rps, seed):
 
 
 @given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    gray=st.booleans(),
+    predictor=st.sampled_from([1, 2]),
+    big_endian=st.booleans(),
+    rps=st.sampled_from([1, 4, 64]),
+    runny=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_tiff_lzw_roundtrip_property(
+    h, w, gray, predictor, big_endian, rps, runny, seed
+):
+    """ANY image x {gray, RGB} x {Predictor 1, 2} x {II, MM} x strip
+    sizes x {random, runny}: LZW TIFF is lossless — decode(encode)
+    pixel-EXACT. Runny images drive long matches (replicate-heavy
+    dictionaries); random ones drive one-entry-per-code growth across
+    the early-change width bumps."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    if runny:
+        img = np.full(shape, rng.integers(0, 256), dtype=np.uint8)
+        img[tuple(d // 2 for d in shape)] = (int(img.flat[0]) + 97) % 256
+    else:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_tiff(
+        encode_tiff(img, lzw=True, predictor=predictor,
+                    big_endian=big_endian, rows_per_strip=rps)
+    )
+    assert np.array_equal(out, img)
+
+
+def test_tiff_lzw_width_bumps_and_reset():
+    """A low-redundancy 400k-byte stream forces every width bump
+    (9->10->11->12) AND multiple 4094-entry dictionary resets — the
+    deep-stream lanes a hypothesis-sized image can't reach."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    b = rng.integers(0, 256, 400_000, dtype=np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b), len(b)) == b
+    # KwKwK lane: the code-equals-table-size case
+    b = b"a" * 1000
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b), len(b)) == b
+    # empty payload: CLEAR + EOI only
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b""), 0) == b""
+
+
+@given(
     n=st.integers(min_value=1, max_value=200),
     n_ch=st.sampled_from([1, 2, 4]),
     bits=st.sampled_from([16, 24]),
