@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from functools import lru_cache
 from collections.abc import Iterator
 
 import pandas as pd
@@ -655,29 +656,114 @@ def decode_png(data: bytes):
     return out
 
 
-def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
-    """Write an int array as a real PCM WAV (RIFF header, fmt + data
+# --- G.711 companded telephony audio (μ-law / A-law, round 11) -----------
+#
+# The classic 8-bit logarithmic PCM codecs (ITU-T G.711) that WAV files
+# carry as format tags 7 (μ-law) and 6 (A-law) — the most common
+# non-linear-PCM audio in real archives (telephony, call-center and
+# voicemail corpora). Both are pure 256-entry table codecs, so decode
+# is exact by construction and the oracle can replay the expansion
+# formula in SQL. The expand formulas below follow the published
+# G.711 definitions (μ: t = ((m<<3)+0x84)<<e - 0x84 on the complemented
+# byte; A: t = (m<<4)+8 for segment 0 else ((m<<4)+0x108)<<(e-1) on the
+# 0x55-toggled byte, sign from bit 7), yielding the standard peak
+# magnitudes 32124 (μ) and 32256 (A) on the 16-bit scale.
+
+
+def ulaw_decode_byte(b: int) -> int:
+    """Expand one μ-law byte to a 16-bit sample (G.711 μ-law)."""
+    u = ~b & 0xFF
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    t = (((m << 3) + 0x84) << e) - 0x84
+    return -t if u & 0x80 else t
+
+
+def ulaw_encode_sample(x: int) -> int:
+    """Compress one 16-bit sample to a μ-law byte (G.711 μ-law:
+    bias 0x84, clip 32635, 3-bit segment + 4-bit mantissa,
+    complemented on the wire)."""
+    sign = 0x80 if x < 0 else 0
+    if sign:
+        x = -x
+    if x > 32635:
+        x = 32635
+    x += 0x84
+    e = x.bit_length() - 8  # x >= 0x84, so bit_length in 8..15
+    m = (x >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | m) & 0xFF
+
+
+def alaw_decode_byte(b: int) -> int:
+    """Expand one A-law byte to a 16-bit sample (G.711 A-law; the wire
+    byte is XOR 0x55; bit 7 SET means positive)."""
+    a = b ^ 0x55
+    e = (a >> 4) & 7
+    m = a & 0x0F
+    t = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return t if a & 0x80 else -t
+
+
+def alaw_encode_sample(x: int) -> int:
+    """Compress one 16-bit sample to an A-law byte (G.711 A-law:
+    one's-complement magnitude for negatives, segment/mantissa, XOR
+    0x55). Exact inverse of alaw_decode_byte on all 256 codes."""
+    if x >= 0:
+        ix, sign = x >> 4, 0x80
+    else:
+        ix, sign = (~x) >> 4, 0
+    if ix > 15:
+        e = 1
+        while ix > 31:
+            ix >>= 1
+            e += 1
+        ix = (ix - 16) | (e << 4)
+    return (ix | sign) ^ 0x55
+
+
+@lru_cache(maxsize=2)
+def _g711_decode_table(law: str):
+    """256-entry int16 expansion table for 'ulaw'/'alaw' — decode is a
+    vectorized numpy take."""
+    import numpy as np
+
+    fn = ulaw_decode_byte if law == "ulaw" else alaw_decode_byte
+    return np.array([fn(b) for b in range(256)], dtype=np.int16)
+
+
+def encode_wav(
+    samples, sample_rate: int = 16000, bits: int = 16, codec: str = "pcm"
+) -> bytes:
+    """Write an int array as a real WAV (RIFF header, fmt + data
     chunks) — 1-D mono or (N, C) multichannel (samples interleave
-    channel-major per frame, the RIFF rule), 16- or 24-bit
-    (`bits=24` packs each sample's low three little-endian bytes —
-    int32 inputs in [-2^23, 2^23)); stdlib struct/numpy only."""
+    channel-major per frame, the RIFF rule). codec='pcm' (default)
+    writes 16- or 24-bit linear PCM (`bits=24` packs each sample's low
+    three little-endian bytes — int32 inputs in [-2^23, 2^23));
+    codec='ulaw'/'alaw' companding-compresses int16 input to G.711
+    8-bit bytes under format tag 7/6; stdlib struct/numpy only."""
     import numpy as np
 
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
     n_ch = arr.shape[1]
-    if bits == 16:
-        pcm = arr.astype("<i2").tobytes()
+    if codec in ("ulaw", "alaw"):
+        fn = ulaw_encode_sample if codec == "ulaw" else alaw_encode_sample
+        pcm = bytes(fn(int(x)) for x in arr.ravel())
+        tag, bits = (7 if codec == "ulaw" else 6), 8
+    elif codec != "pcm":
+        raise ValueError(f"encode_wav: unknown codec {codec!r}")
+    elif bits == 16:
+        pcm, tag = arr.astype("<i2").tobytes(), 1
     elif bits == 24:
         le32 = arr.astype("<i4").tobytes()
         b = np.frombuffer(le32, np.uint8).reshape(-1, 4)
-        pcm = b[:, :3].tobytes()  # drop each sample's high byte
+        pcm, tag = b[:, :3].tobytes(), 1  # drop each sample's high byte
     else:
         raise ValueError(f"encode_wav: bits must be 16 or 24, got {bits}")
     bype = bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, n_ch, sample_rate,
+        "<HHIIHH", tag, n_ch, sample_rate,
         sample_rate * bype * n_ch, bype * n_ch, bits,
     )
     return (
@@ -694,36 +780,45 @@ def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
 
 
 def decode_wav(data: bytes):
-    """Parse a PCM WAV into (samples, sample_rate): real RIFF chunk
-    walk (fmt before data, unknown chunks skipped with word alignment).
-    Round 11 widened the PCM lanes: mono returns a 1-D array, stereo/
-    multichannel an (N, C) array (de-interleaved); 16-bit returns
-    int16, 24-bit int32 (sign-extended from the packed 3-byte
-    little-endian samples). Compressed/float formats raise
+    """Parse a WAV into (samples, sample_rate): real RIFF chunk walk
+    (fmt before data, unknown chunks skipped with word alignment).
+    Round 11 widened the lanes: mono returns a 1-D array, stereo/
+    multichannel an (N, C) array (de-interleaved); 16-bit linear PCM
+    returns int16, 24-bit int32 (sign-extended from the packed 3-byte
+    little-endian samples); G.711 μ-law/A-law (format tags 7/6 — the
+    telephony-corpus staple) expand to int16 through the 256-entry
+    table codec, one vectorized take. Float/ADPCM/MP3-in-WAV raise
     NotImplementedError — the remaining audio-codec seam."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    rate = n_ch = bits = None
+    rate = n_ch = bits = fmt_tag = None
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
         body_at = pos + 8
         if ctype == b"fmt ":
-            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+            fmt_tag, n_ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", data, body_at
             )
-            if audio_fmt != 1 or bits not in (16, 24):
+            ok = (fmt_tag == 1 and bits in (16, 24)) or (
+                fmt_tag in (6, 7) and bits == 8
+            )
+            if not ok:
                 raise NotImplementedError(
-                    "only PCM16/PCM24 WAV supported "
-                    f"(fmt={audio_fmt}, bits={bits})"
+                    "only PCM16/PCM24/G.711 WAV supported "
+                    f"(fmt={fmt_tag}, bits={bits})"
                 )
         elif ctype == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            if bits == 16:
+            if fmt_tag in (6, 7):
+                raw = np.frombuffer(data, np.uint8, ln, body_at)
+                law = "ulaw" if fmt_tag == 7 else "alaw"
+                flat = _g711_decode_table(law)[raw]
+            elif bits == 16:
                 flat = np.frombuffer(data, "<i2", ln // 2, body_at).copy()
             else:
                 raw = np.frombuffer(data, np.uint8, ln - ln % 3, body_at)

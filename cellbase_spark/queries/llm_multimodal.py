@@ -1095,6 +1095,82 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_wav_g711",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(40 + doc_id % 11 AS INT) AS n_samples,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(list_sum(list_transform(
+           list_transform(range(0, 40 + doc_id % 11),
+                          i -> (doc_id * 29 + 13 * i) % 256),
+           v -> CASE WHEN doc_id % 2 = 0 THEN
+                  (CASE WHEN 255 - v >= 128 THEN -1 ELSE 1 END)
+                  * ((((255 - v) % 16) * 8 + 132)
+                     * (1 << CAST(((255 - v) // 16) % 8 AS INT)) - 132)
+                ELSE
+                  (CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END)
+                  * (CASE WHEN (xor(v, 85) // 16) % 8 = 0
+                          THEN (xor(v, 85) % 16) * 16 + 8
+                          ELSE ((xor(v, 85) % 16) * 16 + 264)
+                               * (1 << CAST((xor(v, 85) // 16) % 8 - 1 AS INT))
+                     END)
+                END)) AS BIGINT) AS sample_sum
+FROM documents
+""",
+)
+def q_mm_decode_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 companded WAV decode (round 11 — the telephony-audio seam:
+    format tags 7/6, μ-law for even docs, A-law for odd). Each doc's
+    clip is the G.711 expansion of a deterministic byte stream
+    (byte[i] = (doc_id*29 + 13i) % 256 — covering all 256 codes incl.
+    both zero codes and both sign halves), compressed back into a
+    genuine 8-bit WAV by encode_wav's G.711 companders and expanded by
+    decode_wav's table codec. G.711 is idempotent on its own
+    quantization lattice (encode∘decode fixes every code; μ-law's
+    negative-zero 0x7F re-encodes as 0xFF, which expands to the same
+    sample), so the decoded sample sum is priced by replaying the
+    published expansion formulas in SQL, codec-free: μ:
+    ((m<<3)+0x84)<<e - 0x84 on the complemented byte; A: (m<<4)+8 /
+    ((m<<4)+0x108)<<(e-1) on the 0x55-toggled byte, sign from bit 7.
+    Float/ADPCM audio stays the loud seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import (
+        _g711_decode_table,
+        decode_wav,
+        encode_wav,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 40 + doc_id % 11
+                law = "ulaw" if doc_id % 2 == 0 else "alaw"
+                b = (doc_id * 29 + 13 * np.arange(n)) % 256
+                clip = _g711_decode_table(law)[b]
+                samples, rate = decode_wav(
+                    encode_wav(clip, 8000, codec=law)
+                )
+                assert rate == 8000 and samples.dtype == np.int16
+                out.append(
+                    (doc_id, samples.shape[0], law,
+                     int(samples.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "law", "sample_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, n_samples int, law string, sample_sum long"
+    )
+
+
+@register(
     "q_mm_decode_tiff_lzw",
     family="llm-multimodal",
     oracle="""

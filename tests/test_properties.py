@@ -820,6 +820,46 @@ def test_tiff_lzw_roundtrip_property(
     assert np.array_equal(out, img)
 
 
+def test_g711_codec_exactness():
+    """The published G.711 invariants, pinned exhaustively: every
+    A-law code is a fixed point of encode∘decode; every μ-law code
+    except 0x7F is (negative zero re-encodes as positive-zero 0xFF,
+    which expands to the same sample); peak magnitudes are the standard
+    32124 (μ) / 32256 (A); compression error is bounded by the
+    top-segment clip (644 μ at −32768 / 512 A); and the WAV fmt-6/7 plumbing
+    round-trips lattice-exact clips through real RIFF files."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        _g711_decode_table,
+        alaw_decode_byte,
+        alaw_encode_sample,
+        decode_wav,
+        encode_wav,
+        ulaw_decode_byte,
+        ulaw_encode_sample,
+    )
+
+    assert [b for b in range(256)
+            if alaw_encode_sample(alaw_decode_byte(b)) != b] == []
+    assert [b for b in range(256)
+            if ulaw_encode_sample(ulaw_decode_byte(b)) != b] == [0x7F]
+    assert ulaw_decode_byte(0xFF) == ulaw_decode_byte(0x7F) == 0
+    u_vals = [ulaw_decode_byte(b) for b in range(256)]
+    a_vals = [alaw_decode_byte(b) for b in range(256)]
+    assert (max(u_vals), min(u_vals)) == (32124, -32124)
+    assert (max(a_vals), min(a_vals)) == (32256, -32256)
+    xs = np.linspace(-32768, 32767, 4001).astype(int)
+    assert max(abs(ulaw_decode_byte(ulaw_encode_sample(int(x))) - int(x))
+               for x in xs) <= 644
+    assert max(abs(alaw_decode_byte(alaw_encode_sample(int(x))) - int(x))
+               for x in xs) <= 512
+    for law in ("ulaw", "alaw"):
+        clip = _g711_decode_table(law)[np.arange(256)]
+        out, rate = decode_wav(encode_wav(clip, 8000, codec=law))
+        assert rate == 8000 and np.array_equal(out, clip)
+
+
 def test_tiff_lzw_width_bumps_and_reset():
     """A low-redundancy 400k-byte stream forces every width bump
     (9->10->11->12) AND multiple 4094-entry dictionary resets — the
