@@ -552,7 +552,8 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything from the per-modality formulas, so the hash matches only
     if sniffing AND all SEVEN decode paths are correct (the JPEG lanes
     use the constant-block exact round-trip; the GIF and TIFF lanes are
-    lossless). Two mapInPandas passes (author, then sniff+decode) keep
+    lossless — the TIFF lane rotates none/PackBits/LZW+Predictor-2
+    compression per doc, encoding-blind to the oracle). Two mapInPandas passes (author, then sniff+decode) keep
     the authored binary column a genuine Arrow BinaryType round-trip."""
     import numpy as np
     import pandas as pd
@@ -648,11 +649,16 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     img = (
                         (doc_id * 17 + 9 * y + 5 * x + 3 * c) % 256
                     ).astype(np.uint8)
+                    # all three TIFF compressions under the one hash —
+                    # lossless, so the oracle formula is encoding-blind
+                    comp = doc_id % 3
                     payloads.append(
                         encode_tiff(
                             img,
-                            packbits=bool(doc_id % 2),
-                            big_endian=doc_id % 3 == 0,
+                            packbits=comp == 1,
+                            lzw=comp == 0,
+                            predictor=2 if comp == 0 else 1,
+                            big_endian=doc_id % 2 == 0,
                             rows_per_strip=2,
                         )
                     )
@@ -1091,6 +1097,78 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+@register(
+    "q_mm_decode_flac",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(120 + doc_id % 13 AS INT) AS n_samples,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_channels,
+       CAST(list_sum(flatten(list_transform(range(0, 120 + doc_id % 13), i ->
+         list_transform(range(0, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END),
+           c -> (doc_id * 31 + 17 * i + 9 * c) % 4096 - 2048)))) AS BIGINT)
+         AS sample_sum
+FROM documents
+""",
+)
+def q_mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subset-FLAC decode (round 11 — the dominant lossless audio
+    archive format, previously wholly behind the seam): each doc gets a
+    deterministic clip (sample[i, c] = (doc_id*31 + 17i + 9c) mod 4096
+    − 2048; stereo for doc_id % 3 == 0, mono otherwise), written as a
+    genuine FLAC stream by the subset encoder — 64-sample frames (so
+    every doc is multi-frame with UTF-8-coded frame numbers), mid/side
+    decorrelation for the stereo docs, Rice partition order 1 for odd
+    docs and the raw-bits escape forced for doc_id % 5 == 0 — then
+    decoded by the independent bit-level parser (STREAMINFO walk, frame
+    sync, header CRC-8 + frame CRC-16 verified, CONSTANT/VERBATIM/
+    FIXED(0-4) subframes, partitioned Rice incl. escape, mid/side
+    reconstruction). FLAC is lossless, so the oracle prices the sample
+    sum from the content formula codec-free; LPC subframes stay the
+    loud documented seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_flac, encode_flac
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 120 + doc_id % 13
+                n_ch = 2 if doc_id % 3 == 0 else 1
+                i, c = np.meshgrid(np.arange(n), np.arange(n_ch), indexing="ij")
+                clip = ((doc_id * 31 + 17 * i + 9 * c) % 4096 - 2048).astype(
+                    np.int32
+                )
+                if n_ch == 1:
+                    clip = clip[:, 0]
+                samples, rate = decode_flac(
+                    encode_flac(
+                        clip,
+                        22050,
+                        block_size=64,
+                        stereo_mode="mid_side" if n_ch == 2 else "independent",
+                        partition_order=doc_id % 2,
+                        force_escape=doc_id % 5 == 0,
+                    )
+                )
+                assert rate == 22050
+                out.append(
+                    (doc_id, n, n_ch, int(np.asarray(samples, np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "n_channels", "sample_sum"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, n_samples int, n_channels int, sample_sum long"
     )
 
 

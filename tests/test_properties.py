@@ -820,6 +820,89 @@ def test_tiff_lzw_roundtrip_property(
     assert np.array_equal(out, img)
 
 
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    stereo=st.booleans(),
+    mid_side=st.booleans(),
+    block=st.sampled_from([32, 256, 4096]),
+    porder=st.integers(min_value=0, max_value=3),
+    escape=st.booleans(),
+    shape=st.sampled_from(["const", "ramp", "walk", "rand", "extreme"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_flac_roundtrip_property(
+    n, stereo, mid_side, block, porder, escape, shape, seed
+):
+    """ANY clip x {mono, stereo} x {independent, mid/side} x block and
+    Rice-partition sizes x {Rice, raw-bits escape} x content shapes
+    (constant, linear ramp, random walk, full-range random, ±extremes):
+    subset FLAC is lossless — decode(encode) sample-EXACT, CRCs
+    verified on the way through."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    ch = 2 if stereo else 1
+    if shape == "const":
+        clip = np.full((n, ch), int(rng.integers(-32768, 32768)), np.int32)
+    elif shape == "ramp":
+        base = np.arange(n) * int(rng.integers(-40, 41))
+        clip = np.stack([base + 7 * c for c in range(ch)], 1).astype(np.int32)
+        clip = np.clip(clip, -32768, 32767)
+    elif shape == "walk":
+        clip = np.cumsum(rng.integers(-60, 61, (n, ch)), axis=0).astype(np.int32)
+        clip = np.clip(clip, -32768, 32767)
+    elif shape == "rand":
+        clip = rng.integers(-32768, 32768, (n, ch)).astype(np.int32)
+    else:
+        clip = rng.choice(
+            np.array([32767, -32768, 0, 1, -1], np.int32), (n, ch)
+        )
+    if ch == 1:
+        clip = clip[:, 0]
+    out, rate = decode_flac(
+        encode_flac(
+            clip,
+            48000,
+            block_size=block,
+            stereo_mode="mid_side" if stereo and mid_side else "independent",
+            partition_order=porder,
+            force_escape=escape,
+        )
+    )
+    assert rate == 48000
+    assert np.array_equal(np.asarray(out), clip)
+
+
+def test_flac_corruption_is_loud():
+    """A flipped payload bit fails a CRC (or structural check) rather
+    than decoding to silently-wrong samples; LPC subframes raise the
+    documented NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import (
+        _FlacBits,
+        _flac_read_subframe,
+        decode_flac,
+        encode_flac,
+    )
+
+    clip = (np.arange(500) * 13 % 4096 - 2048).astype(np.int32)
+    data = bytearray(encode_flac(clip, 8000, block_size=128))
+    # flip one bit inside the last frame's payload
+    data[-10] ^= 0x40
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_flac(bytes(data))
+    # LPC subframe type (1xxxxx) is a loud seam
+    w = bytearray()
+    w.append(0b0_100000_0 & 0xFF)  # pad=0, type=32 (LPC order 1), wasted=0
+    with pytest.raises(NotImplementedError):
+        _flac_read_subframe(_FlacBits(bytes(w) + b"\x00" * 8), 4, 16)
+
+
 def test_g711_codec_exactness():
     """The published G.711 invariants, pinned exhaustively: every
     A-law code is a fixed point of encode∘decode; every μ-law code
