@@ -550,16 +550,19 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-scan progressive — the realistic shape (a web corpus never
     labels which JPEG flavor a payload is). The oracle re-derives
     everything from the per-modality formulas, so the hash matches only
-    if sniffing AND all SEVEN decode paths are correct (the JPEG lanes
+    if sniffing AND all EIGHT decode paths are correct (the JPEG lanes
     use the constant-block exact round-trip; the GIF and TIFF lanes are
     lossless — the TIFF lane rotates none/PackBits/LZW+Predictor-2
-    compression per doc, encoding-blind to the oracle). Two mapInPandas passes (author, then sniff+decode) keep
+    compression per doc, and half the audio docs arrive as FLAC of the
+    same clip, both encoding-blind to the oracle: 8 codec paths under
+    a 7-way content formula). Two mapInPandas passes (author, then sniff+decode) keep
     the authored binary column a genuine Arrow BinaryType round-trip."""
     import numpy as np
     import pandas as pd
 
     from cellbase_spark.operators.multimodal import (
         decode_asset,
+        encode_flac,
         encode_gif,
         encode_jpeg,
         encode_jpeg_progressive,
@@ -585,11 +588,20 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif m == 1:
                     n = 64 + doc_id % 17
                     i = np.arange(n, dtype=np.int64)
-                    payloads.append(
-                        encode_wav(
-                            ((doc_id * 13 + i * 7) % 4096 - 2048).astype(np.int16)
-                        )
+                    clip = ((doc_id * 13 + i * 7) % 4096 - 2048).astype(
+                        np.int16
                     )
+                    # audio sub-lane: half the audio docs arrive as FLAC
+                    # of the SAME clip — lossless, so the oracle formula
+                    # is container-blind (8 codec paths, 7-way oracle)
+                    if doc_id % 14 == 8:
+                        payloads.append(
+                            encode_flac(
+                                clip.astype(np.int32), 16000, block_size=32
+                            )
+                        )
+                    else:
+                        payloads.append(encode_wav(clip))
                 elif m == 2:
                     w = 4 + doc_id % 3
                     f, y, x, c = np.meshgrid(

@@ -1140,3 +1140,75 @@ def q_bm25_indexed_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame
 
     t = _ensure_bm25_delete_compacted(spark, sf_dir)
     return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)
+
+
+def _ensure_bm25_lifecycle(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once artifact holding a FULL mixed lifecycle history:
+    base generation (doc_id % 10 != 0) -> delta generation (doc_id %
+    10 == 0) -> takedown (doc_id % 7 == 3) issued against BOTH
+    generations (each captures dl only for the docs it physically
+    holds) -> compaction of the two tombstoned generations into one
+    table. Readiness gates: both generations must carry a nonzero
+    tombstone marker before compaction runs (a crash between the
+    deletes and the compact can't bake an undeleted merge), and the
+    compacted table's props land only after its write."""
+    from cellbase_spark.operators.similarity import table_props
+    from cellbase_spark.operators.text import (
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    t = scratch_table(sf_dir, "cb_bm25lc")
+    ready = spark.catalog.tableExists(t) and "cellbase.n_docs" in table_props(
+        spark, t, max_age_sec=0
+    )
+    if ready:
+        return t
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    gens = []
+    for name, pred in (
+        ("cb_bm25lcb", F.col("doc_id") % 10 != 0),
+        ("cb_bm25lcd", F.col("doc_id") % 10 == 0),
+    ):
+        g = scratch_table(sf_dir, name)
+        props = (
+            table_props(spark, g, max_age_sec=0)
+            if spark.catalog.tableExists(g)
+            else {}
+        )
+        g_ready = "cellbase.n_docs" in props and int(
+            props.get("cellbase.tombstones", 0) or 0
+        ) > 0
+        if not g_ready:
+            build_bm25_index(docs.where(pred), g, scratch_path(sf_dir, name))
+            delete_from_bm25_index(spark, g, doomed)
+        gens.append(g)
+    compact_bm25_index(spark, t, scratch_path(sf_dir, "bm25lc"), gens)
+    return t
+
+
+@register(
+    "q_bm25_indexed_lifecycle",
+    family="llm-text",
+    oracle=_BM25_DELETE_SQL,
+)
+def q_bm25_indexed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL text-index lifecycle composition (round 11 — the
+    q_dedup_generations / q_ann_index_lifecycle treatment for BM25):
+    build -> delta generation -> takedown spanning BOTH generations ->
+    compaction, probed once at the end. The verbs must COMMUTE with
+    serving across the mixed history: the takedown lands per
+    generation (dl captured from whichever generation physically holds
+    each doc), the union probe over the tombstoned generations and the
+    single-table probe over the compacted artifact both equal the
+    rescan-without-deleted oracle (the union form is pinned equal in
+    tests; this key serves the compacted end state). A double-absorbed
+    delta, a tombstone applied to the wrong generation's stats, or a
+    compaction that dropped a survivor all diverge the top-20."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    t = _ensure_bm25_lifecycle(spark, sf_dir)
+    return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)

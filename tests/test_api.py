@@ -993,3 +993,70 @@ def test_facade_bm25_delete_lifecycle(spark, tmp_path):
     for t in (full_t, ref_t, comp_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(t)}")
+
+
+def test_bm25_lifecycle_composition_invariance(spark, tmp_path):
+    """The mixed multi-step history (base gen + delta gen + takedown
+    spanning BOTH generations): the union probe over the tombstoned
+    generations, the probe over their compaction, and a from-scratch
+    index over the survivors must produce IDENTICAL rankings and
+    scores — the verbs commute with serving. Also pins that a takedown
+    id absent from a generation contributes nothing to that
+    generation's stats correction."""
+    import os
+
+    from cellbase_spark.api import CellTable
+    from cellbase_spark.operators.similarity import tombstone_table_name
+    from cellbase_spark.operators.text import (
+        bm25_probe,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    mk = lambda *rows: spark.createDataFrame(list(rows), "id long, text string")  # noqa: E731
+    base_rows = [
+        (1, "spark joins stream data fast"),
+        (2, "the quick brown fox jumps over the dog"),
+        (3, "spark spark spark and more spark"),
+    ]
+    delta_rows = [
+        (10, "stream processing with spark structured stream"),
+        (11, "gardening soil and compost notes"),
+    ]
+    pid = os.getpid()
+    base_t, delta_t = f"cb_lc_b_{pid}", f"cb_lc_d_{pid}"
+    CellTable(mk(*base_rows), "b", key_col="id").build_bm25_index(
+        "text", base_t, str(tmp_path / "b")
+    )
+    CellTable(mk(*delta_rows), "d", key_col="id").build_bm25_index(
+        "text", delta_t, str(tmp_path / "d")
+    )
+    # takedown spans both generations; each delete also names an id the
+    # generation does NOT hold (must be a stats no-op there)
+    doomed = [2, 11]
+    assert delete_from_bm25_index(spark, base_t, doomed) == 1
+    assert delete_from_bm25_index(spark, delta_t, doomed) == 1
+
+    ref_t = f"cb_lc_r_{pid}"
+    surv = [r for r in base_rows + delta_rows if r[0] not in doomed]
+    CellTable(mk(*surv), "r", key_col="id").build_bm25_index(
+        "text", ref_t, str(tmp_path / "r")
+    )
+    terms = ["spark", "stream"]
+    want = [(int(r.doc_id), r.score)
+            for r in bm25_probe(spark, ref_t, terms, k=5).collect()]
+    union = [(int(r.doc_id), r.score)
+             for r in bm25_probe(spark, [base_t, delta_t], terms, k=5).collect()]
+    assert union == want
+
+    comp_t = f"cb_lc_c_{pid}"
+    compact_bm25_index(spark, comp_t, str(tmp_path / "c"), [base_t, delta_t])
+    comp = [(int(r.doc_id), r.score)
+            for r in bm25_probe(spark, comp_t, terms, k=5).collect()]
+    assert comp == want
+    left = {int(r.doc_id)
+            for r in spark.table(comp_t).select("doc_id").distinct().collect()}
+    assert left == {1, 3, 10}
+    for t in (base_t, delta_t, ref_t, comp_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(t)}")
