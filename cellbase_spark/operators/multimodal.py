@@ -837,17 +837,19 @@ def decode_wav(data: bytes):
 # The dominant lossless audio format in real archives. Native subset
 # decoder per the published FLAC format spec: STREAMINFO metadata walk,
 # frame sync + UTF-8-style coded frame numbers + CRC-8 header check,
-# CONSTANT / VERBATIM / FIXED(0-4) subframes, Rice residual coding
-# (both 4- and 5-bit parameter methods, partitioned, incl. the raw-bits
-# escape), wasted-bits shifts, independent and mid/side stereo, CRC-16
-# frame footers. LPC subframes — the general-predictor half — raise
-# NotImplementedError: the remaining loud seam (fixed predictors are
-# the complete structural skeleton; LPC adds only a coefficient table
-# and a dot product, but a half-tested implementation would be worse
-# than an honest seam). The encoder writes genuine subset files
-# (per-frame fixed-order search, per-partition Rice parameter fit) so
-# every decoder lane is test-reachable; FLAC is lossless, so oracle
-# keys price sample sums from content formulas codec-free.
+# CONSTANT / VERBATIM / FIXED(0-4) / quantized-LPC(1-32) subframes,
+# Rice residual coding (both 4- and 5-bit parameter methods,
+# partitioned, incl. the raw-bits escape), wasted-bits shifts,
+# independent and left/right/mid-side stereo, CRC-16 frame footers.
+# LPC reconstruction is residual + the same integer dot-product-and-
+# shift both sides, so round-trips are exact for ANY coefficient set —
+# coefficient quality (Welch-windowed autocorrelation + Levinson-
+# Durbin in the encoder) only affects compression. The encoder writes
+# genuine files (per-frame fixed-order search or quantized LPC,
+# per-partition Rice parameter fit) so every decoder lane is
+# test-reachable; FLAC is lossless, so oracle keys price sample sums
+# from content formulas codec-free. Remaining loud refusals: reserved
+# subframe/residual types, invalid precision code, negative LPC shift.
 
 
 @lru_cache(maxsize=1)
@@ -1002,11 +1004,22 @@ def _flac_read_subframe(bits: _FlacBits, block_size: int, bps: int):
             for k, c in enumerate(coefs):
                 pred += c * samples[-1 - k]
             samples.append(r + pred)
-    elif ftype >= 32:
-        raise NotImplementedError(
-            "LPC FLAC subframes unsupported (CONSTANT/VERBATIM/FIXED"
-            " decode natively — the general-predictor seam)"
-        )
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        samples = [bits.read_signed(bps) for _ in range(order)]
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision code 1111")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        res = _flac_read_residual(bits, block_size, order)
+        for r in res:
+            acc = 0
+            for k, c in enumerate(coefs):
+                acc += c * samples[-1 - k]
+            samples.append(r + (acc >> shift))
     else:
         raise ValueError(f"reserved FLAC subframe type {ftype}")
     if wasted:
@@ -1173,6 +1186,49 @@ def _flac_utf8_number(n: int) -> bytes:
     return bytes(out)
 
 
+def _flac_lpc_coefs(ch: list[int], order: int, precision: int = 14):
+    """Quantized LPC coefficients for a block: Welch-windowed
+    autocorrelation (the window is what real encoders apply — a
+    rectangular window's edge bias wrecks the normal equations on
+    narrowband content, measured 84 -> 6 mean|residual| on a sinusoid)
+    + Levinson-Durbin, then uniform quantization to `precision` bits
+    with a shift chosen so the largest coefficient fits. Returns
+    (qcoefs, shift). Coefficient QUALITY only affects compression —
+    reconstruction is residual + the same integer prediction both
+    sides, so any (qcoefs, shift) round-trips exactly."""
+    n = len(ch)
+    half = (n - 1) / 2.0 or 1.0
+    sw = [s * (1.0 - ((i - half) / half) ** 2) for i, s in enumerate(ch)]
+    ac = []
+    for lag in range(order + 1):
+        ac.append(sum(sw[i] * sw[i - lag] for i in range(lag, n)))
+    if ac[0] == 0.0:
+        return [0] * order, 0
+    err = ac[0]
+    lpc = [0.0] * order
+    for i in range(order):
+        k = ac[i + 1]
+        for j in range(i):
+            k -= lpc[j] * ac[i - j]
+        k /= err if err else 1.0
+        k = max(-0.999999, min(0.999999, k))
+        new = lpc[:]
+        new[i] = k
+        for j in range(i):
+            new[j] = lpc[j] - k * lpc[i - 1 - j]
+        lpc = new
+        err *= 1.0 - k * k
+        if err <= 0:
+            err = 1e-9
+    cmax = max(abs(c) for c in lpc) or 1.0
+    shift = precision - 1 - max(0, int(cmax).bit_length())
+    shift = max(0, min(15, shift))
+    q = [max(-(1 << (precision - 1)),
+             min((1 << (precision - 1)) - 1, round(c * (1 << shift))))
+         for c in lpc]
+    return q, shift
+
+
 def _flac_best_rice_param(res: list[int], plen: int) -> int:
     """Smallest-cost Rice parameter for a residual partition (exact
     bit-count search — test-side encoder, clips are small)."""
@@ -1200,12 +1256,15 @@ def encode_flac(
     partition_order: int = 0,
     force_escape: bool = False,
     stereo_mode: str = "independent",
+    lpc_order: int | None = None,
 ) -> bytes:
-    """Write an int array as a genuine subset FLAC stream (STREAMINFO +
+    """Write an int array as a genuine FLAC stream (STREAMINFO +
     fixed-blocksize frames; per-frame fixed-order search 0-4 unless
-    `order` pins one; per-partition Rice parameter fit; optional
-    raw-bits escape forcing and mid/side stereo) — the test-side
-    producer that makes every decoder lane reachable."""
+    `order` pins one, or quantized-LPC subframes when `lpc_order` is
+    set — autocorrelation + Levinson-Durbin, 14-bit coefficients;
+    per-partition Rice parameter fit; optional raw-bits escape forcing
+    and mid/side stereo) — the test-side producer that makes every
+    decoder lane reachable."""
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.int64)
@@ -1230,6 +1289,33 @@ def encode_flac(
     si.buf += b"\x00" * 16  # MD5 unset (permitted)
     out += bytes([0x80]) + len(si.buf).to_bytes(3, "big") + si.buf
 
+    def write_residual(w: _FlacBitWriter, res: list[int], n: int, o: int) -> None:
+        # residual: method 0 (4-bit params), partitioned
+        porder = partition_order
+        nparts = 1 << porder
+        if n % nparts or (n >> porder) <= o and nparts > 1:
+            porder, nparts = 0, 1
+        w.write(0, 2)
+        w.write(porder, 4)
+        at = 0
+        for part in range(nparts):
+            cnt = (n >> porder) - (o if part == 0 else 0)
+            pres = res[at : at + cnt]
+            at += cnt
+            if force_escape:
+                raw = max((abs(r) for r in pres), default=0).bit_length() + 1
+                w.write(15, 4)
+                w.write(raw, 5)
+                for r in pres:
+                    w.write(r, raw)
+                continue
+            p = _flac_best_rice_param(pres, 4)
+            w.write(p, 4)
+            for r in pres:
+                v = (abs(r) << 1) - (1 if r < 0 else 0)
+                w.write_unary(v >> p)
+                w.write(v, p)
+
     def write_subframe(w: _FlacBitWriter, ch: list[int], bps: int) -> None:
         n = len(ch)
         if all(s == ch[0] for s in ch):
@@ -1237,6 +1323,24 @@ def encode_flac(
             w.write(0, 6)  # CONSTANT
             w.write(0, 1)
             w.write(ch[0], bps)
+            return
+        if lpc_order is not None and n > lpc_order > 0:
+            o = lpc_order
+            qc, shift = _flac_lpc_coefs(ch, o, precision=14)
+            res = []
+            for i in range(o, n):
+                acc = sum(c * ch[i - 1 - k] for k, c in enumerate(qc))
+                res.append(ch[i] - (acc >> shift))
+            w.write(0, 1)
+            w.write(31 + o, 6)  # LPC
+            w.write(0, 1)  # no wasted bits
+            for s in ch[:o]:
+                w.write(s, bps)
+            w.write(13, 4)  # precision 14 -> code 13
+            w.write(shift, 5)
+            for c in qc:
+                w.write(c, 14)
+            write_residual(w, res, n, o)
             return
         # fixed-order search by absolute residual sum
         cand = range(5) if order is None else [order]
@@ -1266,31 +1370,7 @@ def encode_flac(
         w.write(0, 1)  # no wasted bits
         for s in ch[:o]:
             w.write(s, bps)
-        # residual: method 0 (4-bit params), partitioned
-        porder = partition_order
-        nparts = 1 << porder
-        if n % nparts or (n >> porder) <= o and nparts > 1:
-            porder, nparts = 0, 1
-        w.write(0, 2)
-        w.write(porder, 4)
-        at = 0
-        for part in range(nparts):
-            cnt = (n >> porder) - (o if part == 0 else 0)
-            pres = res[at : at + cnt]
-            at += cnt
-            if force_escape:
-                raw = max((abs(r) for r in pres), default=0).bit_length() + 1
-                w.write(15, 4)
-                w.write(raw, 5)
-                for r in pres:
-                    w.write(r, raw)
-                continue
-            p = _flac_best_rice_param(pres, 4)
-            w.write(p, 4)
-            for r in pres:
-                v = (abs(r) << 1) - (1 if r < 0 else 0)
-                w.write_unary(v >> p)
-                w.write(v, p)
+        write_residual(w, res, n, o)
 
     frame_no = 0
     at = 0

@@ -1137,10 +1137,10 @@ def q_mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs and the raw-bits escape forced for doc_id % 5 == 0 — then
     decoded by the independent bit-level parser (STREAMINFO walk, frame
     sync, header CRC-8 + frame CRC-16 verified, CONSTANT/VERBATIM/
-    FIXED(0-4) subframes, partitioned Rice incl. escape, mid/side
-    reconstruction). FLAC is lossless, so the oracle prices the sample
-    sum from the content formula codec-free; LPC subframes stay the
-    loud documented seam."""
+    FIXED(0-4)/quantized-LPC subframes — doc_id % 4 == 1 rides the LPC
+    lane — partitioned Rice incl. escape, mid/side reconstruction).
+    FLAC is lossless, so the oracle prices the sample sum from the
+    content formula codec-free."""
     import numpy as np
     import pandas as pd
 
@@ -1167,6 +1167,7 @@ def q_mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                         stereo_mode="mid_side" if n_ch == 2 else "independent",
                         partition_order=doc_id % 2,
                         force_escape=doc_id % 5 == 0,
+                        lpc_order=4 if doc_id % 4 == 1 else None,
                     )
                 )
                 assert rate == 22050

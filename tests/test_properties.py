@@ -827,18 +827,19 @@ def test_tiff_lzw_roundtrip_property(
     block=st.sampled_from([32, 256, 4096]),
     porder=st.integers(min_value=0, max_value=3),
     escape=st.booleans(),
+    lpc=st.sampled_from([None, 1, 4, 8]),
     shape=st.sampled_from(["const", "ramp", "walk", "rand", "extreme"]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @_CODEC_SETTINGS
 def test_flac_roundtrip_property(
-    n, stereo, mid_side, block, porder, escape, shape, seed
+    n, stereo, mid_side, block, porder, escape, lpc, shape, seed
 ):
     """ANY clip x {mono, stereo} x {independent, mid/side} x block and
-    Rice-partition sizes x {Rice, raw-bits escape} x content shapes
-    (constant, linear ramp, random walk, full-range random, ±extremes):
-    subset FLAC is lossless — decode(encode) sample-EXACT, CRCs
-    verified on the way through."""
+    Rice-partition sizes x {Rice, raw-bits escape} x {fixed-search,
+    quantized-LPC orders} x content shapes (constant, linear ramp,
+    random walk, full-range random, ±extremes): FLAC is lossless —
+    decode(encode) sample-EXACT, CRCs verified on the way through."""
     import numpy as np
 
     from cellbase_spark.operators.multimodal import decode_flac, encode_flac
@@ -870,6 +871,7 @@ def test_flac_roundtrip_property(
             stereo_mode="mid_side" if stereo and mid_side else "independent",
             partition_order=porder,
             force_escape=escape,
+            lpc_order=lpc,
         )
     )
     assert rate == 48000
@@ -878,8 +880,10 @@ def test_flac_roundtrip_property(
 
 def test_flac_corruption_is_loud():
     """A flipped payload bit fails a CRC (or structural check) rather
-    than decoding to silently-wrong samples; LPC subframes raise the
-    documented NotImplementedError."""
+    than decoding to silently-wrong samples; reserved subframe types
+    refuse loudly; LPC beats the fixed-order search on narrowband
+    content (the Welch-window regression pin — a rectangular-window
+    autocorrelation loses to FIXED here)."""
     import numpy as np
     import pytest
 
@@ -896,11 +900,15 @@ def test_flac_corruption_is_loud():
     data[-10] ^= 0x40
     with pytest.raises((ValueError, NotImplementedError)):
         decode_flac(bytes(data))
-    # LPC subframe type (1xxxxx) is a loud seam
-    w = bytearray()
-    w.append(0b0_100000_0 & 0xFF)  # pad=0, type=32 (LPC order 1), wasted=0
-    with pytest.raises(NotImplementedError):
+    # reserved subframe type (000010) is a loud refusal
+    w = bytearray([0b0_000010_0])
+    with pytest.raises(ValueError, match="reserved FLAC subframe"):
         _flac_read_subframe(_FlacBits(bytes(w) + b"\x00" * 8), 4, 16)
+    t = np.arange(4096)
+    sine = (8000 * np.sin(t * 0.05) + 100 * np.sin(t * 0.31)).astype(np.int32)
+    assert len(encode_flac(sine, block_size=1024, lpc_order=8)) < len(
+        encode_flac(sine, block_size=1024)
+    )
 
 
 def test_g711_codec_exactness():
