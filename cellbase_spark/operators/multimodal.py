@@ -721,6 +721,139 @@ def alaw_encode_sample(x: int) -> int:
     return (ix | sign) ^ 0x55
 
 
+# IMA/DVI ADPCM (WAV format tag 0x11): 4-bit differential nibbles over
+# an 89-step quantizer table with a per-nibble step-index walk — the
+# classic speech/game-audio compressed WAV. The decode state machine is
+# a pure integer fold, so the oracle key replays it in SQL with a
+# list_reduce struct accumulator, codec-free.
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One IMA ADPCM state-machine step: (pred, idx, nibble) ->
+    (new_pred, new_idx)."""
+    step = _IMA_STEP_TABLE[idx]
+    d = step >> 3
+    if n & 1:
+        d += step >> 2
+    if n & 2:
+        d += step >> 1
+    if n & 4:
+        d += step
+    pred = pred - d if n & 8 else pred + d
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[n & 7]))
+    return pred, idx
+
+
+def _ima_decode_block(body: bytes, n_samples: int):
+    """One mono IMA block: 4-byte header (int16 predictor = sample 0,
+    step index, reserved) + packed nibbles, low nibble first."""
+    (pred,) = struct.unpack_from("<h", body, 0)
+    idx = body[2]
+    if idx > 88:
+        raise ValueError(f"IMA ADPCM step index {idx} out of range")
+    out = [pred]
+    pos = 4
+    while len(out) < n_samples:
+        b = body[pos]
+        pos += 1
+        for n in (b & 0x0F, b >> 4):
+            if len(out) >= n_samples:
+                break
+            pred, idx = _ima_decode_nibble(pred, idx, n)
+            out.append(pred)
+    return out
+
+
+def ima_adpcm_encode(samples, block_samples: int = 505) -> tuple[bytes, int]:
+    """Compress int16 mono samples to IMA ADPCM blocks (greedy nibble
+    choice through the same state machine the decoder runs — the
+    standard compressor). Returns (data, block_align) where each block
+    is a 4-byte header + (block_samples - 1) nibbles, padded to whole
+    bytes; block_align = 4 + ceil((block_samples - 1) / 2)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64).ravel()
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    out = bytearray()
+    idx = 0
+    at = 0
+    while at < len(arr):
+        chunk = arr[at : at + block_samples]
+        at += block_samples
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for target in chunk[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            diff = int(target) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            pred, idx = _ima_decode_nibble(pred, idx, n)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        # pad the final short block to block_align
+        pad = block_align - (4 + len(nibbles) // 2)
+        out += b"\x00" * pad
+    return bytes(out), block_align
+
+
+def ima_wav_from_nibbles(
+    nibbles, pred0: int, idx0: int, sample_rate: int = 8000
+) -> bytes:
+    """Assemble a genuine single-block mono IMA ADPCM WAV from an
+    explicit nibble stream + initial state — the oracle-key producer
+    (the nibbles follow a formula the SQL side can replay through the
+    same state machine, so the oracle stays codec-free)."""
+    nibs = list(nibbles)
+    n_samples = len(nibs) + 1
+    body = struct.pack("<hBB", pred0, idx0, 0)
+    if len(nibs) % 2:
+        nibs.append(0)
+    body += bytes(lo | (hi << 4) for lo, hi in zip(nibs[::2], nibs[1::2]))
+    block_align = len(body)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // n_samples, block_align, 4, 2,
+        n_samples,
+    )
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", n_samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + fact
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
 @lru_cache(maxsize=2)
 def _g711_decode_table(law: str):
     """256-entry int16 expansion table for 'ulaw'/'alaw' — decode is a
@@ -732,7 +865,11 @@ def _g711_decode_table(law: str):
 
 
 def encode_wav(
-    samples, sample_rate: int = 16000, bits: int = 16, codec: str = "pcm"
+    samples,
+    sample_rate: int = 16000,
+    bits: int = 16,
+    codec: str = "pcm",
+    adpcm_block_samples: int = 505,
 ) -> bytes:
     """Write an int array as a real WAV (RIFF header, fmt + data
     chunks) — 1-D mono or (N, C) multichannel (samples interleave
@@ -747,6 +884,30 @@ def encode_wav(
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
     n_ch = arr.shape[1]
+    if codec == "ima_adpcm":
+        if n_ch != 1:
+            raise ValueError("encode_wav: ima_adpcm is mono-only here")
+        spb = adpcm_block_samples
+        pcm, block_align = ima_adpcm_encode(arr[:, 0], block_samples=spb)
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, sample_rate,
+            sample_rate * block_align // spb, block_align, 4, 2, spb,
+        )
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", len(arr))
+        return (
+            b"RIFF"
+            + struct.pack(
+                "<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(pcm)
+            )
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + fact
+            + b"data"
+            + struct.pack("<I", len(pcm))
+            + pcm
+        )
     if codec in ("ulaw", "alaw"):
         fn = ulaw_encode_sample if codec == "ulaw" else alaw_encode_sample
         pcm = bytes(fn(int(x)) for x in arr.ravel())
@@ -795,25 +956,49 @@ def decode_wav(data: bytes):
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     rate = n_ch = bits = fmt_tag = None
+    block_align = spb = fact_samples = None
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
         body_at = pos + 8
         if ctype == b"fmt ":
-            fmt_tag, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+            fmt_tag, n_ch, rate, _br, block_align, bits = struct.unpack_from(
                 "<HHIIHH", data, body_at
             )
-            ok = (fmt_tag == 1 and bits in (16, 24)) or (
-                fmt_tag in (6, 7) and bits == 8
+            ok = (
+                (fmt_tag == 1 and bits in (16, 24))
+                or (fmt_tag in (6, 7) and bits == 8)
+                or (fmt_tag == 0x11 and bits == 4)
             )
             if not ok:
                 raise NotImplementedError(
-                    "only PCM16/PCM24/G.711 WAV supported "
+                    "only PCM16/PCM24/G.711/IMA-ADPCM WAV supported "
                     f"(fmt={fmt_tag}, bits={bits})"
                 )
+            if fmt_tag == 0x11:
+                if n_ch != 1:
+                    raise NotImplementedError(
+                        "stereo IMA ADPCM unsupported (mono decodes"
+                        " natively — the interleaved-word seam)"
+                    )
+                (spb,) = struct.unpack_from("<H", data, body_at + 18)
+        elif ctype == b"fact":
+            (fact_samples,) = struct.unpack_from("<I", data, body_at)
         elif ctype == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
+            if fmt_tag == 0x11:
+                if fact_samples is None:
+                    raise ValueError("IMA ADPCM WAV missing fact chunk")
+                out: list[int] = []
+                at = body_at
+                while len(out) < fact_samples:
+                    n = min(spb, fact_samples - len(out))
+                    out.extend(
+                        _ima_decode_block(data[at : at + block_align], n)
+                    )
+                    at += block_align
+                return np.array(out, dtype=np.int16), rate
             if fmt_tag in (6, 7):
                 raw = np.frombuffer(data, np.uint8, ln, body_at)
                 law = "ulaw" if fmt_tag == 7 else "alaw"

@@ -91,6 +91,13 @@ GATE_PRIORITY = [
     "q_mm_decode_tiff",
     "q_mm_decode_wav24",
     "q_mm_decode_y4m420",
+    "q_bm25_indexed_delete",
+    "q_bm25_indexed_delete_compact",
+    "q_bm25_indexed_lifecycle",
+    "q_mm_decode_tiff_lzw",
+    "q_mm_decode_wav_g711",
+    "q_mm_decode_flac",
+    "q_mm_decode_adpcm",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -1112,6 +1112,107 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADPCM_STEP_SQL = None  # built below from the operator tables
+
+
+def _adpcm_oracle() -> str:
+    from cellbase_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    st = "[" + ", ".join(map(str, _IMA_STEP_TABLE)) + "]"
+    it = "[" + ", ".join(map(str, _IMA_INDEX_TABLE)) + "]"
+    return f"""
+WITH RECURSIVE steps AS (
+  SELECT doc_id,
+         CAST(0 AS BIGINT) AS j,
+         CAST((doc_id * 57) % 4096 - 2048 AS BIGINT) AS pred,
+         CAST(doc_id % 89 AS BIGINT) AS idx,
+         CAST((doc_id * 57) % 4096 - 2048 AS BIGINT) AS total,
+         CAST(39 + doc_id % 9 AS BIGINT) AS n_nib
+  FROM documents
+  UNION ALL
+  SELECT doc_id, j + 1,
+         GREATEST(-32768, LEAST(32767, pred + sgn * d)),
+         LEAST(88, GREATEST(0, idx + ({it})[(nib % 8) + 1])),
+         total + GREATEST(-32768, LEAST(32767, pred + sgn * d)),
+         n_nib
+  FROM (
+    SELECT s.*, nib, sgn,
+           step // 8 + (nib % 2) * (step // 4)
+             + ((nib // 2) % 2) * (step // 2)
+             + ((nib // 4) % 2) * step AS d
+    FROM (
+      SELECT s0.*,
+             (s0.doc_id * 7 + s0.j * 3) % 16 AS nib,
+             1 - 2 * (((s0.doc_id * 7 + s0.j * 3) % 16) // 8) AS sgn,
+             ({st})[s0.idx + 1] AS step
+      FROM steps s0
+      WHERE s0.j < s0.n_nib
+    ) s
+  ) t
+)
+SELECT doc_id,
+       CAST(40 + doc_id % 9 AS INT) AS n_samples,
+       total AS sample_sum
+FROM steps
+WHERE j = n_nib
+"""
+
+
+@register("q_mm_decode_adpcm", family="llm-multimodal", oracle=_adpcm_oracle())
+def q_mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM WAV decode (round 11 — the compressed-speech WAV
+    lane, format tag 0x11: 4-bit differential nibbles through the
+    89-step quantizer with a per-nibble step-index walk). Each doc's
+    payload is a genuine mono ADPCM WAV (fmt extension with
+    samplesPerBlock, fact chunk, 4-byte block header carrying sample 0
+    + initial step index) whose nibble stream follows a formula
+    (nibble[j] = (doc_id*7 + 3j) % 16, initial predictor
+    (doc_id*57) % 4096 − 2048, initial index doc_id % 89 — covering
+    both signs, all index deltas and both clamps), decoded by the
+    independent chunk-walking parser. The decode state machine is a
+    pure integer fold, so the oracle REPLAYS IT in SQL as a recursive
+    CTE over (pred, idx, total) — a genuinely sequential codec under
+    the same codec-free hash discipline as the table codecs. (A
+    list_reduce lambda fold was rejected: DuckDB 1.0's lambda CSE
+    mis-binds a subexpression duplicated across struct fields —
+    measured, not assumed.) Stereo ADPCM stays the loud seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import (
+        decode_wav,
+        ima_wav_from_nibbles,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 40 + doc_id % 9
+                nibs = [(doc_id * 7 + 3 * j) % 16 for j in range(n - 1)]
+                wav = ima_wav_from_nibbles(
+                    nibs, (doc_id * 57) % 4096 - 2048, doc_id % 89
+                )
+                samples, rate = decode_wav(wav)
+                assert rate == 8000 and samples.dtype == np.int16
+                out.append(
+                    (doc_id, samples.shape[0],
+                     int(samples.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "sample_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, n_samples int, sample_sum long"
+    )
+
+
 @register(
     "q_mm_decode_flac",
     family="llm-multimodal",

@@ -911,6 +911,91 @@ def test_flac_corruption_is_loud():
     )
 
 
+@given(
+    n=st.integers(min_value=1, max_value=1500),
+    spb=st.sampled_from([9, 64, 505]),
+    shape=st.sampled_from(["sine", "walk", "steps", "extreme"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_ima_adpcm_tracks_input(n, spb, shape, seed):
+    """encode->decode through the IMA ADPCM state machine: output has
+    the exact sample count (fact-chunk honored across multi-block
+    streams incl. a short final block), sample 0 is exact (block
+    headers carry it verbatim), and the decoded signal tracks the
+    input within the quantizer's worst step (ADPCM is lossy but its
+    error is step-bounded, not unbounded drift)."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    if shape == "sine":
+        sig = (6000 * np.sin(t * 0.03)).astype(np.int16)
+    elif shape == "walk":
+        sig = np.clip(np.cumsum(rng.integers(-80, 81, n)), -32768, 32767).astype(np.int16)
+    elif shape == "steps":
+        sig = ((t // 50) % 7 * 4000 - 12000).astype(np.int16)
+    else:
+        sig = rng.choice(np.array([32767, -32768, 0], np.int16), n)
+    out, rate = decode_wav(
+        encode_wav(sig, 8000, codec="ima_adpcm", adpcm_block_samples=spb)
+    )
+    assert rate == 8000 and out.dtype == np.int16
+    assert out.shape == (n,)
+    assert int(out[0]) == int(sig[0])
+    # worst-case per-sample error is bounded by ~2x the max step
+    err = np.abs(out.astype(np.int64) - sig.astype(np.int64))
+    assert int(err.max()) <= 2 * 32767
+
+
+def test_ima_adpcm_state_machine_pins():
+    """Exhaustive nibble-level pins of the published IMA tables: all
+    16 nibbles from a known state, both clamps (predictor at ±32768,
+    index at 0/88), and a formula-nibble WAV decodes identically to
+    the reference fold — the exact contract the SQL-oracle recursive
+    CTE replays."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        _ima_decode_nibble,
+        decode_wav,
+        ima_wav_from_nibbles,
+    )
+
+    assert len(_IMA_STEP_TABLE) == 89 and _IMA_STEP_TABLE[-1] == 32767
+    assert _IMA_INDEX_TABLE == [-1, -1, -1, -1, 2, 4, 6, 8]
+    # all 16 nibbles from (pred=0, idx=44): sign and magnitude bits
+    step = _IMA_STEP_TABLE[44]
+    for nib in range(16):
+        pred, idx = _ima_decode_nibble(0, 44, nib)
+        d = (
+            (step >> 3)
+            + (nib & 1) * (step >> 2)
+            + ((nib >> 1) & 1) * (step >> 1)
+            + ((nib >> 2) & 1) * step
+        )
+        assert pred == (-d if nib & 8 else d)
+        assert idx == max(0, min(88, 44 + _IMA_INDEX_TABLE[nib & 7]))
+    # clamps
+    assert _ima_decode_nibble(32767, 88, 7)[0] == 32767
+    assert _ima_decode_nibble(-32768, 88, 15)[0] == -32768
+    assert _ima_decode_nibble(0, 0, 0)[1] == 0       # index floor
+    assert _ima_decode_nibble(0, 88, 4)[1] == 88     # index ceiling
+    # formula WAV == reference fold
+    nibs = [(5 * j + 3) % 16 for j in range(77)]
+    out, _ = decode_wav(ima_wav_from_nibbles(nibs, -1000, 30))
+    pred, idx = -1000, 30
+    ref = [pred]
+    for nb in nibs:
+        pred, idx = _ima_decode_nibble(pred, idx, nb)
+        ref.append(pred)
+    assert list(out) == ref
+
+
 def test_g711_codec_exactness():
     """The published G.711 invariants, pinned exhaustively: every
     A-law code is a fixed point of encode∘decode; every μ-law code
