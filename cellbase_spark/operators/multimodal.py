@@ -759,6 +759,8 @@ def _ima_decode_nibble(pred: int, idx: int, n: int) -> tuple[int, int]:
 def _ima_decode_block(body: bytes, n_samples: int):
     """One mono IMA block: 4-byte header (int16 predictor = sample 0,
     step index, reserved) + packed nibbles, low nibble first."""
+    if len(body) < 4:
+        raise ValueError("IMA ADPCM block truncated (no header)")
     (pred,) = struct.unpack_from("<h", body, 0)
     idx = body[2]
     if idx > 88:
@@ -766,6 +768,8 @@ def _ima_decode_block(body: bytes, n_samples: int):
     out = [pred]
     pos = 4
     while len(out) < n_samples:
+        if pos >= len(body):
+            raise ValueError("IMA ADPCM block truncated (nibbles short)")
         b = body[pos]
         pos += 1
         for n in (b & 0x0F, b >> 4):
@@ -1868,36 +1872,44 @@ def _tiff_lzw_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_undiff(strip: bytes, rows: int, w: int, spp: int) -> bytes:
+def _tiff_undiff(
+    strip: bytes, rows: int, w: int, spp: int, dt: str = "u1"
+) -> bytes:
     """Undo TIFF Predictor 2 (horizontal differencing): each stored
     sample is the delta from the sample to its left in the same
     channel; reconstruction is a per-row per-channel cumulative sum
-    mod 256."""
+    mod 2^bits. Differencing operates on SAMPLES, so 16-bit strips
+    pass their endianness-qualified dtype (`<u2`/`>u2`)."""
     import numpy as np
 
-    arr = np.frombuffer(strip, np.uint8).reshape(rows, w, spp)
-    return (np.cumsum(arr, axis=1, dtype=np.int64) % 256).astype(
-        np.uint8
+    arr = np.frombuffer(strip, np.dtype(dt)).reshape(rows, w, spp)
+    mod = 1 << (arr.dtype.itemsize * 8)
+    return (np.cumsum(arr, axis=1, dtype=np.int64) % mod).astype(
+        arr.dtype
     ).tobytes()
 
 
-def _tiff_diff(strip: bytes, rows: int, w: int, spp: int) -> bytes:
+def _tiff_diff(strip: bytes, rows: int, w: int, spp: int, dt: str = "u1") -> bytes:
     """Apply TIFF Predictor 2 on encode: per-row per-channel left
-    difference mod 256 (first column carried verbatim)."""
+    difference mod 2^bits (first column carried verbatim)."""
     import numpy as np
 
-    arr = np.frombuffer(strip, np.uint8).reshape(rows, w, spp).astype(np.int64)
+    arr = np.frombuffer(strip, np.dtype(dt)).reshape(rows, w, spp).astype(
+        np.int64
+    )
+    mod = 1 << (np.dtype(dt).itemsize * 8)
     d = arr.copy()
-    d[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
-    return d.astype(np.uint8).tobytes()
+    d[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % mod
+    return d.astype(np.dtype(dt)).tobytes()
 
 
 def decode_tiff(data: bytes):
-    """Decode a baseline TIFF (8-bit gray or chunky RGB; Compression 1,
+    """Decode a baseline TIFF (gray or chunky RGB; Compression 1,
     PackBits, or LZW with optional Predictor 2; either byte order,
-    multi-strip) into a uint8 array. Tiled/planar/16-bit files raise
-    NotImplementedError — the remaining loud seam (PIL where available,
-    via decode_image)."""
+    multi-strip; 8- or 16-bit samples in the header's byte order) into
+    a uint8/uint16 array. Tiled/planar files raise
+    NotImplementedError — the remaining loud seam (PIL where
+    available, via decode_image)."""
     import numpy as np
 
     if data[:4] == b"II\x2a\x00":
@@ -1942,11 +1954,14 @@ def decode_tiff(data: bytes):
     planar = values(284, [1])[0]
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF unsupported (PIL seam)")
-    if set(bits) != {8} or spp not in (1, 3) or planar != 1:
+    if set(bits) not in ({8}, {16}) or spp not in (1, 3) or planar != 1:
         raise NotImplementedError(
-            f"only 8-bit chunky gray/RGB TIFF supported (bits={bits},"
+            f"only 8/16-bit chunky gray/RGB TIFF supported (bits={bits},"
             f" spp={spp}, planar={planar})"
         )
+    bps = bits[0]
+    bype = bps // 8
+    dt = ("u1" if bps == 8 else e + "u2")
     if photo not in (1, 2):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
     if comp not in (1, 32773, 5):
@@ -1970,17 +1985,19 @@ def decode_tiff(data: bytes):
         rows_left -= rows
         strip = data[off : off + cnt]
         if comp == 32773:
-            strip = _packbits_decode(strip, rows * w * spp)
+            strip = _packbits_decode(strip, rows * w * spp * bype)
         elif comp == 5:
-            strip = _tiff_lzw_decode(strip, rows * w * spp)
-        elif len(strip) != rows * w * spp:
+            strip = _tiff_lzw_decode(strip, rows * w * spp * bype)
+        elif len(strip) != rows * w * spp * bype:
             raise ValueError("TIFF strip size mismatch")
         if predictor == 2:
-            strip = _tiff_undiff(strip, rows, w, spp)
+            strip = _tiff_undiff(strip, rows, w, spp, dt)
         raw += strip
     import numpy as np
 
-    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    arr = np.frombuffer(bytes(raw), np.dtype(dt)).reshape(h, w, spp)
+    if bps == 16:
+        arr = arr.astype(np.uint16)  # native order for the caller
     return arr[:, :, 0] if spp == 1 else arr
 
 
@@ -1992,27 +2009,32 @@ def encode_tiff(
     lzw: bool = False,
     predictor: int = 1,
 ) -> bytes:
-    """Write a uint8 (H, W) gray or (H, W, 3) RGB array as a baseline
-    TIFF: header + strip data + one IFD, multi-strip (rows_per_strip),
-    optional PackBits or LZW (with optional Predictor-2 horizontal
-    differencing), either byte order — every decoder lane reachable."""
+    """Write a uint8/uint16 (H, W) gray or (H, W, 3) RGB array as a
+    baseline TIFF (16-bit when the input dtype is uint16): header +
+    strip data + one IFD, multi-strip (rows_per_strip), optional
+    PackBits or LZW (with optional Predictor-2 horizontal differencing,
+    which operates on samples, not bytes), either byte order — every
+    decoder lane reachable."""
     import numpy as np
 
     if packbits and lzw:
         raise ValueError("encode_tiff: pick one of packbits/lzw")
     if predictor not in (1, 2):
         raise ValueError("encode_tiff: predictor must be 1 or 2")
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    wide = img.dtype == np.uint16
+    img = img.astype(np.uint16 if wide else np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else img.shape[2]
     e = ">" if big_endian else "<"
+    dt = (e + "u2") if wide else "u1"
     strips = []
     for y0 in range(0, h, rows_per_strip):
         rows = img[y0 : y0 + rows_per_strip]
-        raw = rows.tobytes()
+        raw = rows.astype(np.dtype(dt)).tobytes()
         if predictor == 2:
-            raw = _tiff_diff(raw, rows.shape[0], w, spp)
+            raw = _tiff_diff(raw, rows.shape[0], w, spp, dt)
         if packbits:
             raw = _packbits_encode(raw)
         elif lzw:
@@ -2036,7 +2058,7 @@ def encode_tiff(
 
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [16 if wide else 8] * spp)
     entry(259, 3, [32773 if packbits else (5 if lzw else 1)])
     entry(262, 3, [1 if gray else 2])
     if predictor == 2:

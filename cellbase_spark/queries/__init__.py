@@ -98,6 +98,7 @@ GATE_PRIORITY = [
     "q_mm_decode_wav_g711",
     "q_mm_decode_flac",
     "q_mm_decode_adpcm",
+    "q_mm_decode_tiff16",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -1391,7 +1391,7 @@ def q_mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine LZW TIFF — Predictor 2 for odd docs, big-endian for
     doc_id % 3 == 0 — and decoded by the independent parser. LZW is
     lossless, so the oracle prices the pixel sum from the formula
-    codec-free. Tiled/planar/16-bit TIFF stays the loud seam."""
+    codec-free. Tiled/planar TIFF stays the loud seam."""
     import numpy as np
     import pandas as pd
 
@@ -1418,6 +1418,76 @@ def q_mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
                         rows_per_strip=8,
                     )
                 )
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
+@register(
+    "q_mm_decode_tiff16",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(5 + doc_id % 4 AS INT) AS width,
+       CAST(7 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 7), y ->
+            flatten(list_transform(range(0, 5 + doc_id % 4), x ->
+              list_transform(range(0, 3),
+                c -> (doc_id * 257 + 1031 * y + 517 * x + 263 * c) % 65536))))))
+         AS BIGINT) AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT TIFF decode (round 11 — the high-dynamic-range lane:
+    scientific/scanner imagery): each doc gets a deterministic
+    (7 x 5+doc_id%4) RGB image of full-range 16-bit samples
+    (pixel[y,x,c] = (doc_id*257 + 1031y + 517x + 263c) % 65536),
+    written with the per-doc rotation none/PackBits/LZW compression
+    (doc_id % 3), Predictor-2 for odd docs (differencing runs on
+    SAMPLES, not bytes — the 16-bit-specific trap), and big-endian for
+    doc_id % 2 == 0 (sample byte order follows the file header — the
+    other trap), then decoded by the independent parser. Lossless, so
+    the oracle prices the pixel sum from the formula codec-free.
+    Tiled/planar TIFF stays the loud seam."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 5 + doc_id % 4
+                y, x, c = np.meshgrid(
+                    np.arange(7), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = (
+                    (doc_id * 257 + 1031 * y + 517 * x + 263 * c) % 65536
+                ).astype(np.uint16)
+                comp = doc_id % 3
+                arr = decode_tiff(
+                    encode_tiff(
+                        img,
+                        packbits=comp == 1,
+                        lzw=comp == 0,
+                        predictor=2 if doc_id % 2 else 1,
+                        big_endian=doc_id % 2 == 0,
+                        rows_per_strip=3,
+                    )
+                )
+                assert arr.dtype == np.uint16
                 out.append(
                     (doc_id, arr.shape[1], arr.shape[0],
                      int(arr.astype(np.int64).sum()))

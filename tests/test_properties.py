@@ -791,33 +791,38 @@ def test_tiff_roundtrip_property(h, w, gray, packbits, big_endian, rps, seed):
     big_endian=st.booleans(),
     rps=st.sampled_from([1, 4, 64]),
     runny=st.booleans(),
+    wide=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @_CODEC_SETTINGS
 def test_tiff_lzw_roundtrip_property(
-    h, w, gray, predictor, big_endian, rps, runny, seed
+    h, w, gray, predictor, big_endian, rps, runny, wide, seed
 ):
-    """ANY image x {gray, RGB} x {Predictor 1, 2} x {II, MM} x strip
-    sizes x {random, runny}: LZW TIFF is lossless — decode(encode)
-    pixel-EXACT. Runny images drive long matches (replicate-heavy
-    dictionaries); random ones drive one-entry-per-code growth across
-    the early-change width bumps."""
+    """ANY image x {gray, RGB} x {8, 16}-bit x {Predictor 1, 2} x
+    {II, MM} x strip sizes x {random, runny}: LZW TIFF is lossless —
+    decode(encode) pixel-EXACT. Runny images drive long matches
+    (replicate-heavy dictionaries); random ones drive one-entry-per-
+    code growth across the early-change width bumps; 16-bit exercises
+    sample-level (not byte-level) differencing and the
+    header-byte-order sample encoding."""
     import numpy as np
 
     from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
 
     rng = np.random.default_rng(seed)
     shape = (h, w) if gray else (h, w, 3)
+    dtype = np.uint16 if wide else np.uint8
+    top = 65536 if wide else 256
     if runny:
-        img = np.full(shape, rng.integers(0, 256), dtype=np.uint8)
-        img[tuple(d // 2 for d in shape)] = (int(img.flat[0]) + 97) % 256
+        img = np.full(shape, rng.integers(0, top), dtype=dtype)
+        img[tuple(d // 2 for d in shape)] = (int(img.flat[0]) + 97) % top
     else:
-        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        img = rng.integers(0, top, shape, dtype=dtype)
     out = decode_tiff(
         encode_tiff(img, lzw=True, predictor=predictor,
                     big_endian=big_endian, rows_per_strip=rps)
     )
-    assert np.array_equal(out, img)
+    assert out.dtype == dtype and np.array_equal(out, img)
 
 
 @given(
@@ -876,6 +881,55 @@ def test_flac_roundtrip_property(
     )
     assert rate == 48000
     assert np.array_equal(np.asarray(out), clip)
+
+
+def test_flac_uncommon_lanes():
+    """Decoder lanes the round-trip property can't reach through this
+    encoder: (1) wasted-bits subframes (hand-built bitstream — samples
+    shifted left by the unary-coded count), (2) multi-byte UTF-8-style
+    frame numbers (>127 frames forces the 2-byte form), (3) truncated
+    stream fails loudly."""
+    import numpy as np
+    import pytest
+
+    from cellbase_spark.operators.multimodal import (
+        _FlacBitWriter,
+        _FlacBits,
+        _flac_read_subframe,
+        decode_flac,
+        encode_flac,
+    )
+
+    # (1) CONSTANT subframe with 2 wasted bits: stored value 5 -> 20
+    w = _FlacBitWriter()
+    w.write(0, 1)        # pad
+    w.write(0, 6)        # CONSTANT
+    w.write(1, 1)        # wasted-bits flag
+    w.write(1, 2)        # unary 1 -> k = 2 (one 0 then the terminating 1)
+    w.write(5, 14)       # bps 16 - 2 wasted = 14
+    w.align()
+    got = _flac_read_subframe(_FlacBits(bytes(w.buf)), 3, 16)
+    assert got == [20, 20, 20]
+    # VERBATIM with 1 wasted bit
+    w = _FlacBitWriter()
+    w.write(0, 1)
+    w.write(1, 6)        # VERBATIM
+    w.write(1, 1)
+    w.write(1, 1)        # unary 0 -> k = 1
+    for v in (3, -2, 7):
+        w.write(v, 15)
+    w.align()
+    assert _flac_read_subframe(_FlacBits(bytes(w.buf)), 3, 16) == [6, -4, 14]
+
+    # (2) >127 frames: 2-byte coded frame numbers decode through
+    clip = (np.arange(5000) * 13 % 4096 - 2048).astype(np.int32)
+    out, _ = decode_flac(encode_flac(clip, 8000, block_size=32))
+    assert np.array_equal(out, clip)  # 157 frames
+
+    # (3) truncation is loud
+    data = encode_flac(clip[:200], 8000)
+    with pytest.raises(ValueError):
+        decode_flac(data[: len(data) - 7])
 
 
 def test_flac_corruption_is_loud():
