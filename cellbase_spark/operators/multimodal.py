@@ -1954,9 +1954,9 @@ def decode_tiff(data: bytes):
     planar = values(284, [1])[0]
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF unsupported (PIL seam)")
-    if set(bits) not in ({8}, {16}) or spp not in (1, 3) or planar != 1:
+    if set(bits) not in ({8}, {16}) or spp not in (1, 3) or planar not in (1, 2):
         raise NotImplementedError(
-            f"only 8/16-bit chunky gray/RGB TIFF supported (bits={bits},"
+            f"only 8/16-bit gray/RGB TIFF supported (bits={bits},"
             f" spp={spp}, planar={planar})"
         )
     bps = bits[0]
@@ -1978,24 +1978,39 @@ def decode_tiff(data: bytes):
     offsets = values(273)
     counts = values(279)
     rps = values(278, [h])[0]
-    raw = bytearray()
-    rows_left = h
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        rows = min(rps, rows_left)
-        rows_left -= rows
-        strip = data[off : off + cnt]
-        if comp == 32773:
-            strip = _packbits_decode(strip, rows * w * spp * bype)
-        elif comp == 5:
-            strip = _tiff_lzw_decode(strip, rows * w * spp * bype)
-        elif len(strip) != rows * w * spp * bype:
-            raise ValueError("TIFF strip size mismatch")
-        if predictor == 2:
-            strip = _tiff_undiff(strip, rows, w, spp, dt)
-        raw += strip
     import numpy as np
 
-    arr = np.frombuffer(bytes(raw), np.dtype(dt)).reshape(h, w, spp)
+    # planar=2: the strip sequence is every strip of channel 0, then
+    # channel 1, ... — each strip carries ONE channel (samples-per-strip
+    # uses spp=1); chunky (planar=1) strips interleave all channels.
+    strip_spp = 1 if planar == 2 else spp
+    n_passes = spp if planar == 2 else 1
+    strips_per_pass = len(offsets) // n_passes
+    if len(offsets) % n_passes:
+        raise ValueError("planar TIFF strip count not divisible by spp")
+    planes = []
+    for ch in range(n_passes):
+        raw = bytearray()
+        rows_left = h
+        for si in range(strips_per_pass):
+            off = offsets[ch * strips_per_pass + si]
+            cnt = counts[ch * strips_per_pass + si]
+            rows = min(rps, rows_left)
+            rows_left -= rows
+            strip = data[off : off + cnt]
+            if comp == 32773:
+                strip = _packbits_decode(strip, rows * w * strip_spp * bype)
+            elif comp == 5:
+                strip = _tiff_lzw_decode(strip, rows * w * strip_spp * bype)
+            elif len(strip) != rows * w * strip_spp * bype:
+                raise ValueError("TIFF strip size mismatch")
+            if predictor == 2:
+                strip = _tiff_undiff(strip, rows, w, strip_spp, dt)
+            raw += strip
+        planes.append(
+            np.frombuffer(bytes(raw), np.dtype(dt)).reshape(h, w, strip_spp)
+        )
+    arr = planes[0] if n_passes == 1 else np.concatenate(planes, axis=2)
     if bps == 16:
         arr = arr.astype(np.uint16)  # native order for the caller
     return arr[:, :, 0] if spp == 1 else arr
@@ -2008,12 +2023,14 @@ def encode_tiff(
     rows_per_strip: int = 4,
     lzw: bool = False,
     predictor: int = 1,
+    planar: bool = False,
 ) -> bytes:
     """Write a uint8/uint16 (H, W) gray or (H, W, 3) RGB array as a
     baseline TIFF (16-bit when the input dtype is uint16): header +
     strip data + one IFD, multi-strip (rows_per_strip), optional
     PackBits or LZW (with optional Predictor-2 horizontal differencing,
-    which operates on samples, not bytes), either byte order — every
+    which operates on samples, not bytes), either byte order, chunky or
+    planar (PlanarConfiguration 2: per-channel strip runs) — every
     decoder lane reachable."""
     import numpy as np
 
@@ -2027,19 +2044,26 @@ def encode_tiff(
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else img.shape[2]
+    if planar and gray:
+        raise ValueError("encode_tiff: planar needs an RGB image")
     e = ">" if big_endian else "<"
     dt = (e + "u2") if wide else "u1"
+    sources = (
+        [img[:, :, c : c + 1] for c in range(spp)] if planar else [img]
+    )
+    strip_spp = 1 if planar else spp
     strips = []
-    for y0 in range(0, h, rows_per_strip):
-        rows = img[y0 : y0 + rows_per_strip]
-        raw = rows.astype(np.dtype(dt)).tobytes()
-        if predictor == 2:
-            raw = _tiff_diff(raw, rows.shape[0], w, spp, dt)
-        if packbits:
-            raw = _packbits_encode(raw)
-        elif lzw:
-            raw = _tiff_lzw_encode(raw)
-        strips.append(raw)
+    for src in sources:
+        for y0 in range(0, h, rows_per_strip):
+            rows = src[y0 : y0 + rows_per_strip]
+            raw = rows.astype(np.dtype(dt)).tobytes()
+            if predictor == 2:
+                raw = _tiff_diff(raw, rows.shape[0], w, strip_spp, dt)
+            if packbits:
+                raw = _packbits_encode(raw)
+            elif lzw:
+                raw = _tiff_lzw_encode(raw)
+            strips.append(raw)
     out = bytearray(b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
     out += b"\x00" * 4  # IFD offset patched below
     strip_offsets = []
@@ -2067,7 +2091,7 @@ def encode_tiff(
     entry(277, 3, [spp])
     entry(278, 4, [rows_per_strip])
     entry(279, 4, [len(sdata) for sdata in strips])
-    entry(284, 3, [1])
+    entry(284, 3, [2 if planar else 1])
     entries.sort(key=lambda t: t[0])
 
     ifd_off = len(out)

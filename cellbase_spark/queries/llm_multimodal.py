@@ -1454,11 +1454,13 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pixel[y,x,c] = (doc_id*257 + 1031y + 517x + 263c) % 65536),
     written with the per-doc rotation none/PackBits/LZW compression
     (doc_id % 3), Predictor-2 for odd docs (differencing runs on
-    SAMPLES, not bytes — the 16-bit-specific trap), and big-endian for
+    SAMPLES, not bytes — the 16-bit-specific trap), big-endian for
     doc_id % 2 == 0 (sample byte order follows the file header — the
-    other trap), then decoded by the independent parser. Lossless, so
-    the oracle prices the pixel sum from the formula codec-free.
-    Tiled/planar TIFF stays the loud seam."""
+    other trap), and PLANAR configuration for doc_id % 5 < 2 (strips
+    arrive as per-channel runs; each strip is a one-channel raster),
+    then decoded by the independent parser. Lossless, so the oracle
+    prices the pixel sum from the formula codec-free. Tiled TIFF stays
+    the loud seam."""
     import numpy as np
     import pandas as pd
 
@@ -1485,6 +1487,7 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
                         predictor=2 if doc_id % 2 else 1,
                         big_endian=doc_id % 2 == 0,
                         rows_per_strip=3,
+                        planar=doc_id % 5 < 2,
                     )
                 )
                 assert arr.dtype == np.uint16

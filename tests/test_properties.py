@@ -792,11 +792,12 @@ def test_tiff_roundtrip_property(h, w, gray, packbits, big_endian, rps, seed):
     rps=st.sampled_from([1, 4, 64]),
     runny=st.booleans(),
     wide=st.booleans(),
+    planar=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @_CODEC_SETTINGS
 def test_tiff_lzw_roundtrip_property(
-    h, w, gray, predictor, big_endian, rps, runny, wide, seed
+    h, w, gray, predictor, big_endian, rps, runny, wide, planar, seed
 ):
     """ANY image x {gray, RGB} x {8, 16}-bit x {Predictor 1, 2} x
     {II, MM} x strip sizes x {random, runny}: LZW TIFF is lossless —
@@ -804,7 +805,8 @@ def test_tiff_lzw_roundtrip_property(
     (replicate-heavy dictionaries); random ones drive one-entry-per-
     code growth across the early-change width bumps; 16-bit exercises
     sample-level (not byte-level) differencing and the
-    header-byte-order sample encoding."""
+    header-byte-order sample encoding; planar adds per-channel strip
+    runs."""
     import numpy as np
 
     from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
@@ -820,7 +822,8 @@ def test_tiff_lzw_roundtrip_property(
         img = rng.integers(0, top, shape, dtype=dtype)
     out = decode_tiff(
         encode_tiff(img, lzw=True, predictor=predictor,
-                    big_endian=big_endian, rows_per_strip=rps)
+                    big_endian=big_endian, rows_per_strip=rps,
+                    planar=planar and not gray)
     )
     assert out.dtype == dtype and np.array_equal(out, img)
 
