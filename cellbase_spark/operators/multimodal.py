@@ -916,6 +916,8 @@ def encode_wav(
         fn = ulaw_encode_sample if codec == "ulaw" else alaw_encode_sample
         pcm = bytes(fn(int(x)) for x in arr.ravel())
         tag, bits = (7 if codec == "ulaw" else 6), 8
+    elif codec == "float32":
+        pcm, tag, bits = arr.astype("<f4").tobytes(), 3, 32
     elif codec != "pcm":
         raise ValueError(f"encode_wav: unknown codec {codec!r}")
     elif bits == 16:
@@ -950,10 +952,12 @@ def decode_wav(data: bytes):
     Round 11 widened the lanes: mono returns a 1-D array, stereo/
     multichannel an (N, C) array (de-interleaved); 16-bit linear PCM
     returns int16, 24-bit int32 (sign-extended from the packed 3-byte
-    little-endian samples); G.711 μ-law/A-law (format tags 7/6 — the
+    little-endian samples); IEEE float32 (format tag 3) returns
+    float32 bit-exact; G.711 μ-law/A-law (format tags 7/6 — the
     telephony-corpus staple) expand to int16 through the 256-entry
-    table codec, one vectorized take. Float/ADPCM/MP3-in-WAV raise
-    NotImplementedError — the remaining audio-codec seam."""
+    table codec, one vectorized take; mono IMA ADPCM (tag 0x11) runs
+    the 89-step state machine per block. Stereo ADPCM and MP3-in-WAV
+    raise NotImplementedError — the remaining audio-codec seam."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -973,11 +977,12 @@ def decode_wav(data: bytes):
                 (fmt_tag == 1 and bits in (16, 24))
                 or (fmt_tag in (6, 7) and bits == 8)
                 or (fmt_tag == 0x11 and bits == 4)
+                or (fmt_tag == 3 and bits == 32)
             )
             if not ok:
                 raise NotImplementedError(
-                    "only PCM16/PCM24/G.711/IMA-ADPCM WAV supported "
-                    f"(fmt={fmt_tag}, bits={bits})"
+                    "only PCM16/PCM24/float32/G.711/IMA-ADPCM WAV"
+                    f" supported (fmt={fmt_tag}, bits={bits})"
                 )
             if fmt_tag == 0x11:
                 if n_ch != 1:
@@ -1003,7 +1008,9 @@ def decode_wav(data: bytes):
                     )
                     at += block_align
                 return np.array(out, dtype=np.int16), rate
-            if fmt_tag in (6, 7):
+            if fmt_tag == 3:
+                flat = np.frombuffer(data, "<f4", ln // 4, body_at).copy()
+            elif fmt_tag in (6, 7):
                 raw = np.frombuffer(data, np.uint8, ln, body_at)
                 law = "ulaw" if fmt_tag == 7 else "alaw"
                 flat = _g711_decode_table(law)[raw]

@@ -99,6 +99,7 @@ GATE_PRIORITY = [
     "q_mm_decode_flac",
     "q_mm_decode_adpcm",
     "q_mm_decode_tiff16",
+    "q_mm_decode_wav_float",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -1214,6 +1214,59 @@ def q_mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_decode_wav_float",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(50 + doc_id % 7 AS INT) AS n_samples,
+       CAST(list_sum(list_transform(range(0, 50 + doc_id % 7),
+            i -> (doc_id * 11 + 5 * i) % 2001 - 1000)) AS BIGINT)
+         AS sum_x2
+FROM documents
+""",
+)
+def q_mm_decode_wav_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE float32 WAV decode (round 11 — format tag 3, the
+    studio/DAW interchange lane): each doc's clip is half-integer
+    valued (sample[i] = ((doc_id*11 + 5i) % 2001 − 1000) / 2 —
+    exactly representable in binary32, so the container round-trip is
+    bit-exact AND the doubled sample sum is an exact integer the
+    oracle prices from the formula with no float-tolerance hedging;
+    the halves prove a genuine non-integer float path). Written as a
+    real fmt-3 RIFF file and decoded by the chunk walker."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 50 + doc_id % 7
+                i = np.arange(n, dtype=np.int64)
+                clip = (
+                    ((doc_id * 11 + 5 * i) % 2001 - 1000) / 2.0
+                ).astype(np.float32)
+                samples, rate = decode_wav(
+                    encode_wav(clip, 44100, codec="float32")
+                )
+                assert rate == 44100 and samples.dtype == np.float32
+                sum_x2 = float(samples.astype(np.float64).sum() * 2.0)
+                assert sum_x2 == int(sum_x2)
+                out.append((doc_id, samples.shape[0], int(sum_x2)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "sum_x2"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, n_samples int, sum_x2 long"
+    )
+
+
+@register(
     "q_mm_decode_flac",
     family="llm-multimodal",
     oracle="""

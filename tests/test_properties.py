@@ -1053,6 +1053,36 @@ def test_ima_adpcm_state_machine_pins():
     assert list(out) == ref
 
 
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    n_ch=st.sampled_from([1, 2]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_CODEC_SETTINGS
+def test_wav_float32_bit_exact(n, n_ch, seed):
+    """ANY finite float32 clip (full exponent range, subnormals,
+    ±zero) round-trips BIT-EXACT through the fmt-3 RIFF container —
+    the container stores raw IEEE bytes, so this is an identity the
+    parser must not disturb."""
+    import numpy as np
+
+    from cellbase_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 1 << 32, (n, n_ch), dtype=np.uint64).astype(np.uint32)
+    clip = bits.view(np.float32)
+    clip = np.where(np.isfinite(clip), clip, np.float32(0.0))
+    clip[0, 0] = np.float32(-0.0)
+    if n > 1:
+        clip[1, 0] = np.float32(1e-42)  # subnormal
+    if n_ch == 1:
+        clip = clip[:, 0]
+    out, rate = decode_wav(encode_wav(clip, 96000, codec="float32"))
+    assert rate == 96000 and out.dtype == np.float32
+    assert out.shape == clip.shape
+    assert np.array_equal(out.view(np.uint32), clip.view(np.uint32))
+
+
 def test_g711_codec_exactness():
     """The published G.711 invariants, pinned exhaustively: every
     A-law code is a fixed point of encode∘decode; every μ-law code
