@@ -176,6 +176,10 @@ def decode_image(payload: bytes):
         return decode_gif(payload)
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from cellbase_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     try:  # pragma: no cover - no codec libs in this container
         import io as _io
 
@@ -2131,6 +2135,7 @@ def sniff_modality(payload: bytes) -> str:
         or payload[:3] == b"\xff\xd8\xff"
         or payload[:6] in (b"GIF87a", b"GIF89a")
         or payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a")
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
     ):
         return "image"
     if payload[:4] == b"fLaC" or (

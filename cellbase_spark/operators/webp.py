@@ -1,0 +1,457 @@
+"""WebP lossless (VP8L) subset codec — stdlib+numpy only.
+
+The last mainstream image-container seam (round 11). WebP lossless is a
+RIFF container around a VP8L bitstream: LSB-first bit packing, per-pixel
+ARGB symbols drawn from five canonical prefix codes (green+length,
+red, blue, alpha, distance), LZ77 backward references with a
+prefix+extra-bits integer coding, optional transforms and a color
+cache. This module implements the complete prefix-code machinery per
+the published spec — simple codes (1-2 symbols), normal codes read
+through the 19-symbol code-length code (incl. repeat codes 16/17/18 and
+the max_symbol short-circuit), canonical reconstruction, bit-by-bit
+tree walk — plus literals and backrefs with DIRECT distance codes
+(> 120). Four features stay LOUD documented seams, each raising
+NotImplementedError: transforms (predictor/color/subtract-green/
+palette), the color cache, meta prefix-code partitioning, and the
+close-neighbor 2D distance map (codes 1..120) — the spec defines that
+map as a 120-entry literal table; shipping a half-remembered copy would
+be silently wrong, the failure mode this repo's codec work exists to
+avoid. The encoder writes genuine subset files (per-channel Huffman fit
+with a depth-15 cap, run-length LZ77 over the previous pixel) so every
+native decoder lane is test-reachable, and lossless round-trips are
+pixel-exact by construction.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Order in which the 19 code-length-code lengths are stored (spec §6.2.2).
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+class _LsbBitReader:
+    """LSB-first bit reader (VP8L's bit order — bit 0 of byte 0 first)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            if p >= len(self.data) * 8:
+                raise ValueError("VP8L bitstream truncated")
+            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+class _LsbBitWriter:
+    __slots__ = ("buf", "bit")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.buf.append(0)
+            if (v >> i) & 1:
+                self.buf[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+
+class _PrefixCode:
+    """Canonical prefix code: decode walks the stream bit by bit (the
+    first-read bit is the code's MSB, DEFLATE-style canonical
+    assignment); a single-symbol code consumes zero bits."""
+
+    __slots__ = ("table", "single", "max_len")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = {}
+            self.max_len = 0
+            return
+        self.single = None
+        bl_count: dict[int, int] = {}
+        for ln, _ in nz:
+            bl_count[ln] = bl_count.get(ln, 0) + 1
+        code = 0
+        next_code = {}
+        for ln in range(1, max(bl_count) + 1):
+            code = (code + bl_count.get(ln - 1, 0)) << 1
+            next_code[ln] = code
+        self.table = {}
+        for ln, sym in sorted(nz):
+            self.table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+        self.max_len = max(bl_count)
+
+    def decode(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+    def encode_table(self) -> dict[int, tuple[int, int]]:
+        """symbol -> (code, length) for the writer (single-symbol codes
+        emit zero bits)."""
+        out = {}
+        if self.single is not None:
+            out[self.single] = (0, 0)
+            return out
+        for (ln, code), sym in self.table.items():
+            out[sym] = (code, ln)
+        return out
+
+
+def _read_prefix_code(br: _LsbBitReader, alphabet: int) -> _PrefixCode:
+    """One prefix code: simple (1-2 literal symbols) or normal (lengths
+    through the code-length code, with repeats and max_symbol)."""
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        if br.read(1):
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = [0] * alphabet
+        if num_symbols == 1:
+            lengths[sym0] = 1  # single-symbol: zero-bit decode
+        else:
+            sym1 = br.read(8)
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    num_cl = br.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read(1):  # max_symbol short-circuit
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev_len = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.decode(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                if sym < alphabet:
+                    lengths[sym] = prev_len
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return _PrefixCode(lengths)
+
+
+def _read_prefixed_value(br: _LsbBitReader, prefix_code: int) -> int:
+    """The LZ77 length/distance integer coding: small codes literal,
+    larger ones (2 + (code&1)) << extra_bits + extra + 1."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra_bits = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _prefixed_code_for(value: int) -> tuple[int, int, int]:
+    """(prefix_code, extra_bits, extra) for _read_prefixed_value's
+    inverse."""
+    if value <= 4:
+        return value - 1, 0, 0
+    u = value - 1
+    msb = u.bit_length() - 1
+    extra_bits = msb - 1
+    top2 = u >> extra_bits
+    return 2 * extra_bits + top2, extra_bits, u - (top2 << extra_bits)
+
+
+def decode_webp(data: bytes):
+    """Decode a subset VP8L WebP into an (H, W, 4) RGBA uint8 array.
+    Transforms, color cache, meta prefix codes and close-neighbor
+    distance codes (<= 120) raise NotImplementedError — the documented
+    seams; everything decoded is exact."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"VP8L":
+            payload = data[pos + 8 : pos + 8 + ln]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended WebP unsupported (VP8L lossless decodes"
+                " natively — the remaining container seam)"
+            )
+        pos += 8 + ln + (ln & 1)
+    if payload is None:
+        raise ValueError("WebP missing VP8L chunk")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _LsbBitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if br.read(1):
+        raise NotImplementedError(
+            "VP8L transforms unsupported (predictor/color/subtract-green/"
+            "palette — the documented seam)"
+        )
+    if br.read(1):
+        raise NotImplementedError("VP8L color cache unsupported (seam)")
+    if br.read(1):
+        raise NotImplementedError(
+            "VP8L meta prefix codes unsupported (seam)"
+        )
+    green = _read_prefix_code(br, 256 + 24)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    alpha = _read_prefix_code(br, 256)
+    dist = _read_prefix_code(br, 40)
+
+    n = w * h
+    px = np.zeros((n, 4), dtype=np.uint8)  # R, G, B, A
+    i = 0
+    while i < n:
+        g = green.decode(br)
+        if g < 256:
+            r = red.decode(br)
+            b = blue.decode(br)
+            a = alpha.decode(br)
+            px[i] = (r, g, b, a)
+            i += 1
+            continue
+        length = _read_prefixed_value(br, g - 256)
+        dist_code = _read_prefixed_value(br, dist.decode(br))
+        if dist_code <= 120:
+            raise NotImplementedError(
+                "VP8L close-neighbor distance map unsupported (codes"
+                " 1..120 — the spec's literal 120-entry table; direct"
+                " distances decode natively)"
+            )
+        d = dist_code - 120
+        if d > i:
+            raise ValueError("VP8L backref before start of image")
+        for _ in range(length):
+            if i >= n:
+                raise ValueError("VP8L backref overruns image")
+            px[i] = px[i - d]
+            i += 1
+    return px.reshape(h, w, 4)
+
+
+def _huffman_lengths(freqs: dict[int, int], alphabet: int) -> list[int]:
+    """Huffman code lengths with a depth-15 cap (on overflow fall back
+    to a balanced uniform code — always legal, only less compact)."""
+    import heapq
+    import itertools
+
+    nz = [(f, s) for s, f in freqs.items() if f > 0]
+    lengths = [0] * alphabet
+    if not nz:
+        return lengths
+    if len(nz) == 1:
+        lengths[nz[0][1]] = 1
+        return lengths
+    counter = itertools.count()
+    heap = [(f, next(counter), {s: 0}) for f, s in nz]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, _, da = heapq.heappop(heap)
+        fb, _, db = heapq.heappop(heap)
+        merged = {s: d + 1 for s, d in da.items()}
+        merged.update({s: d + 1 for s, d in db.items()})
+        heapq.heappush(heap, (fa + fb, next(counter), merged))
+    depths = heap[0][2]
+    if max(depths.values()) > 15:
+        uniform = max(1, (len(nz) - 1).bit_length())
+        for _, s in nz:
+            lengths[s] = uniform
+        return lengths
+    for s, d in depths.items():
+        lengths[s] = d
+    return lengths
+
+
+def _write_prefix_code(w: _LsbBitWriter, lengths: list[int]) -> _PrefixCode:
+    """Write one prefix code (simple form for 1-2 symbols, else normal
+    form: every symbol length spelled through the code-length code — no
+    repeat codes, legal if verbose) and return the code for payload
+    emission."""
+    nz = [s for s, ln in enumerate(lengths) if ln > 0]
+    # the simple form stores symbols in <= 8 bits, so it can't name
+    # length/backref symbols (>= 256) — those take the normal form
+    if 1 <= len(nz) <= 2 and nz[-1] <= 255:
+        w.write(1, 1)  # simple
+        w.write(len(nz) - 1, 1)
+        if nz[0] > 1:
+            w.write(1, 1)
+            w.write(nz[0], 8)
+        else:
+            w.write(0, 1)
+            w.write(nz[0], 1)
+        if len(nz) == 2:
+            w.write(nz[1], 8)
+        return _PrefixCode(lengths)
+    w.write(0, 1)  # normal
+    cl_freqs: dict[int, int] = {}
+    for ln in lengths:
+        cl_freqs[ln] = cl_freqs.get(ln, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freqs, 19)
+    w.write(19 - 4, 4)
+    for sym in _CL_ORDER:
+        w.write(cl_lengths[sym], 3)
+    cl_code = _PrefixCode(cl_lengths)
+    w.write(0, 1)  # no max_symbol short-circuit
+    enc = cl_code.encode_table()
+    for ln in lengths:
+        code, nbits = enc[ln]
+        for i in range(nbits - 1, -1, -1):
+            w.write((code >> i) & 1, 1)
+    return _PrefixCode(lengths)
+
+
+def encode_webp(img, use_backrefs: bool = True) -> bytes:
+    """Write an (H, W, 3|4) uint8 array as a genuine subset VP8L WebP:
+    no transforms/cache/meta, per-channel Huffman-fit prefix codes,
+    and (optionally) LZ77 run backrefs against the previous pixel
+    (direct distance codes) — the test-side producer for every native
+    decoder lane."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w_, ch = img.shape
+    if ch == 3:
+        rgba = np.concatenate(
+            [img, np.full((h, w_, 1), 255, np.uint8)], axis=2
+        )
+    else:
+        rgba = img
+    flat = rgba.reshape(-1, 4)
+    n = len(flat)
+
+    # tokenize: literals + runs against the previous pixel (distance 1)
+    # or the previous row (distance = width) — sequential-copy LZ77
+    # semantics, so the run test compares against the ORIGINAL data
+    tokens: list[tuple] = []  # ("lit", r,g,b,a) | ("ref", length, dist)
+    i = 0
+    while i < n:
+        if use_backrefs and i > 0:
+            best_run, best_d = 0, 1
+            for d in (1, w_):
+                if d > i:
+                    continue
+                run = 0
+                while i + run < n and (flat[i + run] == flat[i + run - d]).all():
+                    run += 1
+                if run > best_run:
+                    best_run, best_d = run, d
+            if best_run >= 3:
+                tokens.append(("ref", best_run, best_d))
+                i += best_run
+                continue
+        r, g, b, a = (int(x) for x in flat[i])
+        tokens.append(("lit", r, g, b, a))
+        i += 1
+
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            _, r, g, b, a = t
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        else:
+            code, _, _ = _prefixed_code_for(t[1])
+            gf[256 + code] = gf.get(256 + code, 0) + 1
+            dcode, _, _ = _prefixed_code_for(t[2] + 120)  # direct code
+            df[dcode] = df.get(dcode, 0) + 1
+    # prefix codes need >= 1 symbol even if a channel never appears
+    for f in (rf, bf, af):
+        if not f:
+            f[0] = 1
+    if not df:
+        df[0] = 1
+
+    w = _LsbBitWriter()
+    w.write(w_ - 1, 14)
+    w.write(h - 1, 14)
+    w.write(1 if ch == 4 else 0, 1)
+    w.write(0, 3)  # version
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no color cache
+    w.write(0, 1)  # no meta prefix
+    codes = [
+        _write_prefix_code(w, _huffman_lengths(gf, 280)),
+        _write_prefix_code(w, _huffman_lengths(rf, 256)),
+        _write_prefix_code(w, _huffman_lengths(bf, 256)),
+        _write_prefix_code(w, _huffman_lengths(af, 256)),
+        _write_prefix_code(w, _huffman_lengths(df, 40)),
+    ]
+    green_e, red_e, blue_e, alpha_e, dist_e = (c.encode_table() for c in codes)
+
+    def put(enc: dict[int, tuple[int, int]], sym: int) -> None:
+        code, nbits = enc[sym]
+        for k in range(nbits - 1, -1, -1):
+            w.write((code >> k) & 1, 1)
+
+    for t in tokens:
+        if t[0] == "lit":
+            _, r, g, b, a = t
+            put(green_e, g)
+            put(red_e, r)
+            put(blue_e, b)
+            put(alpha_e, a)
+        else:
+            code, ebits, extra = _prefixed_code_for(t[1])
+            put(green_e, 256 + code)
+            w.write(extra, ebits)
+            dcode, debits, dextra = _prefixed_code_for(t[2] + 120)
+            put(dist_e, dcode)
+            w.write(dextra, debits)
+
+    payload = b"\x2f" + bytes(w.buf)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

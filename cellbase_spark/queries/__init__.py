@@ -100,6 +100,7 @@ GATE_PRIORITY = [
     "q_mm_decode_adpcm",
     "q_mm_decode_tiff16",
     "q_mm_decode_wav_float",
+    "q_mm_decode_webp",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -1161,6 +1161,74 @@ WHERE j = n_nib
 """
 
 
+@register(
+    "q_mm_decode_webp",
+    family="llm-multimodal",
+    oracle="""
+SELECT doc_id,
+       CAST(8 + doc_id % 5 AS INT) AS width,
+       CAST(10 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, 10), y ->
+            flatten(list_transform(range(0, 8 + doc_id % 5), x ->
+              [(doc_id * 13 + 7 * LEAST(y, 4) + 5 * x) % 256,
+               (doc_id * 13 + 7 * LEAST(y, 4) + 5 * x + 3) % 256,
+               (doc_id * 13 + 7 * LEAST(y, 4) + 5 * x + 6) % 256,
+               (doc_id + x) % 256]))))) AS BIGINT) AS px_sum
+FROM documents
+""",
+)
+def q_mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP lossless (VP8L) decode (round 11 — the last mainstream
+    image-container seam): each doc gets a deterministic 10-row RGBA
+    image whose bottom six rows repeat row 4 (pixel[y,x] uses
+    min(y, 4); alpha = (doc_id + x) % 256 — a genuinely varying alpha
+    plane), written as a genuine VP8L stream by the subset encoder —
+    per-channel Huffman-fit prefix codes (simple AND normal forms with
+    code-length codes appear across the corpus as channel alphabets
+    vary), LZ77 row backrefs with direct distance codes for the
+    repeated band — and decoded by the independent bit-level parser
+    (canonical prefix reconstruction, LSB-first reads, RIFF/VP8L
+    container walk). Lossless, so the oracle prices the RGBA sum from
+    the formula codec-free. Transforms/color-cache/meta-prefix/the
+    2D distance map stay loud seams (operators/webp.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.webp import decode_webp, encode_webp
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 8 + doc_id % 5
+                y, x = np.meshgrid(np.arange(10), np.arange(w), indexing="ij")
+                ym = np.minimum(y, 4)
+                img = np.stack(
+                    [
+                        (doc_id * 13 + 7 * ym + 5 * x) % 256,
+                        (doc_id * 13 + 7 * ym + 5 * x + 3) % 256,
+                        (doc_id * 13 + 7 * ym + 5 * x + 6) % 256,
+                        (doc_id + x) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                arr = decode_webp(encode_webp(img))
+                assert arr.shape == (10, w, 4)
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id long, width int, height int, px_sum long"
+    )
+
+
 @register("q_mm_decode_adpcm", family="llm-multimodal", oracle=_adpcm_oracle())
 def q_mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA/DVI ADPCM WAV decode (round 11 — the compressed-speech WAV
