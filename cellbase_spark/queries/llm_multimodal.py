@@ -495,7 +495,8 @@ SELECT doc_id,
        CASE doc_id % 7 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             WHEN 2 THEN 'video' ELSE 'image' END AS modality,
        CASE doc_id % 7
-         WHEN 0 THEN CAST(8 * (8 + doc_id % 5) * 3 AS BIGINT)
+         WHEN 0 THEN CAST(8 * (8 + doc_id % 5)
+              * (CASE WHEN doc_id % 14 = 7 THEN 4 ELSE 3 END) AS BIGINT)
          WHEN 1 THEN CAST(64 + doc_id % 17 AS BIGINT)
          WHEN 2 THEN CAST(3 * 4 * (4 + doc_id % 3) * 3 AS BIGINT)
          WHEN 3 THEN CAST(128 * (2 + doc_id % 3) AS BIGINT)
@@ -507,7 +508,9 @@ SELECT doc_id,
          WHEN 0 THEN CAST(list_sum(flatten(list_transform(range(0, 8), y ->
               flatten(list_transform(range(0, 8 + doc_id % 5), x ->
                 list_transform(range(0, 3),
-                               c -> (doc_id + 7*y + 3*x + c) % 256)))))) AS BIGINT)
+                               c -> (doc_id + 7*y + 3*x + c) % 256))))))
+              + CASE WHEN doc_id % 14 = 7
+                     THEN 255 * 8 * (8 + doc_id % 5) ELSE 0 END AS BIGINT)
          WHEN 1 THEN CAST(list_sum(list_transform(range(0, 64 + doc_id % 17),
               i -> (doc_id * 13 + i * 7) % 4096 - 2048)) AS BIGINT)
          WHEN 2 THEN CAST(list_sum(flatten(list_transform(range(0, 3), f ->
@@ -550,16 +553,19 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-scan progressive — the realistic shape (a web corpus never
     labels which JPEG flavor a payload is). The oracle re-derives
     everything from the per-modality formulas, so the hash matches only
-    if sniffing AND all EIGHT decode paths are correct (the JPEG lanes
+    if sniffing AND all NINE decode paths are correct (the JPEG lanes
     use the constant-block exact round-trip; the GIF and TIFF lanes are
     lossless — the TIFF lane rotates none/PackBits/LZW+Predictor-2
-    compression per doc, and half the audio docs arrive as FLAC of the
-    same clip, both encoding-blind to the oracle: 8 codec paths under
-    a 7-way content formula). Two mapInPandas passes (author, then sniff+decode) keep
+    compression per doc, half the audio docs arrive as FLAC of the
+    same clip, and half the PNG-lane docs arrive as VP8L WebP of the
+    same pixels — lossless container swaps, blind to the content
+    formulas; the WebP arm adds only its opaque alpha plane: 9 codec
+    paths under a 7-way content oracle). Two mapInPandas passes (author, then sniff+decode) keep
     the authored binary column a genuine Arrow BinaryType round-trip."""
     import numpy as np
     import pandas as pd
 
+    from cellbase_spark.operators.webp import encode_webp
     from cellbase_spark.operators.multimodal import (
         decode_asset,
         encode_flac,
@@ -584,7 +590,12 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.arange(8), np.arange(w), np.arange(3), indexing="ij"
                     )
                     img = ((doc_id + 7 * y + 3 * x + c) % 256).astype(np.uint8)
-                    payloads.append(encode_png(img, filter_type=doc_id % 5))
+                    # PNG/WebP container sub-lane: same pixel formula,
+                    # alpha plane (opaque) priced into the oracle arm
+                    if doc_id % 14 == 7:
+                        payloads.append(encode_webp(img))
+                    else:
+                        payloads.append(encode_png(img, filter_type=doc_id % 5))
                 elif m == 1:
                     n = 64 + doc_id % 17
                     i = np.arange(n, dtype=np.int64)
