@@ -1963,8 +1963,7 @@ def decode_tiff(data: bytes):
     comp = values(259, [1])[0]
     photo = values(262)[0]
     planar = values(284, [1])[0]
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF unsupported (PIL seam)")
+    tiled = 322 in tags or 323 in tags
     if set(bits) not in ({8}, {16}) or spp not in (1, 3) or planar not in (1, 2):
         raise NotImplementedError(
             f"only 8/16-bit gray/RGB TIFF supported (bits={bits},"
@@ -1986,41 +1985,75 @@ def decode_tiff(data: bytes):
             f"TIFF predictor {predictor} unsupported (none/horizontal"
             " differencing decode natively)"
         )
-    offsets = values(273)
-    counts = values(279)
-    rps = values(278, [h])[0]
     import numpy as np
 
-    # planar=2: the strip sequence is every strip of channel 0, then
-    # channel 1, ... — each strip carries ONE channel (samples-per-strip
-    # uses spp=1); chunky (planar=1) strips interleave all channels.
-    strip_spp = 1 if planar == 2 else spp
+    def expand(chunk: bytes, rows: int, width: int, chunk_spp: int) -> bytes:
+        if comp == 32773:
+            chunk = _packbits_decode(chunk, rows * width * chunk_spp * bype)
+        elif comp == 5:
+            chunk = _tiff_lzw_decode(chunk, rows * width * chunk_spp * bype)
+        elif len(chunk) != rows * width * chunk_spp * bype:
+            raise ValueError("TIFF strip/tile size mismatch")
+        if predictor == 2:
+            chunk = _tiff_undiff(chunk, rows, width, chunk_spp, dt)
+        return chunk
+
+    # planar=2: the strip/tile sequence is every chunk of channel 0,
+    # then channel 1, ... — each chunk carries ONE channel; chunky
+    # (planar=1) chunks interleave all channels.
+    chunk_spp = 1 if planar == 2 else spp
     n_passes = spp if planar == 2 else 1
-    strips_per_pass = len(offsets) // n_passes
-    if len(offsets) % n_passes:
-        raise ValueError("planar TIFF strip count not divisible by spp")
-    planes = []
-    for ch in range(n_passes):
-        raw = bytearray()
-        rows_left = h
-        for si in range(strips_per_pass):
-            off = offsets[ch * strips_per_pass + si]
-            cnt = counts[ch * strips_per_pass + si]
-            rows = min(rps, rows_left)
-            rows_left -= rows
-            strip = data[off : off + cnt]
-            if comp == 32773:
-                strip = _packbits_decode(strip, rows * w * strip_spp * bype)
-            elif comp == 5:
-                strip = _tiff_lzw_decode(strip, rows * w * strip_spp * bype)
-            elif len(strip) != rows * w * strip_spp * bype:
-                raise ValueError("TIFF strip size mismatch")
-            if predictor == 2:
-                strip = _tiff_undiff(strip, rows, w, strip_spp, dt)
-            raw += strip
-        planes.append(
-            np.frombuffer(bytes(raw), np.dtype(dt)).reshape(h, w, strip_spp)
-        )
+
+    if tiled:
+        # tiles: fixed tw x th blocks, row-major, right/bottom tiles
+        # padded to full size; per-tile compression/predictor identical
+        # to the strip path (tiles ARE strips with a 2-D extent)
+        tw = values(322)[0]
+        th = values(323)[0]
+        offsets = values(324)
+        counts = values(325)
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // th)
+        per_pass = tiles_x * tiles_y
+        if len(offsets) != per_pass * n_passes:
+            raise ValueError("TIFF tile count mismatch")
+        planes = []
+        for ch in range(n_passes):
+            plane = np.zeros((h, w, chunk_spp), dtype=np.dtype(dt))
+            for ti in range(per_pass):
+                ty, tx = divmod(ti, tiles_x)
+                k = ch * per_pass + ti
+                tile = expand(
+                    data[offsets[k] : offsets[k] + counts[k]], th, tw,
+                    chunk_spp,
+                )
+                block = np.frombuffer(tile, np.dtype(dt)).reshape(
+                    th, tw, chunk_spp
+                )
+                y0, x0 = ty * th, tx * tw
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                plane[y0 : y0 + ys, x0 : x0 + xs] = block[:ys, :xs]
+            planes.append(plane)
+    else:
+        offsets = values(273)
+        counts = values(279)
+        rps = values(278, [h])[0]
+        strips_per_pass = len(offsets) // n_passes
+        if len(offsets) % n_passes:
+            raise ValueError("planar TIFF strip count not divisible by spp")
+        planes = []
+        for ch in range(n_passes):
+            raw = bytearray()
+            rows_left = h
+            for si in range(strips_per_pass):
+                off = offsets[ch * strips_per_pass + si]
+                cnt = counts[ch * strips_per_pass + si]
+                rows = min(rps, rows_left)
+                rows_left -= rows
+                raw += expand(data[off : off + cnt], rows, w, chunk_spp)
+            planes.append(
+                np.frombuffer(bytes(raw), np.dtype(dt)).reshape(h, w, chunk_spp)
+            )
     arr = planes[0] if n_passes == 1 else np.concatenate(planes, axis=2)
     if bps == 16:
         arr = arr.astype(np.uint16)  # native order for the caller
@@ -2035,14 +2068,16 @@ def encode_tiff(
     lzw: bool = False,
     predictor: int = 1,
     planar: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Write a uint8/uint16 (H, W) gray or (H, W, 3) RGB array as a
     baseline TIFF (16-bit when the input dtype is uint16): header +
-    strip data + one IFD, multi-strip (rows_per_strip), optional
-    PackBits or LZW (with optional Predictor-2 horizontal differencing,
-    which operates on samples, not bytes), either byte order, chunky or
-    planar (PlanarConfiguration 2: per-channel strip runs) — every
-    decoder lane reachable."""
+    strip data + one IFD, multi-strip (rows_per_strip) or TILED
+    (`tile=(tw, th)` — fixed blocks, edge tiles zero-padded, tags
+    322-325), optional PackBits or LZW (with optional Predictor-2
+    horizontal differencing, which operates on samples, not bytes),
+    either byte order, chunky or planar (PlanarConfiguration 2:
+    per-channel chunk runs) — every decoder lane reachable."""
     import numpy as np
 
     if packbits and lzw:
@@ -2063,18 +2098,35 @@ def encode_tiff(
         [img[:, :, c : c + 1] for c in range(spp)] if planar else [img]
     )
     strip_spp = 1 if planar else spp
+
+    def pack_chunk(block, width: int) -> bytes:
+        raw = block.astype(np.dtype(dt)).tobytes()
+        if predictor == 2:
+            raw = _tiff_diff(raw, block.shape[0], width, strip_spp, dt)
+        if packbits:
+            raw = _packbits_encode(raw)
+        elif lzw:
+            raw = _tiff_lzw_encode(raw)
+        return raw
+
     strips = []
-    for src in sources:
-        for y0 in range(0, h, rows_per_strip):
-            rows = src[y0 : y0 + rows_per_strip]
-            raw = rows.astype(np.dtype(dt)).tobytes()
-            if predictor == 2:
-                raw = _tiff_diff(raw, rows.shape[0], w, strip_spp, dt)
-            if packbits:
-                raw = _packbits_encode(raw)
-            elif lzw:
-                raw = _tiff_lzw_encode(raw)
-            strips.append(raw)
+    if tile is not None:
+        tw, th = tile
+        for src in sources:
+            if src.ndim == 2:
+                src = src[:, :, None]
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = np.zeros((th, tw, strip_spp), img.dtype)
+                    ys = min(th, h - y0)
+                    xs = min(tw, w - x0)
+                    block[:ys, :xs] = src[y0 : y0 + ys, x0 : x0 + xs]
+                    strips.append(pack_chunk(block, tw))
+    else:
+        for src in sources:
+            for y0 in range(0, h, rows_per_strip):
+                rows = src[y0 : y0 + rows_per_strip]
+                strips.append(pack_chunk(rows, w))
     out = bytearray(b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
     out += b"\x00" * 4  # IFD offset patched below
     strip_offsets = []
@@ -2098,10 +2150,16 @@ def encode_tiff(
     entry(262, 3, [1 if gray else 2])
     if predictor == 2:
         entry(317, 3, [2])
-    entry(273, 4, strip_offsets)
     entry(277, 3, [spp])
-    entry(278, 4, [rows_per_strip])
-    entry(279, 4, [len(sdata) for sdata in strips])
+    if tile is not None:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(324, 4, strip_offsets)
+        entry(325, 4, [len(sdata) for sdata in strips])
+    else:
+        entry(273, 4, strip_offsets)
+        entry(278, 4, [rows_per_strip])
+        entry(279, 4, [len(sdata) for sdata in strips])
     entry(284, 3, [2 if planar else 1])
     entries.sort(key=lambda t: t[0])
 

@@ -1588,11 +1588,12 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 3), Predictor-2 for odd docs (differencing runs on
     SAMPLES, not bytes — the 16-bit-specific trap), big-endian for
     doc_id % 2 == 0 (sample byte order follows the file header — the
-    other trap), and PLANAR configuration for doc_id % 5 < 2 (strips
-    arrive as per-channel runs; each strip is a one-channel raster),
-    then decoded by the independent parser. Lossless, so the oracle
-    prices the pixel sum from the formula codec-free. Tiled TIFF stays
-    the loud seam."""
+    other trap), PLANAR configuration for doc_id % 5 < 2 (chunks
+    arrive as per-channel runs), and TILED layout for doc_id % 7 < 2
+    (4x4 blocks, edge tiles padded — tags 322-325), then decoded by
+    the independent parser. Lossless, so the oracle prices the pixel
+    sum from the formula codec-free; deflate/JPEG-in-TIFF compression
+    stays the loud seam."""
     import numpy as np
     import pandas as pd
 
@@ -1620,6 +1621,7 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
                         big_endian=doc_id % 2 == 0,
                         rows_per_strip=3,
                         planar=doc_id % 5 < 2,
+                        tile=(4, 4) if doc_id % 7 < 2 else None,
                     )
                 )
                 assert arr.dtype == np.uint16

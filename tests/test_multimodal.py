@@ -56,13 +56,17 @@ def test_frame_sample_expansion_and_fingerprint(assets):
 def test_real_decoder_seam_raises_without_codecs():
     # covered in more detail by test_decode_image_compressed_needs_pil;
     # kept as the minimal seam contract: bytes of a format with no
-    # native codec (WebP here — TIFF went native in round 11) either
-    # decode (PIL present) or raise NotImplementedError, never garbage.
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPnot-really")
+    # native codec (lossy VP8 WebP here — VP8L lossless went native
+    # late round 11) either decode (PIL present) or raise
+    # NotImplementedError, never garbage.
+    import struct as _struct
+
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 12) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(lossy)
 
 
 def test_bmp_roundtrip_including_padding():
@@ -106,16 +110,22 @@ def test_decode_image_compressed_needs_pil():
         pytest.skip("PIL present; compressed path exercised elsewhere")
     except ImportError:
         pass
-    # PNG, JPEG (baseline+progressive), GIF and TIFF now decode
-    # natively; the PIL seam is for formats without a native path,
-    # e.g. WebP
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPnot-really")
-    # malformed payloads fail loudly in the native codecs, never silently
+    # PNG, JPEG (baseline+progressive), GIF, TIFF and VP8L WebP now
+    # decode natively; the PIL seam is for formats without a native
+    # path — lossy VP8 WebP here
     import struct as _struct
 
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 12) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(lossy)
+    # malformed payloads fail loudly in the native codecs, never silently
     with pytest.raises((ValueError, NotImplementedError, _struct.error)):
         decode_image(b"\x89PNG\r\n\x1a\nnot-really-a-png")
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPnot-really")
     with pytest.raises((ValueError, NotImplementedError, _struct.error, IndexError)):
         decode_image(b"\xff\xd8\xff\xe0not-really-a-jpeg")
     with pytest.raises((ValueError, NotImplementedError, _struct.error, IndexError)):

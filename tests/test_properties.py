@@ -805,8 +805,9 @@ def test_tiff_lzw_roundtrip_property(
     (replicate-heavy dictionaries); random ones drive one-entry-per-
     code growth across the early-change width bumps; 16-bit exercises
     sample-level (not byte-level) differencing and the
-    header-byte-order sample encoding; planar adds per-channel strip
-    runs."""
+    header-byte-order sample encoding; planar adds per-channel chunk
+    runs and one strip-size arm swaps in the 5x3 TILED layout (edge
+    tiles zero-padded)."""
     import numpy as np
 
     from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
@@ -823,7 +824,8 @@ def test_tiff_lzw_roundtrip_property(
     out = decode_tiff(
         encode_tiff(img, lzw=True, predictor=predictor,
                     big_endian=big_endian, rows_per_strip=rps,
-                    planar=planar and not gray)
+                    planar=planar and not gray,
+                    tile=(5, 3) if rps == 4 else None)
     )
     assert out.dtype == dtype and np.array_equal(out, img)
 
