@@ -1974,10 +1974,10 @@ def decode_tiff(data: bytes):
     dt = ("u1" if bps == 8 else e + "u2")
     if photo not in (1, 2):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
-    if comp not in (1, 32773, 5):
+    if comp not in (1, 32773, 5, 8):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (none/PackBits/LZW"
-            " decode natively; JPEG-in-TIFF/deflate ride the PIL seam)"
+            f"TIFF compression {comp} unsupported (none/PackBits/LZW/"
+            "Deflate decode natively; JPEG-in-TIFF rides the PIL seam)"
         )
     predictor = values(317, [1])[0]
     if predictor not in (1, 2):
@@ -1992,6 +1992,12 @@ def decode_tiff(data: bytes):
             chunk = _packbits_decode(chunk, rows * width * chunk_spp * bype)
         elif comp == 5:
             chunk = _tiff_lzw_decode(chunk, rows * width * chunk_spp * bype)
+        elif comp == 8:  # Adobe Deflate: one zlib stream per chunk
+            import zlib
+
+            chunk = zlib.decompress(chunk)
+            if len(chunk) != rows * width * chunk_spp * bype:
+                raise ValueError("TIFF deflate chunk size mismatch")
         elif len(chunk) != rows * width * chunk_spp * bype:
             raise ValueError("TIFF strip/tile size mismatch")
         if predictor == 2:
@@ -2069,6 +2075,7 @@ def encode_tiff(
     predictor: int = 1,
     planar: bool = False,
     tile: tuple[int, int] | None = None,
+    deflate: bool = False,
 ) -> bytes:
     """Write a uint8/uint16 (H, W) gray or (H, W, 3) RGB array as a
     baseline TIFF (16-bit when the input dtype is uint16): header +
@@ -2080,8 +2087,8 @@ def encode_tiff(
     per-channel chunk runs) — every decoder lane reachable."""
     import numpy as np
 
-    if packbits and lzw:
-        raise ValueError("encode_tiff: pick one of packbits/lzw")
+    if packbits + lzw + deflate > 1:
+        raise ValueError("encode_tiff: pick one of packbits/lzw/deflate")
     if predictor not in (1, 2):
         raise ValueError("encode_tiff: predictor must be 1 or 2")
     img = np.asarray(img)
@@ -2107,6 +2114,10 @@ def encode_tiff(
             raw = _packbits_encode(raw)
         elif lzw:
             raw = _tiff_lzw_encode(raw)
+        elif deflate:
+            import zlib
+
+            raw = zlib.compress(raw)
         return raw
 
     strips = []
@@ -2146,7 +2157,7 @@ def encode_tiff(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [16 if wide else 8] * spp)
-    entry(259, 3, [32773 if packbits else (5 if lzw else 1)])
+    entry(259, 3, [32773 if packbits else (5 if lzw else (8 if deflate else 1))])
     entry(262, 3, [1 if gray else 2])
     if predictor == 2:
         entry(317, 3, [2])

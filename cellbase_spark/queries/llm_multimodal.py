@@ -1584,16 +1584,17 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
     scientific/scanner imagery): each doc gets a deterministic
     (7 x 5+doc_id%4) RGB image of full-range 16-bit samples
     (pixel[y,x,c] = (doc_id*257 + 1031y + 517x + 263c) % 65536),
-    written with the per-doc rotation none/PackBits/LZW compression
-    (doc_id % 3), Predictor-2 for odd docs (differencing runs on
+    written with the per-doc rotation LZW/PackBits/none/Deflate
+    compression (doc_id % 4 — Deflate is TIFF tag 8, one stdlib-zlib
+    stream per chunk), Predictor-2 for odd docs (differencing runs on
     SAMPLES, not bytes — the 16-bit-specific trap), big-endian for
     doc_id % 2 == 0 (sample byte order follows the file header — the
     other trap), PLANAR configuration for doc_id % 5 < 2 (chunks
     arrive as per-channel runs), and TILED layout for doc_id % 7 < 2
     (4x4 blocks, edge tiles padded — tags 322-325), then decoded by
     the independent parser. Lossless, so the oracle prices the pixel
-    sum from the formula codec-free; deflate/JPEG-in-TIFF compression
-    stays the loud seam."""
+    sum from the formula codec-free; JPEG-in-TIFF stays the loud
+    seam."""
     import numpy as np
     import pandas as pd
 
@@ -1611,12 +1612,13 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = (
                     (doc_id * 257 + 1031 * y + 517 * x + 263 * c) % 65536
                 ).astype(np.uint16)
-                comp = doc_id % 3
+                comp = doc_id % 4
                 arr = decode_tiff(
                     encode_tiff(
                         img,
                         packbits=comp == 1,
                         lzw=comp == 0,
+                        deflate=comp == 3,
                         predictor=2 if doc_id % 2 else 1,
                         big_endian=doc_id % 2 == 0,
                         rows_per_strip=3,

@@ -632,11 +632,14 @@ def test_tiff_roundtrip_matrix_and_seams():
     img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_tiff(img, packbits=True)), img)
 
-    # LZW went native late round 11 — positive lane with predictor
+    # LZW and Deflate went native late round 11 — positive lanes
     assert np.array_equal(
         decode_tiff(encode_tiff(img, lzw=True, predictor=2)), img
     )
-    # seams: rewrite Compression to Deflate (8) -> loud refusal
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, deflate=True, predictor=2)), img
+    )
+    # seams: rewrite Compression to JPEG-in-TIFF (7) -> loud refusal
     data = bytearray(encode_tiff(img))
     # find the IFD and patch tag 259's value
     (ifd,) = st.unpack_from("<I", data, 4)
@@ -644,8 +647,8 @@ def test_tiff_roundtrip_matrix_and_seams():
     for k in range(n):
         tag, typ, cnt = st.unpack_from("<HHI", data, ifd + 2 + 12 * k)
         if tag == 259:
-            st.pack_into("<H", data, ifd + 2 + 12 * k + 8, 8)
-    with pytest.raises(NotImplementedError, match="compression 8"):
+            st.pack_into("<H", data, ifd + 2 + 12 * k + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(data))
 
 

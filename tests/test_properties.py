@@ -806,8 +806,8 @@ def test_tiff_lzw_roundtrip_property(
     code growth across the early-change width bumps; 16-bit exercises
     sample-level (not byte-level) differencing and the
     header-byte-order sample encoding; planar adds per-channel chunk
-    runs and one strip-size arm swaps in the 5x3 TILED layout (edge
-    tiles zero-padded)."""
+    runs, one strip-size arm swaps in the 5x3 TILED layout (edge
+    tiles zero-padded), and another swaps LZW for DEFLATE (tag 8)."""
     import numpy as np
 
     from cellbase_spark.operators.multimodal import decode_tiff, encode_tiff
@@ -822,7 +822,8 @@ def test_tiff_lzw_roundtrip_property(
     else:
         img = rng.integers(0, top, shape, dtype=dtype)
     out = decode_tiff(
-        encode_tiff(img, lzw=True, predictor=predictor,
+        encode_tiff(img, lzw=rps != 64, deflate=rps == 64,
+                    predictor=predictor,
                     big_endian=big_endian, rows_per_strip=rps,
                     planar=planar and not gray,
                     tile=(5, 3) if rps == 4 else None)
