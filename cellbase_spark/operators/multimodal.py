@@ -784,6 +784,31 @@ def _ima_decode_block(body: bytes, n_samples: int):
     return out
 
 
+def _ima_compress_channel(chunk, idx: int) -> tuple[list[int], int, int]:
+    """Greedy IMA compression of one channel's block: returns
+    (nibbles, first_sample, carried step index) — nibble choice runs
+    the SAME state machine the decoder does."""
+    pred = int(chunk[0])
+    first = pred
+    nibbles = []
+    for target in chunk[1:]:
+        step = _IMA_STEP_TABLE[idx]
+        diff = int(target) - pred
+        n = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+        pred, idx = _ima_decode_nibble(pred, idx, n)
+        nibbles.append(n)
+    return nibbles, first, idx
+
+
 def ima_adpcm_encode(samples, block_samples: int = 505) -> tuple[bytes, int]:
     """Compress int16 mono samples to IMA ADPCM blocks (greedy nibble
     choice through the same state machine the decoder runs — the
@@ -800,24 +825,9 @@ def ima_adpcm_encode(samples, block_samples: int = 505) -> tuple[bytes, int]:
     while at < len(arr):
         chunk = arr[at : at + block_samples]
         at += block_samples
-        pred = int(chunk[0])
-        out += struct.pack("<hBB", pred, idx, 0)
-        nibbles = []
-        for target in chunk[1:]:
-            step = _IMA_STEP_TABLE[idx]
-            diff = int(target) - pred
-            n = 8 if diff < 0 else 0
-            diff = abs(diff)
-            if diff >= step:
-                n |= 4
-                diff -= step
-            if diff >= step >> 1:
-                n |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                n |= 1
-            pred, idx = _ima_decode_nibble(pred, idx, n)
-            nibbles.append(n)
+        nibbles, first, idx0 = _ima_compress_channel(chunk, idx)
+        out += struct.pack("<hBB", first, idx, 0)
+        idx = idx0
         if len(nibbles) % 2:
             nibbles.append(0)
         for lo, hi in zip(nibbles[::2], nibbles[1::2]):
@@ -826,6 +836,78 @@ def ima_adpcm_encode(samples, block_samples: int = 505) -> tuple[bytes, int]:
         pad = block_align - (4 + len(nibbles) // 2)
         out += b"\x00" * pad
     return bytes(out), block_align
+
+
+def ima_adpcm_encode_stereo(
+    samples, block_samples: int = 505
+) -> tuple[bytes, int]:
+    """Compress (N, 2) int16 samples to STEREO IMA ADPCM blocks — the
+    interleaved-word layout real stereo ADPCM WAVs use: per block, one
+    4-byte header PER CHANNEL (first sample + step index), then the
+    nibble data in alternating 4-byte words (8 nibbles = 8 samples of
+    ONE channel per word). Returns (data, block_align) with
+    block_align = 8 * (1 + ceil((block_samples - 1) / 8))."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    n_ch = arr.shape[1]
+    if n_ch != 2:
+        raise ValueError("ima_adpcm_encode_stereo: needs (N, 2) input")
+    nwords = -(-(block_samples - 1) // 8)
+    block_align = 4 * n_ch * (1 + nwords)
+    out = bytearray()
+    idx = [0] * n_ch
+    at = 0
+    while at < len(arr):
+        chunk = arr[at : at + block_samples]
+        at += block_samples
+        per_ch = []
+        for c in range(n_ch):
+            nibbles, first, idx_after = _ima_compress_channel(
+                chunk[:, c], idx[c]
+            )
+            out_hdr = struct.pack("<hBB", first, idx[c], 0)
+            nibbles += [0] * (nwords * 8 - len(nibbles))
+            per_ch.append((out_hdr, nibbles, idx_after))
+        for hdr, _, _ in per_ch:
+            out += hdr
+        for wi in range(nwords):
+            for c in range(n_ch):
+                nib = per_ch[c][1][wi * 8 : wi * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(nib[k] | (nib[k + 1] << 4))
+        idx = [p[2] for p in per_ch]
+    return bytes(out), block_align
+
+
+def _ima_decode_block_stereo(body: bytes, n_samples: int, n_ch: int):
+    """One stereo (or n-channel) IMA block: per-channel 4-byte headers,
+    then alternating 4-byte words of 8 nibbles per channel. Returns a
+    list of per-channel sample lists (n_samples each)."""
+    chans = []
+    states = []
+    for c in range(n_ch):
+        (pred,) = struct.unpack_from("<h", body, 4 * c)
+        idx = body[4 * c + 2]
+        if idx > 88:
+            raise ValueError(f"IMA ADPCM step index {idx} out of range")
+        chans.append([pred])
+        states.append((pred, idx))
+    pos = 4 * n_ch
+    while min(len(ch) for ch in chans) < n_samples:
+        for c in range(n_ch):
+            if pos + 4 > len(body):
+                raise ValueError("IMA ADPCM stereo block truncated")
+            word = body[pos : pos + 4]
+            pos += 4
+            pred, idx = states[c]
+            for b in word:
+                for n in (b & 0x0F, b >> 4):
+                    if len(chans[c]) < n_samples:
+                        pred, idx = _ima_decode_nibble(pred, idx, n)
+                        chans[c].append(pred)
+            states[c] = (pred, idx)
+    return chans
 
 
 def ima_wav_from_nibbles(
@@ -862,6 +944,49 @@ def ima_wav_from_nibbles(
     )
 
 
+def ima_wav_from_nibbles_stereo(
+    nibbles_by_ch, preds, idxs, sample_rate: int = 8000
+) -> bytes:
+    """Assemble a genuine single-block STEREO IMA ADPCM WAV from
+    explicit per-channel nibble streams + initial states — the
+    stereo oracle-key producer (per-channel headers, alternating
+    4-byte words of 8 nibbles)."""
+    n_ch = len(nibbles_by_ch)
+    n_nib = len(nibbles_by_ch[0])
+    if any(len(nb) != n_nib for nb in nibbles_by_ch):
+        raise ValueError("channels must carry equal nibble counts")
+    n_samples = n_nib + 1
+    nwords = -(-n_nib // 8) if n_nib else 0
+    body = bytearray()
+    for c in range(n_ch):
+        body += struct.pack("<hBB", preds[c], idxs[c], 0)
+    padded = [list(nb) + [0] * (nwords * 8 - n_nib) for nb in nibbles_by_ch]
+    for wi in range(nwords):
+        for c in range(n_ch):
+            nib = padded[c][wi * 8 : wi * 8 + 8]
+            for k in range(0, 8, 2):
+                body.append(nib[k] | (nib[k + 1] << 4))
+    block_align = len(body)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, sample_rate,
+        sample_rate * block_align // n_samples, block_align, 4, 2,
+        n_samples,
+    )
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", n_samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + fact
+        + b"data"
+        + struct.pack("<I", len(body))
+        + bytes(body)
+    )
+
+
 @lru_cache(maxsize=2)
 def _g711_decode_table(law: str):
     """256-entry int16 expansion table for 'ulaw'/'alaw' — decode is a
@@ -893,12 +1018,15 @@ def encode_wav(
         arr = arr.reshape(-1, 1)
     n_ch = arr.shape[1]
     if codec == "ima_adpcm":
-        if n_ch != 1:
-            raise ValueError("encode_wav: ima_adpcm is mono-only here")
+        if n_ch > 2:
+            raise ValueError("encode_wav: ima_adpcm is mono/stereo only")
         spb = adpcm_block_samples
-        pcm, block_align = ima_adpcm_encode(arr[:, 0], block_samples=spb)
+        if n_ch == 1:
+            pcm, block_align = ima_adpcm_encode(arr[:, 0], block_samples=spb)
+        else:
+            pcm, block_align = ima_adpcm_encode_stereo(arr, block_samples=spb)
         fmt = struct.pack(
-            "<HHIIHHHH", 0x11, 1, sample_rate,
+            "<HHIIHHHH", 0x11, n_ch, sample_rate,
             sample_rate * block_align // spb, block_align, 4, 2, spb,
         )
         fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", len(arr))
@@ -989,10 +1117,9 @@ def decode_wav(data: bytes):
                     f" supported (fmt={fmt_tag}, bits={bits})"
                 )
             if fmt_tag == 0x11:
-                if n_ch != 1:
+                if n_ch > 2:
                     raise NotImplementedError(
-                        "stereo IMA ADPCM unsupported (mono decodes"
-                        " natively — the interleaved-word seam)"
+                        "IMA ADPCM beyond stereo unsupported"
                     )
                 (spb,) = struct.unpack_from("<H", data, body_at + 18)
         elif ctype == b"fact":
@@ -1003,15 +1130,27 @@ def decode_wav(data: bytes):
             if fmt_tag == 0x11:
                 if fact_samples is None:
                     raise ValueError("IMA ADPCM WAV missing fact chunk")
-                out: list[int] = []
+                if n_ch == 1:
+                    out: list[int] = []
+                    at = body_at
+                    while len(out) < fact_samples:
+                        n = min(spb, fact_samples - len(out))
+                        out.extend(
+                            _ima_decode_block(data[at : at + block_align], n)
+                        )
+                        at += block_align
+                    return np.array(out, dtype=np.int16), rate
+                chans: list[list[int]] = [[] for _ in range(n_ch)]
                 at = body_at
-                while len(out) < fact_samples:
-                    n = min(spb, fact_samples - len(out))
-                    out.extend(
-                        _ima_decode_block(data[at : at + block_align], n)
+                while len(chans[0]) < fact_samples:
+                    n = min(spb, fact_samples - len(chans[0]))
+                    block = _ima_decode_block_stereo(
+                        data[at : at + block_align], n, n_ch
                     )
+                    for c in range(n_ch):
+                        chans[c].extend(block[c])
                     at += block_align
-                return np.array(out, dtype=np.int16), rate
+                return np.array(chans, dtype=np.int16).T, rate
             if fmt_tag == 3:
                 flat = np.frombuffer(data, "<f4", ln // 4, body_at).copy()
             elif fmt_tag in (6, 7):

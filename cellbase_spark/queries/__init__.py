@@ -101,6 +101,7 @@ GATE_PRIORITY = [
     "q_mm_decode_tiff16",
     "q_mm_decode_wav_float",
     "q_mm_decode_webp",
+    "q_mm_decode_adpcm_stereo",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

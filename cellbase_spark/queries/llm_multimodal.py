@@ -1240,6 +1240,114 @@ def q_mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adpcm_stereo_oracle() -> str:
+    from cellbase_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    st = "[" + ", ".join(map(str, _IMA_STEP_TABLE)) + "]"
+    it = "[" + ", ".join(map(str, _IMA_INDEX_TABLE)) + "]"
+    return f"""
+WITH RECURSIVE steps AS (
+  SELECT doc_id, c,
+         CAST(0 AS BIGINT) AS j,
+         CAST((doc_id * 57 + 100 * c) % 4096 - 2048 AS BIGINT) AS pred,
+         CAST((doc_id + 13 * c) % 89 AS BIGINT) AS idx,
+         CAST((doc_id * 57 + 100 * c) % 4096 - 2048 AS BIGINT) AS total,
+         CAST(31 + doc_id % 8 AS BIGINT) AS n_nib
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS c) chs
+  UNION ALL
+  SELECT doc_id, c, j + 1,
+         GREATEST(-32768, LEAST(32767, pred + sgn * d)),
+         LEAST(88, GREATEST(0, idx + ({it})[(nib % 8) + 1])),
+         total + GREATEST(-32768, LEAST(32767, pred + sgn * d)),
+         n_nib
+  FROM (
+    SELECT s.*, nib, sgn,
+           step // 8 + (nib % 2) * (step // 4)
+             + ((nib // 2) % 2) * (step // 2)
+             + ((nib // 4) % 2) * step AS d
+    FROM (
+      SELECT s0.*,
+             (s0.doc_id * 7 + s0.j * 3 + 5 * s0.c) % 16 AS nib,
+             1 - 2 * (((s0.doc_id * 7 + s0.j * 3 + 5 * s0.c) % 16) // 8) AS sgn,
+             ({st})[s0.idx + 1] AS step
+      FROM steps s0
+      WHERE s0.j < s0.n_nib
+    ) s
+  ) t
+)
+SELECT doc_id,
+       CAST(32 + doc_id % 8 AS INT) AS n_samples,
+       MAX(CASE WHEN c = 0 THEN total END) AS ch0_sum,
+       MAX(CASE WHEN c = 1 THEN total END) AS ch1_sum
+FROM steps
+WHERE j = n_nib
+GROUP BY doc_id
+"""
+
+
+@register(
+    "q_mm_decode_adpcm_stereo",
+    family="llm-multimodal",
+    oracle=_adpcm_stereo_oracle(),
+)
+def q_mm_decode_adpcm_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO IMA ADPCM WAV decode (round 11 — the interleaved-word
+    half of the format, closing the mono key's documented seam): real
+    stereo blocks carry one 4-byte header PER CHANNEL then alternate
+    4-byte words of 8 single-channel nibbles — two INDEPENDENT state
+    machines whose streams are woven at word granularity. Each doc's
+    payload is a genuine 2-channel ADPCM WAV with per-channel formula
+    nibbles (nibble[c][j] = (doc_id*7 + 3j + 5c) % 16, per-channel
+    initial predictors/indices), decoded and reduced to per-channel
+    sample sums. The oracle replays BOTH channels' folds in one
+    recursive CTE keyed by (doc_id, c) and pivots the two totals — a
+    de-interleave bug (the classic stereo-ADPCM failure: nibbles
+    routed to the wrong channel's state) diverges both columns."""
+    import numpy as np
+    import pandas as pd
+
+    from cellbase_spark.operators.multimodal import (
+        decode_wav,
+        ima_wav_from_nibbles_stereo,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n_nib = 31 + doc_id % 8
+                nibs = [
+                    [(doc_id * 7 + 3 * j + 5 * c) % 16 for j in range(n_nib)]
+                    for c in (0, 1)
+                ]
+                wav = ima_wav_from_nibbles_stereo(
+                    nibs,
+                    [(doc_id * 57 + 100 * c) % 4096 - 2048 for c in (0, 1)],
+                    [(doc_id + 13 * c) % 89 for c in (0, 1)],
+                )
+                samples, rate = decode_wav(wav)
+                assert rate == 8000 and samples.shape == (n_nib + 1, 2)
+                s = samples.astype(np.int64)
+                out.append(
+                    (doc_id, samples.shape[0],
+                     int(s[:, 0].sum()), int(s[:, 1].sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "ch0_sum", "ch1_sum"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id long, n_samples int, ch0_sum long, ch1_sum long",
+    )
+
+
 @register("q_mm_decode_adpcm", family="llm-multimodal", oracle=_adpcm_oracle())
 def q_mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA/DVI ADPCM WAV decode (round 11 — the compressed-speech WAV
@@ -1257,7 +1365,7 @@ def q_mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same codec-free hash discipline as the table codecs. (A
     list_reduce lambda fold was rejected: DuckDB 1.0's lambda CSE
     mis-binds a subexpression duplicated across struct fields —
-    measured, not assumed.) Stereo ADPCM stays the loud seam."""
+    measured, not assumed.) The stereo half is q_mm_decode_adpcm_stereo."""
     import numpy as np
     import pandas as pd
 

@@ -974,17 +974,19 @@ def test_flac_corruption_is_loud():
 @given(
     n=st.integers(min_value=1, max_value=1500),
     spb=st.sampled_from([9, 64, 505]),
+    stereo=st.booleans(),
     shape=st.sampled_from(["sine", "walk", "steps", "extreme"]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @_CODEC_SETTINGS
-def test_ima_adpcm_tracks_input(n, spb, shape, seed):
+def test_ima_adpcm_tracks_input(n, spb, stereo, shape, seed):
     """encode->decode through the IMA ADPCM state machine: output has
     the exact sample count (fact-chunk honored across multi-block
     streams incl. a short final block), sample 0 is exact (block
     headers carry it verbatim), and the decoded signal tracks the
     input within the quantizer's worst step (ADPCM is lossy but its
-    error is step-bounded, not unbounded drift)."""
+    error is step-bounded, not unbounded drift); stereo runs two
+    independent state machines through the interleaved-word layout."""
     import numpy as np
 
     from cellbase_spark.operators.multimodal import decode_wav, encode_wav
@@ -999,12 +1001,14 @@ def test_ima_adpcm_tracks_input(n, spb, shape, seed):
         sig = ((t // 50) % 7 * 4000 - 12000).astype(np.int16)
     else:
         sig = rng.choice(np.array([32767, -32768, 0], np.int16), n)
+    if stereo:
+        sig = np.stack([sig, np.roll(sig, 1)], axis=1)
     out, rate = decode_wav(
         encode_wav(sig, 8000, codec="ima_adpcm", adpcm_block_samples=spb)
     )
     assert rate == 8000 and out.dtype == np.int16
-    assert out.shape == (n,)
-    assert int(out[0]) == int(sig[0])
+    assert out.shape == sig.shape
+    assert np.array_equal(out.reshape(n, -1)[0], sig.reshape(n, -1)[0])
     # worst-case per-sample error is bounded by ~2x the max step
     err = np.abs(out.astype(np.int64) - sig.astype(np.int64))
     assert int(err.max()) <= 2 * 32767
