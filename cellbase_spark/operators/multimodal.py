@@ -44,7 +44,27 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from functools import lru_cache
+from functools import lru_cache, wraps
+
+
+def loud_truncation(fn):
+    """Decoder-boundary contract: malformed/truncated payloads raise
+    ValueError (or a documented NotImplementedError seam), never a bare
+    IndexError/KeyError from an out-of-bounds byte access. Fuzzing
+    (round 11: 2,800 hostile inputs + 1,200 corrupted valid files)
+    found the bare-indexing escapes this normalizes; deep bit readers
+    already raise typed errors, this catches the container walks."""
+
+    @wraps(fn)
+    def wrapped(data, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except (IndexError, KeyError) as exc:
+            raise ValueError(
+                f"{fn.__name__}: malformed or truncated payload ({exc!r})"
+            ) from exc
+
+    return wrapped
 from collections.abc import Iterator
 
 import pandas as pd
@@ -106,6 +126,7 @@ def encode_bmp(img) -> bytes:
     return header + info + b"".join(rows)
 
 
+@loud_truncation
 def decode_bmp(data: bytes):
     """Parse a 24-bit BI_RGB BMP into an (H, W, 3) uint8 RGB array —
     real header parsing, row padding, bottom-up flip, BGR->RGB."""
@@ -129,6 +150,7 @@ def decode_bmp(data: bytes):
     return out
 
 
+@loud_truncation
 def decode_ppm(data: bytes):
     """Parse a binary P6 PPM (maxval 255) into (H, W, 3) uint8 RGB."""
     import numpy as np
@@ -562,6 +584,7 @@ def _png_unfilter(raw: bytes, off: int, nrows: int, stride: int, bpp: int):
     return out, off + need
 
 
+@loud_truncation
 def decode_png(data: bytes):
     """Parse a PNG (8- or 16-bit gray / truecolor RGB / RGBA, 8-bit
     palette; non-interlaced OR Adam7 — round 11 closed both remaining
@@ -1078,6 +1101,7 @@ def encode_wav(
     )
 
 
+@loud_truncation
 def decode_wav(data: bytes):
     """Parse a WAV into (samples, sample_rate): real RIFF chunk walk
     (fmt before data, unknown chunks skipped with word alignment).
@@ -1371,6 +1395,7 @@ _FLAC_BLOCKSIZE_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
 _FLAC_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 
+@loud_truncation
 def decode_flac(data: bytes):
     """Decode a subset FLAC stream into (samples, sample_rate):
     int32 (N,) mono or (N, C) multichannel. Verifies the STREAMINFO
@@ -1791,6 +1816,7 @@ def encode_y4m(frames, fps: str = "25:1", colorspace: str = "C444") -> bytes:
     return b"".join(out)
 
 
+@loud_truncation
 def decode_y4m(data: bytes):
     """Parse an 8-bit Y4M stream into (N, H, W, 3) uint8 YUV: real
     header-token parsing (W/H/C, unknown tokens skipped), FRAME-marker
@@ -2053,6 +2079,7 @@ def _tiff_diff(strip: bytes, rows: int, w: int, spp: int, dt: str = "u1") -> byt
     return d.astype(np.dtype(dt)).tobytes()
 
 
+@loud_truncation
 def decode_tiff(data: bytes):
     """Decode a baseline TIFF (gray or chunky RGB; Compression 1,
     PackBits, or LZW with optional Predictor 2; either byte order,
@@ -2087,6 +2114,11 @@ def decode_tiff(data: bytes):
         if typ not in type_size:
             raise NotImplementedError(f"TIFF tag {tag} has type {typ}")
         sz = type_size[typ] * cnt
+        # a value array can't be larger than the file — bound BEFORE
+        # building the cnt-sized format string (fuzzing: a mutated
+        # count of ~2^30 allocated a gigabyte format string here)
+        if sz > len(data):
+            raise ValueError(f"TIFF tag {tag} value larger than file")
         if sz <= 4:
             buf = raw[:sz]
         else:
@@ -2697,6 +2729,7 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+@loud_truncation
 def decode_jpeg(data: bytes):
     """Decode a baseline sequential-DCT Huffman JPEG (SOF0/SOF1) into an
     (H, W) grayscale or (H, W, 3) RGB uint8 array: full marker walk
@@ -3613,6 +3646,7 @@ def _gif_deinterlace(idx, h: int):
     return out
 
 
+@loud_truncation
 def decode_gif_frames(data: bytes):
     """Decode an ANIMATED (or single-frame) GIF87a/89a into the
     (F, H, W, 3) uint8 array of COMPOSED frames — what a viewer shows
@@ -3760,6 +3794,7 @@ def encode_gif_animated(
     return bytes(out)
 
 
+@loud_truncation
 def decode_gif(data: bytes):
     """Decode a single-frame GIF87a/89a into an (H, W, 3) uint8 RGB
     array: screen/image descriptors, global or local color table,

@@ -199,6 +199,12 @@ def decode_webp(data: bytes):
     Transforms, color cache, meta prefix codes and close-neighbor
     distance codes (<= 120) raise NotImplementedError — the documented
     seams; everything decoded is exact."""
+    from cellbase_spark.operators.multimodal import loud_truncation
+
+    return loud_truncation(_decode_webp)(data)
+
+
+def _decode_webp(data: bytes):
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
@@ -246,6 +252,19 @@ def decode_webp(data: bytes):
 
     n = w * h
     px = np.zeros((n, 4), dtype=np.uint8)  # R, G, B, A
+    # constant-image fast path: when all four literal codes are
+    # single-symbol (zero-bit decodes) the stream legitimately encodes
+    # the whole image in a handful of bytes — fill vectorized instead
+    # of running a 2.7e8-iteration Python loop on a 16k x 16k claim
+    # (found by fuzzing: a hostile header with this shape burned
+    # minutes; a real constant image deserves the same fast path)
+    if (
+        green.single is not None
+        and green.single < 256
+        and all(c.single is not None for c in (red, blue, alpha))
+    ):
+        px[:] = (red.single, green.single, blue.single, alpha.single)
+        return px.reshape(h, w, 4)
     i = 0
     while i < n:
         g = green.decode(br)

@@ -143,6 +143,65 @@ def test_webp_prefixed_integer_coding_is_exact_inverse():
         assert _read_prefixed_value(br, code) == v, v
 
 
+def test_decoders_fail_loudly_under_fuzz():
+    """The decoder-boundary robustness contract (round 11, found and
+    fixed by fuzzing): hostile payloads behind every magic prefix and
+    bit-flipped corruptions of valid files raise ONLY typed errors
+    (ValueError / NotImplementedError / struct.error / zlib.error) —
+    never a bare IndexError/KeyError escape, and never a pathological
+    slow path (the two fixed classes: a mutated TIFF tag count
+    allocating a gigabyte struct format string, and a hostile VP8L
+    header driving a 2.7e8-iteration constant-fill loop now served by
+    the vectorized fast path). Seeded subset of the 4,000-input sweep."""
+    import struct
+    import zlib
+
+    from cellbase_spark.operators import multimodal as mm
+    from cellbase_spark.operators.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(12345)
+    decoders = {
+        "wav": (mm.decode_wav, [b"RIFF\x10\x00\x00\x00WAVE"]),
+        "tiff": (mm.decode_tiff, [b"II\x2a\x00", b"MM\x00\x2a"]),
+        "flac": (mm.decode_flac, [b"fLaC"]),
+        "webp": (decode_webp, [b"RIFF\x10\x00\x00\x00WEBPVP8L"]),
+        "gif": (mm.decode_gif, [b"GIF89a"]),
+        "png": (mm.decode_png, [b"\x89PNG\r\n\x1a\n"]),
+        "jpeg": (mm.decode_jpeg, [b"\xff\xd8\xff"]),
+    }
+    allowed = (ValueError, NotImplementedError, struct.error, zlib.error,
+               EOFError)
+    for name, (dec, prefixes) in decoders.items():
+        for trial in range(60):
+            pre = prefixes[trial % len(prefixes)]
+            payload = pre + rng.integers(
+                0, 256, int(rng.integers(0, 150)), dtype=np.uint8
+            ).tobytes()
+            try:
+                dec(payload)
+            except allowed:
+                pass  # loud and typed — the contract
+
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    clip = rng.integers(-2000, 2000, 200).astype(np.int16)
+    valids = [
+        (mm.decode_tiff, mm.encode_tiff(img, lzw=True, predictor=2)),
+        (decode_webp, encode_webp(img)),
+        (mm.decode_flac, mm.encode_flac(clip.astype(np.int32), 8000)),
+        (mm.decode_wav,
+         mm.encode_wav(clip, codec="ima_adpcm", adpcm_block_samples=64)),
+    ]
+    for dec, data in valids:
+        for trial in range(60):
+            b = bytearray(data)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+            try:
+                dec(bytes(b))
+            except allowed:
+                pass
+
+
 def test_webp_routes_through_image_dispatch():
     """sniff_modality classes RIFF+WEBP as image (distinct from
     RIFF+WAVE audio) and decode_image routes it to the VP8L decoder."""
