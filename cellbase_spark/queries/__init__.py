@@ -12,96 +12,72 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-11 gate priority (VERDICT r10 task #1 — FIRST commit of the
-# round). Order: (a) the 5 round-10 keys that have NEVER appeared in a
-# driver sample, then (b) ALL 45 keys whose newest official green row
-# is r5-vintage (derived from the CORRECTNESS_r01..r10 union by
-# script; 5+45 = exactly the ~50-key gate prefix). After this round,
-# every key has an official row and none predates r6. New round-11
-# keys append at the tail as they land (the prefix is already full,
-# so they ride the next rotation unless a slot frees up). The full
-# battery always runs locally regardless of order
-# (scripts/check_oracle.py).
+# Round-12 gate priority (VERDICT r11 task #1 — FIRST commit of the
+# round). Order: (a) ALL 26 round-11 keys that have NEVER appeared in a
+# driver sample (the full BM25 index lifecycle, ANN/band DELETE verbs +
+# lifecycle, both restart-recovery keys, and the 13 round-11 codec
+# lanes), then (b) the first 24 (alphabetical) of the 49 keys whose
+# newest official green row is r6-vintage (derived from the
+# CORRECTNESS_r01..r11 union by script; 26+24 = exactly the 50-key gate
+# prefix). The remaining 25 r6-vintage keys ride the round-13 rotation.
+# New round-12 keys append at the tail as they land. The full battery
+# always runs locally regardless of order (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- (a) never driver-sampled (round-10 additions)
-    "q_ann_index_compact",
-    "q_ann_index_compact_partial",
-    "q_mm_decode_jpeg",
-    "q_mm_decode_jpeg_color",
-    "q_mm_decode_gif",
-    # -- (b) the 45 r5-vintage keys (newest official row = r5)
-    "q_agg_approx_percentile",
-    "q_agg_collect",
-    "q_agg_corr",
-    "q_agg_count_distinct",
-    "q_agg_cube",
-    "q_agg_global",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_median",
-    "q_agg_mode",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_ann_eval",
-    "q_cc_iterative",
-    "q_cluster_size_histogram",
-    "q_data_card",
-    "q_dedup_canonical",
-    "q_dedup_full",
-    "q_dedup_minhash_capped",
-    "q_distinct",
-    "q_doc_quality_filter",
-    "q_filter_compound",
-    "q_filter_in_between_like",
-    "q_filter_nulls",
-    "q_funnel",
-    "q_histogram_equidepth",
-    "q_join_inner",
-    "q_join_left",
-    "q_minhash_shingle",
-    "q_mm_decode_png",
-    "q_mm_decode_wav",
-    "q_mm_decode_y4m",
-    "q_mm_mixed_corpus",
-    "q_pagerank",
-    "q_pivot",
-    "q_project",
-    "q_retention",
-    "q_source_overlap",
-    "q_span_dedup",
-    "q_sql_recursive",
-    "q_stream_run_timer",
-    "q_tokenizer_fertility",
-    "q_tpch_q5",
-    "q_triangle_count",
-    "q_zscore_normalize",
-    # -- (c) NEW round-11 keys appended here as they land
+    # -- (a) never driver-sampled (round-11 additions), judge-verified
+    #    green via check_oracle in the r11 verdict session
     "q_ann_index_delete",
     "q_ann_index_delete_compact",
-    "q_dedup_band_delete",
     "q_ann_index_lifecycle",
-    "q_stream_run_recovery",
+    "q_dedup_band_delete",
     "q_bm25_indexed",
-    "q_mm_decode_jpeg_progressive",
-    "q_mm_decode_png16",
-    "q_mm_decode_gif_anim",
-    "q_stream_run_recovery_stateful",
     "q_bm25_indexed_update",
     "q_bm25_indexed_compact",
-    "q_mm_decode_tiff",
-    "q_mm_decode_wav24",
-    "q_mm_decode_y4m420",
     "q_bm25_indexed_delete",
     "q_bm25_indexed_delete_compact",
     "q_bm25_indexed_lifecycle",
+    "q_stream_run_recovery",
+    "q_stream_run_recovery_stateful",
+    "q_mm_decode_jpeg_progressive",
+    "q_mm_decode_png16",
+    "q_mm_decode_gif_anim",
+    "q_mm_decode_tiff",
     "q_mm_decode_tiff_lzw",
-    "q_mm_decode_wav_g711",
-    "q_mm_decode_flac",
-    "q_mm_decode_adpcm",
     "q_mm_decode_tiff16",
+    "q_mm_decode_wav24",
     "q_mm_decode_wav_float",
-    "q_mm_decode_webp",
+    "q_mm_decode_wav_g711",
+    "q_mm_decode_adpcm",
     "q_mm_decode_adpcm_stereo",
+    "q_mm_decode_flac",
+    "q_mm_decode_webp",
+    "q_mm_decode_y4m420",
+    # -- (b) 24 stalest keys (newest official row = r6; first 24 of 49
+    #    alphabetically — the other 25 rotate in next round)
+    "q_agg_groupby",
+    "q_bpe_pairs",
+    "q_chunk_documents",
+    "q_compact_files",
+    "q_contamination",
+    "q_dedup_band_update",
+    "q_dedup_incremental",
+    "q_dedup_incremental_capped",
+    "q_dedup_incremental_full",
+    "q_degree_distribution",
+    "q_fn_array",
+    "q_fn_conditional",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_intersect_except",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_prefilter",
+    "q_join_range",
+    "q_join_salted",
+    # -- (c) NEW round-12 keys appended here as they land
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
