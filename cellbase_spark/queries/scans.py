@@ -153,6 +153,52 @@ def q_scan_workbook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_ods",
+    family="scan",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def q_scan_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument (.ods) round-trip — the LibreOffice half of the
+    reference's spreadsheet-family story (r11 verdict task #3; SURVEY.md
+    §2.1 S19). Authors one .ods with `region` and `nation` sheets via the
+    stdlib ODF writer, re-ingests both sheets distributed (binaryFile +
+    mapInPandas content.xml parse, sources/ods.py), and joins them —
+    proving each named sheet round-trips as an independent typed table
+    through the ODF cell model (typed value attributes, text:p fallback,
+    run-length repeats). Oracle: the same join on the original parquet."""
+    from cellbase_spark.sources.ods import read_ods_workbook, write_ods_workbook
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    # Fresh private dir per call — same directory-scan race as
+    # q_scan_excel above.
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_ods_")
+    write_ods_workbook(
+        {
+            "region": (
+                ["r_regionkey", "r_name"],
+                [[x["r_regionkey"], x["r_name"]] for x in r.collect()],
+            ),
+            "nation": (
+                ["n_nationkey", "n_name", "n_regionkey"],
+                [[x["n_nationkey"], x["n_name"], x["n_regionkey"]] for x in n.collect()],
+            ),
+        },
+        os.path.join(out_dir, "dims.ods"),
+    )
+    sheets = read_ods_workbook(
+        spark, out_dir, {"region": schemas.REGION, "nation": schemas.NATION}
+    )
+    return sheets["nation"].join(
+        sheets["region"],
+        sheets["nation"]["n_regionkey"] == sheets["region"]["r_regionkey"],
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
     "q_scan_xlsx_pyds",
     family="scan",
     oracle="SELECT * FROM nation",
