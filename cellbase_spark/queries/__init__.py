@@ -79,6 +79,7 @@ GATE_PRIORITY = [
     "q_join_salted",
     # -- (c) NEW round-12 keys appended here as they land
     "q_scan_ods",
+    "q_scan_csv_dialect",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

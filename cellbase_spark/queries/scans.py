@@ -84,6 +84,56 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_csv_dialect",
+    family="scan",
+    oracle="""
+SELECT n_nationkey,
+       concat(' ', n_name, ',', '"x""y"', chr(10), 'tail ') AS hostile,
+       n_regionkey
+FROM nation
+""",
+)
+def q_scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostile-dialect CSV round-trip (round 12, r11 verdict #6): cell
+    values carrying embedded delimiters, embedded double quotes, embedded
+    NEWLINES (multi-line records), and significant leading/trailing
+    whitespace — the quoting corners that silently corrupt naive CSV
+    pipelines. Written RFC-4180 style (escape='"' doubles quotes instead
+    of Spark's default backslash escaping, whitespace preservation forced
+    off the writer's trim default), read back with multiLine=true + the
+    declared schema. Oracle computes the same derived column in SQL over
+    the original parquet — the hash matches only if every byte survives
+    the round trip."""
+    n = load_table(spark, sf_dir, "nation")
+    hostile = n.select(
+        "n_nationkey",
+        F.concat(
+            F.lit(" "), F.col("n_name"), F.lit(','), F.lit('"x""y"'),
+            F.lit("\n"), F.lit("tail "),
+        ).alias("hostile"),
+        "n_regionkey",
+    )
+    # Fresh private dir per call — same directory-scan race as the other
+    # round-trip keys.
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_csv_dialect_")
+    (
+        hostile.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out_dir)
+    )
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("n_nationkey int, hostile string, n_regionkey int")
+        .csv(out_dir)
+    )
+
+
+@register(
     "q_scan_excel",
     family="scan",
     oracle="SELECT * FROM nation",

@@ -99,3 +99,41 @@ def test_approx_distinct_envelope(spark, sf_dir, qs):
 def test_having_threshold(spark, sf_dir, qs):
     rows = qs["q_agg_having"](spark, sf_dir).collect()
     assert all(r.total_spent > 1_500_000 for r in rows)
+
+
+def test_csv_dialect_roundtrip_is_byte_exact(spark, tmp_path):
+    """The q_scan_csv_dialect writer/reader config (RFC-4180 doubled
+    quotes, multiLine, whitespace trim off) round-trips hostile cells
+    byte-exactly — and the naive single-line read of the same files would
+    shred the embedded-newline records, which is why multiLine is pinned."""
+    hostile = [
+        (1, ' lead,"x""y"\ntail '),     # delimiter + quotes + newline + spaces
+        (2, "plain"),
+        (3, '""'),                        # literally two double quotes
+        (4, "a\nb\nc"),                  # multiple embedded newlines
+    ]
+    df = spark.createDataFrame(hostile, "id int, v string")
+    out = str(tmp_path / "csv")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("id int, v string")
+        .csv(out)
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(hostile)
+    naive = (
+        spark.read.option("header", "true")
+        .schema("id int, v string")
+        .csv(out)
+    )
+    # single-line mode splits the embedded-newline records into extra rows
+    assert naive.count() > len(hostile)
