@@ -767,9 +767,23 @@ class CellBase:
         self.spark = spark
         self.data_dir = data_dir
 
-    def table(self, name: str) -> CellTable:
+    def table(self, name: str, bucketed: bool = False) -> CellTable:
+        """One named table. `bucketed=True` serves it from the key-bucketed
+        + key-sorted persisted layout (io.ensure_bucketed_table, built once
+        per process+sf): `get(key)` then prunes to ONE bucket's files
+        before any IO instead of min/max-pruning every file — the
+        dictionary-lookup cost model the reference's `get row by id`
+        promises, kept at 100 TB."""
         if name not in schemas.TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {sorted(schemas.TABLE_NAMES)}")
+        if bucketed:
+            from cellbase_spark.io import ensure_bucketed_table
+
+            key = KEY_COLUMNS.get(name)
+            if key is None:
+                raise ValueError(f"table {name!r} has no registered key column")
+            t = ensure_bucketed_table(self.spark, self.data_dir, name, key)
+            return CellTable(self.spark.table(t), name, key)
         return CellTable(load_table(self.spark, self.data_dir, name), name)
 
     def table_names(self) -> list[str]:

@@ -85,6 +85,56 @@ def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
+def ensure_bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int = 16
+) -> str:
+    """Build-once key-bucketed + key-sorted persisted layout for a table;
+    returns the catalog table name (round 12, r11 verdict #5).
+
+    `CellTable.get` on the plain parquet layout rides predicate pushdown —
+    fine at sf0.1, but at 100 TB a point lookup still lists and
+    min/max-prunes EVERY file. The bucketed layout hashes the key into
+    `n_buckets` buckets at write time, so an equality predicate on the key
+    prunes the scan to ONE bucket's files before any IO (the plan shows
+    `SelectedBucketsCount: 1 out of N` — pinned in tests/test_plans.py),
+    and the in-bucket sort keeps row-group min/max stats tight for the
+    final pushdown. Listing cost drops from O(files) to O(files/N) and the
+    read cost to one bucket's row groups: the dictionary-lookup story the
+    reference's `get row by id` needs at scale.
+
+    The table is EXTERNAL (explicit path under the system temp dir, keyed
+    by sf + PID like queries/scans.scratch_path) so concurrent runs never
+    clobber each other, and it is built once per (process, sf): repeat
+    calls return the registered table directly."""
+    import re
+    import shutil
+    import tempfile
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{os.getpid()}"
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", tag)
+    tname = f"cb_keyed_{name}_{n_buckets}_{safe}"
+    if spark.catalog.tableExists(tname):
+        return tname
+    path = os.path.join(
+        tempfile.gettempdir(), f"cellbase_spark_{tag}", "keyed", f"{name}_{n_buckets}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        # one file per bucket (repartition on the bucket key first) so the
+        # sorted-bucket scan order is trusted downstream (same contract as
+        # the S12 bucketed-join layouts)
+        load_table(spark, sf_dir, name)
+        .repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(tname)
+    )
+    return tname
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql entry points."""
     for name in schemas.TABLE_NAMES:

@@ -80,6 +80,7 @@ GATE_PRIORITY = [
     # -- (c) NEW round-12 keys appended here as they land
     "q_scan_ods",
     "q_scan_csv_dialect",
+    "q_point_lookup_bucketed",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

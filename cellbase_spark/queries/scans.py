@@ -68,6 +68,27 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_point_lookup_bucketed",
+    family="scan",
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def q_point_lookup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the KEY-BUCKETED persisted layout (round 12, r11
+    verdict #5) — q_point_lookup's answer at 100 TB. The plain-parquet
+    lookup pushes the predicate down but still lists and min/max-prunes
+    every file; here the equality predicate on the bucket key prunes to
+    ONE of 16 buckets before any IO (`SelectedBucketsCount: 1 out of 16`,
+    plan-pinned in tests/test_plans.py), and the in-bucket key sort keeps
+    the final row-group pushdown tight. Layout built once per process+sf
+    via io.ensure_bucketed_table; same oracle as q_point_lookup — the
+    layout must lose nothing."""
+    from cellbase_spark.io import ensure_bucketed_table
+
+    t = ensure_bucketed_table(spark, sf_dir, "customer", "c_custkey", 16)
+    return spark.table(t).where(F.col("c_custkey") == 42)
+
+
+@register(
     "q_scan_csv",
     family="scan",
     oracle="SELECT * FROM nation",

@@ -104,6 +104,15 @@ _RUNTIME_CONF = {
     # layouts qualify: drops the per-partition Sort under bucket-local
     # SMJs (q_tpch_q5_bucketed sf10: 2.8s -> 2.1s).
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    # Always read the engine's bucketed layouts AS bucketed: the
+    # DisableUnnecessaryBucketedScan planner rule only credits bucketing
+    # that feeds an interesting partitioning (join/agg), so it silently
+    # drops the bucketed scan — and with it BUCKET PRUNING — on a point
+    # lookup, reverting `SelectedBucketsCount: 1 out of 16` to a scan of
+    # every file (r12, q_point_lookup_bucketed). Every bucketed layout
+    # this engine writes is deliberate (join locality or key pruning),
+    # so the auto-disable heuristic is never right here.
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
 }
 
 

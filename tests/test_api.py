@@ -1060,3 +1060,31 @@ def test_bm25_lifecycle_composition_invariance(spark, tmp_path):
     for t in (base_t, delta_t, ref_t, comp_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(t)}")
+
+
+def test_bucketed_table_get_prunes_to_one_bucket(spark, sf_dir):
+    """CellBase.table(name, bucketed=True): same lookup answer as the
+    plain layout, but the scan is bucket-pruned to 1/16 before any IO
+    (r11 verdict task #5)."""
+    cb = CellBase(spark, sf_dir)
+    t = cb.table("customer", bucketed=True)
+    row = t.get(1)
+    assert row is not None and row["c_custkey"] == 1
+    assert t.get(10**12) is None
+    plan = (
+        t.df.where(t.df["c_custkey"] == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SelectedBucketsCount: 1 out of 16" in plan
+    # plain vs bucketed layouts agree row-for-row
+    assert sorted(map(tuple, cb.table("customer").df.collect())) == sorted(
+        map(tuple, t.df.collect())
+    )
+
+
+def test_bucketed_table_requires_key_column(spark, sf_dir):
+    import pytest
+
+    cb = CellBase(spark, sf_dir)
+    with pytest.raises(ValueError, match="key column"):
+        cb.table("lineitem", bucketed=True)

@@ -1366,3 +1366,13 @@ def test_bm25_indexed_probe_is_partition_pruned(spark, sf_dir):
     pfs = [l for l in plan_u.splitlines() if "PartitionFilters" in l and "tok_bucket#" in l]
     assert len(pfs) >= 2 and all(" IN (" in l for l in pfs)
     assert "documents.parquet" not in plan_u
+
+
+def test_point_lookup_bucketed_prunes_to_one_bucket(spark, sf_dir):
+    """The keyed layout's contract: an equality predicate on the bucket
+    key prunes the scan to ONE of 16 buckets BEFORE any IO (r11 verdict
+    task #5). The pushed filter must also still reach the reader for the
+    in-bucket row-group pruning."""
+    plan = plan_of(spark, "q_point_lookup_bucketed", sf_dir)
+    assert "SelectedBucketsCount: 1 out of 16" in plan
+    assert "EqualTo(c_custkey" in plan
