@@ -886,7 +886,17 @@ def compact_dedup_bands(
         if f.endswith(".parquet")
     )
     target = max(1, math.ceil(n_bytes / (128 * 1024 * 1024)))
-    merged.coalesce(target).write.mode("overwrite").parquet(out_dir)
+    from cellbase_spark.operators.publish import publish_artifact_dir
+
+    # crash-safe publish (r11 verdict #4, path face): the generation is
+    # written to a sibling temp dir and os.rename'd into place — atomic,
+    # so out_dir either doesn't exist or is complete. Without this, a
+    # crash mid-write leaves a partial directory that spark.read.parquet
+    # would silently serve as a short generation.
+    publish_artifact_dir(
+        lambda tmp: merged.coalesce(target).write.mode("overwrite").parquet(tmp),
+        out_dir,
+    )
     if tombs is not None:
         (
             spark.createDataFrame([], "_id long")

@@ -1,0 +1,210 @@
+"""Crash-safe artifact publishing — the ONE commit path for every
+persisted index family (round 12, r11 verdict task #4).
+
+The ANN index (operators/similarity.py), the BM25 postings index
+(operators/text.py) and the dedup band table (operators/dedup.py) each
+used to hand-roll the same publish sequence — write artifact, stamp
+properties, expose to readers — and round-10 review found two distinct
+crash-window bugs in those hand-rolled copies (a propsless table served
+with fallback geometry; a half-absorbed partial compaction re-unioned on
+retry). This module centralizes the sequence so the crash analysis is
+done ONCE:
+
+`publish_artifact` (catalog face — ANN + BM25 artifacts):
+1. BUILD under a temp name: the caller's writer lands the artifact as
+   `<table>__build_<token>` at `<path>__build_<token>`. Nothing under
+   the final name changes; a crash here leaves only inert garbage that
+   the next publish sweeps.
+2. STAMP all cellbase.* properties — geometry, stats, build_id,
+   absorbed-ids bookkeeping — PLUS the `cellbase.complete = '1'`
+   marker, in ONE ALTER on the temp table. A crash before this leaves a
+   markerless temp (inert, swept later); there is no state in which a
+   stamped-but-partial artifact exists.
+3. VERIFY the marker by re-reading the temp table's properties
+   (max_age_sec=0 — never a cached read) before anything is exposed.
+4. SWAP: rename the old artifact (if any) to a trash name, rename the
+   temp to the final name, drop the trash entry and reclaim its data
+   directory. External-table RENAME is metadata-only (location
+   untouched — verified semantics, pinned in tests), so the swap moves
+   no bytes. A crash BEFORE the swap leaves readers on the OLD artifact
+   in full (the crash-injection tests pin exactly this); the swap
+   itself is two catalog renames — the only remaining window is
+   metadata-only, repaired by re-running the publish (the writer
+   rebuilds from source; step-1 garbage is swept), and is the best
+   available without a transactional metastore.
+
+`publish_artifact_dir` (path face — band tables and other bare-parquet
+generations): write to `<dir>__build_<token>`, then `os.rename` the
+directory into place — POSIX rename is atomic, so the target directory
+either does not exist or is complete; readers can never observe a
+half-written generation (`spark.read.parquet` of a crashed partial
+write would otherwise happily return partial rows).
+
+Crash injection for tests: add a point name to `CRASH_POINTS` and the
+publish raises `InjectedCrash` there. Production code never touches it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+BUILD_SUFFIX = "__build_"
+
+# Test-only: publish raises InjectedCrash at any point named here.
+CRASH_POINTS: set[str] = set()
+
+
+class InjectedCrash(RuntimeError):
+    """Raised at a CRASH_POINTS site — simulates a process kill."""
+
+
+def _maybe_crash(point: str) -> None:
+    if point in CRASH_POINTS:
+        raise InjectedCrash(point)
+
+
+def stamp_props(spark, table: str, props: dict[str, str]) -> None:
+    """Stamp `props` on `table` in ONE ALTER (all-or-nothing property
+    visibility) and invalidate the session props cache so in-process
+    readers observe the new values immediately."""
+    from cellbase_spark.operators.similarity import _tblprops_cache
+
+    kv = ", ".join(
+        f"'{k}' = '{str(v).replace(chr(39), chr(39) * 2)}'"
+        for k, v in props.items()
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    _tblprops_cache(spark).pop(table, None)
+
+
+def _table_location(spark, table: str) -> str | None:
+    rows = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where("col_name = 'Location'")
+        .collect()
+    )
+    if not rows:
+        return None
+    loc = rows[0].data_type
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _sweep_stale_builds(spark, table: str, path: str) -> None:
+    """Drop leftover `<table>__build_*` temps from crashed publishes and
+    reclaim their data directories. Nothing under a __build_ CATALOG
+    name is ever served (readers resolve the final name only), so the
+    temp tables are garbage regardless of how far their publish got.
+    The data-directory sweep must additionally skip the LIVE artifact's
+    location: after any successful publish the final table's data lives
+    at a `<path>__build_<token>` directory (the swap renames catalog
+    entries, never moves bytes), so matching on the name alone would
+    delete the serving artifact's bytes out from under it."""
+    live = (
+        _table_location(spark, table)
+        if spark.catalog.tableExists(table)
+        else None
+    )
+    live = os.path.abspath(live) if live else None
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"{table}{BUILD_SUFFIX}".lower()):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    parent, base = os.path.dirname(path), os.path.basename(path)
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            full = os.path.join(parent, entry)
+            if (
+                entry.startswith(f"{base}{BUILD_SUFFIX}")
+                and os.path.abspath(full) != live
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+
+
+def publish_artifact(
+    spark,
+    table: str,
+    path: str,
+    writer: Callable[[str, str], None],
+    props: dict[str, str],
+    absorbed_ids: set[str] | None = None,
+) -> None:
+    """Crash-safe catalog publish (sequence documented in the module
+    docstring). `writer(tmp_table, tmp_path)` must land the artifact as
+    an external table `tmp_table` located at `tmp_path` (the usual
+    `.option("path", tmp_path).saveAsTable(tmp_table)` tail). `props`
+    are stamped verbatim plus `cellbase.build_id` (fresh unless the
+    caller supplies one), `cellbase.absorbed_ids` (when given — the
+    compaction bookkeeping that keeps absorbs idempotent across
+    retries), and the `cellbase.complete` marker."""
+    from cellbase_spark.operators.similarity import _tblprops_cache, table_props
+
+    _sweep_stale_builds(spark, table, path)
+    token = uuid.uuid4().hex[:12]
+    tmp_table = f"{table}{BUILD_SUFFIX}{token}"
+    tmp_path = f"{path}{BUILD_SUFFIX}{token}"
+
+    writer(tmp_table, tmp_path)
+    _maybe_crash("after_build")
+
+    stamped = dict(props)
+    stamped.setdefault("cellbase.build_id", uuid.uuid4().hex)
+    if absorbed_ids:
+        stamped["cellbase.absorbed_ids"] = ",".join(sorted(absorbed_ids))
+    stamped["cellbase.complete"] = "1"
+    stamp_props(spark, tmp_table, stamped)
+
+    check = table_props(spark, tmp_table, max_age_sec=0)
+    if check.get("cellbase.complete") != "1":
+        raise RuntimeError(
+            f"publish_artifact: completion marker missing on {tmp_table}"
+            " after stamp — refusing to expose the artifact"
+        )
+    _maybe_crash("after_stamp")
+
+    old_loc = None
+    if spark.catalog.tableExists(table):
+        old_loc = _table_location(spark, table)
+        trash = f"{table}{BUILD_SUFFIX}trash_{token}"
+        spark.sql(f"ALTER TABLE {table} RENAME TO {trash}")
+        spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {trash}")
+    else:
+        spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    _tblprops_cache(spark).pop(table, None)
+    _tblprops_cache(spark).pop(tmp_table, None)
+    if old_loc and os.path.isdir(old_loc) and os.path.abspath(old_loc) != os.path.abspath(tmp_path):
+        # Reclaim the superseded artifact's bytes (same lifecycle as the
+        # previous in-place overwrite, paid after the swap instead of
+        # before the build).
+        shutil.rmtree(old_loc, ignore_errors=True)
+
+
+def publish_artifact_dir(
+    write_to: Callable[[str], None], final_dir: str
+) -> None:
+    """Crash-safe bare-parquet publish: `write_to(tmp_dir)` lands the
+    generation in a sibling temp directory, which is then os.rename'd
+    into place — atomic on POSIX, so `final_dir` either doesn't exist
+    or is the complete generation. Callers keep the roll-forward
+    discipline (a NEW immutable directory per generation); this helper
+    just guarantees the directory's appearance is all-or-nothing.
+    Pre-existing `final_dir` is an error — generations are immutable."""
+    if os.path.exists(final_dir):
+        raise ValueError(
+            f"publish_artifact_dir: {final_dir!r} already exists —"
+            " generations are immutable, roll forward to a new directory"
+        )
+    parent = os.path.dirname(os.path.abspath(final_dir))
+    os.makedirs(parent, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    tmp_dir = f"{final_dir}{BUILD_SUFFIX}{token}"
+    # sweep siblings from crashed publishes
+    base = os.path.basename(final_dir)
+    for entry in os.listdir(parent):
+        if entry.startswith(f"{base}{BUILD_SUFFIX}"):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    write_to(tmp_dir)
+    _maybe_crash("after_build_dir")
+    os.rename(tmp_dir, final_dir)

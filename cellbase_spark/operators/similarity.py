@@ -655,14 +655,17 @@ def build_ann_index(
         idx = pq_encode_arrow(idx, vec_col, codebook=pq_codebook)
     else:
         idx = idx.withColumn("codes", F.lit(None).cast("array<int>"))
-    (
-        idx.repartition(F.col("centroid_id"), F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("centroid_id", "bucket")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+
+    def _writer(tmp_table: str, tmp_path: str) -> None:
+        (
+            idx.repartition(F.col("centroid_id"), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id", "bucket")
+            .option("path", tmp_path)
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+
     # Record the build geometry WITH the index so a probe can never
     # silently use the wrong one: ann_search reads these back and ranks
     # over the recorded n_centroids/dim, rejecting dim mismatches loudly
@@ -672,38 +675,33 @@ def build_ann_index(
     # JSON; floats round-trip exactly through repr), so query-time
     # ranking probes the SAME geometry the lists were built with — the
     # index is self-describing, there is no side-channel to desync.
-    import uuid
-
-    props = (
-        f"'cellbase.n_centroids' = '{int(n_centroids)}', "
-        f"'cellbase.n_planes' = '{int(n_planes)}', "
-        f"'cellbase.dim' = '{dim}', "
-        # A fresh id per build: consumers that cache geometry can detect
-        # a rebuild (in- or cross-process) by comparing build ids. All
-        # properties land in this ONE ALTER, so geometry is all-or-
-        # nothing: a crash between saveAsTable and here leaves a table
-        # with NO cellbase.* props, which ann_search now refuses loudly
-        # instead of silently probing with formula-seed defaults
-        # (r9 ADVICE low — the non-atomic window is detectable).
-        f"'cellbase.build_id' = '{uuid.uuid4().hex}'"
-    )
+    # publish_artifact (r11 verdict task #4) stamps all of it in one
+    # ALTER on the TEMP table, verifies the completion marker, then
+    # swaps under the final name — a crash anywhere before the swap
+    # leaves readers on the previous artifact in full.
+    props = {
+        "cellbase.n_centroids": str(int(n_centroids)),
+        "cellbase.n_planes": str(int(n_planes)),
+        "cellbase.dim": str(dim),
+    }
     if centroids is not None:
         import json
 
-        cj = json.dumps({str(j): centroids[j] for j in sorted(centroids)})
-        props += f", 'cellbase.centroids' = '{cj}'"
+        props["cellbase.centroids"] = json.dumps(
+            {str(j): centroids[j] for j in sorted(centroids)}
+        )
     if pq_codebook is not None:
         import json
 
-        pj = json.dumps(
+        props["cellbase.pq_codebook"] = json.dumps(
             {
                 str(s): {str(c): pq_codebook[s][c] for c in sorted(pq_codebook[s])}
                 for s in sorted(pq_codebook)
             }
         )
-        props += f", 'cellbase.pq_codebook' = '{pj}'"
-    embeddings.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
-    _tblprops_cache(embeddings.sparkSession).pop(table, None)
+    from cellbase_spark.operators.publish import publish_artifact
+
+    publish_artifact(embeddings.sparkSession, table, path, _writer, props)
 
 
 def pq_encode_arrow(
@@ -1050,12 +1048,16 @@ def delete_from_ann_index(spark, index_table: str, ids) -> int:
     ts = tombstone_table_name(index_table)
     ts_rows.write.mode("append").format("parquet").saveAsTable(ts)
     total = spark.table(ts).select("vec_id").distinct().count()
-    spark.sql(
-        f"ALTER TABLE {index_table} SET TBLPROPERTIES"
-        f" ('cellbase.tombstones' = '{total}',"
-        f" 'cellbase.build_id' = '{uuid.uuid4().hex}')"
+    from cellbase_spark.operators.publish import stamp_props
+
+    stamp_props(
+        spark,
+        index_table,
+        {
+            "cellbase.tombstones": str(total),
+            "cellbase.build_id": uuid.uuid4().hex,
+        },
     )
-    _tblprops_cache(spark).pop(index_table, None)
     return total
 
 
@@ -1081,13 +1083,11 @@ def _clear_tombstones(spark, index_table: str) -> None:
     tombstone side-table and zero the counter property (in the SAME
     call sequence that refreshed build_id, so a probe never sees
     compacted data with a stale tombstone count)."""
+    from cellbase_spark.operators.publish import stamp_props
+
     ts = tombstone_table_name(index_table)
     spark.sql(f"DROP TABLE IF EXISTS {ts}")
-    spark.sql(
-        f"ALTER TABLE {index_table} SET TBLPROPERTIES"
-        " ('cellbase.tombstones' = '0')"
-    )
-    _tblprops_cache(spark).pop(index_table, None)
+    stamp_props(spark, index_table, {"cellbase.tombstones": "0"})
 
 
 def _union_tombstones(spark, tables: list[str]) -> DataFrame | None:
@@ -1158,22 +1158,40 @@ def compact_ann_index(
     tombs = _union_tombstones(spark, generations)
     if tombs is not None:
         merged = merged.join(F.broadcast(tombs), "vec_id", "left_anti")
-    (
-        merged.repartition(F.col("centroid_id"), F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("centroid_id", "bucket")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(out_table)
-    )
-    import uuid
 
-    props = ", ".join(
-        f"'{k}' = '{v}'" for k, v in base_geo.items() if v is not None
+    def _writer(tmp_table: str, tmp_path: str) -> None:
+        (
+            merged.repartition(F.col("centroid_id"), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id", "bucket")
+            .option("path", tmp_path)
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+
+    from cellbase_spark.operators.publish import publish_artifact
+
+    # crash-safe publish (r11 verdict #4): the verified geometry rides
+    # to the compacted table with a fresh build_id; the absorbed source
+    # generations' build_ids are recorded for audit/idempotency parity
+    # with the partial form. The compacted artifact is also born
+    # tombstone-free under ITS name — publish never reuses the final
+    # name for data, and the swap drops nothing a reader still resolves.
+    publish_artifact(
+        spark,
+        out_table,
+        path,
+        _writer,
+        {k: v for k, v in base_geo.items() if v is not None},
+        absorbed_ids={
+            bid
+            for bid in (
+                table_props(spark, g, max_age_sec=0).get("cellbase.build_id")
+                for g in generations
+            )
+            if bid
+        },
     )
-    props += f", 'cellbase.build_id' = '{uuid.uuid4().hex}'"
-    spark.sql(f"ALTER TABLE {out_table} SET TBLPROPERTIES ({props})")
-    _tblprops_cache(spark).pop(out_table, None)
 
 
 def compact_ann_index_partial(
@@ -1343,15 +1361,19 @@ def compact_ann_index_partial(
             leaf.getFileSystem(hconf).delete(leaf, True)
     import uuid
 
+    from cellbase_spark.operators.publish import stamp_props
+
     new_absorbed = absorbed | {
         gen_ids[g] for g in pending if gen_ids[g] is not None
     }
-    spark.sql(
-        f"ALTER TABLE {base_table} SET TBLPROPERTIES"
-        f" ('cellbase.build_id' = '{uuid.uuid4().hex}',"
-        f" 'cellbase.absorbed_ids' = '{','.join(sorted(new_absorbed))}')"
+    stamp_props(
+        spark,
+        base_table,
+        {
+            "cellbase.build_id": uuid.uuid4().hex,
+            "cellbase.absorbed_ids": ",".join(sorted(new_absorbed)),
+        },
     )
-    _tblprops_cache(spark).pop(base_table, None)
     if tombs is not None:
         _clear_tombstones(spark, base_table)
     return len(touched)

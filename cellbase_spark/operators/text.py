@@ -146,27 +146,33 @@ def build_bm25_index(
             "tok_bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets))
         )
     )
-    (
-        postings.repartition(F.col("tok_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("tok_bucket")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    import uuid
+    def _writer(tmp_table: str, tmp_path: str) -> None:
+        (
+            postings.repartition(F.col("tok_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .option("path", tmp_path)
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
 
-    spark = docs.sparkSession
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES ("
-        f"'cellbase.n_docs' = '{int(stats.n_docs)}', "
-        f"'cellbase.total_len' = '{int(stats.total_len)}', "
-        f"'cellbase.n_buckets' = '{int(n_buckets)}', "
-        f"'cellbase.build_id' = '{uuid.uuid4().hex}')"
-    )
-    from cellbase_spark.operators.similarity import _tblprops_cache
+    from cellbase_spark.operators.publish import publish_artifact
 
-    _tblprops_cache(spark).pop(table, None)
+    # crash-safe publish (r11 verdict #4): stats + marker stamped on the
+    # temp table in one ALTER, verified, then swapped — a probe can
+    # never resolve a postings table whose frozen n_docs/total_len are
+    # missing or partial.
+    publish_artifact(
+        docs.sparkSession,
+        table,
+        path,
+        _writer,
+        {
+            "cellbase.n_docs": str(int(stats.n_docs)),
+            "cellbase.total_len": str(int(stats.total_len)),
+            "cellbase.n_buckets": str(int(n_buckets)),
+        },
+    )
 
 
 def delete_from_bm25_index(spark, table: str, doc_ids) -> int:
@@ -202,7 +208,6 @@ def delete_from_bm25_index(spark, table: str, doc_ids) -> int:
     import uuid
 
     from cellbase_spark.operators.similarity import (
-        _tblprops_cache,
         table_props,
         tombstone_table_name,
     )
@@ -235,12 +240,16 @@ def delete_from_bm25_index(spark, table: str, doc_ids) -> int:
     ts = tombstone_table_name(table)
     ts_rows.write.mode("append").format("parquet").saveAsTable(ts)
     total = spark.table(ts).select("doc_id").distinct().count()
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES"
-        f" ('cellbase.tombstones' = '{total}',"
-        f" 'cellbase.build_id' = '{uuid.uuid4().hex}')"
+    from cellbase_spark.operators.publish import stamp_props
+
+    stamp_props(
+        spark,
+        table,
+        {
+            "cellbase.tombstones": str(total),
+            "cellbase.build_id": uuid.uuid4().hex,
+        },
     )
-    _tblprops_cache(spark).pop(table, None)
     return total
 
 
@@ -283,10 +292,7 @@ def compact_bm25_index(spark, out_table: str, path: str, generations: list[str])
     anti-join and no stats correction, it must answer exactly as the
     tombstoned generations did (logical and physical deletion
     indistinguishable to a probe — the delete contract)."""
-    import uuid
-
     from cellbase_spark.operators.similarity import (
-        _tblprops_cache,
         table_props,
         tombstone_table_name,
     )
@@ -315,27 +321,42 @@ def compact_bm25_index(spark, out_table: str, path: str, generations: list[str])
         merged = merged.join(
             F.broadcast(tombs.select("doc_id")), "doc_id", "left_anti"
         )
-    (
-        merged.repartition(F.col("tok_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("tok_bucket")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(out_table)
-    )
+    def _writer(tmp_table: str, tmp_path: str) -> None:
+        (
+            merged.repartition(F.col("tok_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .option("path", tmp_path)
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+
+    from cellbase_spark.operators.publish import publish_artifact
+
     # The compacted artifact is born clean: a stale side-table under the
     # output name (e.g. from a dropped-and-rebuilt table of the same
     # name) would resurrect someone else's takedowns into this probe.
     spark.sql(f"DROP TABLE IF EXISTS {tombstone_table_name(out_table)}")
-    spark.sql(
-        f"ALTER TABLE {out_table} SET TBLPROPERTIES ("
-        f"'cellbase.n_docs' = '{n_docs}', "
-        f"'cellbase.total_len' = '{total_len}', "
-        f"'cellbase.n_buckets' = '{buckets.pop()}', "
-        f"'cellbase.tombstones' = '0', "
-        f"'cellbase.build_id' = '{uuid.uuid4().hex}')"
+    # crash-safe publish (r11 verdict #4): summed/corrected stats +
+    # marker stamped pre-swap; the source generations' build_ids are
+    # recorded as absorbed for audit parity with the ANN compactions.
+    publish_artifact(
+        spark,
+        out_table,
+        path,
+        _writer,
+        {
+            "cellbase.n_docs": str(n_docs),
+            "cellbase.total_len": str(total_len),
+            "cellbase.n_buckets": str(buckets.pop()),
+            "cellbase.tombstones": "0",
+        },
+        absorbed_ids={
+            bid
+            for bid in (p.get("cellbase.build_id") for p in stats)
+            if bid
+        },
     )
-    _tblprops_cache(spark).pop(out_table, None)
 
 
 def bm25_probe(spark, table, terms: list[str], k: int = 20):

@@ -1,0 +1,287 @@
+"""Crash-safe artifact publishing (operators/publish.py, r11 verdict
+task #4): one commit path for the ANN index, the BM25 postings index and
+the dedup band table. Each family gets a crash-injection test — kill the
+publish between build/stamp and swap, assert readers still see the OLD
+artifact in full (never a half-published one), then assert a clean
+re-publish succeeds and sweeps the leftovers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cellbase_spark.operators import publish
+from cellbase_spark.operators.publish import (
+    BUILD_SUFFIX,
+    CRASH_POINTS,
+    InjectedCrash,
+    publish_artifact,
+    publish_artifact_dir,
+    stamp_props,
+)
+from cellbase_spark.operators.similarity import table_props
+
+
+@pytest.fixture(autouse=True)
+def _no_crash_leak():
+    yield
+    CRASH_POINTS.clear()
+
+
+def _tiny_embeddings(spark, n=40, dim=4, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}),"
+            " i -> cast(((id * 7 + i * 3) % 11) as double) / 11.0)"
+        ).alias("embedding"),
+    )
+
+
+def _docs(spark, n=30, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat('tok', cast(id % 5 as string), ' common tok',"
+            " cast(id % 3 as string))"
+        ).alias("text"),
+    )
+
+
+def _no_build_leftovers(spark, table):
+    return [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"{table}{BUILD_SUFFIX}".lower())
+    ]
+
+
+# ---- generic helper behavior ------------------------------------------------
+
+
+def test_publish_artifact_smoke_and_marker(spark, tmp_path):
+    t, p = "pub_t_smoke", str(tmp_path / "art")
+
+    def writer(tt, tp):
+        spark.range(3).write.mode("overwrite").option("path", tp).format(
+            "parquet"
+        ).saveAsTable(tt)
+
+    publish_artifact(spark, t, p, writer, {"cellbase.k": "v"}, absorbed_ids={"b", "a"})
+    props = table_props(spark, t, max_age_sec=0)
+    assert props["cellbase.k"] == "v"
+    assert props["cellbase.complete"] == "1"
+    assert props["cellbase.absorbed_ids"] == "a,b"
+    assert props["cellbase.build_id"]
+    assert spark.table(t).count() == 3
+    assert _no_build_leftovers(spark, t) == []
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_publish_crash_before_stamp_leaves_old_intact(spark, tmp_path):
+    t, p = "pub_t_prestamp", str(tmp_path / "art")
+
+    def writer_v(v):
+        def w(tt, tp):
+            spark.range(v).write.mode("overwrite").option("path", tp).format(
+                "parquet"
+            ).saveAsTable(tt)
+        return w
+
+    publish_artifact(spark, t, p, writer_v(5), {})
+    old_id = table_props(spark, t, max_age_sec=0)["cellbase.build_id"]
+
+    CRASH_POINTS.add("after_build")
+    with pytest.raises(InjectedCrash):
+        publish_artifact(spark, t, p, writer_v(9), {})
+    CRASH_POINTS.clear()
+    # old artifact fully intact, same identity
+    assert spark.table(t).count() == 5
+    assert table_props(spark, t, max_age_sec=0)["cellbase.build_id"] == old_id
+    # the crashed temp is markerless garbage; a fresh publish sweeps it
+    publish_artifact(spark, t, p, writer_v(9), {})
+    assert spark.table(t).count() == 9
+    assert table_props(spark, t, max_age_sec=0)["cellbase.build_id"] != old_id
+    assert _no_build_leftovers(spark, t) == []
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_publish_dir_crash_leaves_no_partial(spark, tmp_path):
+    out = str(tmp_path / "gen2")
+    CRASH_POINTS.add("after_build_dir")
+    with pytest.raises(InjectedCrash):
+        publish_artifact_dir(
+            lambda d: spark.range(4).write.parquet(d), out
+        )
+    CRASH_POINTS.clear()
+    assert not os.path.exists(out)  # never half-visible
+    publish_artifact_dir(lambda d: spark.range(4).write.parquet(d), out)
+    assert spark.read.parquet(out).count() == 4
+    # temp siblings swept
+    parent = os.path.dirname(out)
+    assert [e for e in os.listdir(parent) if BUILD_SUFFIX in e] == []
+
+
+def test_publish_dir_refuses_existing_generation(spark, tmp_path):
+    out = str(tmp_path / "gen1")
+    publish_artifact_dir(lambda d: spark.range(2).write.parquet(d), out)
+    with pytest.raises(ValueError, match="immutable"):
+        publish_artifact_dir(lambda d: spark.range(2).write.parquet(d), out)
+
+
+def test_stamp_props_escapes_quotes(spark, tmp_path):
+    t = "pub_t_quote"
+    spark.range(1).write.mode("overwrite").option(
+        "path", str(tmp_path / "q")
+    ).format("parquet").saveAsTable(t)
+    stamp_props(spark, t, {"cellbase.note": "it's quoted"})
+    assert table_props(spark, t, max_age_sec=0)["cellbase.note"] == "it's quoted"
+    spark.sql(f"DROP TABLE {t}")
+
+
+# ---- family: ANN index ------------------------------------------------------
+
+
+def test_ann_rebuild_crash_between_stamp_and_swap(spark, tmp_path):
+    """Kill the ANN index rebuild after the temp is stamped but before
+    the swap: every probe-visible property of the OLD index — rows,
+    geometry, build identity — must be untouched."""
+    from cellbase_spark.operators.similarity import build_ann_index
+
+    t, p = "pub_ann_crash", str(tmp_path / "annidx")
+    build_ann_index(_tiny_embeddings(spark, 40), t, p, n_centroids=2, n_planes=2)
+    before = table_props(spark, t, max_age_sec=0)
+    n_before = spark.table(t).count()
+    assert n_before == 40 and before["cellbase.complete"] == "1"
+
+    CRASH_POINTS.add("after_stamp")
+    with pytest.raises(InjectedCrash):
+        build_ann_index(
+            _tiny_embeddings(spark, 60, offset=1000), t, p,
+            n_centroids=2, n_planes=2,
+        )
+    CRASH_POINTS.clear()
+    after = table_props(spark, t, max_age_sec=0)
+    assert spark.table(t).count() == n_before
+    assert after["cellbase.build_id"] == before["cellbase.build_id"]
+    assert after["cellbase.n_centroids"] == before["cellbase.n_centroids"]
+
+    # retry completes: new corpus served, garbage swept
+    build_ann_index(
+        _tiny_embeddings(spark, 60, offset=1000), t, p,
+        n_centroids=2, n_planes=2,
+    )
+    assert spark.table(t).count() == 60
+    assert (
+        table_props(spark, t, max_age_sec=0)["cellbase.build_id"]
+        != before["cellbase.build_id"]
+    )
+    assert _no_build_leftovers(spark, t) == []
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_ann_compact_records_absorbed_ids(spark, tmp_path):
+    from cellbase_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    g1, g2, out = "pub_ann_g1", "pub_ann_g2", "pub_ann_out"
+    build_ann_index(
+        _tiny_embeddings(spark, 20), g1, str(tmp_path / "g1"),
+        n_centroids=2, n_planes=2,
+    )
+    build_ann_index(
+        _tiny_embeddings(spark, 20, offset=100), g2, str(tmp_path / "g2"),
+        n_centroids=2, n_planes=2,
+    )
+    ids = {
+        table_props(spark, g, max_age_sec=0)["cellbase.build_id"]
+        for g in (g1, g2)
+    }
+    compact_ann_index(spark, out, str(tmp_path / "out"), [g1, g2])
+    props = table_props(spark, out, max_age_sec=0)
+    assert props["cellbase.complete"] == "1"
+    assert set(props["cellbase.absorbed_ids"].split(",")) == ids
+    assert spark.table(out).count() == 40
+    for t in (g1, g2, out):
+        spark.sql(f"DROP TABLE {t}")
+
+
+# ---- family: BM25 postings index -------------------------------------------
+
+
+def test_bm25_rebuild_crash_between_stamp_and_swap(spark, tmp_path):
+    """Same kill for the BM25 family: the OLD postings artifact keeps
+    serving with its frozen corpus stats; the retry replaces it whole."""
+    from cellbase_spark.operators.text import bm25_probe, build_bm25_index
+
+    t, p = "pub_bm25_crash", str(tmp_path / "bm25idx")
+    build_bm25_index(_docs(spark, 30), t, p, n_buckets=8)
+    before = table_props(spark, t, max_age_sec=0)
+    probe_before = sorted(
+        map(tuple, bm25_probe(spark, t, ["tok1", "common"], k=5).collect())
+    )
+
+    CRASH_POINTS.add("after_stamp")
+    with pytest.raises(InjectedCrash):
+        build_bm25_index(_docs(spark, 50, offset=500), t, p, n_buckets=8)
+    CRASH_POINTS.clear()
+    after = table_props(spark, t, max_age_sec=0)
+    assert after["cellbase.build_id"] == before["cellbase.build_id"]
+    assert after["cellbase.n_docs"] == before["cellbase.n_docs"] == "30"
+    assert probe_before == sorted(
+        map(tuple, bm25_probe(spark, t, ["tok1", "common"], k=5).collect())
+    )
+
+    build_bm25_index(_docs(spark, 50, offset=500), t, p, n_buckets=8)
+    fresh = table_props(spark, t, max_age_sec=0)
+    assert fresh["cellbase.n_docs"] == "50"
+    assert fresh["cellbase.build_id"] != before["cellbase.build_id"]
+    assert _no_build_leftovers(spark, t) == []
+    spark.sql(f"DROP TABLE {t}")
+
+
+# ---- family: dedup band table ----------------------------------------------
+
+
+def test_band_compact_crash_leaves_no_partial_generation(spark, tmp_path):
+    """Kill the band-table compaction after the write but before the
+    atomic rename: the new generation directory must NOT exist (readers
+    stay on the old generation; a partial dir would silently serve short
+    results), tombstones stay marked, and the retry lands the complete
+    generation and clears them."""
+    from cellbase_spark.operators.dedup import (
+        compact_dedup_bands,
+        delete_from_dedup_index,
+        read_dedup_tombstones,
+    )
+
+    band_dir = str(tmp_path / "bands_g1")
+    bands = spark.range(20).select(
+        F.col("id").alias("_id"),
+        (F.col("id") % 4).alias("band_idx"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+    )
+    bands.write.parquet(band_dir)
+    delete_from_dedup_index(spark, band_dir, [3, 7])
+    assert read_dedup_tombstones(spark, band_dir).count() == 2
+
+    gen2 = str(tmp_path / "bands_g2")
+    CRASH_POINTS.add("after_build_dir")
+    with pytest.raises(InjectedCrash):
+        compact_dedup_bands(spark, [band_dir], gen2)
+    CRASH_POINTS.clear()
+    assert not os.path.exists(gen2)  # never a half generation
+    # tombstones NOT cleared — the old generation still needs them
+    assert read_dedup_tombstones(spark, band_dir).count() == 2
+
+    compact_dedup_bands(spark, [band_dir], gen2)
+    out = spark.read.parquet(gen2)
+    assert out.count() == 18
+    assert out.where(F.col("_id").isin(3, 7)).count() == 0
+    # tombstones cleared after the successful publish
+    ts = read_dedup_tombstones(spark, band_dir)
+    assert ts is None or ts.count() == 0
