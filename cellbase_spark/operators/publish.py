@@ -80,6 +80,19 @@ def stamp_props(spark, table: str, props: dict[str, str]) -> None:
     _tblprops_cache(spark).pop(table, None)
 
 
+def artifact_location(spark, table: str) -> str:
+    """The published artifact's CURRENT data directory. After any
+    publish the final table's bytes live at a `<path>__build_<token>`
+    directory (the swap renames catalog entries, never moves bytes), so
+    the path handed to the publish is a NAMING BASE, not the location —
+    anything that needs the artifact's files (leaf-layout audits,
+    direct-parquet cross-checks) must resolve through the catalog."""
+    loc = _table_location(spark, table)
+    if loc is None:
+        raise ValueError(f"artifact_location: {table!r} has no location")
+    return loc
+
+
 def _table_location(spark, table: str) -> str | None:
     rows = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {table}")

@@ -816,11 +816,13 @@ def test_ann_index_layout_single_file_per_leaf(spark, sf_dir):
     import glob
     import os
 
+    from cellbase_spark.operators.publish import artifact_location
     from cellbase_spark.queries.llm_similarity import _ann_index_table
-    from cellbase_spark.queries.scans import scratch_path
 
-    _ann_index_table(spark, sf_dir)
-    root = scratch_path(sf_dir, "annindex")
+    t = _ann_index_table(spark, sf_dir)
+    # the artifact's bytes live at the catalog-resolved location (a
+    # __build_ dir since the crash-safe publish), not the naming base
+    root = artifact_location(spark, t)
     leaves = glob.glob(os.path.join(root, "centroid_id=*", "bucket=*"))
     assert leaves, f"no leaf dirs under {root}"
     for leaf in leaves:
@@ -997,12 +999,13 @@ def test_ann_index_compact_layout_and_geometry(spark, sf_dir):
         _ensure_trained_ann_delta2,
         _ensure_trained_ann_index,
     )
+    from cellbase_spark.operators.publish import artifact_location
     from cellbase_spark.queries.scans import scratch_path
 
     t = _ensure_trained_ann_compact(spark, sf_dir)
     base_t = _ensure_trained_ann_index(spark, sf_dir)
 
-    root = scratch_path(sf_dir, "anncompact_tr")
+    root = artifact_location(spark, t)
     leaves = glob.glob(os.path.join(root, "centroid_id=*", "bucket=*"))
     assert leaves, f"no leaf dirs under {root}"
     for leaf in leaves:
@@ -1108,9 +1111,11 @@ def test_ann_index_compact_partial_rewrites_only_touched_leaves(
 
     base_t = _ensure_trained_ann_index(spark, sf_dir)
     delta_t = _ensure_trained_ann_delta(spark, sf_dir)
+    from cellbase_spark.operators.publish import artifact_location
+
     t = f"cb_partialtest_{os.getpid()}"
-    root = str(tmp_path / "partial")
-    compact_ann_index(spark, t, root, [base_t])
+    compact_ann_index(spark, t, str(tmp_path / "partial"), [base_t])
+    root = artifact_location(spark, t)
 
     def leaf_files() -> dict[str, tuple[str, ...]]:
         out = {}
@@ -1228,9 +1233,11 @@ def test_ann_index_delete_lifecycle(spark, sf_dir, tmp_path):
     )
 
     base_t = _ensure_trained_ann_index(spark, sf_dir)
+    from cellbase_spark.operators.publish import artifact_location
+
     t = f"cb_deltest_{os.getpid()}"
-    root = str(tmp_path / "deltest")
-    compact_ann_index(spark, t, root, [base_t])
+    compact_ann_index(spark, t, str(tmp_path / "deltest"), [base_t])
+    root = artifact_location(spark, t)
     all_rows = spark.table(t).count()
 
     # victim leaf: every vec_id of one whole (centroid_id, bucket) leaf,
