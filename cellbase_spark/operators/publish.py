@@ -181,6 +181,7 @@ def publish_artifact(
         old_loc = _table_location(spark, table)
         trash = f"{table}{BUILD_SUFFIX}trash_{token}"
         spark.sql(f"ALTER TABLE {table} RENAME TO {trash}")
+        _maybe_crash("mid_swap")
         spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
         spark.sql(f"DROP TABLE IF EXISTS {trash}")
     else:

@@ -285,3 +285,35 @@ def test_band_compact_crash_leaves_no_partial_generation(spark, tmp_path):
     # tombstones cleared after the successful publish
     ts = read_dedup_tombstones(spark, band_dir)
     assert ts is None or ts.count() == 0
+
+
+def test_publish_crash_mid_swap_recovers_on_retry(spark, tmp_path):
+    """The narrowest remaining window: crash BETWEEN the two catalog
+    renames (old already trashed, new not yet exposed). The final name
+    is briefly unresolvable — a loud missing-table error, never half
+    data — and a re-run of the SAME publish repairs it: the sweep
+    clears the trash + temp, the writer rebuilds, and readers resolve
+    the new artifact."""
+    t, p = "pub_t_midswap", str(tmp_path / "art")
+
+    def writer_v(v):
+        def w(tt, tp):
+            spark.range(v).write.mode("overwrite").option("path", tp).format(
+                "parquet"
+            ).saveAsTable(tt)
+        return w
+
+    publish_artifact(spark, t, p, writer_v(5), {})
+    CRASH_POINTS.add("mid_swap")
+    with pytest.raises(InjectedCrash):
+        publish_artifact(spark, t, p, writer_v(9), {})
+    CRASH_POINTS.clear()
+    # the window is loud, not wrong: final name unresolvable, no reader
+    # can see a half-published artifact under it
+    assert not spark.catalog.tableExists(t)
+    # retry repairs end-to-end
+    publish_artifact(spark, t, p, writer_v(9), {})
+    assert spark.table(t).count() == 9
+    assert table_props(spark, t, max_age_sec=0)["cellbase.complete"] == "1"
+    assert _no_build_leftovers(spark, t) == []
+    spark.sql(f"DROP TABLE {t}")
