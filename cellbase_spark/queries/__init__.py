@@ -81,6 +81,7 @@ GATE_PRIORITY = [
     "q_scan_ods",
     "q_scan_csv_dialect",
     "q_point_lookup_bucketed",
+    "q_roundtrip_ods_pyds",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -330,6 +330,37 @@ def q_roundtrip_xlsx_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_roundtrip_ods_pyds",
+    family="scan",
+    oracle="SELECT * FROM nation",
+)
+def q_roundtrip_ods_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DISTRIBUTED .ods round trip through the Spark 4 Python Data
+    Source (round 12 — the OpenDocument face of S4c/S4d):
+    df.write.format('cellbase_ods') fans nation out as one part-N.ods per
+    partition (executor-side, no driver collect), then the registered
+    reader scans the directory back with explicit partition planning.
+    Same writer/commit/reader/coercion contract as the xlsx loop —
+    only the cell-grid codec differs (sources/ods.py)."""
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    n = load_table(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_pyds_ods_rt_")
+    (
+        n.repartition(3)
+        .write.format("cellbase_ods")
+        .mode("append")
+        .save(out_dir)
+    )
+    return (
+        spark.read.format("cellbase_ods")
+        .schema(schemas.NATION)
+        .load(out_dir)
+    )
+
+
+@register(
     "q_roundtrip_write",
     family="scan",
     oracle="""

@@ -62,34 +62,69 @@ def _coerce(value: str | None, spark_type: str):
     return value
 
 
+def _parse_sheet(fmt: str, data: bytes, sheet_name: str | None):
+    """Format dispatch, resolved executor-side (keeps the reader object
+    picklable without dragging parser modules into the closure)."""
+    if fmt == "ods":
+        from cellbase_spark.sources.ods import parse_ods_bytes
+
+        return parse_ods_bytes(data, sheet_name=sheet_name)
+    from cellbase_spark.sources.excel import parse_xlsx_bytes
+
+    return parse_xlsx_bytes(data, sheet_name=sheet_name)
+
+
+def _write_sheet(fmt: str, rows: list[list], path: str, header: list[str]) -> None:
+    if fmt == "ods":
+        from cellbase_spark.sources.ods import write_ods
+
+        write_ods(rows, path, header=header)
+        return
+    from cellbase_spark.sources.excel import write_xlsx
+
+    write_xlsx(rows, path, header=header)
+
+
 class XlsxDataSource(DataSource):
     """format("cellbase_xlsx"): distributed typed scan of .xlsx files."""
 
+    FMT = "xlsx"
+
     @classmethod
     def name(cls) -> str:
-        return "cellbase_xlsx"
+        return f"cellbase_{cls.FMT}"
 
     def schema(self) -> StructType | str:
         # The declared schema is the contract (no inference): Spark calls
         # this only when the user didn't pass .schema(...).
         raise ValueError(
-            "cellbase_xlsx requires an explicit .schema(...): sheets are "
+            f"cellbase_{self.FMT} requires an explicit .schema(...): sheets are "
             "typed tables, the declaration is the contract (no inference)"
         )
 
-    def reader(self, schema: StructType) -> "XlsxReader":
-        return XlsxReader(schema, self.options)
+    def reader(self, schema: StructType) -> "SheetReader":
+        return SheetReader(schema, self.options, self.FMT)
 
-    def writer(self, schema: StructType, overwrite: bool) -> "XlsxWriter":
-        return XlsxWriter(schema, self.options, overwrite)
+    def writer(self, schema: StructType, overwrite: bool) -> "SheetWriter":
+        return SheetWriter(schema, self.options, overwrite, self.FMT)
 
 
-class XlsxReader(DataSourceReader):
-    def __init__(self, schema: StructType, options: dict):
+class OdsDataSource(XlsxDataSource):
+    """format("cellbase_ods"): the OpenDocument face of the same
+    pluggable-source capability (round 12) — identical partition
+    planning, typed coercion and sink/commit protocol; only the cell
+    grid codec differs (sources/ods.py vs sources/excel.py)."""
+
+    FMT = "ods"
+
+
+class SheetReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict, fmt: str = "xlsx"):
         self._schema = schema
+        self._fmt = fmt
         self._path = options.get("path")
         if not self._path:
-            raise ValueError("cellbase_xlsx needs .load(<file-or-dir>)")
+            raise ValueError(f"cellbase_{fmt} needs .load(<file-or-dir>)")
         self._sheet = options.get("sheet")  # None -> first sheet
         self._header = str(options.get("header", "true")).lower() == "true"
 
@@ -98,20 +133,18 @@ class XlsxReader(DataSourceReader):
         # parse independently. Planned driver-side from a listing only —
         # no bytes are read until executors run read().
         if os.path.isdir(self._path):
-            files = sorted(glob.glob(os.path.join(self._path, "*.xlsx")))
+            files = sorted(glob.glob(os.path.join(self._path, f"*.{self._fmt}")))
         else:
             files = [self._path]
         if not files:
-            raise FileNotFoundError(f"no .xlsx under {self._path}")
+            raise FileNotFoundError(f"no .{self._fmt} under {self._path}")
         return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         # Executor-side: parse one workbook, map header names to the
         # declared fields, coerce cell strings to the declared types.
-        from cellbase_spark.sources.excel import parse_xlsx_bytes
-
         with open(partition.value, "rb") as f:
-            grid = parse_xlsx_bytes(f.read(), sheet_name=self._sheet)
+            grid = _parse_sheet(self._fmt, f.read(), self._sheet)
         if not grid:
             return
         fields = [(f.name, f.dataType.simpleString()) for f in self._schema.fields]
@@ -120,7 +153,7 @@ class XlsxReader(DataSourceReader):
             missing = [name for name, _ in fields if name not in head]
             if missing:
                 raise ValueError(
-                    f"cellbase_xlsx: workbook {partition.value!r} "
+                    f"cellbase_{self._fmt}: workbook {partition.value!r} "
                     f"(sheet={self._sheet or '<first>'}) header {head!r} is "
                     f"missing declared column(s) {missing}"
                 )
@@ -135,6 +168,10 @@ class XlsxReader(DataSourceReader):
             )
 
 
+# Back-compat alias (pre-round-12 name).
+XlsxReader = SheetReader
+
+
 class XlsxCommitMessage(WriterCommitMessage):
     """Carries the filename a task wrote (None for empty partitions) so
     commit() can distinguish this job's parts from stale ones."""
@@ -143,38 +180,41 @@ class XlsxCommitMessage(WriterCommitMessage):
         self.filename = filename
 
 
-class XlsxWriter(DataSourceWriter):
-    """Distributed xlsx SINK: each partition writes one part-<N>.xlsx
-    workbook into the target directory — the same one-file-per-task
-    layout every Spark file sink uses, so a TB-scale export fans out
-    instead of funnelling through the driver (contrast
+class SheetWriter(DataSourceWriter):
+    """Distributed spreadsheet SINK (xlsx or ods): each partition writes
+    one part-<N>.<fmt> workbook into the target directory — the same
+    one-file-per-task layout every Spark file sink uses, so a TB-scale
+    export fans out instead of funnelling through the driver (contrast
     api.CellBase.export_workbook, the deliberate single-small-file
     path). Commit is rename-free because workbook filenames embed the
     partition id: tasks are idempotent under retry (same id -> same
     file, last write wins). mode("overwrite") is honoured at commit():
     each task reports its filename in the commit message and commit
-    deletes any pre-existing part-*.xlsx NOT written by this job, so a
+    deletes any pre-existing part-*.<fmt> NOT written by this job, so a
     re-write with fewer partitions cannot leave stale parts behind
     (previously overwrite silently behaved as append)."""
 
-    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+    def __init__(
+        self, schema: StructType, options: dict, overwrite: bool, fmt: str = "xlsx"
+    ):
         self._header = [f.name for f in schema.fields]
+        self._fmt = fmt
         self._path = options.get("path")
         if not self._path:
-            raise ValueError("cellbase_xlsx write needs .save(<dir>)")
+            raise ValueError(f"cellbase_{fmt} write needs .save(<dir>)")
         self._overwrite = overwrite
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
 
-        from cellbase_spark.sources.excel import write_xlsx
-
         pid = TaskContext.get().partitionId()
         os.makedirs(self._path, exist_ok=True)
         rows = [[row[c] for c in self._header] for row in iterator]
-        name = f"part-{pid:05d}.xlsx"
+        name = f"part-{pid:05d}.{self._fmt}"
         if rows:  # empty partitions write nothing, like the parquet sink
-            write_xlsx(rows, os.path.join(self._path, name), header=self._header)
+            _write_sheet(
+                self._fmt, rows, os.path.join(self._path, name), self._header
+            )
             return XlsxCommitMessage(name)
         return XlsxCommitMessage(None)
 
@@ -189,12 +229,16 @@ class XlsxWriter(DataSourceWriter):
             for m in messages
             if isinstance(m, XlsxCommitMessage) and m.filename
         }
-        for old in glob.glob(os.path.join(self._path, "part-*.xlsx")):
+        for old in glob.glob(os.path.join(self._path, f"part-*.{self._fmt}")):
             if os.path.basename(old) not in written:
                 os.remove(old)
 
     def abort(self, messages) -> None:
         pass
+
+
+# Back-compat alias (pre-round-12 name).
+XlsxWriter = SheetWriter
 
 
 class ReplayDataSource(DataSource):
@@ -267,4 +311,5 @@ class ReplayStreamReader(SimpleDataSourceStreamReader):
 def register(spark) -> None:
     """Idempotent registration of the cellbase Python data sources."""
     spark.dataSource.register(XlsxDataSource)
+    spark.dataSource.register(OdsDataSource)
     spark.dataSource.register(ReplayDataSource)

@@ -243,3 +243,40 @@ def test_header_reorder_is_respected(spark, tmp_path):
     write_ods([["x", 7], ["y", 8]], str(tmp_path / "c.ods"), header=["name", "id"])
     rows = read_ods_table(spark, str(tmp_path), schema).orderBy("id").collect()
     assert [tuple(r) for r in rows] == [(7, "x"), (8, "y")]
+
+
+def test_python_datasource_ods_roundtrip(spark, tmp_path):
+    """Registered format('cellbase_ods'): distributed sink (one part-N.ods
+    per partition) then partition-planned typed read-back; overwrite drops
+    stale parts like the xlsx face."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    from cellbase_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "d", 4.5)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "ods_sink")
+    df.repartition(3).write.format("cellbase_ods").mode("append").save(out)
+    parts = [f for f in os.listdir(out) if f.endswith(".ods")]
+    # one file per NON-EMPTY partition (round-robin may leave one empty)
+    assert 2 <= len(parts) <= 3
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    back = spark.read.format("cellbase_ods").schema(schema).load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # overwrite with fewer partitions drops the stale third part
+    df.limit(2).repartition(1).write.format("cellbase_ods").mode(
+        "overwrite"
+    ).save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".ods")]) == 1
+    assert spark.read.format("cellbase_ods").schema(schema).load(out).count() == 2
