@@ -749,13 +749,20 @@ class CellTable:
             write_csv_table(self.df, path)
         elif fmt == "parquet":
             writer.parquet(path)
-        elif fmt == "xlsx":
-            from cellbase_spark.sources.excel import write_xlsx_workbook
+        elif fmt in ("xlsx", "ods"):
+            if fmt == "ods":
+                from cellbase_spark.sources.ods import (
+                    write_ods_workbook as write_workbook,
+                )
+            else:
+                from cellbase_spark.sources.excel import (
+                    write_xlsx_workbook as write_workbook,
+                )
 
             _guard_xlsx_export(self.df, self.name)
             header = self.df.columns
             body = [[row[c] for c in header] for row in self.df.collect()]
-            write_xlsx_workbook({self.name: (header, body)}, path)
+            write_workbook({self.name: (header, body)}, path)
         else:
             raise ValueError(f"unsupported save format {fmt!r}")
 
@@ -804,38 +811,62 @@ class CellBase:
         return CellTable(read_csv_table(self.spark, path, schema), name)
 
     def import_workbook(
-        self, path: str, sheet_schemas: dict, key_cols: dict | None = None
+        self,
+        path: str,
+        sheet_schemas: dict,
+        key_cols: dict | None = None,
+        fmt: str = "xlsx",
     ) -> dict[str, CellTable]:
         """The reference's open-a-workbook flow: every named sheet of the
-        .xlsx file(s) at `path` becomes a CellTable, typed by its declared
-        schema — the full 'author tables in spreadsheet software, load
-        them as a database' loop. Each sheet stays an independent lazy
-        distributed scan (sources/excel.read_workbook)."""
-        from cellbase_spark.sources.excel import read_workbook
+        workbook file(s) at `path` becomes a CellTable, typed by its
+        declared schema — the full 'author tables in spreadsheet software,
+        load them as a database' loop. Each sheet stays an independent
+        lazy distributed scan. fmt='xlsx' (sources/excel.read_workbook)
+        or 'ods' (sources/ods.read_ods_workbook — the LibreOffice half,
+        round 12)."""
+        if fmt == "ods":
+            from cellbase_spark.sources.ods import read_ods_workbook as read_wb
+        elif fmt == "xlsx":
+            from cellbase_spark.sources.excel import read_workbook as read_wb
+        else:
+            raise ValueError(f"unsupported workbook format {fmt!r}")
 
-        dfs = read_workbook(self.spark, path, sheet_schemas)
+        dfs = read_wb(self.spark, path, sheet_schemas)
         key_cols = key_cols or {}
         return {
             name: CellTable(df, name, key_cols.get(name))
             for name, df in dfs.items()
         }
 
-    def export_workbook(self, tables: dict[str, CellTable], path: str) -> None:
+    def export_workbook(
+        self, tables: dict[str, CellTable], path: str, fmt: str = "xlsx"
+    ) -> None:
         """The symmetric save-back flow: every CellTable becomes a named
-        worksheet of ONE .xlsx file — close the reference's round trip
+        worksheet of ONE workbook file — close the reference's round trip
         (author in spreadsheet software -> query as a database -> export
-        the edited state back to a spreadsheet). Collects each sheet to
-        the driver: a workbook is a single small file by nature, so this
-        is the dim-table/export path, never a fact-table sink (those go
-        through save(fmt='parquet'|'csv') or any Spark writer)."""
-        from cellbase_spark.sources.excel import write_xlsx_workbook
+        the edited state back to a spreadsheet). fmt='xlsx' or 'ods'.
+        Collects each sheet to the driver: a workbook is a single small
+        file by nature, so this is the dim-table/export path, never a
+        fact-table sink (those go through save(fmt='parquet'|'csv'), any
+        Spark writer, or the distributed cellbase_xlsx/cellbase_ods
+        DataSource sinks)."""
+        if fmt == "ods":
+            from cellbase_spark.sources.ods import (
+                write_ods_workbook as write_workbook,
+            )
+        elif fmt == "xlsx":
+            from cellbase_spark.sources.excel import (
+                write_xlsx_workbook as write_workbook,
+            )
+        else:
+            raise ValueError(f"unsupported workbook format {fmt!r}")
 
         sheets = {}
         for name, t in tables.items():
             _guard_xlsx_export(t.df, name)
             header = t.df.columns
             sheets[name] = (header, [[row[c] for c in header] for row in t.df.collect()])
-        write_xlsx_workbook(sheets, path)
+        write_workbook(sheets, path)
 
 
 def _guard_xlsx_export(df: DataFrame, name: str) -> None:

@@ -1088,3 +1088,43 @@ def test_bucketed_table_requires_key_column(spark, sf_dir):
     cb = CellBase(spark, sf_dir)
     with pytest.raises(ValueError, match="key column"):
         cb.table("lineitem", bucketed=True)
+
+
+def test_ods_workbook_import_export_roundtrip(spark, sf_dir, tmp_path):
+    """Facade parity for the LibreOffice format (round 12): export two
+    tables as one .ods workbook, re-import with declared schemas, edit,
+    save a single sheet back as .ods — the reference's full loop in the
+    OpenDocument dialect."""
+    from cellbase_spark import schemas
+    from cellbase_spark.sources.ods import parse_ods_bytes
+
+    cb = CellBase(spark, sf_dir)
+    path = str(tmp_path / "dims.ods")
+    cb.export_workbook(
+        {"region": cb.table("region"), "nation": cb.table("nation")},
+        path,
+        fmt="ods",
+    )
+    tables = cb.import_workbook(
+        path,
+        {"region": schemas.REGION, "nation": schemas.NATION},
+        fmt="ods",
+    )
+    assert tables["nation"].count() == cb.table("nation").count()
+    assert tables["region"].get(0) is not None
+    # single-sheet save in the ods dialect
+    out = str(tmp_path / "region_edited.ods")
+    tables["region"].set_value(0, "r_name", "EDITED").save(out, fmt="ods")
+    grid = parse_ods_bytes(open(out, "rb").read())
+    assert grid[0] == ["r_regionkey", "r_name"]
+    assert ["0", "EDITED"] in grid[1:]
+
+
+def test_workbook_fmt_rejected(spark, sf_dir, tmp_path):
+    import pytest
+
+    cb = CellBase(spark, sf_dir)
+    with pytest.raises(ValueError, match="unsupported workbook format"):
+        cb.import_workbook(str(tmp_path), {}, fmt="xls")
+    with pytest.raises(ValueError, match="unsupported workbook format"):
+        cb.export_workbook({}, str(tmp_path / "x"), fmt="xls")
