@@ -288,8 +288,9 @@ def test_bmp_codec_roundtrip_property():
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_pyds_xlsx_roundtrip_typed(spark, tmp_path_factory, rows):
     """Property: any (long, string, double) table survives the Python
-    Data Source write -> read loop bit-exactly (numeric cells serialize
-    with repr-roundtrip precision; strings via sharedStrings)."""
+    Data Source write -> read loop bit-exactly in BOTH spreadsheet
+    dialects (numeric cells serialize with repr-roundtrip precision;
+    strings via sharedStrings / escaped text:p)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -308,12 +309,15 @@ def test_pyds_xlsx_roundtrip_typed(spark, tmp_path_factory, rows):
             StructField("x", DoubleType()),
         ]
     )
-    out = str(tmp_path_factory.mktemp("pyds_prop"))
     df = spark.createDataFrame(rows, schema)
-    df.write.format("cellbase_xlsx").mode("append").save(out)
-    back = spark.read.format("cellbase_xlsx").schema(schema).load(out)
-    got = sorted((r["k"], r["s"], r["x"]) for r in back.collect())
-    assert got == sorted(rows)
+    # both spreadsheet dialects share the coercion contract: the same
+    # table must survive the xlsx AND ods DataSource loops bit-exactly
+    for fmt in ("xlsx", "ods"):
+        out = str(tmp_path_factory.mktemp(f"pyds_prop_{fmt}"))
+        df.write.format(f"cellbase_{fmt}").mode("append").save(out)
+        back = spark.read.format(f"cellbase_{fmt}").schema(schema).load(out)
+        got = sorted((r["k"], r["s"], r["x"]) for r in back.collect())
+        assert got == sorted(rows), fmt
 
 
 docs_words = st.lists(
