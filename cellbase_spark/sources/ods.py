@@ -96,19 +96,32 @@ def _cell_value(cell: ElementTree.Element) -> str | None:
 def _parse_table(table: ElementTree.Element) -> list[list[str | None]]:
     """One <table:table> -> dense 2-D grid of cell strings, run-length
     repeats expanded, trailing empty padding trimmed."""
+    def _rep(el: ElementTree.Element, attr: str) -> int:
+        """Repeat attribute, hostile-input-hardened: non-numeric raises
+        loudly; ODF requires >= 1, so 0/negative (spec-violating) clamp
+        to 1 rather than silently dropping grid content."""
+        raw = el.get(attr, "1")
+        try:
+            return max(1, int(raw))
+        except ValueError as exc:
+            raise ValueError(f"ods: non-numeric repeat {raw!r}") from exc
+
     rows: list[list[str | None]] = []
     pending_empty_rows = 0  # trailing-empty-row padding, flushed lazily
     for row_el in table.findall(f"{_TABLE}table-row"):
-        row_rep = int(row_el.get(f"{_TABLE}number-rows-repeated", "1"))
+        row_rep = _rep(row_el, f"{_TABLE}number-rows-repeated")
         cells: list[str | None] = []
         for cell in row_el:
             if cell.tag == f"{_TABLE}covered-table-cell":
-                rep = int(cell.get(f"{_TABLE}number-columns-repeated", "1"))
-                cells.extend([None] * min(rep, _MAX_NONEMPTY_REPEAT))
+                rep = _rep(cell, f"{_TABLE}number-columns-repeated")
+                # covered cells are valueless: cap at the ODF grid width
+                # (16384 columns) like empty runs — a hostile repeat
+                # cannot inflate the row past the legal grid
+                cells.extend([None] * min(rep, 16384))
                 continue
             if cell.tag != f"{_TABLE}table-cell":
                 continue
-            rep = int(cell.get(f"{_TABLE}number-columns-repeated", "1"))
+            rep = _rep(cell, f"{_TABLE}number-columns-repeated")
             val = _cell_value(cell)
             if val is None:
                 # Empty run: expand only if bounded; a grid-width pad
@@ -141,10 +154,26 @@ def _parse_table(table: ElementTree.Element) -> list[list[str | None]]:
 
 
 def _content_root(data: bytes) -> ElementTree.Element:
-    zf = zipfile.ZipFile(_io.BytesIO(data))
-    if "content.xml" not in zf.namelist():
-        raise ValueError("ods: no content.xml member (not an ODF package)")
-    return ElementTree.fromstring(zf.read("content.xml"))
+    """Loud decoder boundary (the codec-family discipline): any hostile
+    or truncated input fails with a typed ValueError naming the layer —
+    never a raw zlib/zipfile/expat error escaping to the caller, never a
+    silent partial grid."""
+    import zlib
+
+    try:
+        zf = zipfile.ZipFile(_io.BytesIO(data))
+        names = zf.namelist()
+        if "content.xml" not in names:
+            raise ValueError("ods: no content.xml member (not an ODF package)")
+        raw = zf.read("content.xml")
+    except ValueError:
+        raise
+    except (zipfile.BadZipFile, zlib.error, EOFError, OSError) as exc:
+        raise ValueError(f"ods: corrupt ODF zip container ({exc})") from exc
+    try:
+        return ElementTree.fromstring(raw)
+    except ElementTree.ParseError as exc:
+        raise ValueError(f"ods: malformed content.xml ({exc})") from exc
 
 
 def list_sheets(data: bytes) -> list[str]:

@@ -280,3 +280,55 @@ def test_python_datasource_ods_roundtrip(spark, tmp_path):
     ).save(out)
     assert len([f for f in os.listdir(out) if f.endswith(".ods")]) == 1
     assert spark.read.format("cellbase_ods").schema(schema).load(out).count() == 2
+
+
+def test_hostile_inputs_fail_loudly_and_typed(tmp_path):
+    """The codec-family boundary discipline applied to ODS: corrupt
+    zips, truncated members, malformed XML and spec-violating repeats
+    all raise ValueError naming the layer — never a raw zlib/zip/expat
+    error, never a silent partial grid."""
+    import io
+    import os
+    import random
+    import time
+
+    p = str(tmp_path / "v.ods")
+    write_ods([[1, "a", 1.5], [2, "b", -3.0]], p, header=["i", "s", "x"])
+    valid = open(p, "rb").read()
+
+    random.seed(7)
+    for trial in range(200):
+        b = bytearray(valid)
+        mode = trial % 3
+        if mode == 0:
+            i = random.randrange(len(b)); b[i] ^= 1 << random.randrange(8)
+        elif mode == 1:
+            b = b[: random.randrange(1, len(b))]
+        else:
+            i = random.randrange(len(b))
+            b[i:i + random.randrange(1, 30)] = os.urandom(random.randrange(1, 30))
+        t0 = time.monotonic()
+        try:
+            g = parse_ods_bytes(bytes(b))
+            assert all(len(r) <= 16384 for r in g)  # never a mega-row
+        except ValueError:
+            pass  # the ONLY sanctioned failure type
+        assert time.monotonic() - t0 < 2.0
+
+    # spec-violating repeats: non-numeric raises, <1 clamps to 1
+    data = _ods_with_content(
+        tmp_path,
+        '<table:table table:name="s"><table:table-row '
+        'table:number-rows-repeated="0">'
+        '<table:table-cell office:value-type="float" office:value="9">'
+        "<text:p>9</text:p></table:table-cell></table:table-row></table:table>",
+    )
+    assert parse_ods_bytes(data) == [["9"]]
+    data = _ods_with_content(
+        tmp_path,
+        '<table:table table:name="s"><table:table-row>'
+        '<table:table-cell table:number-columns-repeated="banana"/>'
+        "</table:table-row></table:table>",
+    )
+    with pytest.raises(ValueError, match="non-numeric repeat"):
+        parse_ods_bytes(data)
