@@ -12,76 +12,70 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-12 gate priority (VERDICT r11 task #1 — FIRST commit of the
-# round). Order: (a) ALL 26 round-11 keys that have NEVER appeared in a
-# driver sample (the full BM25 index lifecycle, ANN/band DELETE verbs +
-# lifecycle, both restart-recovery keys, and the 13 round-11 codec
-# lanes), then (b) the first 24 (alphabetical) of the 49 keys whose
-# newest official green row is r6-vintage (derived from the
-# CORRECTNESS_r01..r11 union by script; 26+24 = exactly the 50-key gate
-# prefix). The remaining 25 r6-vintage keys ride the round-13 rotation.
-# New round-12 keys append at the tail as they land. The full battery
-# always runs locally regardless of order (scripts/check_oracle.py).
+# Round-13 gate priority (VERDICT r12 task #1 — FIRST commit of the
+# round, derived by scripts/derive_gate_rotation.py). Order: (z) NEW
+# round-13 keys inserted at the HEAD as they land so they earn a driver
+# row in the same round they ship (pushing the tail r8-vintage fill out
+# of the 50-slot prefix — those stay r8-vintage, still inside the
+# "no key older than r8" criterion); then (a) the 4 round-12 keys that
+# have NEVER appeared in a driver sample; (b) ALL 25 keys whose newest
+# official green row is r6-vintage; (c) the 21 stalest r8-vintage keys
+# (alphabetical). 4+25+21 = the 50-key gate prefix before (z) grows.
+# The full battery always runs locally (scripts/check_oracle.py).
 GATE_PRIORITY = [
-    # -- (a) never driver-sampled (round-11 additions), judge-verified
-    #    green via check_oracle in the r11 verdict session
-    "q_ann_index_delete",
-    "q_ann_index_delete_compact",
-    "q_ann_index_lifecycle",
-    "q_dedup_band_delete",
-    "q_bm25_indexed",
-    "q_bm25_indexed_update",
-    "q_bm25_indexed_compact",
-    "q_bm25_indexed_delete",
-    "q_bm25_indexed_delete_compact",
-    "q_bm25_indexed_lifecycle",
-    "q_stream_run_recovery",
-    "q_stream_run_recovery_stateful",
-    "q_mm_decode_jpeg_progressive",
-    "q_mm_decode_png16",
-    "q_mm_decode_gif_anim",
-    "q_mm_decode_tiff",
-    "q_mm_decode_tiff_lzw",
-    "q_mm_decode_tiff16",
-    "q_mm_decode_wav24",
-    "q_mm_decode_wav_float",
-    "q_mm_decode_wav_g711",
-    "q_mm_decode_adpcm",
-    "q_mm_decode_adpcm_stereo",
-    "q_mm_decode_flac",
-    "q_mm_decode_webp",
-    "q_mm_decode_y4m420",
-    # -- (b) 24 stalest keys (newest official row = r6; first 24 of 49
-    #    alphabetically — the other 25 rotate in next round)
-    "q_agg_groupby",
-    "q_bpe_pairs",
-    "q_chunk_documents",
-    "q_compact_files",
-    "q_contamination",
-    "q_dedup_band_update",
-    "q_dedup_incremental",
-    "q_dedup_incremental_capped",
-    "q_dedup_incremental_full",
-    "q_degree_distribution",
-    "q_fn_array",
-    "q_fn_conditional",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_string",
-    "q_fn_struct",
-    "q_intersect_except",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_prefilter",
-    "q_join_range",
-    "q_join_salted",
-    # -- (c) NEW round-12 keys appended here as they land
-    "q_scan_ods",
-    "q_scan_csv_dialect",
-    "q_point_lookup_bucketed",
-    "q_roundtrip_ods_pyds",
+    # -- (z) new round-13 keys (head: sampled the round they land)
+    # -- (a) never driver-sampled (round-12 additions), judge-verified
+    #    green via check_oracle in the r12 verdict session
+"q_point_lookup_bucketed",
+"q_scan_csv_dialect",
+"q_scan_ods",
+"q_roundtrip_ods_pyds",
+"q_join_semi",
+"q_json_extract",
+"q_map_functions",
+"q_sample_weighted",
+"q_scan_text",
+"q_sessionize_batch",
+"q_sessionize_twophase",
+"q_skyline",
+"q_sort_multi",
+"q_star_join",
+"q_stream_run_dedup_incremental",
+"q_topk_global",
+"q_topk_per_group",
+"q_tpch_q18",
+"q_tpch_q21_bucketed",
+"q_tpch_q3",
+"q_tpch_q3_bucketed",
+"q_tpch_q5_bucketed",
+"q_tpch_q9_bucketed",
+"q_union",
+"q_window_dist",
+"q_window_laglead",
+"q_window_moving_avg",
+"q_window_rank",
+"q_zorder",
+"q_agg_regression",
+"q_ann_batch_probe",
+"q_ann_eval_trained",
+"q_ann_index_update",
+"q_ann_ivf",
+"q_ann_ivf_indexed",
+"q_ann_ivfpq_indexed",
+"q_ann_lsh_indexed",
+"q_ann_pq",
+"q_anomaly_mad",
+"q_bpe_encode",
+"q_bpe_train",
+"q_dedup_clusters",
+"q_dedup_exact",
+"q_dedup_generations",
+"q_dedup_minhash",
+"q_embed_neardup",
+"q_embed_outliers",
+"q_embed_project",
+"q_ewma",
+"q_gap_fill",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
