@@ -106,11 +106,18 @@ def ensure_bucketed_table(
     by sf + PID like queries/scans.scratch_path) so concurrent runs never
     clobber each other, and it is built once per (process, sf): repeat
     calls return the registered table directly."""
+    import hashlib
     import re
     import shutil
     import tempfile
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{os.getpid()}"
+    # Key the build-once cache on the FULL normalized directory, not its
+    # basename: two data dirs sharing a basename (/a/sf1 and /b/sf1) in
+    # one process must not collide on a catalog name, or the second
+    # silently serves the first directory's rows (r12 advice).
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:10]
+    tag = f"{os.path.basename(norm) or 'sf'}_{digest}_{os.getpid()}"
     safe = re.sub(r"[^A-Za-z0-9_]", "_", tag)
     tname = f"cb_keyed_{name}_{n_buckets}_{safe}"
     if spark.catalog.tableExists(tname):

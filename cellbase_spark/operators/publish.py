@@ -40,6 +40,14 @@ either does not exist or is complete; readers can never observe a
 half-written generation (`spark.read.parquet` of a crashed partial
 write would otherwise happily return partial rows).
 
+Concurrency contract: ONE publisher per artifact at a time. The stale-
+build sweep identifies garbage by the `__build_` naming convention, and
+separate Spark sessions have separate in-memory catalogs — a second
+concurrent publisher's in-progress build directory is indistinguishable
+from a crashed one and would be swept mid-write. Serialize publishes of
+the same artifact externally (the engine's own callers already do: each
+index generation has exactly one producing job).
+
 Crash injection for tests: add a point name to `CRASH_POINTS` and the
 publish raises `InjectedCrash` there. Production code never touches it.
 """
@@ -204,12 +212,19 @@ def publish_artifact_dir(
     or is the complete generation. Callers keep the roll-forward
     discipline (a NEW immutable directory per generation); this helper
     just guarantees the directory's appearance is all-or-nothing.
-    Pre-existing `final_dir` is an error — generations are immutable."""
+
+    A pre-existing `final_dir` is IDEMPOTENT SUCCESS, not an error: the
+    atomic rename means an existing directory is always a complete
+    generation, and the retry-after-crash repair path (e.g. a
+    compaction that crashed between its rename and its tombstone clear)
+    must converge by re-running the same publish — mirroring the
+    catalog face, where re-running the publish is the documented
+    repair. Generation directory names uniquely identify their content
+    (callers roll forward to a NEW name per generation), so returning
+    without writing can never serve stale data for a different
+    generation."""
     if os.path.exists(final_dir):
-        raise ValueError(
-            f"publish_artifact_dir: {final_dir!r} already exists —"
-            " generations are immutable, roll forward to a new directory"
-        )
+        return
     parent = os.path.dirname(os.path.abspath(final_dir))
     os.makedirs(parent, exist_ok=True)
     token = uuid.uuid4().hex[:12]

@@ -57,6 +57,13 @@ _TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 # hostile or corrupt file, not a spreadsheet — refuse loudly.
 _MAX_NONEMPTY_REPEAT = 1_000_000
 
+# ODF 1.2 grid row limit. Cumulative row materialization (content rows,
+# row repeats AND flushed interior empty runs) past this is a hostile
+# file, not a spreadsheet: a <1 KB document must never expand into
+# millions of phantom rows on the executor. Trailing empty padding is
+# unaffected (trimmed lazily, never materialized).
+_MAX_GRID_ROWS = 1_048_576
+
 
 def _cell_text(cell: ElementTree.Element) -> str:
     """Concatenated <text:p> display content (string-typed cells)."""
@@ -145,7 +152,16 @@ def _parse_table(table: ElementTree.Element) -> list[list[str | None]]:
                 f"ods: non-empty row repeated {row_rep}x exceeds "
                 f"sanity bound {_MAX_NONEMPTY_REPEAT}"
             )
-        # Interior empty rows are real grid rows; flush them first.
+        # Interior empty rows are real grid rows; flush them first — but
+        # a cumulative expansion past the ODF row limit means hostile
+        # run-length inflation (the empty-row counterpart of the
+        # non-empty sanity bound above), so refuse loudly instead of
+        # materializing an executor-memory DoS.
+        if len(rows) + pending_empty_rows + row_rep > _MAX_GRID_ROWS:
+            raise ValueError(
+                f"ods: grid expansion exceeds the ODF row limit "
+                f"{_MAX_GRID_ROWS}"
+            )
         rows.extend([[]] * pending_empty_rows)
         pending_empty_rows = 0
         rows.extend([list(cells) for _ in range(row_rep)])
@@ -168,7 +184,18 @@ def _content_root(data: bytes) -> ElementTree.Element:
         raw = zf.read("content.xml")
     except ValueError:
         raise
-    except (zipfile.BadZipFile, zlib.error, EOFError, OSError) as exc:
+    except (
+        zipfile.BadZipFile,
+        zlib.error,
+        EOFError,
+        OSError,
+        # zipfile surfaces an ENCRYPTED member as RuntimeError and an
+        # unsupported compression method as NotImplementedError — both
+        # are hostile-container shapes, so they get the same typed
+        # boundary as a corrupt zip (never a raw error off the kernel).
+        RuntimeError,
+        NotImplementedError,
+    ) as exc:
         raise ValueError(f"ods: corrupt ODF zip container ({exc})") from exc
     try:
         return ElementTree.fromstring(raw)

@@ -160,3 +160,25 @@ def test_compact_files_reduces_file_count_without_shuffle(spark, sf_dir):
     assert n(compacted) < n(frag)
     plan = formatted_plan(spark.read.parquet(frag).coalesce(1))
     assert "Exchange" not in plan
+
+
+def test_ensure_bucketed_table_distinguishes_same_basename_dirs(spark, tmp_path):
+    """Two data dirs sharing a basename must build two distinct bucketed
+    tables — the cache keys on the full normalized path, not the
+    basename (r12 advice: the second caller must not silently serve the
+    first directory's rows)."""
+    from cellbase_spark.io import ensure_bucketed_table
+
+    for sub, ids in (("a", [1, 2]), ("b", [7, 8, 9])):
+        d = tmp_path / sub / "sfx"
+        spark.createDataFrame(
+            [(i,) for i in ids], "r_regionkey long"
+        ).write.parquet(str(d / "region.parquet"))
+
+    ta = ensure_bucketed_table(spark, str(tmp_path / "a" / "sfx"), "region", "r_regionkey")
+    tb = ensure_bucketed_table(spark, str(tmp_path / "b" / "sfx"), "region", "r_regionkey")
+    assert ta != tb
+    assert spark.table(ta).count() == 2
+    assert spark.table(tb).count() == 3
+    for t in (ta, tb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

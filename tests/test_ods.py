@@ -332,3 +332,72 @@ def test_hostile_inputs_fail_loudly_and_typed(tmp_path):
     )
     with pytest.raises(ValueError, match="non-numeric repeat"):
         parse_ods_bytes(data)
+
+
+def test_interior_empty_row_expansion_is_capped(tmp_path):
+    """A tiny file must not materialize millions of phantom rows: an
+    interior empty-row repeat whose flush would exceed the ODF grid row
+    limit raises the typed ValueError instead of expanding (r12 advice —
+    the empty-row counterpart of the non-empty sanity bound). Trailing
+    empty padding of any size still trims for free."""
+    hostile = _ods_with_content(
+        tmp_path,
+        '<table:table table:name="s">'
+        '<table:table-cell/>'  # ignored (not a row)
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="1">'
+        "<text:p>1</text:p></table:table-cell></table:table-row>"
+        '<table:table-row table:number-rows-repeated="3000000">'
+        "<table:table-cell/></table:table-row>"
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="2">'
+        "<text:p>2</text:p></table:table-cell></table:table-row>"
+        "</table:table>",
+    )
+    with pytest.raises(ValueError, match="ODF row limit"):
+        parse_ods_bytes(hostile)
+
+    # an in-bounds interior run still materializes as real grid rows
+    ok = _ods_with_content(
+        tmp_path,
+        '<table:table table:name="s">'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="1">'
+        "<text:p>1</text:p></table:table-cell></table:table-row>"
+        '<table:table-row table:number-rows-repeated="3">'
+        "<table:table-cell/></table:table-row>"
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="2">'
+        "<text:p>2</text:p></table:table-cell></table:table-row>"
+        "</table:table>",
+    )
+    assert parse_ods_bytes(ok) == [["1"], [None], [None], [None], ["2"]]
+
+
+def test_encrypted_and_exotic_zip_members_fail_typed(tmp_path):
+    """zipfile surfaces an encrypted member as RuntimeError and an
+    unsupported compression method as NotImplementedError; both must
+    come out of the kernel as the module's typed ValueError (r12
+    advice — 'never a raw zip error')."""
+    p = str(tmp_path / "v2.ods")
+    write_ods([[1]], p, header=["i"])
+    valid = open(p, "rb").read()
+    # zip member layout: local header filename at +30 (flags at +6,
+    # method at +8); central directory filename at +46 (flags at +8,
+    # method at +10).
+    idx = valid.find(b"content.xml")  # local header occurrence
+    cidx = valid.rfind(b"content.xml")  # central-directory occurrence
+
+    # encrypted content.xml: flip the encryption flag bit on the member
+    enc = bytearray(valid)
+    enc[idx - 24] |= 0x1
+    enc[cidx - 38] |= 0x1
+    with pytest.raises(ValueError, match="corrupt ODF zip"):
+        parse_ods_bytes(bytes(enc))
+
+    # unsupported compression method id (zipfile: NotImplementedError)
+    weird = bytearray(valid)
+    weird[idx - 22:idx - 20] = (99).to_bytes(2, "little")
+    weird[cidx - 36:cidx - 34] = (99).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="corrupt ODF zip"):
+        parse_ods_bytes(bytes(weird))

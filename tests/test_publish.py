@@ -124,11 +124,20 @@ def test_publish_dir_crash_leaves_no_partial(spark, tmp_path):
     assert [e for e in os.listdir(parent) if BUILD_SUFFIX in e] == []
 
 
-def test_publish_dir_refuses_existing_generation(spark, tmp_path):
+def test_publish_dir_existing_generation_is_idempotent(spark, tmp_path):
+    """Retrying a publish whose rename landed but whose caller-side
+    bookkeeping (tombstone clear) did not must converge, not raise —
+    the retry-after-crash repair path of the r12 advice."""
     out = str(tmp_path / "gen1")
     publish_artifact_dir(lambda d: spark.range(2).write.parquet(d), out)
-    with pytest.raises(ValueError, match="immutable"):
-        publish_artifact_dir(lambda d: spark.range(2).write.parquet(d), out)
+    before = sorted(os.listdir(out))
+
+    def _never(d):
+        raise AssertionError("writer must not run on an idempotent retry")
+
+    publish_artifact_dir(_never, out)  # no error, no rewrite
+    assert sorted(os.listdir(out)) == before
+    assert spark.read.parquet(out).count() == 2
 
 
 def test_stamp_props_escapes_quotes(spark, tmp_path):
