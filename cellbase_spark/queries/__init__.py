@@ -24,6 +24,7 @@ keys so far). The full battery always runs locally regardless of order
 # The full battery always runs locally (scripts/check_oracle.py).
 GATE_PRIORITY = [
     # -- (z) new round-13 keys (head: sampled the round they land)
+    "q_facade_e2e",
     # -- (a) never driver-sampled (round-12 additions), judge-verified
     #    green via check_oracle in the r12 verdict session
 "q_point_lookup_bucketed",
@@ -105,3 +106,4 @@ from cellbase_spark.queries import graph  # noqa: F401
 from cellbase_spark.queries import grouping  # noqa: F401
 from cellbase_spark.queries import joins  # noqa: F401
 from cellbase_spark.queries import layout  # noqa: F401
+from cellbase_spark.queries import facade  # noqa: F401

@@ -1,0 +1,114 @@
+"""Facade end-to-end key (SURVEY.md §2 E4, round 13 — r12 verdict #3).
+
+The 886-line public facade (cellbase_spark/api.py: CellBase/CellTable,
+the reference's workbook-of-tables ergonomics) was exercised by 41 unit
+tests but no oracle-gated key drove it end-to-end; this module closes
+that last unguarded public surface with ONE composed key that walks the
+reference user's whole loop through the facade verbs only:
+
+    open the database -> bucketed point lookup (get row by id) ->
+    export dim sheets to ONE .ods workbook -> re-import the workbook
+    as typed tables -> filter/join/aggregate the re-imported sheets
+    against a parquet fact table.
+
+Every step delegates to an already-gated operator (ensure_bucketed_table,
+write_ods_workbook/read_ods_workbook, the join/agg built-ins), so the
+value of this key is the COMPOSITION: the facade's glue — key-column
+plumbing, workbook dict round-trip, CellTable wrapping — sits under the
+driver's hash gate, not just unit asserts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cellbase_spark import schemas
+from cellbase_spark.functions.exact import dsum
+from cellbase_spark.queries.scans import scratch_path
+from cellbase_spark.registry import register
+
+
+@register(
+    "q_facade_e2e",
+    family="facade",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       r.r_name AS region_name,
+       COUNT(s.s_suppkey) AS n_suppliers,
+       CAST(ROUND(SUM(CAST(s.s_acctbal AS DECIMAL(25,10))), 2) AS DOUBLE)
+           AS total_acctbal
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+WHERE n.n_nationkey = (
+    SELECT c_nationkey FROM customer WHERE c_custkey = 42
+)
+GROUP BY n.n_name, r.r_name
+""",
+)
+def q_facade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellBase/CellTable end-to-end: who supplies customer 42's nation,
+    answered through the workbook round trip.
+
+    1. `table("customer", bucketed=True).get(42)` — the reference's
+       get-row-by-id on the key-bucketed layout (prunes to ONE bucket's
+       files before any IO; the S21 cost model, driven via the facade).
+    2. `export_workbook` writes nation+region as ONE two-sheet .ods
+       (driver-collect path, guarded — dims only by contract).
+    3. `import_workbook` re-opens it: each sheet an independent lazy
+       distributed binaryFile+mapInPandas scan typed by its schema.
+    4. The re-imported dims join (broadcast — both are dim-sized)
+       against the parquet supplier fact, exact-decimal aggregated.
+
+    Scale: steps 2-3 move 30 dim rows by design (workbooks are small
+    files); the fact-side join and aggregate are ordinary Catalyst
+    plans that scale with the supplier table.
+    """
+    from cellbase_spark.api import CellBase
+
+    cb = CellBase(spark, sf_dir)
+
+    # 1. bucketed point lookup (driver-side Row — one bucket's files)
+    cust = cb.table("customer", bucketed=True).get(42)
+    if cust is None:
+        raise ValueError("facade e2e: customer 42 missing from testdata")
+
+    # 2. export the dim sheets to one workbook file
+    out = scratch_path(sf_dir, "facade", "dims.ods")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    cb.export_workbook(
+        {"nation": cb.table("nation"), "region": cb.table("region")},
+        out,
+        fmt="ods",
+    )
+
+    # 3. re-import as typed lazy tables
+    wb = cb.import_workbook(
+        out,
+        {"nation": schemas.NATION, "region": schemas.REGION},
+        fmt="ods",
+    )
+
+    # 4. compose against the parquet fact side
+    nation = wb["nation"].where(
+        F.col("n_nationkey") == F.lit(cust["c_nationkey"])
+    )
+    supplier = cb.table("supplier").df
+    return (
+        nation.df.join(
+            F.broadcast(wb["region"].df),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            dsum("s_acctbal", "total_acctbal"),
+        )
+    )
