@@ -816,6 +816,7 @@ class CellBase:
         sheet_schemas: dict,
         key_cols: dict | None = None,
         fmt: str = "xlsx",
+        schema_mode: str = "strict",
     ) -> dict[str, CellTable]:
         """The reference's open-a-workbook flow: every named sheet of the
         workbook file(s) at `path` becomes a CellTable, typed by its
@@ -831,7 +832,7 @@ class CellBase:
         else:
             raise ValueError(f"unsupported workbook format {fmt!r}")
 
-        dfs = read_wb(self.spark, path, sheet_schemas)
+        dfs = read_wb(self.spark, path, sheet_schemas, schema_mode=schema_mode)
         key_cols = key_cols or {}
         return {
             name: CellTable(df, name, key_cols.get(name))

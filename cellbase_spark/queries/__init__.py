@@ -25,58 +25,59 @@ keys so far). The full battery always runs locally regardless of order
 GATE_PRIORITY = [
     # -- (z) new round-13 keys (head: sampled the round they land)
     "q_facade_e2e",
+    "q_schema_evolution",
     # -- (a) never driver-sampled (round-12 additions), judge-verified
     #    green via check_oracle in the r12 verdict session
-"q_point_lookup_bucketed",
-"q_scan_csv_dialect",
-"q_scan_ods",
-"q_roundtrip_ods_pyds",
-"q_join_semi",
-"q_json_extract",
-"q_map_functions",
-"q_sample_weighted",
-"q_scan_text",
-"q_sessionize_batch",
-"q_sessionize_twophase",
-"q_skyline",
-"q_sort_multi",
-"q_star_join",
-"q_stream_run_dedup_incremental",
-"q_topk_global",
-"q_topk_per_group",
-"q_tpch_q18",
-"q_tpch_q21_bucketed",
-"q_tpch_q3",
-"q_tpch_q3_bucketed",
-"q_tpch_q5_bucketed",
-"q_tpch_q9_bucketed",
-"q_union",
-"q_window_dist",
-"q_window_laglead",
-"q_window_moving_avg",
-"q_window_rank",
-"q_zorder",
-"q_agg_regression",
-"q_ann_batch_probe",
-"q_ann_eval_trained",
-"q_ann_index_update",
-"q_ann_ivf",
-"q_ann_ivf_indexed",
-"q_ann_ivfpq_indexed",
-"q_ann_lsh_indexed",
-"q_ann_pq",
-"q_anomaly_mad",
-"q_bpe_encode",
-"q_bpe_train",
-"q_dedup_clusters",
-"q_dedup_exact",
-"q_dedup_generations",
-"q_dedup_minhash",
-"q_embed_neardup",
-"q_embed_outliers",
-"q_embed_project",
-"q_ewma",
-"q_gap_fill",
+    "q_point_lookup_bucketed",
+    "q_scan_csv_dialect",
+    "q_scan_ods",
+    "q_roundtrip_ods_pyds",
+    "q_join_semi",
+    "q_json_extract",
+    "q_map_functions",
+    "q_sample_weighted",
+    "q_scan_text",
+    "q_sessionize_batch",
+    "q_sessionize_twophase",
+    "q_skyline",
+    "q_sort_multi",
+    "q_star_join",
+    "q_stream_run_dedup_incremental",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_tpch_q18",
+    "q_tpch_q21_bucketed",
+    "q_tpch_q3",
+    "q_tpch_q3_bucketed",
+    "q_tpch_q5_bucketed",
+    "q_tpch_q9_bucketed",
+    "q_union",
+    "q_window_dist",
+    "q_window_laglead",
+    "q_window_moving_avg",
+    "q_window_rank",
+    "q_zorder",
+    "q_agg_regression",
+    "q_ann_batch_probe",
+    "q_ann_eval_trained",
+    "q_ann_index_update",
+    "q_ann_ivf",
+    "q_ann_ivf_indexed",
+    "q_ann_ivfpq_indexed",
+    "q_ann_lsh_indexed",
+    "q_ann_pq",
+    "q_anomaly_mad",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_generations",
+    "q_dedup_minhash",
+    "q_embed_neardup",
+    "q_embed_outliers",
+    "q_embed_project",
+    "q_ewma",
+    "q_gap_fill",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -623,3 +623,54 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "q_schema_evolution",
+    family="scan",
+    oracle="""
+SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+FROM nation WHERE n_nationkey < 20
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_nationkey >= 20
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workbook schema EVOLUTION across table generations (round 13,
+    r12 verdict #4; SURVEY.md §2.14 S23): generation-1 sheets carry
+    (n_nationkey, n_name); generation-2 sheets grew an n_regionkey
+    column. Reading the WHOLE directory under the evolved declared
+    schema with schema_mode='evolve' serves both generations in one
+    scan — old files null-fill the new column, exactly parquet's
+    mergeSchema semantics re-expressed for the spreadsheet sources
+    (sources/grid.py pins the contract; 'strict', the default, raises
+    a typed error naming the drifted columns instead — tested in
+    tests/test_ods.py / test_excel.py).
+
+    Scale: evolution is resolved per file inside the same one-file-one-
+    task mapInPandas kernel as every workbook scan — no repair rewrite
+    of old generations, no second pass."""
+    from cellbase_spark.sources.ods import write_ods
+
+    n = load_table(spark, sf_dir, "nation")
+    out_dir = tempfile.mkdtemp(prefix="cellbase_spark_evo_")
+    gen1 = [
+        [x["n_nationkey"], x["n_name"]]
+        for x in n.where("n_nationkey < 20").collect()
+    ]
+    gen2 = [
+        [x["n_nationkey"], x["n_name"], x["n_regionkey"]]
+        for x in n.where("n_nationkey >= 20").collect()
+    ]
+    write_ods(
+        gen1, os.path.join(out_dir, "gen1.ods"),
+        header=["n_nationkey", "n_name"],
+    )
+    write_ods(
+        gen2, os.path.join(out_dir, "gen2.ods"),
+        header=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    from cellbase_spark.sources.ods import read_ods_table
+
+    return read_ods_table(spark, out_dir, schemas.NATION, schema_mode="evolve")

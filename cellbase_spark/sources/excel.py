@@ -144,10 +144,17 @@ def read_excel_table(
     sheet_index: int = 0,
     header: bool = True,
     sheet_name: str | None = None,
+    schema_mode: str = "strict",
 ) -> DataFrame:
     """Distributed .xlsx scan: binaryFile source -> per-executor stdlib
     parse -> header-mapped cells cast to the declared schema. `sheet_name`
-    selects a named worksheet (workbook-order `sheet_index` otherwise)."""
+    selects a named worksheet (workbook-order `sheet_index` otherwise).
+    `schema_mode` pins the generation-drift contract (sources/grid.py):
+    'strict' (default) demands header == declared columns, 'evolve'
+    null-fills missing declared columns and ignores extra sheet columns."""
+    from cellbase_spark.sources.grid import check_schema_mode, header_positions
+
+    check_schema_mode(schema_mode)
     field_names = [f.name for f in schema.fields]
     raw_schema = ", ".join(f"`{n}` string" for n in field_names)
 
@@ -160,12 +167,20 @@ def read_excel_table(
                     continue
                 if header:
                     head, body = grid[0], grid[1:]
-                    pos = {name: head.index(name) for name in field_names}
+                    pos = header_positions(
+                        head, field_names, schema_mode,
+                        where=f"xlsx sheet {sheet_name or sheet_index}",
+                    )
                 else:
                     body = grid
                     pos = {name: i for i, name in enumerate(field_names)}
                 for row in body:
-                    out.append([row[pos[n]] if pos[n] < len(row) else None for n in field_names])
+                    out.append([
+                        row[pos[n]]
+                        if pos[n] is not None and pos[n] < len(row)
+                        else None
+                        for n in field_names
+                    ])
             yield pd.DataFrame(out, columns=field_names, dtype=object)
 
     raw = (
@@ -185,6 +200,7 @@ def read_workbook(
     path: str,
     schemas: dict[str, StructType],
     header: bool = True,
+    schema_mode: str = "strict",
 ) -> dict[str, DataFrame]:
     """The reference's core unit of work: a workbook of several named
     sheets loaded as a database — one DataFrame per sheet name.
@@ -196,7 +212,10 @@ def read_workbook(
     used, and sheets never used are never parsed.
     """
     return {
-        name: read_excel_table(spark, path, schema, header=header, sheet_name=name)
+        name: read_excel_table(
+            spark, path, schema, header=header, sheet_name=name,
+            schema_mode=schema_mode,
+        )
         for name, schema in schemas.items()
     }
 

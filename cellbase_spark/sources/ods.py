@@ -240,14 +240,21 @@ def read_ods_table(
     sheet_index: int = 0,
     header: bool = True,
     sheet_name: str | None = None,
+    schema_mode: str = "strict",
 ) -> DataFrame:
     """Distributed .ods scan: binaryFile source -> per-executor stdlib
     parse -> header-mapped cells cast to the declared schema. `sheet_name`
     selects a named sheet (document-order `sheet_index` otherwise).
+    `schema_mode` pins the generation-drift contract (sources/grid.py):
+    'strict' (default) demands header == declared columns, 'evolve'
+    null-fills missing declared columns and ignores extra sheet columns.
 
     Mirror image of sources/excel.py::read_excel_table — the two formats
     share the scan topology (one file = one task) and the coercion
     contract; only the XML dialect differs."""
+    from cellbase_spark.sources.grid import check_schema_mode, header_positions
+
+    check_schema_mode(schema_mode)
     field_names = [f.name for f in schema.fields]
     raw_schema = ", ".join(f"`{n}` string" for n in field_names)
 
@@ -260,12 +267,20 @@ def read_ods_table(
                     continue
                 if header:
                     head, body = grid[0], grid[1:]
-                    pos = {name: head.index(name) for name in field_names}
+                    pos = header_positions(
+                        head, field_names, schema_mode,
+                        where=f"ods sheet {sheet_name or sheet_index}",
+                    )
                 else:
                     body = grid
                     pos = {name: i for i, name in enumerate(field_names)}
                 for row in body:
-                    out.append([row[pos[n]] if pos[n] < len(row) else None for n in field_names])
+                    out.append([
+                        row[pos[n]]
+                        if pos[n] is not None and pos[n] < len(row)
+                        else None
+                        for n in field_names
+                    ])
             yield pd.DataFrame(out, columns=field_names, dtype=object)
 
     raw = (
@@ -285,11 +300,15 @@ def read_ods_workbook(
     path: str,
     schemas: dict[str, StructType],
     header: bool = True,
+    schema_mode: str = "strict",
 ) -> dict[str, DataFrame]:
     """Several named sheets loaded as a database — one DataFrame per sheet
     name, each an independent lazy scan of only its sheet."""
     return {
-        name: read_ods_table(spark, path, schema, header=header, sheet_name=name)
+        name: read_ods_table(
+            spark, path, schema, header=header, sheet_name=name,
+            schema_mode=schema_mode,
+        )
         for name, schema in schemas.items()
     }
 

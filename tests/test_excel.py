@@ -217,3 +217,30 @@ def test_python_datasource_xlsx_missing_column_error(spark, tmp_path):
     df = spark.read.format("cellbase_xlsx").schema(schema).load(str(tmp_path))
     with pytest.raises(PythonException, match="missing declared column.*nope"):
         df.collect()
+
+
+def test_schema_mode_contract_xlsx(spark, tmp_path):
+    """The xlsx source pins the same generation-drift contract as ods
+    (sources/grid.py): strict raises naming the columns, evolve
+    null-fills / projects."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from cellbase_spark.sources.excel import read_excel_table, write_xlsx
+
+    gen1 = tmp_path / "gen1"
+    gen1.mkdir()
+    write_xlsx([[1, "a"]], str(gen1 / "t.xlsx"), header=["k", "v"])
+
+    wide = StructType([
+        StructField("k", IntegerType()),
+        StructField("v", StringType()),
+        StructField("x", IntegerType()),
+    ])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="missing from the sheet.*'x'"):
+        read_excel_table(spark, str(gen1), wide).collect()
+    got = read_excel_table(
+        spark, str(gen1), wide, schema_mode="evolve"
+    ).collect()
+    assert [(r.k, r.v, r.x) for r in got] == [(1, "a", None)]

@@ -401,3 +401,54 @@ def test_encrypted_and_exotic_zip_members_fail_typed(tmp_path):
     weird[cidx - 36:cidx - 34] = (99).to_bytes(2, "little")
     with pytest.raises(ValueError, match="corrupt ODF zip"):
         parse_ods_bytes(bytes(weird))
+
+
+def test_schema_mode_contract(spark, tmp_path):
+    """Generation drift is LOUD by default and serveable by opt-in
+    (sources/grid.py, r12 verdict #4): strict raises a typed error
+    naming the drifted columns; evolve null-fills missing declared
+    columns and ignores extra sheet columns."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from cellbase_spark.sources.ods import read_ods_table
+
+    gen1 = tmp_path / "gen1"
+    gen2 = tmp_path / "gen2"
+    both = tmp_path / "both"
+    for d in (gen1, gen2, both):
+        d.mkdir()
+    write_ods([[1, "a"], [2, "b"]], str(gen1 / "t.ods"), header=["k", "v"])
+    write_ods([[3, "c", 30]], str(gen2 / "t.ods"), header=["k", "v", "x"])
+    # flat dir holding both generations (binaryFile does not recurse)
+    write_ods([[1, "a"], [2, "b"]], str(both / "g1.ods"), header=["k", "v"])
+    write_ods([[3, "c", 30]], str(both / "g2.ods"), header=["k", "v", "x"])
+
+    wide = StructType([
+        StructField("k", IntegerType()),
+        StructField("v", StringType()),
+        StructField("x", IntegerType()),
+    ])
+    narrow = StructType(wide.fields[:2])
+
+    # strict (default): both drift directions raise, naming the columns
+    with pytest.raises(Exception, match="missing from the sheet.*'x'"):
+        read_ods_table(spark, str(gen1), wide).collect()
+    with pytest.raises(Exception, match="not in the declared schema.*'x'"):
+        read_ods_table(spark, str(gen2), narrow).collect()
+
+    # evolve: old generation null-fills the new column...
+    got = read_ods_table(
+        spark, str(both), wide, schema_mode="evolve"
+    ).orderBy("k").collect()
+    assert [(r.k, r.v, r.x) for r in got] == [
+        (1, "a", None), (2, "b", None), (3, "c", 30)
+    ]
+    # ...and the old schema reads the declared projection of new files
+    got2 = read_ods_table(
+        spark, str(gen2), narrow, schema_mode="evolve"
+    ).collect()
+    assert [(r.k, r.v) for r in got2] == [(3, "c")]
+
+    # unknown mode is itself loud
+    with pytest.raises(ValueError, match="schema_mode"):
+        read_ods_table(spark, str(gen1), narrow, schema_mode="merge").collect()
