@@ -237,3 +237,138 @@ def publish_artifact_dir(
     write_to(tmp_dir)
     _maybe_crash("after_build_dir")
     os.rename(tmp_dir, final_dir)
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere in the tree — the crash-window-safe age of
+    a directory. A long-running build's top-level dir mtime goes stale
+    while its files are still landing; taking the max over the tree
+    means an in-progress write always looks YOUNG and survives."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for entry in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, entry)))
+            except OSError:
+                continue  # raced with a concurrent delete
+    return newest
+
+
+def _catalog_locations(spark) -> set[str]:
+    """Every catalog table's data location (normalized). The publish
+    swap renames catalog entries, never moves bytes, so a LIVE artifact
+    can legitimately live at a `__build_*`-named or scratch directory —
+    the catalog, not the name, says what is serving."""
+    locs = set()
+    for t in spark.catalog.listTables():
+        try:
+            loc = _table_location(spark, t.name)
+        except Exception:
+            continue
+        if loc:
+            locs.add(os.path.abspath(loc))
+    return locs
+
+
+def _pinned(path: str, live_locs: set[str]) -> bool:
+    """True when `path` contains or equals a live catalog location."""
+    p = os.path.abspath(path)
+    return any(loc == p or loc.startswith(p + os.sep) for loc in live_locs)
+
+
+def vacuum(
+    spark,
+    older_than_sec: float,
+    scratch_root: str | None = None,
+    keep: tuple = (),
+) -> list[str]:
+    """Retention sweep for the engine's on-disk leftovers (round 13,
+    r12 verdict #6). Publish sweeps its own `__build_*` temps at the
+    NEXT publish of the same artifact, but process-keyed scratch
+    (`cellbase_spark_*` dirs from scratch_path / ensure_bucketed_table /
+    the workbook round-trip keys) and superseded generation data from
+    runs that never published again accumulate across process
+    lifetimes. This is the explicit janitor a deployment crons.
+
+    Deletes, directly under the system temp dir (or `scratch_root`),
+    any `cellbase_spark_*` or `*__build_*` directory whose NEWEST
+    contained mtime is older than `older_than_sec`. Never touched:
+
+    - anything whose tree contains a LIVE catalog table's location
+      (the can't-delete-the-live-artifact pin: artifacts resolve
+      through the catalog because the publish swap renames catalog
+      entries, never moves bytes);
+    - the CURRENT process's own scratch (`_<pid>` suffix) — it may be
+      mid-query with legitimately old files;
+    - anything listed in `keep`;
+    - anything with a file newer than the cutoff (crash-window safety:
+      an in-flight build is young by construction).
+
+    Returns the list of deleted paths (for the caller's audit log).
+    """
+    import tempfile
+    import time
+
+    root = scratch_root or tempfile.gettempdir()
+    cutoff = time.time() - older_than_sec
+    live_locs = _catalog_locations(spark)
+    keep_abs = {os.path.abspath(k) for k in keep}
+    own_suffix = f"_{os.getpid()}"
+    deleted: list[str] = []
+    for entry in sorted(os.listdir(root)):
+        full = os.path.join(root, entry)
+        if not os.path.isdir(full):
+            continue
+        if not (entry.startswith("cellbase_spark_") or BUILD_SUFFIX in entry):
+            continue
+        if entry.rstrip(os.sep).endswith(own_suffix):
+            continue
+        if os.path.abspath(full) in keep_abs or _pinned(full, live_locs):
+            continue
+        if _newest_mtime(full) >= cutoff:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        deleted.append(full)
+    return deleted
+
+
+def vacuum_generations(
+    spark, root: str, live_dir: str, older_than_sec: float
+) -> list[str]:
+    """Generation-directory retention: under `root` (one artifact's
+    roll-forward home, e.g. .../gens/), delete superseded generation
+    subdirectories older than `older_than_sec`, ALWAYS keeping
+    `live_dir` plus its `_tombstones` sibling (the delete-verb
+    side-table travels with its generation) and anything the catalog
+    serves. `live_dir` must exist under `root` — refusing to vacuum
+    around a dangling live pointer is the crash-window pin: if the
+    roll-forward's pointer flip has not landed, nothing is deleted.
+    """
+    import time
+
+    root_abs = os.path.abspath(root)
+    live_abs = os.path.abspath(live_dir)
+    if not live_abs.startswith(root_abs + os.sep):
+        raise ValueError(
+            f"vacuum_generations: live dir {live_dir!r} is not under {root!r}"
+        )
+    if not os.path.isdir(live_abs):
+        raise ValueError(
+            f"vacuum_generations: live dir {live_dir!r} does not exist — "
+            "refusing to vacuum around a dangling live pointer"
+        )
+    cutoff = time.time() - older_than_sec
+    live_locs = _catalog_locations(spark)
+    protected = {live_abs, live_abs.rstrip(os.sep) + "_tombstones"}
+    deleted: list[str] = []
+    for entry in sorted(os.listdir(root_abs)):
+        full = os.path.join(root_abs, entry)
+        if not os.path.isdir(full):
+            continue
+        if os.path.abspath(full) in protected or _pinned(full, live_locs):
+            continue
+        if _newest_mtime(full) >= cutoff:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        deleted.append(full)
+    return deleted

@@ -326,3 +326,84 @@ def test_publish_crash_mid_swap_recovers_on_retry(spark, tmp_path):
     assert table_props(spark, t, max_age_sec=0)["cellbase.complete"] == "1"
     assert _no_build_leftovers(spark, t) == []
     spark.sql(f"DROP TABLE {t}")
+
+
+def _age(path, sec=7200):
+    """Backdate every entry in a tree (vacuum ages by NEWEST mtime)."""
+    import time
+
+    old = time.time() - sec
+    os.utime(path, (old, old))
+    for root, dirs, files in os.walk(path):
+        for e in dirs + files:
+            os.utime(os.path.join(root, e), (old, old))
+
+
+def test_vacuum_sweeps_stale_scratch_and_pins_live(spark, tmp_path):
+    from cellbase_spark.operators.publish import vacuum
+
+    root = str(tmp_path)
+    # stale scratch from a dead process
+    stale = os.path.join(root, "cellbase_spark_sf0_1_99999")
+    os.makedirs(os.path.join(stale, "keyed"))
+    open(os.path.join(stale, "keyed", "part-0"), "w").write("x")
+    _age(stale)
+    # stale publish temp
+    bld = os.path.join(root, "ann_idx__build_deadbeef")
+    os.makedirs(bld)
+    _age(bld)
+    # stale-named dir that a LIVE catalog table serves (publish swap
+    # renames names, never bytes) — must survive on the catalog pin
+    livedir = os.path.join(root, "live_idx__build_cafe")
+    t = "vac_live_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.range(3).write.option("path", livedir).format("parquet").saveAsTable(t)
+    _age(livedir)
+    # young dir (in-flight build) — survives the age floor
+    young = os.path.join(root, "cellbase_spark_sf1_88888")
+    os.makedirs(young)
+    # own-process scratch — survives even when old
+    own = os.path.join(root, f"cellbase_spark_sfx_{os.getpid()}")
+    os.makedirs(own)
+    _age(own)
+    # old dir with ONE fresh file (long build mid-write) — survives
+    mid = os.path.join(root, "cellbase_spark_sf2_77777")
+    os.makedirs(mid)
+    _age(mid)
+    open(os.path.join(mid, "still-writing"), "w").write("x")
+    # non-engine dir — never touched regardless of age
+    other = os.path.join(root, "user_data")
+    os.makedirs(other)
+    _age(other)
+
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=root)
+
+    assert sorted(deleted) == [bld, stale]
+    assert not os.path.exists(stale) and not os.path.exists(bld)
+    for kept in (livedir, young, own, mid, other):
+        assert os.path.exists(kept), kept
+    assert spark.table(t).count() == 3  # live artifact still serves
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_vacuum_generations_keeps_live_and_tombstones(spark, tmp_path):
+    from cellbase_spark.operators.publish import vacuum_generations
+
+    root = str(tmp_path / "gens")
+    for d in ("gen1", "gen2", "gen2_tombstones", "gen0"):
+        os.makedirs(os.path.join(root, d))
+        open(os.path.join(root, d, "part-0"), "w").write("x")
+        _age(os.path.join(root, d))
+    live = os.path.join(root, "gen2")
+
+    deleted = vacuum_generations(spark, root, live, older_than_sec=3600)
+
+    assert sorted(os.path.basename(p) for p in deleted) == ["gen0", "gen1"]
+    assert os.path.exists(live)
+    assert os.path.exists(os.path.join(root, "gen2_tombstones"))
+
+    # dangling live pointer refuses to vacuum anything (crash pin)
+    with pytest.raises(ValueError, match="does not exist"):
+        vacuum_generations(spark, root, os.path.join(root, "gen9"), 3600)
+    with pytest.raises(ValueError, match="not under"):
+        vacuum_generations(spark, root, "/elsewhere/gen2", 3600)
