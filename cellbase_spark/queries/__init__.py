@@ -26,6 +26,7 @@ GATE_PRIORITY = [
     # -- (z) new round-13 keys (head: sampled the round they land)
     "q_facade_e2e",
     "q_schema_evolution",
+    "q_pipeline_incremental",
     # -- (a) never driver-sampled (round-12 additions), judge-verified
     #    green via check_oracle in the r12 verdict session
     "q_point_lookup_bucketed",

@@ -808,3 +808,181 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pa") / F.col("zz"), 6) / F.col("share"), 6
         ).alias("boost"),
     )
+
+
+@register(
+    "q_pipeline_incremental",
+    family="pipeline",
+    oracle=None,  # assembled below (imports llm_text + llm_dedup fragments)
+)
+def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-RUN form of the flagship pipeline (round 13, r12
+    verdict #5) — q_pipeline_e2e_neardup is the one-shot rebuild; this
+    key is what actually runs every day at 100 TB, composed from the
+    persisted-artifact verbs:
+
+      day 1: gated corpus (doc_id % 10 != 0 plays yesterday's state)
+             banded into a PERSISTED MinHash band table — generation 1,
+             landed through the crash-safe publish_artifact_dir rename;
+      day 2: the arriving batch (doc_id % 10 == 0) is Gopher-gated,
+             then probes generation 1 with the capped incremental
+             near-dup verb (operators/dedup.incremental_dedup_pairs,
+             band_bucket_cap=8 — work ∝ batch × bands, the corpus text
+             is never rescanned); batch docs with a verified
+             Jaccard >= 0.95 corpus match are dropped;
+      roll-forward: generation 2 = generation-1 bands + the SURVIVING
+             batch docs' bands (dups are never indexed), a NEW
+             immutable directory — readers mid-probe keep gen 1;
+      report: the post-run corpus data card — per (lang_pred, source)
+             doc count, token mass, mean quality over exactly the docs
+             generation 2 indexes (fetched by id-join; the report is
+             derived FROM the published artifact, so the hash gate
+             checks the whole chain's end state).
+
+    Oracle: a from-scratch two-day rebuild in SQL — gate, band, cap,
+    probe, drop, then the report over (corpus ∪ surviving batch). The
+    rolled-forward artifact must be indistinguishable from the rebuild.
+
+    Scale: day-2 cost is the capped probe (batch × bands candidate
+    join) + one O(batch) band append + the report aggregate; nothing
+    rescans or re-clusters the corpus. Repeat calls in one process hit
+    the idempotent publishes and only re-run the report."""
+    from cellbase_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        lsh_band_keys_fused,
+    )
+    from cellbase_spark.operators.publish import publish_artifact_dir
+    from cellbase_spark.operators.text import lang_id, quality_score, tokens
+    from cellbase_spark.queries.scans import scratch_path
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    mean_wl = (F.length("text") - (n_words - F.lit(1))) / n_words
+    uniq_frac = F.size(F.array_distinct(toks)).cast("double") / n_words
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ) / F.length("text").cast("double")
+    passes = (
+        n_words.between(10, 10000)
+        & mean_wl.between(2, 12)
+        & (uniq_frac >= 0.3)
+        & (digit_ratio < 0.2)
+    )
+    kept = d.where(passes)
+    kept_t = kept.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(F.split("text", " ")).alias("_toks"),
+    )
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "_id",
+            F.posexplode(lsh_band_keys_fused("_toks", 16, 2)).alias(
+                "_bidx", "_bkey"
+            ),
+        )
+
+    gen1 = scratch_path(sf_dir, "pipegens", "gen1")
+    gen2 = scratch_path(sf_dir, "pipegens", "gen2")
+
+    # day 1: persist the gated corpus band table (idempotent publish)
+    corpus_t = kept_t.where(F.col("_id") % 10 != 0)
+    publish_artifact_dir(
+        lambda tmp: bands_of(corpus_t).write.parquet(tmp), gen1
+    )
+    gen1_bands = spark.read.parquet(gen1)
+
+    # day 2: gated batch probes the persisted generation, capped
+    batch_t = kept_t.where(F.col("_id") % 10 == 0)
+    pairs = incremental_dedup_pairs(
+        batch=batch_t,
+        corpus_bands=gen1_bands,
+        corpus_tokens=kept_t,
+        id_col="_id",
+        tokens_col="_toks",
+        n_hashes=16,
+        bands=2,
+        threshold=0.95,
+        band_bucket_cap=8,
+    )
+    dropped = pairs.select(F.col("id_new").alias("_id")).distinct()
+    surv_batch = batch_t.join(dropped, "_id", "left_anti")
+
+    # roll-forward: gen2 = gen1 bands + surviving batch bands
+    publish_artifact_dir(
+        lambda tmp: gen1_bands.unionByName(bands_of(surv_batch))
+        .write.parquet(tmp),
+        gen2,
+    )
+
+    # report over exactly the docs generation 2 indexes
+    final_ids = spark.read.parquet(gen2).select("_id").distinct()
+    final = d.join(final_ids, d["doc_id"] == final_ids["_id"]).drop("_id")
+    scored = final.withColumn("toks", tokens("text")).select(
+        lang_id("toks").alias("lang_pred"),
+        "source",
+        F.size("toks").alias("ntok"),
+        quality_score("text", "toks").alias("quality"),
+    )
+    return scored.groupBy("lang_pred", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            5,
+        ).alias("mean_quality"),
+    )
+
+
+def _pipeline_incremental_oracle() -> str:
+    from cellbase_spark.queries.llm_dedup import _SIG_SQL
+    from cellbase_spark.queries.llm_text import _ARGMAX_SQL
+
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents WHERE {_GATE_SQL}
+), t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks FROM kept
+), s AS (
+  SELECT id, toks, {_SIG_SQL} AS sig FROM t
+), bd AS (
+  SELECT id, j.j AS bidx,
+         md5(concat_ws(',', sig[8*j.j+1], sig[8*j.j+2], sig[8*j.j+3], sig[8*j.j+4], sig[8*j.j+5], sig[8*j.j+6], sig[8*j.j+7], sig[8*j.j+8])) AS bkey
+  FROM s, (VALUES (0), (1)) j(j)
+), capped AS (
+  SELECT id, bidx, bkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bidx, bkey) AS bn FROM bd
+  ) WHERE bn <= 8
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+  FROM capped a JOIN capped b
+    ON a.bidx = b.bidx AND a.bkey = b.bkey
+   AND a.id % 10 = 0 AND b.id % 10 <> 0
+), dropped AS (
+  SELECT DISTINCT c.id_new
+  FROM cand c JOIN t ta ON c.id_new = ta.id JOIN t tb ON c.id_corpus = tb.id
+  WHERE len(list_intersect(ta.toks, tb.toks))
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.95
+), final AS (
+  SELECT * FROM kept
+  WHERE doc_id % 10 <> 0 OR doc_id NOT IN (SELECT id_new FROM dropped)
+), scored AS (
+  SELECT {_ARGMAX_SQL} AS lang_pred, source,
+         len(string_split(text, ' ')) AS ntok,
+         {_QUALITY_SQL} AS quality
+  FROM final
+)
+SELECT lang_pred, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(quality, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 5) AS mean_quality
+FROM scored GROUP BY lang_pred, source
+"""
+
+
+_REG["q_pipeline_incremental"] = _dc.replace(
+    _REG["q_pipeline_incremental"], oracle=_pipeline_incremental_oracle()
+)
