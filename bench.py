@@ -7,7 +7,11 @@ The stdout line is kept deliberately small (headline subset, 2-decimal
 seconds) so any consumer with a bounded capture buffer still sees the whole
 line; the full per-key battery is written to BENCH_FULL.json next to this
 script (and to stderr). Set SPARK_GRAFT_BENCH_ALL=1 to time every
-registered key (still summarized compactly on stdout).
+registered key (still summarized compactly on stdout), or
+SPARK_GRAFT_BENCH_KEYS=q_a,q_b,... to time a named subset (the
+deployment-form scale rungs at .localdata/sf10 use this — running the
+documented-quadratic eval baselines at sf10 would measure nothing the
+cost model doesn't already state).
 
 Timing protocol (BASELINE.md, hardened round 3): steady-state best-of-N —
 one untimed warm-up (JIT, shuffle-service, file-index caches), then up to
@@ -498,9 +502,13 @@ def main() -> None:
     spark = get_spark("cellbase-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    names = sorted(qs) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else [
-        n for n in HEADLINE if n in qs
-    ]
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    if keys_env:
+        names = [n for n in keys_env.split(",") if n in qs]
+    elif os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names = sorted(qs)
+    else:
+        names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     runs_rerun: dict[str, list[float]] = {}

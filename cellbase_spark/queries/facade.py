@@ -112,3 +112,55 @@ def q_facade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("s_acctbal", "total_acctbal"),
         )
     )
+
+
+@register(
+    "q_facade_ann",
+    family="facade",
+    oracle=None,  # bound below: MUST equal q_ann_ivf_indexed's oracle
+)
+def q_facade_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN half of the facade gate (SURVEY §2.14 E5): the reference
+    user's similarity-search loop driven through CellTable verbs only —
+    `build_ann_index` persists the hive-partitioned index (once per
+    process+sf, the ingest-time artifact), `ann_search` probes it with
+    an EXPLICIT query vector (the facade's API shape: callers bring
+    their own vector, not a registry config relation).
+
+    The query vector passed in is numerically identical to the engine
+    keys' formula vector ((i*37 % 101)/101), so this key must
+    hash-match q_ann_ivf_indexed's oracle EXACTLY — the facade glue
+    (geometry decode from table properties, tombstone application,
+    literal-vector quantization through the same Spark fold
+    expressions) is thereby pinned to produce bit-identical ranking to
+    the engine path. Probe cost: nprobe=2 PartitionFilters-pruned
+    lists, flat in corpus size."""
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.queries.scans import scratch_path, scratch_table
+
+    cb = CellBase(spark, sf_dir)
+    emb = cb.table("embeddings")
+    t = scratch_table(sf_dir, "cb_facade_annindex")
+    if not spark.catalog.tableExists(t):
+        emb.build_ann_index(
+            "embedding", t, scratch_path(sf_dir, "facade_annindex")
+        )
+    qv = [((i * 37) % 101) / 101.0 for i in range(1, 65)]
+    return emb.ann_search(t, qv, k=20, nprobe=2)
+
+
+def _bind_facade_ann_oracle() -> None:
+    """q_facade_ann's oracle IS q_ann_ivf_indexed's — same query vector,
+    same probe geometry, same scoring folds; the key exists to pin the
+    facade path to the engine path bit for bit."""
+    import dataclasses as _dc
+
+    from cellbase_spark.queries import llm_similarity  # noqa: F401
+    from cellbase_spark.registry import REGISTRY
+
+    REGISTRY["q_facade_ann"] = _dc.replace(
+        REGISTRY["q_facade_ann"], oracle=REGISTRY["q_ann_ivf_indexed"].oracle
+    )
+
+
+_bind_facade_ann_oracle()
