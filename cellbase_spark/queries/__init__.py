@@ -28,6 +28,7 @@ GATE_PRIORITY = [
     "q_schema_evolution",
     "q_pipeline_incremental",
     "q_facade_ann",
+    "q_vacuum",
     # -- (a) never driver-sampled (round-12 additions), judge-verified
     #    green via check_oracle in the r12 verdict session
     "q_point_lookup_bucketed",

@@ -674,3 +674,64 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.sources.ods import read_ods_table
 
     return read_ods_table(spark, out_dir, schemas.NATION, schema_mode="evolve")
+
+
+@register(
+    "q_vacuum",
+    family="scan",
+    oracle="""
+SELECT * FROM (VALUES
+  ('gen0', 'deleted'),
+  ('gen1', 'deleted'),
+  ('gen2', 'kept'),
+  ('gen2_tombstones', 'kept'),
+  ('gen3_young', 'kept')
+) AS t(entry, outcome)
+""",
+)
+def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention VACUUM as an oracle-gated verb (round 13, r12 verdict
+    #6; SURVEY §2.14 S24): builds a generation home with two superseded
+    old generations (gen0, gen1), the live generation (gen2) plus its
+    tombstone sibling, and one YOUNG superseded generation (gen3_young,
+    still inside the crash window), then runs
+    operators/publish.vacuum_generations(live=gen2, older_than=1h) and
+    reports every entry's fate. The contract under the hash gate:
+    exactly the old superseded generations are deleted; the live
+    generation, its tombstone side-table, and anything young enough to
+    be an in-flight writer survive.
+
+    Determinism: outcomes depend only on the constructed layout and the
+    pinned retention rules, never on wall-clock or path randomness —
+    ages are set explicitly with os.utime, and the report carries
+    basenames. Scale: vacuum cost is one directory listing + per-
+    candidate tree walks; it never reads data files."""
+    import time
+
+    from cellbase_spark.operators.publish import vacuum_generations
+
+    root = scratch_path(sf_dir, "vacuum_home")
+    # reset the fixture (the key must be re-runnable in one process)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    old = time.time() - 7200
+    entries = ["gen0", "gen1", "gen2", "gen2_tombstones", "gen3_young"]
+    for name in entries:
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0"), "w") as f:
+            f.write("x")
+        if name != "gen3_young":
+            for p in (os.path.join(d, "part-0"), d):
+                os.utime(p, (old, old))
+    deleted = {
+        os.path.basename(p)
+        for p in vacuum_generations(
+            spark, root, os.path.join(root, "gen2"), older_than_sec=3600
+        )
+    }
+    rows = [
+        (name, "deleted" if name in deleted else "kept") for name in entries
+    ]
+    return spark.createDataFrame(rows, "entry string, outcome string")

@@ -1383,3 +1383,28 @@ def test_point_lookup_bucketed_prunes_to_one_bucket(spark, sf_dir):
     plan = plan_of(spark, "q_point_lookup_bucketed", sf_dir)
     assert "SelectedBucketsCount: 1 out of 16" in plan
     assert "EqualTo(c_custkey" in plan
+
+
+def test_pipeline_incremental_reports_from_published_generation(spark, sf_dir):
+    """q_pipeline_incremental's RESULT plan must be derived from the
+    rolled-forward generation-2 band table, never a band recompute:
+    the plan scans the pipegens/gen2 parquet, contains ZERO Generates
+    (band explosion happened at publish time, not report time), and
+    the only documents access is the report's id-join fetch."""
+    import re
+
+    plan = formatted_plan(QS["q_pipeline_incremental"](spark, sf_dir))
+    assert "pipegens" in plan and "gen2" in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 0
+    assert len(re.findall(
+        r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan
+    )) == 0
+
+
+def test_facade_ann_probe_is_partition_pruned(spark, sf_dir):
+    """q_facade_ann's probe must ride the same PartitionFilters pruning
+    as the engine-path key: the index scan carries a centroid_id IN
+    filter and the raw embeddings table is never rescanned."""
+    plan = formatted_plan(QS["q_facade_ann"](spark, sf_dir))
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert "embeddings.parquet" not in plan
