@@ -21,7 +21,10 @@ keys so far). The full battery always runs locally regardless of order
 # have NEVER appeared in a driver sample; (b) ALL 25 keys whose newest
 # official green row is r6-vintage; (c) the 21 stalest r8-vintage keys
 # (alphabetical). 4+25+21 = the 50-key gate prefix before (z) grows.
-# The full battery always runs locally (scripts/check_oracle.py).
+# With the 5 round-13 keys at the head, the last 5 r8-vintage fills
+# (q_embed_neardup/outliers/project, q_ewma, q_gap_fill) ride the
+# round-14 rotation instead — still r8-vintage, inside the freshness
+# criterion. The full battery always runs locally (check_oracle.py).
 GATE_PRIORITY = [
     # -- (z) new round-13 keys (head: sampled the round they land)
     "q_facade_e2e",
