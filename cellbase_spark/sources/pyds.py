@@ -127,6 +127,13 @@ class SheetReader(DataSourceReader):
             raise ValueError(f"cellbase_{fmt} needs .load(<file-or-dir>)")
         self._sheet = options.get("sheet")  # None -> first sheet
         self._header = str(options.get("header", "true")).lower() == "true"
+        # generation-drift contract shared with the mapInPandas readers
+        # (sources/grid.py): strict (default) or evolve. Validated
+        # eagerly — a typo'd option fails at plan time, not in a task.
+        self._schema_mode = str(options.get("schema_mode", "strict"))
+        from cellbase_spark.sources.grid import check_schema_mode
+
+        check_schema_mode(self._schema_mode)
 
     def partitions(self) -> Sequence[InputPartition]:
         # One partition per workbook FILE: the unit a single task can
@@ -149,21 +156,30 @@ class SheetReader(DataSourceReader):
             return
         fields = [(f.name, f.dataType.simpleString()) for f in self._schema.fields]
         if self._header:
+            from cellbase_spark.sources.grid import header_positions
+
             head, body = grid[0], grid[1:]
-            missing = [name for name, _ in fields if name not in head]
-            if missing:
-                raise ValueError(
-                    f"cellbase_{self._fmt}: workbook {partition.value!r} "
-                    f"(sheet={self._sheet or '<first>'}) header {head!r} is "
-                    f"missing declared column(s) {missing}"
-                )
-            pos = {name: head.index(name) for name, _ in fields}
+            pos = header_positions(
+                head,
+                [name for name, _ in fields],
+                self._schema_mode,
+                where=(
+                    f"cellbase_{self._fmt} workbook {partition.value!r} "
+                    f"(sheet={self._sheet or '<first>'}); header missing "
+                    "declared column(s) or carrying undeclared ones"
+                ),
+            )
         else:
             body = grid
             pos = {name: i for i, (name, _) in enumerate(fields)}
         for row in body:
             yield tuple(
-                _coerce(row[pos[name]] if pos[name] < len(row) else None, t)
+                _coerce(
+                    row[pos[name]]
+                    if pos[name] is not None and pos[name] < len(row)
+                    else None,
+                    t,
+                )
                 for name, t in fields
             )
 

@@ -215,8 +215,23 @@ def test_python_datasource_xlsx_missing_column_error(spark, tmp_path):
         [StructField("k", LongType()), StructField("nope", StringType())]
     )
     df = spark.read.format("cellbase_xlsx").schema(schema).load(str(tmp_path))
-    with pytest.raises(PythonException, match="missing declared column.*nope"):
+    with pytest.raises(PythonException, match="missing from the sheet.*nope"):
         df.collect()
+
+    # evolve opt-in: the declared-but-absent column null-fills instead
+    got = (
+        spark.read.format("cellbase_xlsx")
+        .schema(schema)
+        .option("schema_mode", "evolve")
+        .load(str(tmp_path))
+        .collect()
+    )
+    assert [(r.k, r.nope) for r in got] == [(1, None)]
+    # typo'd mode fails at plan time, driver-side
+    with pytest.raises(Exception, match="schema_mode"):
+        spark.read.format("cellbase_xlsx").schema(schema).option(
+            "schema_mode", "merge"
+        ).load(str(tmp_path)).collect()
 
 
 def test_schema_mode_contract_xlsx(spark, tmp_path):
