@@ -796,6 +796,17 @@ class CellBase:
     def table_names(self) -> list[str]:
         return sorted(schemas.TABLE_NAMES)
 
+    def vacuum(self, older_than_sec: float = 7 * 86400, **kw) -> list[str]:
+        """Retention sweep for the engine's on-disk leftovers — the
+        janitor a deployment crons (operators/publish.vacuum): stale
+        scratch layouts and crashed-publish temps older than
+        `older_than_sec` are reclaimed; live catalog artifacts, this
+        process's own scratch, and anything still being written are
+        never touched. Returns the deleted paths."""
+        from cellbase_spark.operators.publish import vacuum
+
+        return vacuum(self.spark, older_than_sec, **kw)
+
     def sql(self, query: str) -> DataFrame:
         """SQL entry point (SURVEY.md §3.2 E3): registers every table as a
         temp view (lazy relations, no materialization) and runs the query

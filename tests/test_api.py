@@ -1128,3 +1128,24 @@ def test_workbook_fmt_rejected(spark, sf_dir, tmp_path):
         cb.import_workbook(str(tmp_path), {}, fmt="xls")
     with pytest.raises(ValueError, match="unsupported workbook format"):
         cb.export_workbook({}, str(tmp_path / "x"), fmt="xls")
+
+
+def test_cellbase_vacuum_delegates_with_pins(spark, sf_dir, tmp_path):
+    """CellBase.vacuum is the publish janitor behind the facade: stale
+    engine scratch goes, young dirs and non-engine dirs stay."""
+    import os
+    import time
+
+    from cellbase_spark.api import CellBase
+
+    root = str(tmp_path)
+    stale = os.path.join(root, "cellbase_spark_sfz_12345")
+    os.makedirs(stale)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    young = os.path.join(root, "cellbase_spark_sfz_54321")
+    os.makedirs(young)
+
+    deleted = CellBase(spark, sf_dir).vacuum(3600, scratch_root=root)
+    assert deleted == [stale]
+    assert not os.path.exists(stale) and os.path.exists(young)
