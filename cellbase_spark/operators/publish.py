@@ -329,7 +329,26 @@ def vacuum(
             continue
         shutil.rmtree(full, ignore_errors=True)
         deleted.append(full)
-    return deleted
+    # Second pass: crashed `__build_*` temps NESTED inside trees that
+    # are themselves still live (one active artifact keeps its whole
+    # scratch parent young, so pass one never reclaims a dead sibling
+    # build next to it). _sweep_stale_builds catches these at the NEXT
+    # publish of the same artifact; this pass catches artifacts that
+    # never publish again. Same pins, same age rule, per nested dir.
+    for parent, dirs, _files in os.walk(root):
+        for entry in list(dirs):
+            if BUILD_SUFFIX not in entry:
+                continue
+            full = os.path.join(parent, entry)
+            if os.path.abspath(full) in keep_abs or _pinned(full, live_locs):
+                dirs.remove(entry)  # never descend into a pinned tree
+                continue
+            if _newest_mtime(full) >= cutoff:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            dirs.remove(entry)
+            deleted.append(full)
+    return sorted(set(deleted))
 
 
 def vacuum_generations(

@@ -407,3 +407,31 @@ def test_vacuum_generations_keeps_live_and_tombstones(spark, tmp_path):
         vacuum_generations(spark, root, os.path.join(root, "gen9"), 3600)
     with pytest.raises(ValueError, match="not under"):
         vacuum_generations(spark, root, "/elsewhere/gen2", 3600)
+
+
+def test_vacuum_reclaims_nested_crashed_builds(spark, tmp_path):
+    """A crashed __build_ temp nested inside a LIVE scratch tree (the
+    parent stays young because another artifact there is active) is
+    reclaimed by vacuum's walk pass — with the same live-catalog pin."""
+    from cellbase_spark.operators.publish import vacuum
+
+    root = str(tmp_path)
+    home = os.path.join(root, "cellbase_spark_sfy_31337")
+    crashed = os.path.join(home, "annindex__build_dead")
+    os.makedirs(crashed)
+    _age(crashed)
+    # a fresh file elsewhere keeps the PARENT young (active artifact)
+    os.makedirs(os.path.join(home, "annindex_live"))
+    # a nested build dir a live catalog table serves — pinned
+    served = os.path.join(home, "bm25__build_live")
+    t = "vac_nested_live_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.range(2).write.option("path", served).format("parquet").saveAsTable(t)
+    _age(served)
+
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=root)
+
+    assert deleted == [crashed]
+    assert not os.path.exists(crashed)
+    assert os.path.exists(served) and spark.table(t).count() == 2
+    spark.sql(f"DROP TABLE {t}")
