@@ -244,7 +244,14 @@ def _newest_mtime(path: str) -> float:
     a directory. A long-running build's top-level dir mtime goes stale
     while its files are still landing; taking the max over the tree
     means an in-progress write always looks YOUNG and survives."""
-    newest = os.path.getmtime(path)
+    import time
+
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        # raced with a concurrent delete: treat as young (skip) — the
+        # next vacuum sees the final state
+        return time.time()
     for root, dirs, files in os.walk(path):
         for entry in dirs + files:
             try:

@@ -1219,3 +1219,36 @@ def test_jpeg_progressive_equals_baseline_property(
         encode_jpeg_progressive(img, qtable=q, subsample=subsample)
     )
     assert np.array_equal(prog, base)
+
+
+_names = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    min_size=1, max_size=6, unique=True,
+)
+
+
+@given(declared=_names, header=_names, data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_header_positions_contract(declared, header, data):
+    """sources/grid.header_positions invariants for ANY drift shape:
+    strict raises iff the sets differ (order-free); evolve NEVER raises,
+    maps every declared name present in the header to its position and
+    null-fills the rest; both modes are insensitive to header order."""
+    import pytest
+
+    from cellbase_spark.sources.grid import header_positions
+
+    shuffled = data.draw(st.permutations(header))
+    if set(declared) == set(header):
+        pos = header_positions(shuffled, declared, "strict", where="t")
+        assert all(shuffled[pos[n]] == n for n in declared)
+    else:
+        with pytest.raises(ValueError, match="schema mismatch"):
+            header_positions(shuffled, declared, "strict", where="t")
+
+    pos = header_positions(shuffled, declared, "evolve", where="t")
+    for n in declared:
+        if n in header:
+            assert shuffled[pos[n]] == n
+        else:
+            assert pos[n] is None
