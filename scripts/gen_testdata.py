@@ -19,7 +19,7 @@ sf0.1 via DuckDB on 2026-08-14):
 - embeddings: unit-normalized 64-dim, 10 label clusters (center-weighted
   mixture so per-label KNN has structure)
 
-Usage: python scripts/gen_testdata.py 1.0 [/root/repo/.localdata/sf1]
+Usage: python scripts/gen_testdata.py 1.0 [/root/repo/.localdata/sf1] [documents,embeddings]
 
 Row counts scale linearly from the sf0.1 profile (FIXTURES.md):
 supplier 10k/sf1, customer 150k, part 200k, orders 1.5M, lineitem 6M,
@@ -70,8 +70,17 @@ def _write(out: Path, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows", file=sys.stderr)
 
 
-def generate(sf: float, out: Path) -> None:
+def generate(sf: float, out: Path, only: set[str] | None = None) -> None:
+    """`only` restricts generation to the named tables (plus the tiny
+    fixed dims) — the sf100 probe-battery rung needs documents +
+    embeddings but not 600M lineitem rows. NOTE: skipping tables
+    advances the shared rng stream differently than a full run, so a
+    partial dir is NOT row-identical to the same tables in a full dir;
+    it is for scale benching, never for cross-sf value comparisons."""
     out.mkdir(parents=True, exist_ok=True)
+
+    def want(name: str) -> bool:
+        return only is None or name in only or name in ("region", "nation")
     rng = np.random.default_rng(SEED)
     n_supp = int(10_000 * sf)
     n_cust = int(150_000 * sf)
@@ -92,98 +101,106 @@ def generate(sf: float, out: Path) -> None:
         "n_name": [f"NATION_{i:02d}" for i in range(25)],
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
     }))
-    _write(out, "supplier", pa.table({
-        "s_suppkey": pa.array(range(n_supp), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
-    }))
-    _write(out, "customer", pa.table({
-        "c_custkey": pa.array(range(n_cust), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
-        "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
-    }))
-    adj = np.array(ADJ)[rng.integers(0, 8, n_part)]
-    noun = np.array(NOUN)[rng.integers(0, 8, n_part)]
-    _write(out, "part", pa.table({
-        "p_partkey": pa.array(range(n_part), pa.int64()),
-        "p_name": np.char.add(np.char.add(adj, " "), noun),
-        "p_brand": np.array([f"Brand#{i}" for i in range(1, 26)])[
-            rng.integers(0, 25, n_part)],
-        "p_type": np.array(PTYPES)[rng.integers(0, 6, n_part)],
-        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-        "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 1),
-    }))
-    _write(out, "orders", pa.table({
-        "o_orderkey": pa.array(range(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
-        "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)],
-        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
-        "o_orderdate": _dates_us(rng, n_ord, "1995-01-01", "2001-08-01"),
-        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
-    }))
-    _write(out, "lineitem", pa.table({
-        "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-        "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
-        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
-        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
-        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
-        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
-        "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": _dates_us(rng, n_li, "1995-01-02", "2001-11-04"),
-    }))
-    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
-    t1 = np.datetime64("2024-01-31", "us").astype(np.int64)
-    ks = rng.integers(0, 100, n_ev)
-    _write(out, "events", pa.table({
-        "event_id": pa.array(range(n_ev), pa.int64()),
-        "ts": pa.array(np.sort(rng.integers(t0, t1, n_ev)), pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
-        "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
-        "value": np.round(rng.exponential(50.0, n_ev), 2),
-        "props": [f'{{"k": {k}}}' for k in ks],
-    }))
+    if want("supplier"):
+        _write(out, "supplier", pa.table({
+            "s_suppkey": pa.array(range(n_supp), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+            "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
+        }))
+    if want("customer"):
+        _write(out, "customer", pa.table({
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+            "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
+            "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
+        }))
+    if want("part"):
+        adj = np.array(ADJ)[rng.integers(0, 8, n_part)]
+        noun = np.array(NOUN)[rng.integers(0, 8, n_part)]
+        _write(out, "part", pa.table({
+            "p_partkey": pa.array(range(n_part), pa.int64()),
+            "p_name": np.char.add(np.char.add(adj, " "), noun),
+            "p_brand": np.array([f"Brand#{i}" for i in range(1, 26)])[
+                rng.integers(0, 25, n_part)],
+            "p_type": np.array(PTYPES)[rng.integers(0, 6, n_part)],
+            "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+            "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 1),
+        }))
+    if want("orders"):
+        _write(out, "orders", pa.table({
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+            "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)],
+            "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+            "o_orderdate": _dates_us(rng, n_ord, "1995-01-01", "2001-08-01"),
+            "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
+        }))
+    if want("lineitem"):
+        _write(out, "lineitem", pa.table({
+            "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+            "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+            "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
+            "l_shipdate": _dates_us(rng, n_li, "1995-01-02", "2001-11-04"),
+        }))
+    if want("events"):
+        t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+        t1 = np.datetime64("2024-01-31", "us").astype(np.int64)
+        ks = rng.integers(0, 100, n_ev)
+        _write(out, "events", pa.table({
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(np.sort(rng.integers(t0, t1, n_ev)), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+            "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
+            "value": np.round(rng.exponential(50.0, n_ev), 2),
+            "props": [f'{{"k": {k}}}' for k in ks],
+        }))
 
-    # documents: base corpus + ~5% near-dups (+ a few exact dups)
-    vocab = np.array(VOCAB)
-    lens = rng.integers(10, 101, n_doc)
-    texts: list[str] = []
-    for ln in lens:
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
-    n_near = n_doc // 20
-    for i in range(n_near):
-        src = int(rng.integers(0, n_doc))
-        toks = texts[src].split(" ")
-        toks.insert(int(rng.integers(0, len(toks) + 1)), "dup")
-        texts[int(rng.integers(0, n_doc))] = " ".join(toks)
-    for _ in range(max(1, n_doc // 625)):
-        texts[int(rng.integers(0, n_doc))] = texts[int(rng.integers(0, n_doc))]
-    _write(out, "documents", pa.table({
-        "doc_id": pa.array(range(n_doc), pa.int64()),
-        "text": texts,
-        "lang": np.array(LANGS)[rng.choice(5, n_doc, p=LANG_W)],
-        "source": np.array([f"src{i}" for i in range(20)])[
-            rng.integers(0, 20, n_doc)],
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    if want("documents"):
+        # documents: base corpus + ~5% near-dups (+ a few exact dups)
+        vocab = np.array(VOCAB)
+        lens = rng.integers(10, 101, n_doc)
+        texts: list[str] = []
+        for ln in lens:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
+        n_near = n_doc // 20
+        for i in range(n_near):
+            src = int(rng.integers(0, n_doc))
+            toks = texts[src].split(" ")
+            toks.insert(int(rng.integers(0, len(toks) + 1)), "dup")
+            texts[int(rng.integers(0, n_doc))] = " ".join(toks)
+        for _ in range(max(1, n_doc // 625)):
+            texts[int(rng.integers(0, n_doc))] = texts[int(rng.integers(0, n_doc))]
+        _write(out, "documents", pa.table({
+            "doc_id": pa.array(range(n_doc), pa.int64()),
+            "text": texts,
+            "lang": np.array(LANGS)[rng.choice(5, n_doc, p=LANG_W)],
+            "source": np.array([f"src{i}" for i in range(20)])[
+                rng.integers(0, 20, n_doc)],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }))
 
-    centers = rng.normal(size=(10, 64))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, 10, n_emb)
-    vecs = 0.7 * centers[labels] + 0.5 * rng.normal(size=(n_emb, 64))
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    _write(out, "embeddings", pa.table({
-        "vec_id": pa.array(range(n_emb), pa.int64()),
-        "embedding": pa.array(
-            [v for v in vecs.astype(np.float32)],
-            pa.list_(pa.float32())),
-        "label": pa.array(labels, pa.int32()),
-    }))
+    if want("embeddings"):
+        centers = rng.normal(size=(10, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n_emb)
+        vecs = 0.7 * centers[labels] + 0.5 * rng.normal(size=(n_emb, 64))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        _write(out, "embeddings", pa.table({
+            "vec_id": pa.array(range(n_emb), pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs.astype(np.float32)],
+                pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }))
     (out / "GENERATED.json").write_text(json.dumps(
         {"sf": sf, "seed": SEED, "generator": "scripts/gen_testdata.py"}))
 
@@ -192,5 +209,6 @@ if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     dest = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(
         __file__).resolve().parent.parent / ".localdata" / f"sf{sf:g}"
-    generate(sf, dest)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    generate(sf, dest, only)
     print(f"wrote sf{sf:g} to {dest}", file=sys.stderr)
