@@ -44,6 +44,19 @@ def header_positions(
     """
     check_schema_mode(schema_mode)
     head_names = [h for h in head if h is not None]
+    dup = sorted({
+        n for n in field_names if head_names.count(n) > 1
+    })
+    if schema_mode == "strict" and dup:
+        # a declared column appearing twice in the sheet is ambiguous —
+        # strict refuses rather than silently serving the first copy
+        # (evolve keeps the deterministic first-occurrence rule, which
+        # is also what positional no-header reads do)
+        raise ValueError(
+            f"schema mismatch in {where}: declared column(s) duplicated "
+            f"in the sheet header: {dup}; de-duplicate the sheet or pass "
+            "schema_mode='evolve' to read the first occurrence"
+        )
     missing = [n for n in field_names if n not in head_names]
     extra = [h for h in head_names if h not in field_names]
     if schema_mode == "strict" and (missing or extra):

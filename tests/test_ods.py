@@ -452,3 +452,21 @@ def test_schema_mode_contract(spark, tmp_path):
     # unknown mode is itself loud
     with pytest.raises(ValueError, match="schema_mode"):
         read_ods_table(spark, str(gen1), narrow, schema_mode="merge").collect()
+
+
+def test_duplicate_declared_header_is_ambiguous_in_strict(spark, tmp_path):
+    """A declared column appearing twice in a sheet header is a drift
+    shape strict must refuse (silent first-wins was the old behavior);
+    evolve keeps the deterministic first-occurrence rule."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    write_ods([[1, "a", 9]], str(d / "t.ods"), header=["k", "v", "k"])
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", StringType())]
+    )
+    with pytest.raises(Exception, match="duplicated in the sheet header.*'k'"):
+        read_ods_table(spark, str(d), schema).collect()
+    got = read_ods_table(spark, str(d), schema, schema_mode="evolve").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a")]
