@@ -504,7 +504,18 @@ def main() -> None:
     qs = registry.queries()
     keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
     if keys_env:
-        names = [n for n in keys_env.split(",") if n in qs]
+        requested = [n for n in keys_env.split(",") if n]
+        unknown = [n for n in requested if n not in qs]
+        if unknown:
+            # A typo'd or stale explicit key list must fail loudly, not
+            # silently time a smaller battery that downstream rounds
+            # would treat as full evidence (r13 ADVICE low) — mirrors
+            # how the gate validates GATE_PRIORITY names.
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_KEYS names {len(unknown)} unknown "
+                f"key(s): {', '.join(sorted(unknown))}"
+            )
+        names = requested
     elif os.environ.get("SPARK_GRAFT_BENCH_ALL"):
         names = sorted(qs)
     else:

@@ -800,9 +800,15 @@ class CellBase:
         """Retention sweep for the engine's on-disk leftovers — the
         janitor a deployment crons (operators/publish.vacuum): stale
         scratch layouts and crashed-publish temps older than
-        `older_than_sec` are reclaimed; live catalog artifacts, this
-        process's own scratch, and anything still being written are
-        never touched. Returns the deleted paths."""
+        `older_than_sec` are reclaimed. Never touched: artifacts in
+        THIS session's catalog, artifacts any session ever PUBLISHED
+        (publish writes a durable pin file that vacuum honors across
+        process lifetimes, so a cron'd vacuum in a fresh session cannot
+        sweep another process's serving artifact — r13 ADVICE), this
+        process's own scratch, and anything still being written.
+        Artifacts retired outside the publish path (bare DROP TABLE)
+        should be unpinned via publish.unpin_artifact or passed to a
+        later vacuum's keep= audit. Returns the deleted paths."""
         from cellbase_spark.operators.publish import vacuum
 
         return vacuum(self.spark, older_than_sec, **kw)

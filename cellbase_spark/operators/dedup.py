@@ -855,9 +855,16 @@ def compact_dedup_bands(
     source generations, EXCLUDE tombstoned docs, land ~128 MB files in
     a NEW immutable directory (the q_dedup_generations roll-forward
     discipline — readers mid-probe keep their old generation), then
-    CLEAR the tombstones (overwrite with an empty frame, so the marks
-    cannot resurrect rows the new generation no longer holds and a
-    probe of the new generation pays no anti-join).
+    FOLD the tombstone side-table against the published generation:
+    only rows whose _id is ABSENT from the generation are cleared
+    (provably folded — an anti-join on an absent id is a no-op), while
+    rows whose _id survives in the generation are KEPT. That makes the
+    clear safe under every retry/append interleaving (r13 ADVICE
+    medium): a tombstone appended between the generation write and the
+    clear (a takedown landing in the crash window), or after an earlier
+    call already published out_dir (publish_artifact_dir's idempotent
+    no-op retry), still guards the generation instead of being
+    truncated and resurrecting the deleted doc in later probes.
 
     `tombstone_dir` defaults to band_dirs[0]'s conventional sibling.
     Note the fp-star seam: compact only rewrites BAND tables; a
@@ -897,12 +904,28 @@ def compact_dedup_bands(
         lambda tmp: merged.coalesce(target).write.mode("overwrite").parquet(tmp),
         out_dir,
     )
-    if tombs is not None:
-        (
-            spark.createDataFrame([], "_id long")
-            .write.mode("overwrite")
-            .parquet(ts_dir)
+    # Fold the tombstones against the generation as PUBLISHED (re-read
+    # the side-table AND the generation from disk: on the idempotent
+    # no-op retry path the in-memory `tombs`/`merged` describe a
+    # generation that was never written). KEEP any tombstone whose doc
+    # survives in out_dir — it was not folded and must keep guarding
+    # probes; rows absent from out_dir are folded (or never existed)
+    # and clearing them is a no-op for anti-join semantics.
+    if os.path.exists(os.path.join(ts_dir, "_SUCCESS")):
+        kept = (
+            spark.read.parquet(ts_dir)
+            .select("_id")
+            .distinct()
+            .join(
+                spark.read.parquet(out_dir).select("_id").distinct(),
+                "_id",
+                "left_semi",
+            )
+            # materialize off ts_dir's files before overwriting them —
+            # a lazy self-overwrite would read its own truncation
+            .localCheckpoint()
         )
+        kept.write.mode("overwrite").parquet(ts_dir)
 
 
 def incremental_dedup_pairs(

@@ -54,12 +54,100 @@ publish raises `InjectedCrash` there. Production code never touches it.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
+import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
 BUILD_SUFFIX = "__build_"
+
+# Durable cross-session metadata (round 14, r13 verdict #1 + ADVICE):
+# - MANIFEST_NAME: a JSON copy of the artifact's stamped cellbase.*
+#   properties written INSIDE the artifact data directory, so a FOREIGN
+#   session (fresh in-memory catalog) can validate + re-register the
+#   artifact without the publishing session's catalog.
+# - `<path>.live.json`: the naming base's pointer to the CURRENT serving
+#   location (the swap renames catalog entries, never moves bytes, so
+#   the live bytes sit at a `<path>__build_<token>` dir only the
+#   publishing session's catalog used to know about).
+# - pins dir: one small pin file per published artifact, so vacuum's
+#   can't-delete-the-live-artifact pin survives process death instead
+#   of reading the per-session in-memory catalog only (r13 ADVICE
+#   medium: a cron'd vacuum in a fresh session saw zero pins).
+MANIFEST_NAME = "_cellbase_manifest.json"
+PINS_DIRNAME = "cellbase_spark_pins"
+
+
+def pins_dir(root: str | None = None) -> str:
+    return os.path.join(root or tempfile.gettempdir(), PINS_DIRNAME)
+
+
+def pointer_path(path: str) -> str:
+    """The durable live-location pointer for a publish naming base."""
+    return f"{path}.live.json"
+
+
+def _atomic_write_json(target: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(target)), exist_ok=True)
+    tmp = f"{target}.tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    os.replace(tmp, target)  # atomic on POSIX
+
+
+def write_pin(table: str, location: str, root: str | None = None) -> str:
+    """Record `table` -> `location` durably for vacuum's pin check.
+    One file per table, atomically replaced per publish — no cross-
+    process lock needed (single publisher per artifact by contract)."""
+    pin = os.path.join(
+        pins_dir(root), f"pin_{hashlib.sha1(table.encode()).hexdigest()[:16]}.json"
+    )
+    _atomic_write_json(
+        pin,
+        {"table": table, "location": os.path.abspath(location), "ts": time.time()},
+    )
+    return pin
+
+
+def unpin_artifact(table: str, root: str | None = None) -> None:
+    """Drop `table`'s durable pin (call when retiring an artifact
+    OUTSIDE the publish path, e.g. a bare DROP TABLE — otherwise the
+    pin keeps its last location vacuum-exempt forever)."""
+    pin = os.path.join(
+        pins_dir(root), f"pin_{hashlib.sha1(table.encode()).hexdigest()[:16]}.json"
+    )
+    try:
+        os.remove(pin)
+    except FileNotFoundError:
+        pass
+
+
+def durable_pins(root: str | None = None) -> set[str]:
+    """All pinned locations that still exist on disk (normalized).
+    Pin files whose location vanished are pruned as they're read."""
+    d = pins_dir(root)
+    locs: set[str] = set()
+    if not os.path.isdir(d):
+        return locs
+    for entry in os.listdir(d):
+        full = os.path.join(d, entry)
+        try:
+            with open(full) as fh:
+                loc = json.load(fh).get("location")
+        except (OSError, ValueError):
+            continue
+        if loc and os.path.exists(loc):
+            locs.add(os.path.abspath(loc))
+        elif loc:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+    return locs
 
 # Test-only: publish raises InjectedCrash at any point named here.
 CRASH_POINTS: set[str] = set()
@@ -182,6 +270,12 @@ def publish_artifact(
             f"publish_artifact: completion marker missing on {tmp_table}"
             " after stamp — refusing to expose the artifact"
         )
+    # Durable self-description (round 14): the same stamped props land
+    # as a manifest file INSIDE the artifact directory, so a foreign
+    # fresh session can validate + attach without this session's
+    # catalog. Written before the swap: a crash here leaves the temp
+    # unexposed exactly as before.
+    _atomic_write_json(os.path.join(tmp_path, MANIFEST_NAME), stamped)
     _maybe_crash("after_stamp")
 
     old_loc = None
@@ -196,6 +290,21 @@ def publish_artifact(
         spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
     _tblprops_cache(spark).pop(table, None)
     _tblprops_cache(spark).pop(tmp_table, None)
+    # Durable pointer + vacuum pin AFTER the swap (the artifact is live
+    # now): `<path>.live.json` lets a foreign session find the current
+    # generation's bytes; the pin keeps a cron'd vacuum in a FRESH
+    # session from sweeping the serving directory once its mtimes age
+    # past the retention window (r13 ADVICE medium — the in-memory
+    # catalog pin covers the publishing session only).
+    _atomic_write_json(
+        pointer_path(path),
+        {
+            "table": table,
+            "location": os.path.abspath(tmp_path),
+            "build_id": stamped["cellbase.build_id"],
+        },
+    )
+    write_pin(table, tmp_path)
     if old_loc and os.path.isdir(old_loc) and os.path.abspath(old_loc) != os.path.abspath(tmp_path):
         # Reclaim the superseded artifact's bytes (same lifecycle as the
         # previous in-place overwrite, paid after the swap instead of
@@ -205,7 +314,7 @@ def publish_artifact(
 
 def publish_artifact_dir(
     write_to: Callable[[str], None], final_dir: str
-) -> None:
+) -> bool:
     """Crash-safe bare-parquet publish: `write_to(tmp_dir)` lands the
     generation in a sibling temp directory, which is then os.rename'd
     into place — atomic on POSIX, so `final_dir` either doesn't exist
@@ -222,9 +331,14 @@ def publish_artifact_dir(
     repair. Generation directory names uniquely identify their content
     (callers roll forward to a NEW name per generation), so returning
     without writing can never serve stale data for a different
-    generation."""
+    generation.
+
+    Returns True when this call wrote the generation, False on the
+    idempotent already-exists path — callers with publish-coupled side
+    effects (e.g. compact_dedup_bands' tombstone clear) must branch on
+    it instead of assuming the write happened (r13 ADVICE medium)."""
     if os.path.exists(final_dir):
-        return
+        return False
     parent = os.path.dirname(os.path.abspath(final_dir))
     os.makedirs(parent, exist_ok=True)
     token = uuid.uuid4().hex[:12]
@@ -237,6 +351,82 @@ def publish_artifact_dir(
     write_to(tmp_dir)
     _maybe_crash("after_build_dir")
     os.rename(tmp_dir, final_dir)
+    return True
+
+
+def attach_artifact(spark, table: str, path: str) -> str:
+    """Register an already-PUBLISHED artifact in THIS session's catalog
+    with ZERO rebuild — the cross-session serve path (round 14, r13
+    verdict #1: "build at ingest, serve forever"). A fresh session used
+    to pay the full ingest build before its first probe because both the
+    serving location and the cellbase.* geometry lived only in the
+    publishing session's in-memory catalog; publish now persists both
+    (`<path>.live.json` pointer + in-directory manifest), and this is
+    the read side:
+
+    1. resolve the naming base's pointer to the live generation dir;
+    2. validate the manifest's `cellbase.complete` marker and that it
+       agrees with the pointer's build_id (a desynced pair means a
+       torn publish — refuse loudly rather than serve it);
+    3. CREATE an external parquet table over the location, recover its
+       hive partitions into the catalog (the metastore model: probes
+       pay partition PRUNING, never directory discovery);
+    4. re-stamp the manifest's props so geometry-reading probes
+       (ann_search etc.) see exactly what the builder recorded.
+
+    Idempotent: an existing catalog entry already serving the pointed-to
+    generation is returned as-is; an entry left at an OLDER generation
+    (the pointer moved under a long-lived session) is dropped and
+    re-registered at the live one. Never writes data files."""
+    ptr_file = pointer_path(path)
+    if not os.path.exists(ptr_file):
+        raise FileNotFoundError(
+            f"attach_artifact: no publish pointer at {ptr_file!r} — "
+            "the artifact was never published (or published by a "
+            "pre-pointer engine build; re-publish to attach)"
+        )
+    with open(ptr_file) as fh:
+        ptr = json.load(fh)
+    loc = ptr["location"]
+    manifest_file = os.path.join(loc, MANIFEST_NAME)
+    if not os.path.exists(manifest_file):
+        raise FileNotFoundError(
+            f"attach_artifact: pointed-to generation {loc!r} has no "
+            f"{MANIFEST_NAME} — refusing to attach an unverifiable dir"
+        )
+    with open(manifest_file) as fh:
+        manifest = json.load(fh)
+    if manifest.get("cellbase.complete") != "1":
+        raise RuntimeError(
+            f"attach_artifact: {loc!r} manifest lacks the completion "
+            "marker — torn publish, refusing to attach"
+        )
+    if manifest.get("cellbase.build_id") != ptr.get("build_id"):
+        raise RuntimeError(
+            f"attach_artifact: pointer build_id {ptr.get('build_id')!r} "
+            f"!= manifest build_id {manifest.get('cellbase.build_id')!r} "
+            f"at {loc!r} — torn publish, refusing to attach"
+        )
+    from cellbase_spark.operators.similarity import _tblprops_cache, table_props
+
+    if spark.catalog.tableExists(table):
+        cur = table_props(spark, table, max_age_sec=0)
+        if (
+            cur.get("cellbase.build_id") == manifest["cellbase.build_id"]
+            and _table_location(spark, table)
+            and os.path.abspath(_table_location(spark, table)) == os.path.abspath(loc)
+        ):
+            return table  # already serving this generation
+        spark.sql(f"DROP TABLE IF EXISTS {table}")  # stale generation entry
+    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")
+    try:
+        spark.catalog.recoverPartitions(table)
+    except Exception:
+        pass  # unpartitioned artifact: nothing to recover
+    stamp_props(spark, table, manifest)
+    _tblprops_cache(spark).pop(table, None)
+    write_pin(table, loc)  # refresh the pin's mtime for retention
+    return table
 
 
 def _newest_mtime(path: str) -> float:
@@ -302,9 +492,11 @@ def vacuum(
     contained mtime is older than `older_than_sec`. Never touched:
 
     - anything whose tree contains a LIVE catalog table's location
-      (the can't-delete-the-live-artifact pin: artifacts resolve
-      through the catalog because the publish swap renames catalog
-      entries, never moves bytes);
+      (this session's catalog) or a DURABLY PINNED location (the pin
+      files publish/attach write under `cellbase_spark_pins/` — so a
+      vacuum cron'd from a FRESH session still cannot sweep an artifact
+      another process published and is serving; r13 ADVICE medium);
+    - the pins directory itself;
     - the CURRENT process's own scratch (`_<pid>` suffix) — it may be
       mid-query with legitimately old files;
     - anything listed in `keep`;
@@ -313,48 +505,54 @@ def vacuum(
 
     Returns the list of deleted paths (for the caller's audit log).
     """
-    import tempfile
-    import time
-
     root = scratch_root or tempfile.gettempdir()
     cutoff = time.time() - older_than_sec
-    live_locs = _catalog_locations(spark)
+    live_locs = _catalog_locations(spark) | durable_pins(root) | durable_pins()
     keep_abs = {os.path.abspath(k) for k in keep}
     own_suffix = f"_{os.getpid()}"
     deleted: list[str] = []
+    swept_roots: list[str] = []
     for entry in sorted(os.listdir(root)):
         full = os.path.join(root, entry)
         if not os.path.isdir(full):
             continue
         if not (entry.startswith("cellbase_spark_") or BUILD_SUFFIX in entry):
             continue
-        if entry.rstrip(os.sep).endswith(own_suffix):
+        if entry == PINS_DIRNAME or entry.rstrip(os.sep).endswith(own_suffix):
             continue
         if os.path.abspath(full) in keep_abs or _pinned(full, live_locs):
+            swept_roots.append(full)  # still eligible for the nested pass
             continue
         if _newest_mtime(full) >= cutoff:
+            swept_roots.append(full)
             continue
         shutil.rmtree(full, ignore_errors=True)
         deleted.append(full)
-    # Second pass: crashed `__build_*` temps NESTED inside trees that
-    # are themselves still live (one active artifact keeps its whole
-    # scratch parent young, so pass one never reclaims a dead sibling
-    # build next to it). _sweep_stale_builds catches these at the NEXT
-    # publish of the same artifact; this pass catches artifacts that
-    # never publish again. Same pins, same age rule, per nested dir.
-    for parent, dirs, _files in os.walk(root):
-        for entry in list(dirs):
-            if BUILD_SUFFIX not in entry:
-                continue
-            full = os.path.join(parent, entry)
-            if os.path.abspath(full) in keep_abs or _pinned(full, live_locs):
-                dirs.remove(entry)  # never descend into a pinned tree
-                continue
-            if _newest_mtime(full) >= cutoff:
-                continue
-            shutil.rmtree(full, ignore_errors=True)
-            dirs.remove(entry)
-            deleted.append(full)
+    # Second pass: crashed `__build_*` temps NESTED inside engine trees
+    # that are themselves still live (one active artifact keeps its
+    # whole scratch parent young, so pass one never reclaims a dead
+    # sibling build next to it). _sweep_stale_builds catches these at
+    # the NEXT publish of the same artifact; this pass catches
+    # artifacts that never publish again. Same pins, same age rule, per
+    # nested dir — and the walk is RESTRICTED to the engine's own
+    # top-level trees that pass one identified (never the whole scratch
+    # root: a foreign application's `*__build_*`-named directory under
+    # /tmp is not ours to delete; r13 ADVICE low — which also keeps the
+    # current process's own scratch out of pass two).
+    for tree in swept_roots:
+        for parent, dirs, _files in os.walk(tree):
+            for entry in list(dirs):
+                if BUILD_SUFFIX not in entry:
+                    continue
+                full = os.path.join(parent, entry)
+                if os.path.abspath(full) in keep_abs or _pinned(full, live_locs):
+                    dirs.remove(entry)  # never descend into a pinned tree
+                    continue
+                if _newest_mtime(full) >= cutoff:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(entry)
+                deleted.append(full)
     return sorted(set(deleted))
 
 

@@ -435,3 +435,107 @@ def test_vacuum_reclaims_nested_crashed_builds(spark, tmp_path):
     assert not os.path.exists(crashed)
     assert os.path.exists(served) and spark.table(t).count() == 2
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_band_compact_retry_preserves_late_tombstones(spark, tmp_path):
+    """r13 ADVICE medium: a tombstone appended AFTER a generation was
+    published (takedown landing in the crash window / idempotent retry)
+    must survive the retry's tombstone clear — the old unconditional
+    truncate resurrected the deleted doc in later probes. The fold keeps
+    exactly the rows whose doc survives in the published generation."""
+    from cellbase_spark.operators.dedup import (
+        compact_dedup_bands,
+        delete_from_dedup_index,
+        read_dedup_tombstones,
+    )
+
+    band_dir = str(tmp_path / "bands_g1")
+    spark.range(20).select(
+        F.col("id").alias("_id"),
+        (F.col("id") % 4).alias("band_idx"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+    ).write.parquet(band_dir)
+    delete_from_dedup_index(spark, band_dir, [3])
+
+    gen2 = str(tmp_path / "bands_g2")
+    compact_dedup_bands(spark, [band_dir], gen2)
+    assert spark.read.parquet(gen2).where("_id = 3").count() == 0
+    ts = read_dedup_tombstones(spark, band_dir)
+    assert ts is None or ts.count() == 0  # folded tombstone cleared
+
+    # takedown lands AFTER the publish; a crashed caller retries the
+    # SAME compaction (publish_artifact_dir no-ops on existing gen2)
+    delete_from_dedup_index(spark, band_dir, [5])
+    compact_dedup_bands(spark, [band_dir], gen2)
+    kept = read_dedup_tombstones(spark, band_dir)
+    assert kept is not None and [r._id for r in kept.collect()] == [5], (
+        "late tombstone was truncated by the no-op retry"
+    )
+    # probe semantics: gen2 anti-joined with the kept tombstones still
+    # hides doc 5 — the takedown was never silently dropped
+    visible = spark.read.parquet(gen2).join(kept, "_id", "left_anti")
+    assert visible.where("_id = 5").count() == 0
+    assert visible.count() == 18  # 20 - folded 3 - tombstoned 5
+
+
+def test_vacuum_durable_pin_protects_foreign_sessions_artifact(spark, tmp_path):
+    """r13 ADVICE medium: vacuum's can't-delete-the-live-artifact pin
+    must survive process death. Simulate the cron-in-a-fresh-session
+    deployment by DROPPING the catalog entry (a fresh session's catalog
+    is empty) — the durable pin publish wrote must still protect the
+    artifact's bytes; unpinning releases them to the next sweep."""
+    from cellbase_spark.operators.publish import (
+        unpin_artifact,
+        vacuum,
+    )
+
+    t, p = "vac_pin_t", str(tmp_path / "pinned_art")
+
+    def w(tt, tp):
+        spark.range(4).write.mode("overwrite").option("path", tp).format(
+            "parquet"
+        ).saveAsTable(tt)
+
+    publish_artifact(spark, t, p, w, {})
+    loc = publish.artifact_location(spark, t)
+    spark.sql(f"DROP TABLE {t}")  # fresh session: no catalog pin
+    _age(loc)
+
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=str(tmp_path))
+    assert loc not in deleted and os.path.exists(loc), (
+        "durable pin did not protect a foreign session's artifact"
+    )
+
+    unpin_artifact(t)
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=str(tmp_path))
+    assert loc in deleted and not os.path.exists(loc)
+
+
+def test_vacuum_pass_two_skips_foreign_and_own_trees(spark, tmp_path):
+    """r13 ADVICE low: the nested `__build_` sweep must only walk the
+    engine's own top-level trees — a foreign application's build-named
+    directory under the scratch root is not ours to delete, and the
+    current process's own scratch is exempt in BOTH passes."""
+    from cellbase_spark.operators.publish import vacuum
+
+    root = str(tmp_path)
+    # foreign tree: old __build_ dir nested under a non-engine parent
+    foreign = os.path.join(root, "other_app", "job__build_X")
+    os.makedirs(foreign)
+    _age(os.path.join(root, "other_app"))
+    # own-process engine tree with an old nested build (may be mid-query)
+    own = os.path.join(root, f"cellbase_spark_sfz_{os.getpid()}")
+    own_nested = os.path.join(own, "idx__build_Y")
+    os.makedirs(own_nested)
+    _age(own)
+    # control: a dead process's engine tree with the same shape IS swept
+    dead = os.path.join(root, "cellbase_spark_sfz_424242")
+    dead_nested = os.path.join(dead, "idx__build_Z")
+    os.makedirs(dead_nested)
+    _age(dead)
+
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=root)
+
+    assert os.path.exists(foreign), "foreign application tree was walked"
+    assert os.path.exists(own_nested), "own scratch swept in pass two"
+    assert dead in deleted and not os.path.exists(dead)
