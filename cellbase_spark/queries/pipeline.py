@@ -326,8 +326,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_approx_percentile",
     family="agg",
-    oracle=None,  # approximate sketches are engine-specific; rows-only +
-    # tolerance assert vs the exact percentile in tests/test_pipeline.py
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — THE percentile at
@@ -335,19 +338,38 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, vs exact percentile's full sort. Accuracy knob = max relative
     error (here 0.001).
 
-    The three percentiles are emitted comma-joined (not array<double>):
-    the driver canonicalizer cannot hash ndarray cells (same failure mode
-    q_phonetic_key/q_embed_quantize hit; this key's r4 row was red for
-    exactly that). tests/test_pipeline.py parses the string back and
-    asserts the 1% tolerance vs the exact percentile."""
+    Gate form (round 14, r13 verdict #2): a GK sketch's merge result
+    depends on partition order, so neither the raw percentile nor any
+    rounding of it can hash-match a foreign engine. The key emits the
+    deterministic TOLERANCE VERDICT instead — per group, `within_tol` =
+    every one of p50/p90/p99 within 1% relative error of the EXACT
+    sort-based percentile computed in the same agg. The envelope is
+    ~10x wider than the sketch's worst merge-order wobble at
+    accuracy=1000, so the boolean is stable across partitionings, and
+    the exact value never crosses engines (Spark-vs-DuckDB percentile
+    interpolation stays out of the hash). The oracle asserts the group
+    census plus a TRUE literal: the gate fails iff the sketch drifts
+    out of envelope."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "array_join(transform("
-            "  percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 1000),"
-            "  x -> cast(cast(round(x, 4) as decimal(20,4)) as string)), ',')"
-        ).alias("p50_p90_p99"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+            ).alias("_approx"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.expr(
+                "forall(zip_with(_approx, _exact,"
+                " (a, e) -> abs(a - e) <= 0.01 * abs(e)), x -> x)"
+            ).alias("within_tol"),
+        )
     )
 
 
