@@ -164,3 +164,79 @@ def _bind_facade_ann_oracle() -> None:
 
 
 _bind_facade_ann_oracle()
+
+
+@register(
+    "q_facade_edit",
+    family="facade",
+    oracle="""
+WITH nation_edit AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey = 3 THEN 'RENAMED' ELSE n_name END AS n_name,
+         n_regionkey
+  FROM nation
+  WHERE n_nationkey <> 7
+  UNION ALL
+  SELECT 99, 'ATLANTIS', 2
+)
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_nations,
+       COUNT(CASE WHEN n.n_name IN ('RENAMED', 'ATLANTIS') THEN 1 END)
+           AS n_edited,
+       MIN(n.n_name) AS first_nation
+FROM nation_edit n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def q_facade_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation half of the facade gate (SURVEY §2.14 E6, round 14 —
+    r13 verdict #3): the reference's EDIT loop (table[key][col] = v,
+    add_row, remove_row, save back to file) driven through CellTable
+    verbs only, then re-read from the SAVED file and aggregated — so
+    the whole write path (edit plan composition, schema-preserving
+    save, round-trip fidelity) sits under the driver's hash gate, not
+    just unit asserts:
+
+        nation.set_value(3, 'n_name', 'RENAMED')   # cell edit
+              .remove_row(7)                        # delete by key
+              .add_row({99, 'ATLANTIS', region 2})  # append
+              .save(parquet)                        # persist the sheet
+        -> re-read -> join region -> per-region census + edit audit
+
+    The oracle expresses the same three edits in SQL over the original
+    parquet (CASE for the cell edit, WHERE for the delete, UNION ALL
+    for the append) — a dropped edit, a type-coercion drift in
+    set_value's cast, or a save/re-read corruption all hash-mismatch.
+
+    Scale: the edits are narrow maps / a one-row union (no shuffle
+    before the write); nation is a dim sheet by contract — fact-table
+    mutation is q_merge_upsert's job."""
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.queries.scans import scratch_path
+
+    cb = CellBase(spark, sf_dir)
+    edited = (
+        cb.table("nation")
+        .set_value(3, "n_name", "RENAMED")
+        .remove_row(7)
+        .add_row({"n_nationkey": 99, "n_name": "ATLANTIS", "n_regionkey": 2})
+    )
+    out = scratch_path(sf_dir, "facade_edit", "nation")
+    edited.save(out, fmt="parquet")
+    saved = spark.read.parquet(out)
+    region = cb.table("region").df
+    return (
+        saved.join(
+            F.broadcast(region),
+            saved["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.count(
+                F.when(F.col("n_name").isin("RENAMED", "ATLANTIS"), 1)
+            ).alias("n_edited"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
