@@ -142,6 +142,51 @@ def ensure_bucketed_table(
     return tname
 
 
+def source_signature(sf_dir: str, *names: str) -> str:
+    """Cheap content fingerprint of source tables (file names + sizes +
+    mtimes, no data read). Keys DURABLE artifact homes (round 14, r13
+    verdict #1): a cross-session artifact must outlive its building
+    process, but must NOT survive its source data — if the testdata is
+    regenerated, the signature changes, the new home is empty, and the
+    next caller re-ingests instead of serving a stale index (the old
+    home ages out through vacuum)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for name in sorted(names):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(p):
+            entries = [
+                (f, os.path.join(p, f))
+                for f in sorted(os.listdir(p))
+                if not f.startswith((".", "_"))
+            ]
+        else:
+            entries = [(os.path.basename(p), p)]
+        for fname, full in entries:
+            st = os.stat(full)
+            h.update(f"{name}/{fname}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def durable_path(sf_dir: str, signature: str, *parts: str) -> str:
+    """Session-INDEPENDENT artifact home: keyed by sf path + source
+    signature, never by PID — the build-at-ingest-serve-forever layout
+    (contrast queries/scans.scratch_path, whose PID key is sandbox
+    concurrency hygiene for per-process scratch). Lives under the same
+    scratch root vacuum sweeps; published artifacts inside it are
+    protected by their durable pins."""
+    import hashlib
+    import tempfile
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:10]
+    tag = f"{os.path.basename(norm) or 'sf'}_{digest}_{signature}"
+    return os.path.join(
+        tempfile.gettempdir(), f"cellbase_spark_durable_{tag}", *parts
+    )
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql entry points."""
     for name in schemas.TABLE_NAMES:

@@ -270,12 +270,23 @@ def publish_artifact(
             f"publish_artifact: completion marker missing on {tmp_table}"
             " after stamp — refusing to expose the artifact"
         )
-    # Durable self-description (round 14): the same stamped props land
-    # as a manifest file INSIDE the artifact directory, so a foreign
-    # fresh session can validate + attach without this session's
-    # catalog. Written before the swap: a crash here leaves the temp
-    # unexposed exactly as before.
-    _atomic_write_json(os.path.join(tmp_path, MANIFEST_NAME), stamped)
+    # Durable self-description (round 14): the stamped props PLUS the
+    # table's structure (schema DDL + partition columns — so attach can
+    # CREATE with an explicit schema and import the partitions into the
+    # foreign catalog without an inference read) land as a manifest
+    # file INSIDE the artifact directory. Written before the swap: a
+    # crash here leaves the temp unexposed exactly as before.
+    manifest = dict(stamped)
+    try:
+        manifest["cellbase.schema_ddl"] = str(
+            spark.table(tmp_table)._jdf.schema().toDDL()
+        )
+        manifest["cellbase.partition_cols"] = ",".join(
+            c.name for c in spark.catalog.listColumns(tmp_table) if c.isPartition
+        )
+    except Exception:
+        pass  # non-JVM shim: attach falls back to schema inference
+    _atomic_write_json(os.path.join(tmp_path, MANIFEST_NAME), manifest)
     _maybe_crash("after_stamp")
 
     old_loc = None
@@ -418,12 +429,30 @@ def attach_artifact(spark, table: str, path: str) -> str:
         ):
             return table  # already serving this generation
         spark.sql(f"DROP TABLE IF EXISTS {table}")  # stale generation entry
-    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")
-    try:
-        spark.catalog.recoverPartitions(table)
-    except Exception:
-        pass  # unpartitioned artifact: nothing to recover
-    stamp_props(spark, table, manifest)
+    ddl = manifest.get("cellbase.schema_ddl")
+    part_cols = manifest.get("cellbase.partition_cols", "")
+    if ddl:
+        # explicit schema from the manifest (no inference read) + the
+        # recorded partition keys, then import the partition directories
+        # into this catalog — probes pay partition PRUNING on catalog
+        # metadata, and only the probed partitions are ever listed
+        part = f" PARTITIONED BY ({part_cols})" if part_cols else ""
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet{part} LOCATION '{loc}'"
+        )
+    else:
+        spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")
+    if part_cols or not ddl:
+        try:
+            spark.catalog.recoverPartitions(table)
+        except Exception:
+            pass  # unpartitioned artifact: nothing to recover
+    stamp_props(
+        spark,
+        table,
+        {k: v for k, v in manifest.items()
+         if k not in ("cellbase.schema_ddl", "cellbase.partition_cols")},
+    )
     _tblprops_cache(spark).pop(table, None)
     write_pin(table, loc)  # refresh the pin's mtime for retention
     return table

@@ -8,6 +8,8 @@ DuckDB oracle re-derives them exactly (operators/similarity.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -804,10 +806,7 @@ def _query_bucket(spark: SparkSession) -> int:
     )
 
 
-@register(
-    "q_ann_ivf_indexed",
-    family="llm-sim",
-    oracle=f"""
+_IVF_INDEXED_ORACLE = f"""
 WITH cfg AS (SELECT {_QV} AS qv),
 qd AS (
   SELECT j, {_QD_D2_DUCK} AS d
@@ -823,7 +822,13 @@ FROM asg
 WHERE centroid_id IN (SELECT CAST(j AS INTEGER) FROM qd ORDER BY d, j LIMIT 2)
 ORDER BY score DESC, vec_id ASC
 LIMIT 20
-""",
+"""
+
+
+@register(
+    "q_ann_ivf_indexed",
+    family="llm-sim",
+    oracle=_IVF_INDEXED_ORACLE,
 )
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN against the PERSISTED index: top-20 cosine within the
@@ -2805,6 +2810,153 @@ def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("vec_id") >= 10000000, F.lit("delta1"))
             .otherwise(F.lit("base"))
             .alias("gen"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            _stored_norm_score().alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+# ---- cross-session attach (round 14, r13 verdict #1) ------------------------
+
+
+_INGEST_SCRIPT = """
+import sys
+sf_dir, table, home = sys.argv[1], sys.argv[2], sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("cellbase-ingest-attach")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.similarity import build_ann_index
+build_ann_index(
+    load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+    table,
+    home,
+)
+spark.stop()
+"""
+
+
+def _ingest_ann_index_foreign(sf_dir: str, table: str, home: str) -> None:
+    """Run the ANN ingest in a SEPARATE fresh interpreter+session and
+    wait for its durable publish — so the building session and the
+    probing session are genuinely different processes (the deployment
+    shape: an ingest job builds at write time, every serving session
+    attaches). An O_EXCL lock file serializes concurrent ingests of the
+    same home (publish's stale-build sweep is single-publisher by
+    contract); a waiter returns as soon as the winner's pointer lands.
+    """
+    import subprocess
+    import sys
+    import time
+
+    from cellbase_spark.operators.publish import pointer_path
+
+    os.makedirs(os.path.dirname(home), exist_ok=True)
+    lock = f"{home}.ingest_lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                stale = time.time() - os.path.getmtime(lock) > 900
+            except OSError:
+                continue  # lock released between exists-check and stat
+            if stale:  # holder died: take over
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            time.sleep(2.0)
+            if os.path.exists(pointer_path(home)):
+                return  # another ingest finished while we waited
+    try:
+        if os.path.exists(pointer_path(home)):
+            return  # raced: published between our check and the lock
+        import cellbase_spark as _pkg
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-c", _INGEST_SCRIPT, sf_dir, table, home],
+            env=env,
+            timeout=900,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0 or not os.path.exists(pointer_path(home)):
+            raise RuntimeError(
+                "foreign ANN ingest failed "
+                f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
+            )
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _ann_index_attached(spark: SparkSession, sf_dir: str) -> str:
+    """The cross-session serving path: ATTACH the durable published ANN
+    index with zero rebuild; if no session ever published one for this
+    (sf_dir, source-signature), run the ingest in a separate fresh
+    process first. Contrast _ann_index_table, whose artifact is
+    (process, sf)-keyed and rebuilt by every new process — here the
+    probing session performs ONLY catalog registration (pointer read,
+    manifest validation, CREATE + partition import, prop stamp): no
+    scan, no write, no assignment recompute."""
+    from cellbase_spark.io import durable_path, source_signature
+    from cellbase_spark.operators.publish import attach_artifact, pointer_path
+
+    sig = source_signature(sf_dir, "embeddings")
+    home = durable_path(sf_dir, sig, "annindex")
+    table = f"cb_annindex_att_{sig}"
+    if not os.path.exists(pointer_path(home)):
+        _ingest_ann_index_foreign(sf_dir, table, home)
+    return attach_artifact(spark, table, home)
+
+
+@register(
+    "q_ann_index_attach",
+    family="llm-sim",
+    oracle=_IVF_INDEXED_ORACLE,
+)
+def q_ann_index_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against an ATTACHED index built by a DIFFERENT process
+    (round 14, r13 verdict #1) — the missing half of the 100 TB story
+    "build at ingest, serve forever": every other persisted artifact is
+    (process, sf)-keyed, so a fresh session re-paid the full ingest
+    before its first probe. Here the artifact home is keyed by sf +
+    SOURCE SIGNATURE (never PID); the first-ever caller triggers the
+    ingest in a separate fresh interpreter (the deployment's ingest
+    job), and THIS session — the driver's own foreign session included
+    — only attaches: pointer read, manifest completeness+build_id
+    validation, CREATE TABLE with the manifest's recorded schema,
+    partition import into this catalog, geometry-prop stamp. Zero
+    rebuild by construction (the probing session never calls
+    build_ann_index in-process; tests/test_publish.py pins a
+    build-forbidden foreign attach), and the probe plan is the same
+    PartitionFilters-pruned scan as q_ann_ivf_indexed, whose oracle
+    this key must hash-match exactly — bit-identical serving through
+    the attach path."""
+    t = _ann_index_attached(spark, sf_dir)
+    ids = _query_probe_centroids(spark, nprobe=2)
+    idx = spark.table(t).where(F.col("centroid_id").isin(ids))
+    return (
+        idx.crossJoin(F.broadcast(_q_cfg(spark)))
+        .select(
+            "vec_id",
             F.col("centroid_id").cast("int").alias("centroid_id"),
             _stored_norm_score().alias("score"),
         )

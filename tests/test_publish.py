@@ -539,3 +539,84 @@ def test_vacuum_pass_two_skips_foreign_and_own_trees(spark, tmp_path):
     assert os.path.exists(foreign), "foreign application tree was walked"
     assert os.path.exists(own_nested), "own scratch swept in pass two"
     assert dead in deleted and not os.path.exists(dead)
+
+
+def test_ann_index_attach_zero_rebuild_foreign_probe(spark, sf_dir, monkeypatch):
+    """r13 verdict #1 pin: once a durable ANN artifact is published, a
+    session that never built it (fresh/foreign catalog) must serve
+    probes through attach_artifact with ZERO rebuild — both build paths
+    are FORBIDDEN here — and the probe plan must be the partition-pruned
+    scan, hash-identical results to the first serve."""
+    from cellbase_spark.io import source_signature
+    from cellbase_spark.queries import llm_similarity as sim
+
+    # first call: ingest happens (in a SEPARATE process) iff the durable
+    # artifact doesn't exist yet, then this session attaches and probes
+    rows1 = [tuple(r) for r in sim.q_ann_index_attach(spark, sf_dir).collect()]
+    assert len(rows1) == 20
+
+    # simulate the foreign session: empty this catalog of the attachment
+    sig = source_signature(sf_dir, "embeddings")
+    spark.sql(f"DROP TABLE IF EXISTS cb_annindex_att_{sig}")
+
+    def _forbid(*a, **k):
+        raise AssertionError("attach path attempted a rebuild")
+
+    monkeypatch.setattr(sim, "_ingest_ann_index_foreign", _forbid)
+    import cellbase_spark.operators.similarity as simop
+
+    monkeypatch.setattr(simop, "build_ann_index", _forbid)
+
+    df = sim.q_ann_index_attach(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    rows2 = [tuple(r) for r in df.collect()]
+    assert rows1 == rows2
+
+
+def test_attach_artifact_refuses_torn_state(spark, tmp_path):
+    """attach must fail LOUDLY on every torn durable state: missing
+    pointer, missing manifest, missing completion marker, and a
+    pointer/manifest build_id desync — never quietly serve."""
+    import json
+
+    from cellbase_spark.operators.publish import (
+        MANIFEST_NAME,
+        attach_artifact,
+        pointer_path,
+    )
+
+    base = str(tmp_path / "art")
+    with pytest.raises(FileNotFoundError, match="publish pointer"):
+        attach_artifact(spark, "att_torn_t", base)
+
+    def w(tt, tp):
+        spark.range(6).write.mode("overwrite").option("path", tp).format(
+            "parquet"
+        ).saveAsTable(tt)
+
+    publish_artifact(spark, "att_torn_src", base, w, {})
+    spark.sql("DROP TABLE att_torn_src")
+    loc = json.load(open(pointer_path(base)))["location"]
+
+    manifest = json.load(open(os.path.join(loc, MANIFEST_NAME)))
+    bad = dict(manifest, **{"cellbase.build_id": "deadbeef"})
+    json.dump(bad, open(os.path.join(loc, MANIFEST_NAME), "w"))
+    with pytest.raises(RuntimeError, match="build_id"):
+        attach_artifact(spark, "att_torn_t", base)
+
+    bad = dict(manifest)
+    bad.pop("cellbase.complete")
+    json.dump(bad, open(os.path.join(loc, MANIFEST_NAME), "w"))
+    with pytest.raises(RuntimeError, match="completion"):
+        attach_artifact(spark, "att_torn_t", base)
+
+    os.remove(os.path.join(loc, MANIFEST_NAME))
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        attach_artifact(spark, "att_torn_t", base)
+
+    # repaired manifest attaches fine (unpartitioned artifact branch)
+    json.dump(manifest, open(os.path.join(loc, MANIFEST_NAME), "w"))
+    t = attach_artifact(spark, "att_torn_t", base)
+    assert spark.table(t).count() == 6
+    spark.sql(f"DROP TABLE {t}")
