@@ -620,3 +620,75 @@ def test_attach_artifact_refuses_torn_state(spark, tmp_path):
     t = attach_artifact(spark, "att_torn_t", base)
     assert spark.table(t).count() == 6
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_concurrent_reader_during_publish_swap_and_reclaim(spark, tmp_path):
+    """r13 verdict #5 witness: a long-running reader mid-query on
+    generation N while a publish flips the table to N+1 and reclaims
+    N's bytes must either complete with ONE generation's FULL result or
+    fail loudly — never return silently short/mixed rows. The loudness
+    contract rests on ignoreMissingFiles staying false (a true value
+    would silently drop deleted splits), so that conf is pinned here
+    too. A query's file listing resolves once, so a mixed-generation
+    result would mean the swap leaked through mid-plan — asserted
+    impossible."""
+    import threading
+    import time
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "false"
+    ), "engine must not silently skip deleted files"
+
+    t, p = "pub_race_t", str(tmp_path / "race_art")
+
+    def writer(tag):
+        def w(tt, tp):
+            (
+                spark.range(4000)
+                .select("id", F.lit(tag).alias("gen"))
+                .repartition(64)
+                .write.mode("overwrite")
+                .option("path", tp)
+                .format("parquet")
+                .saveAsTable(tt)
+            )
+        return w
+
+    publish_artifact(spark, t, p, writer("g1"), {})
+    base = spark.table(t)
+
+    def slow(batches):
+        for b in batches:
+            time.sleep(0.3)
+            yield b
+
+    slow_df = base.mapInPandas(slow, base.schema)
+    outcome: dict = {}
+
+    def run():
+        try:
+            outcome["rows"] = slow_df.collect()
+        except Exception as e:  # loud failure is a VALID outcome
+            outcome["err"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    time.sleep(0.6)  # reader underway with partitions still pending
+    publish_artifact(spark, t, p, writer("g2"), {})  # swap + reclaim g1
+    th.join(180)
+    assert not th.is_alive(), "reader hung across the swap"
+
+    if "rows" in outcome:
+        rows = outcome["rows"]
+        assert len(rows) == 4000, f"silently short read: {len(rows)} rows"
+        gens = {r.gen for r in rows}
+        assert gens == {"g1"} or gens == {"g2"}, f"mixed generations: {gens}"
+    else:
+        # loud is fine: the reader observed the reclaim as an ERROR,
+        # never as a short result
+        assert outcome["err"] is not None
+
+    # post-race: fresh readers serve generation 2 in full
+    assert spark.table(t).count() == 4000
+    assert {r.gen for r in spark.table(t).select("gen").distinct().collect()} == {"g2"}
+    spark.sql(f"DROP TABLE {t}")
