@@ -12,78 +12,69 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-13 gate priority (VERDICT r12 task #1 — FIRST commit of the
-# round, derived by scripts/derive_gate_rotation.py). Order: (z) NEW
-# round-13 keys inserted at the HEAD as they land so they earn a driver
-# row in the same round they ship (pushing the tail r8-vintage fill out
-# of the 50-slot prefix — those stay r8-vintage, still inside the
-# "no key older than r8" criterion); then (a) the 4 round-12 keys that
-# have NEVER appeared in a driver sample; (b) ALL 25 keys whose newest
-# official green row is r6-vintage; (c) the 21 stalest r8-vintage keys
-# (alphabetical). 4+25+21 = the 50-key gate prefix before (z) grows.
-# With the 5 round-13 keys at the head, the last 5 r8-vintage fills
-# (q_embed_neardup/outliers/project, q_ewma, q_gap_fill) ride the
-# round-14 rotation instead — still r8-vintage, inside the freshness
-# criterion. The full battery always runs locally (check_oracle.py).
+# Round-14 gate priority (VERDICT r13 task #4, derived by
+# scripts/derive_gate_rotation.py). Order: (z) the 2 new round-14 keys
+# at the head (q_ann_index_attach, q_facade_edit) PLUS the 2 sketch keys
+# whose contract changed from rows-only to full-hash this round (their
+# old driver rows certify the retired weaker check, so they re-earn a
+# row under the new contract); then (a) ALL 34 keys whose newest
+# official green row is r8-vintage — sampling them lifts the registry's
+# minimum vintage to r9; (b) the 12 stalest r9-vintage keys
+# (alphabetical). The two r9 keys the head insertions displace
+# (q_stream_run_dedup, q_stream_run_join) stay r9-vintage — inside the
+# >= r9 floor this rotation establishes. The full battery always runs
+# locally (check_oracle.py).
 GATE_PRIORITY = [
-    # -- (z) new round-13 keys (head: sampled the round they land)
-    "q_facade_e2e",
-    "q_schema_evolution",
-    "q_pipeline_incremental",
-    "q_facade_ann",
-    "q_vacuum",
-    # -- (a) never driver-sampled (round-12 additions), judge-verified
-    #    green via check_oracle in the r12 verdict session
-    "q_point_lookup_bucketed",
-    "q_scan_csv_dialect",
-    "q_scan_ods",
-    "q_roundtrip_ods_pyds",
-    "q_join_semi",
-    "q_json_extract",
-    "q_map_functions",
-    "q_sample_weighted",
-    "q_scan_text",
-    "q_sessionize_batch",
-    "q_sessionize_twophase",
-    "q_skyline",
-    "q_sort_multi",
-    "q_star_join",
-    "q_stream_run_dedup_incremental",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_tpch_q18",
-    "q_tpch_q21_bucketed",
-    "q_tpch_q3",
-    "q_tpch_q3_bucketed",
-    "q_tpch_q5_bucketed",
-    "q_tpch_q9_bucketed",
-    "q_union",
-    "q_window_dist",
-    "q_window_laglead",
-    "q_window_moving_avg",
-    "q_window_rank",
-    "q_zorder",
-    "q_agg_regression",
-    "q_ann_batch_probe",
-    "q_ann_eval_trained",
-    "q_ann_index_update",
-    "q_ann_ivf",
-    "q_ann_ivf_indexed",
-    "q_ann_ivfpq_indexed",
-    "q_ann_lsh_indexed",
-    "q_ann_pq",
-    "q_anomaly_mad",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_generations",
-    "q_dedup_minhash",
+    "q_ann_index_attach",
+    "q_facade_edit",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
     "q_embed_neardup",
     "q_embed_outliers",
     "q_embed_project",
     "q_ewma",
     "q_gap_fill",
+    "q_ivf_train",
+    "q_join_asof",
+    "q_k_anonymity",
+    "q_k_suppress",
+    "q_knn_join",
+    "q_knn_join_smj",
+    "q_lateral_topk",
+    "q_lm_perplexity",
+    "q_pagerank_bucketed",
+    "q_partitioned_write",
+    "q_pipeline_e2e",
+    "q_pq_eval",
+    "q_pq_train",
+    "q_quality_percentile_gate",
+    "q_roundtrip_write",
+    "q_scan_csv",
+    "q_scan_excel",
+    "q_scan_jsonl",
+    "q_scan_workbook",
+    "q_scd2_intervals",
+    "q_sim_topk",
+    "q_snapshot_diff",
+    "q_span_runs",
+    "q_stream_run_ann",
+    "q_subquery_correlated",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_unpivot",
+    "q_ann_index_trained",
+    "q_ann_ivfpq_rerank",
+    "q_ann_ivfpq_trained",
+    "q_embed_quantize",
+    "q_fingerprint",
+    "q_fuzzy_name_match",
+    "q_kl_source_drift",
+    "q_lang_id",
+    "q_phonetic_key",
+    "q_pipeline_e2e_neardup",
+    "q_pq_eval_trained",
+    "q_stream_dedup",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
