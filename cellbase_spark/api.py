@@ -813,6 +813,20 @@ class CellBase:
 
         return vacuum(self.spark, older_than_sec, **kw)
 
+    def attach(self, table: str, path: str) -> str:
+        """Register an artifact PUBLISHED by any session (this one, a
+        dead one, another machine sharing the filesystem) in THIS
+        session's catalog with zero rebuild — the serve-forever half of
+        build-at-ingest (operators/publish.attach_artifact): pointer
+        read, manifest completeness+build_id validation, CREATE with
+        the recorded schema, partition import, geometry-prop stamp.
+        `path` is the NAMING BASE the publish used (ann index homes,
+        bucketed layouts), not the generation directory. Returns the
+        catalog table name; torn durable state raises, never serves."""
+        from cellbase_spark.operators.publish import attach_artifact
+
+        return attach_artifact(self.spark, table, path)
+
     def sql(self, query: str) -> DataFrame:
         """SQL entry point (SURVEY.md §3.2 E3): registers every table as a
         temp view (lazy relations, no materialization) and runs the query

@@ -70,6 +70,33 @@ def _write(out: Path, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows", file=sys.stderr)
 
 
+# Above this row count the fact tables stream out in chunks through one
+# ParquetWriter instead of materializing every column in RAM at once —
+# sf100 lineitem (600M rows) would otherwise peak near ~100 GB of numpy
+# + arrow copies. Set ABOVE sf10's 60M so every previously generated
+# dir stays byte-stable under re-generation.
+CHUNKED_ABOVE = 60_000_000
+CHUNK_ROWS = 20_000_000
+
+
+def _write_chunked(out: Path, name: str, n: int, builder) -> None:
+    """builder(start, m) -> pa.Table for rows [start, start+m)."""
+    writer = None
+    done = 0
+    try:
+        while done < n:
+            m = min(CHUNK_ROWS, n - done)
+            t = builder(done, m)
+            if writer is None:
+                writer = pq.ParquetWriter(out / f"{name}.parquet", t.schema)
+            writer.write_table(t)
+            done += m
+            print(f"  {name}: {done}/{n} rows", file=sys.stderr)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def generate(sf: float, out: Path, only: set[str] | None = None) -> None:
     """`only` restricts generation to the named tables (plus the tiny
     fixed dims) — the sf100 probe-battery rung needs documents +
@@ -129,28 +156,38 @@ def generate(sf: float, out: Path, only: set[str] | None = None) -> None:
             "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 1),
         }))
     if want("orders"):
-        _write(out, "orders", pa.table({
-            "o_orderkey": pa.array(range(n_ord), pa.int64()),
-            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
-            "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)],
-            "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
-            "o_orderdate": _dates_us(rng, n_ord, "1995-01-01", "2001-08-01"),
-            "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
-        }))
+        def _orders_chunk(start: int, m: int) -> pa.Table:
+            return pa.table({
+                "o_orderkey": pa.array(range(start, start + m), pa.int64()),
+                "o_custkey": pa.array(rng.integers(0, n_cust, m), pa.int64()),
+                "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, m)],
+                "o_totalprice": np.round(rng.uniform(1000, 500_000, m), 2),
+                "o_orderdate": _dates_us(rng, m, "1995-01-01", "2001-08-01"),
+                "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, m)],
+            })
+        if n_ord > CHUNKED_ABOVE:
+            _write_chunked(out, "orders", n_ord, _orders_chunk)
+        else:
+            _write(out, "orders", _orders_chunk(0, n_ord))
     if want("lineitem"):
-        _write(out, "lineitem", pa.table({
-            "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
-            "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-            "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-            "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
-            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
-            "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
-            "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
-            "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
-            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
-            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-            "l_shipdate": _dates_us(rng, n_li, "1995-01-02", "2001-11-04"),
-        }))
+        def _lineitem_chunk(start: int, m: int) -> pa.Table:
+            return pa.table({
+                "l_orderkey": pa.array(rng.integers(0, n_ord, m), pa.int64()),
+                "l_partkey": pa.array(rng.integers(0, n_part, m), pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_supp, m), pa.int64()),
+                "l_linenumber": pa.array(rng.integers(1, 8, m), pa.int32()),
+                "l_quantity": rng.integers(1, 51, m).astype(np.float64),
+                "l_extendedprice": np.round(rng.uniform(900, 105_000, m), 2),
+                "l_discount": np.round(rng.uniform(0, 0.1, m), 2),
+                "l_tax": np.round(rng.uniform(0, 0.08, m), 2),
+                "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, m)],
+                "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, m)],
+                "l_shipdate": _dates_us(rng, m, "1995-01-02", "2001-11-04"),
+            })
+        if n_li > CHUNKED_ABOVE:
+            _write_chunked(out, "lineitem", n_li, _lineitem_chunk)
+        else:
+            _write(out, "lineitem", _lineitem_chunk(0, n_li))
     if want("events"):
         t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
         t1 = np.datetime64("2024-01-31", "us").astype(np.int64)

@@ -1149,3 +1149,29 @@ def test_cellbase_vacuum_delegates_with_pins(spark, sf_dir, tmp_path):
     deleted = CellBase(spark, sf_dir).vacuum(3600, scratch_root=root)
     assert deleted == [stale]
     assert not os.path.exists(stale) and os.path.exists(young)
+
+
+def test_facade_attach_serves_published_artifact(spark, sf_dir, tmp_path):
+    """CellBase.attach: the public face of cross-session serving — an
+    artifact published under one name is re-registered (fresh catalog
+    shape) and served without rebuild."""
+    from cellbase_spark.api import CellBase
+    from cellbase_spark.operators.publish import publish_artifact
+
+    base = str(tmp_path / "fac_att")
+
+    def w(tt, tp):
+        spark.range(7).write.mode("overwrite").option("path", tp).format(
+            "parquet"
+        ).saveAsTable(tt)
+
+    publish_artifact(spark, "fac_att_src", base, w, {"cellbase.kind": "demo"})
+    spark.sql("DROP TABLE fac_att_src")  # fresh-session shape
+
+    cb = CellBase(spark, sf_dir)
+    t = cb.attach("fac_att_served", base)
+    assert spark.table(t).count() == 7
+    from cellbase_spark.operators.similarity import table_props
+
+    assert table_props(spark, t, max_age_sec=0)["cellbase.kind"] == "demo"
+    spark.sql(f"DROP TABLE {t}")
