@@ -47,8 +47,16 @@ INFEASIBLE_AT_BENCH = {
 
 
 def main() -> None:
+    import os
+
     con = duckdb.connect()
     for t in schemas.TABLE_NAMES:
+        # partial scale dirs (e.g. a facts-only sf100) simply lack some
+        # tables; register what exists — a key needing a missing view
+        # fails loudly at query time
+        if not os.path.exists(f"{SF_DIR}/{t}.parquet"):
+            print(f"view {t}: missing at {SF_DIR}, skipped", file=sys.stderr)
+            continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     out: dict[str, float] = {}
     for key, sql in sorted(registry.oracle_sql().items()):
