@@ -458,6 +458,71 @@ def attach_artifact(spark, table: str, path: str) -> str:
     return table
 
 
+def foreign_ingest(
+    home: str, script: str, args: list[str], timeout: float = 900.0
+) -> None:
+    """Run a publish-producing ingest in a SEPARATE fresh interpreter
+    and wait for its durable pointer at `pointer_path(home)` — the
+    deployment shape behind every cross-session attach key: an ingest
+    job builds at write time; every serving session only attaches.
+    `script` is the child's `python -c` source; `args` arrive as its
+    sys.argv[1:]; the repo root is prepended to the child's PYTHONPATH.
+
+    An O_EXCL lock file serializes concurrent ingests of the same home
+    (publish's stale-build sweep is single-publisher by contract); a
+    waiter returns as soon as the winner's pointer lands; a lock older
+    than `timeout` is treated as a dead holder and taken over."""
+    import subprocess
+    import sys
+
+    os.makedirs(os.path.dirname(home), exist_ok=True)
+    lock = f"{home}.ingest_lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                stale = time.time() - os.path.getmtime(lock) > timeout
+            except OSError:
+                continue  # lock released between exists-check and stat
+            if stale:  # holder died: take over
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            time.sleep(2.0)
+            if os.path.exists(pointer_path(home)):
+                return  # another ingest finished while we waited
+    try:
+        if os.path.exists(pointer_path(home)):
+            return  # raced: published between our check and the lock
+        import cellbase_spark as _pkg
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-c", script, *args],
+            env=env,
+            timeout=timeout,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0 or not os.path.exists(pointer_path(home)):
+            raise RuntimeError(
+                f"foreign ingest of {home!r} failed "
+                f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
+            )
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 def _newest_mtime(path: str) -> float:
     """Newest mtime anywhere in the tree — the crash-window-safe age of
     a directory. A long-running build's top-level dir mtime goes stale

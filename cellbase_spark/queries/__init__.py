@@ -21,10 +21,11 @@ keys so far). The full battery always runs locally regardless of order
 # official green row is r8-vintage — sampling them lifts the registry's
 # minimum vintage to r9; (b) the 12 stalest r9-vintage keys
 # (alphabetical). The two r9 keys the head insertions displace
-# (q_stream_run_dedup, q_stream_run_join) stay r9-vintage — inside the
+# (q_stream_dedup, q_stream_run_dedup, q_stream_run_join) stay r9-vintage — inside the
 # >= r9 floor this rotation establishes. The full battery always runs
 # locally (check_oracle.py).
 GATE_PRIORITY = [
+    "q_bm25_index_attach",
     "q_ann_index_attach",
     "q_facade_edit",
     "q_agg_approx_distinct",
@@ -74,7 +75,6 @@ GATE_PRIORITY = [
     "q_phonetic_key",
     "q_pipeline_e2e_neardup",
     "q_pq_eval_trained",
-    "q_stream_dedup",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -2845,66 +2845,12 @@ spark.stop()
 
 
 def _ingest_ann_index_foreign(sf_dir: str, table: str, home: str) -> None:
-    """Run the ANN ingest in a SEPARATE fresh interpreter+session and
-    wait for its durable publish — so the building session and the
-    probing session are genuinely different processes (the deployment
-    shape: an ingest job builds at write time, every serving session
-    attaches). An O_EXCL lock file serializes concurrent ingests of the
-    same home (publish's stale-build sweep is single-publisher by
-    contract); a waiter returns as soon as the winner's pointer lands.
-    """
-    import subprocess
-    import sys
-    import time
+    """ANN ingest in a SEPARATE fresh interpreter+session (the
+    deployment's ingest job; lock/retry semantics in
+    operators/publish.foreign_ingest)."""
+    from cellbase_spark.operators.publish import foreign_ingest
 
-    from cellbase_spark.operators.publish import pointer_path
-
-    os.makedirs(os.path.dirname(home), exist_ok=True)
-    lock = f"{home}.ingest_lock"
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                stale = time.time() - os.path.getmtime(lock) > 900
-            except OSError:
-                continue  # lock released between exists-check and stat
-            if stale:  # holder died: take over
-                try:
-                    os.remove(lock)
-                except FileNotFoundError:
-                    pass
-                continue
-            time.sleep(2.0)
-            if os.path.exists(pointer_path(home)):
-                return  # another ingest finished while we waited
-    try:
-        if os.path.exists(pointer_path(home)):
-            return  # raced: published between our check and the lock
-        import cellbase_spark as _pkg
-
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
-        env = dict(os.environ)
-        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-        proc = subprocess.run(
-            [sys.executable, "-c", _INGEST_SCRIPT, sf_dir, table, home],
-            env=env,
-            timeout=900,
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode != 0 or not os.path.exists(pointer_path(home)):
-            raise RuntimeError(
-                "foreign ANN ingest failed "
-                f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
-            )
-    finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+    foreign_ingest(home, _INGEST_SCRIPT, [sf_dir, table, home])
 
 
 def _ann_index_attached(spark: SparkSession, sf_dir: str) -> str:

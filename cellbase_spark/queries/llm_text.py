@@ -1212,3 +1212,77 @@ def q_bm25_indexed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _ensure_bm25_lifecycle(spark, sf_dir)
     return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)
+
+
+# ---- cross-session attach (round 14 — the L13w mechanism applied to
+# the text index, proving the attach path is artifact-family-generic) --
+
+
+_BM25_INGEST_SCRIPT = """
+import sys
+sf_dir, table, home = sys.argv[1], sys.argv[2], sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("cellbase-ingest-bm25")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.text import build_bm25_index
+build_bm25_index(load_table(spark, sf_dir, "documents"), table, home)
+spark.stop()
+"""
+
+
+def _bm25_index_attached(spark: SparkSession, sf_dir: str) -> str:
+    """Attach the durable published BM25 postings index with zero
+    rebuild (same contract as llm_similarity._ann_index_attached:
+    durable home keyed by sf + documents source signature, first-ever
+    ingest in a separate fresh process, probing sessions pay catalog
+    registration only)."""
+    import os as _os
+
+    from cellbase_spark.io import durable_path, source_signature
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        foreign_ingest,
+        pointer_path,
+    )
+
+    sig = source_signature(sf_dir, "documents")
+    home = durable_path(sf_dir, sig, "bm25idx")
+    table = f"cb_bm25idx_att_{sig}"
+    if not _os.path.exists(pointer_path(home)):
+        foreign_ingest(home, _BM25_INGEST_SCRIPT, [sf_dir, table, home])
+    return attach_artifact(spark, table, home)
+
+
+@register(
+    "q_bm25_index_attach",
+    family="llm-text",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25_index_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe against an ATTACHED postings index built by a
+    DIFFERENT process — the cross-session attach mechanism
+    (q_ann_index_attach / operators/publish.attach_artifact) proven
+    artifact-family-GENERIC: the manifest records the postings table's
+    schema, tok_bucket partition key and frozen n_docs/total_len/k1/b
+    scoring stats, so a foreign session's probe scores against exactly
+    the geometry the builder froze — hash-matching the rescan-form
+    oracle like q_bm25_indexed does. Probe cost unchanged: |terms|
+    bucket opens through catalog partition pruning, flat in corpus
+    size."""
+    from cellbase_spark.operators.text import bm25_probe
+
+    t = _bm25_index_attached(spark, sf_dir)
+    return bm25_probe(spark, t, ["spark", "stream", "join"], k=20)
