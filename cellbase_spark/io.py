@@ -187,6 +187,76 @@ def durable_path(sf_dir: str, signature: str, *parts: str) -> str:
     )
 
 
+_BUCKETED_INGEST_SCRIPT = """
+import sys
+sf_dir, name, key, n_buckets, table, home = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]), sys.argv[5],
+    sys.argv[6],
+)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("cellbase-ingest-bucketed")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+from cellbase_spark.io import load_table
+from cellbase_spark.operators.publish import publish_artifact
+
+
+def writer(tmp_table, tmp_path):
+    (
+        load_table(spark, sf_dir, name)
+        .repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", tmp_path)
+        .format("parquet")
+        .saveAsTable(tmp_table)
+    )
+
+
+publish_artifact(
+    spark, table, home, writer,
+    {"cellbase.kind": "bucketed_layout", "cellbase.key": key},
+)
+spark.stop()
+"""
+
+
+def attach_bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int = 16
+) -> str:
+    """Cross-session twin of ensure_bucketed_table (round 14): the
+    key-bucketed + key-sorted layout as a PUBLISHED durable artifact —
+    built once per (sf_dir, source signature) by a separate-process
+    ingest, then ATTACHED by every serving session (catalog
+    registration only: the manifest's recorded bucket spec recreates
+    SelectedBucketsCount pruning, so the get-row-by-id cost model
+    survives process death). ensure_bucketed_table stays the
+    per-process scratch form; this is the deployment form."""
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        foreign_ingest,
+        pointer_path,
+    )
+
+    sig = source_signature(sf_dir, name)
+    home = durable_path(sf_dir, sig, f"keyed_{name}_{n_buckets}")
+    table = f"cb_keyed_att_{name}_{n_buckets}_{sig}"
+    if not os.path.exists(pointer_path(home)):
+        foreign_ingest(
+            home,
+            _BUCKETED_INGEST_SCRIPT,
+            [sf_dir, name, key, str(n_buckets), table, home],
+        )
+    return attach_artifact(spark, table, home)
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql entry points."""
     for name in schemas.TABLE_NAMES:

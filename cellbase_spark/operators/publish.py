@@ -284,6 +284,22 @@ def publish_artifact(
         manifest["cellbase.partition_cols"] = ",".join(
             c.name for c in spark.catalog.listColumns(tmp_table) if c.isPartition
         )
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tmp_table}").collect()
+        }
+        if desc.get("Num Buckets"):
+            # bucketed layout: record the spec so attach recreates the
+            # catalog bucketing (SelectedBucketsCount pruning included)
+            manifest["cellbase.num_buckets"] = desc["Num Buckets"]
+            for mk, dk in (
+                ("cellbase.bucket_cols", "Bucket Columns"),
+                ("cellbase.sort_cols", "Sort Columns"),
+            ):
+                cols = desc.get(dk, "")
+                manifest[mk] = ",".join(
+                    c.strip(" `") for c in cols.strip("[]").split(",") if c.strip()
+                )
     except Exception:
         pass  # non-JVM shim: attach falls back to schema inference
     _atomic_write_json(os.path.join(tmp_path, MANIFEST_NAME), manifest)
@@ -437,8 +453,20 @@ def attach_artifact(spark, table: str, path: str) -> str:
         # into this catalog — probes pay partition PRUNING on catalog
         # metadata, and only the probed partitions are ever listed
         part = f" PARTITIONED BY ({part_cols})" if part_cols else ""
+        buck = ""
+        if manifest.get("cellbase.num_buckets"):
+            # recreate the recorded bucket spec: an attached bucketed
+            # layout keeps SelectedBucketsCount pruning and its
+            # exchange-free join/point-lookup cost model
+            bcols = manifest["cellbase.bucket_cols"]
+            scols = manifest.get("cellbase.sort_cols", "")
+            buck = f" CLUSTERED BY ({bcols})"
+            if scols:
+                buck += f" SORTED BY ({scols})"
+            buck += f" INTO {manifest['cellbase.num_buckets']} BUCKETS"
         spark.sql(
-            f"CREATE TABLE {table} ({ddl}) USING parquet{part} LOCATION '{loc}'"
+            f"CREATE TABLE {table} ({ddl}) USING parquet{part}{buck}"
+            f" LOCATION '{loc}'"
         )
     else:
         spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")

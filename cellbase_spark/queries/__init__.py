@@ -13,18 +13,20 @@ keys so far). The full battery always runs locally regardless of order
 """
 
 # Round-14 gate priority (VERDICT r13 task #4, derived by
-# scripts/derive_gate_rotation.py). Order: (z) the 2 new round-14 keys
-# at the head (q_ann_index_attach, q_facade_edit) PLUS the 2 sketch keys
+# scripts/derive_gate_rotation.py). Order: (z) the 4 new round-14 keys
+# at the head (the three attach keys + q_facade_edit) PLUS the 2 sketch keys
 # whose contract changed from rows-only to full-hash this round (their
 # old driver rows certify the retired weaker check, so they re-earn a
 # row under the new contract); then (a) ALL 34 keys whose newest
 # official green row is r8-vintage — sampling them lifts the registry's
 # minimum vintage to r9; (b) the 12 stalest r9-vintage keys
 # (alphabetical). The two r9 keys the head insertions displace
-# (q_stream_dedup, q_stream_run_dedup, q_stream_run_join) stay r9-vintage — inside the
+# (q_pq_eval_trained, q_stream_dedup, q_stream_run_dedup,
+# q_stream_run_join) stay r9-vintage — inside the
 # >= r9 floor this rotation establishes. The full battery always runs
 # locally (check_oracle.py).
 GATE_PRIORITY = [
+    "q_point_lookup_attach",
     "q_bm25_index_attach",
     "q_ann_index_attach",
     "q_facade_edit",
@@ -74,7 +76,6 @@ GATE_PRIORITY = [
     "q_lang_id",
     "q_phonetic_key",
     "q_pipeline_e2e_neardup",
-    "q_pq_eval_trained",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

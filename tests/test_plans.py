@@ -1408,3 +1408,30 @@ def test_facade_ann_probe_is_partition_pruned(spark, sf_dir):
     plan = formatted_plan(QS["q_facade_ann"](spark, sf_dir))
     assert "PartitionFilters" in plan and "centroid_id" in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_point_lookup_attach_prunes_in_foreign_catalog(spark, sf_dir, monkeypatch):
+    """Cross-session bucketed layout (round 14): the ATTACHED layout
+    must keep the keyed-layout contract in a catalog that never built
+    it — SelectedBucketsCount pruning + pushed key filter — with both
+    build paths forbidden (zero rebuild: attach is catalog
+    registration only)."""
+    import cellbase_spark.io as io_mod
+    from cellbase_spark.io import source_signature
+
+    # ensure the durable artifact exists (may ingest in a subprocess)
+    QS["q_point_lookup_attach"](spark, sf_dir).collect()
+    # foreign-session shape: drop the attachment, forbid rebuilds
+    sig = source_signature(sf_dir, "customer")
+    spark.sql(f"DROP TABLE IF EXISTS cb_keyed_att_customer_16_{sig}")
+
+    def _forbid(*a, **k):
+        raise AssertionError("attach path attempted a rebuild")
+
+    monkeypatch.setattr(io_mod, "foreign_ingest", _forbid, raising=False)
+    from cellbase_spark.operators import publish as pub_mod
+
+    monkeypatch.setattr(pub_mod, "foreign_ingest", _forbid)
+    plan = plan_of(spark, "q_point_lookup_attach", sf_dir)
+    assert "SelectedBucketsCount: 1 out of 16" in plan
+    assert "EqualTo(c_custkey" in plan
