@@ -486,6 +486,39 @@ def attach_artifact(spark, table: str, path: str) -> str:
     return table
 
 
+def publish_dir_pointer(final_dir: str) -> None:
+    """Durable pointer for the PATH face (bare-parquet generations):
+    call after publish_artifact_dir landed `final_dir` to advertise it
+    to foreign sessions (foreign_ingest waits on exactly this pointer).
+    The dir face needs no manifest — the generation directory is
+    self-validating (atomic rename means it exists iff complete, and
+    the parquet _SUCCESS marker travels with it)."""
+    _atomic_write_json(
+        pointer_path(final_dir),
+        {"location": os.path.abspath(final_dir), "build_id": uuid.uuid4().hex},
+    )
+    write_pin(f"dir:{os.path.abspath(final_dir)}", final_dir)
+
+
+def attached_dir(final_dir: str) -> str:
+    """Resolve + validate a dir-face artifact published by ANY session:
+    pointer present, pointed-to directory complete (_SUCCESS). Returns
+    the location; torn states raise, never serve."""
+    ptr_file = pointer_path(final_dir)
+    if not os.path.exists(ptr_file):
+        raise FileNotFoundError(
+            f"attached_dir: no publish pointer at {ptr_file!r}"
+        )
+    with open(ptr_file) as fh:
+        loc = json.load(fh)["location"]
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        raise RuntimeError(
+            f"attached_dir: {loc!r} has no _SUCCESS marker — torn publish,"
+            " refusing to serve"
+        )
+    return loc
+
+
 def foreign_ingest(
     home: str, script: str, args: list[str], timeout: float = 900.0
 ) -> None:

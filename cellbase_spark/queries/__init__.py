@@ -21,11 +21,12 @@ keys so far). The full battery always runs locally regardless of order
 # official green row is r8-vintage — sampling them lifts the registry's
 # minimum vintage to r9; (b) the 12 stalest r9-vintage keys
 # (alphabetical). The two r9 keys the head insertions displace
-# (q_pq_eval_trained, q_stream_dedup, q_stream_run_dedup,
+# (q_pipeline_e2e_neardup, q_pq_eval_trained, q_stream_dedup, q_stream_run_dedup,
 # q_stream_run_join) stay r9-vintage — inside the
 # >= r9 floor this rotation establishes. The full battery always runs
 # locally (check_oracle.py).
 GATE_PRIORITY = [
+    "q_dedup_incremental_attach",
     "q_point_lookup_attach",
     "q_bm25_index_attach",
     "q_ann_index_attach",
@@ -75,7 +76,6 @@ GATE_PRIORITY = [
     "q_kl_source_drift",
     "q_lang_id",
     "q_phonetic_key",
-    "q_pipeline_e2e_neardup",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
