@@ -692,3 +692,42 @@ def test_concurrent_reader_during_publish_swap_and_reclaim(spark, tmp_path):
     assert spark.table(t).count() == 4000
     assert {r.gen for r in spark.table(t).select("gen").distinct().collect()} == {"g2"}
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_attach_follows_moved_pointer_to_new_generation(spark, tmp_path):
+    """A long-lived session holding an attachment at generation 1 must,
+    on re-attach after a publish moved the pointer, serve generation 2
+    (the stale catalog entry is dropped and re-registered) — and an
+    unchanged pointer re-attach is a no-op returning the same entry."""
+    import json
+
+    from cellbase_spark.operators.publish import attach_artifact, pointer_path
+
+    base = str(tmp_path / "moving_art")
+
+    def writer(n):
+        def w(tt, tp):
+            spark.range(n).write.mode("overwrite").option("path", tp).format(
+                "parquet"
+            ).saveAsTable(tt)
+        return w
+
+    publish_artifact(spark, "mov_src", base, writer(5), {})
+    spark.sql("DROP TABLE mov_src")
+    t = attach_artifact(spark, "mov_att", base)
+    assert spark.table(t).count() == 5
+    gen1_id = json.load(open(pointer_path(base)))["build_id"]
+
+    # no-op re-attach: same generation, entry kept
+    assert attach_artifact(spark, "mov_att", base) == t
+    assert spark.table(t).count() == 5
+
+    # publish generation 2 under the same naming base (pointer moves)
+    publish_artifact(spark, "mov_src", base, writer(9), {})
+    spark.sql("DROP TABLE mov_src")
+    assert json.load(open(pointer_path(base)))["build_id"] != gen1_id
+    t2 = attach_artifact(spark, "mov_att", base)
+    assert t2 == t and spark.table(t2).count() == 9, (
+        "re-attach did not follow the moved pointer"
+    )
+    spark.sql(f"DROP TABLE {t2}")
