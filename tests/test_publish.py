@@ -731,3 +731,47 @@ def test_attach_follows_moved_pointer_to_new_generation(spark, tmp_path):
         "re-attach did not follow the moved pointer"
     )
     spark.sql(f"DROP TABLE {t2}")
+
+
+def test_foreign_ingest_serializes_concurrent_callers(tmp_path):
+    """Two concurrent callers ingesting the same home: exactly ONE child
+    process runs (O_EXCL lock), the loser waits and returns once the
+    winner's pointer lands, and both see the published artifact."""
+    import threading
+
+    from cellbase_spark.operators.publish import (
+        attached_dir,
+        foreign_ingest,
+    )
+
+    home = str(tmp_path / "race_home" / "gen1")
+    counter = str(tmp_path / "ingest_runs")
+    os.makedirs(counter)
+    # child needs no Spark: it lands the dir atomically-enough for the
+    # test, stamps _SUCCESS, bumps the run counter, writes the pointer
+    script = """
+import os, sys, time, uuid
+home, counter = sys.argv[1], sys.argv[2]
+time.sleep(1.5)
+open(os.path.join(counter, uuid.uuid4().hex), "w").write("run")
+os.makedirs(home)
+open(os.path.join(home, "_SUCCESS"), "w").write("")
+from cellbase_spark.operators.publish import publish_dir_pointer
+publish_dir_pointer(home)
+"""
+    errs: list = []
+
+    def call():
+        try:
+            foreign_ingest(home, script, [home, counter], timeout=120)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=call) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(150)
+    assert not errs, errs
+    assert len(os.listdir(counter)) == 1, "ingest ran more than once"
+    assert attached_dir(home) == os.path.abspath(home)
