@@ -1435,3 +1435,16 @@ def test_point_lookup_attach_prunes_in_foreign_catalog(spark, sf_dir, monkeypatc
     plan = plan_of(spark, "q_point_lookup_attach", sf_dir)
     assert "SelectedBucketsCount: 1 out of 16" in plan
     assert "EqualTo(c_custkey" in plan
+
+
+def test_dedup_incremental_attach_probes_attached_bands_only(spark, sf_dir):
+    """The ATTACHED variant keeps q_dedup_incremental's probe contract
+    in a session that never built the band table: exactly ONE Generate
+    (the batch posexplode — corpus bands come from the attached durable
+    parquet, never recomputed), scanning the durable home."""
+    import re
+
+    plan = formatted_plan(QS["q_dedup_incremental_attach"](spark, sf_dir))
+    assert "bandtable_corpus" in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
