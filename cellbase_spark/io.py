@@ -148,8 +148,12 @@ def source_signature(sf_dir: str, *names: str) -> str:
     verdict #1): a cross-session artifact must outlive its building
     process, but must NOT survive its source data — if the testdata is
     regenerated, the signature changes, the new home is empty, and the
-    next caller re-ingests instead of serving a stale index (the old
-    home ages out through vacuum)."""
+    next caller re-ingests instead of serving a stale index. The OLD
+    home's durable pin stops being refreshed the moment the signature
+    moves (pins refresh only on publish/attach of the artifact they
+    name), so a vacuum cron run with `pin_retention_sec` reclaims it
+    once the window lapses — superseded homes age out; they are not
+    immortal (r14 ADVICE)."""
     import hashlib
 
     h = hashlib.sha1()

@@ -848,6 +848,12 @@ def read_dedup_tombstones(spark, band_dir: str) -> DataFrame | None:
     return spark.read.parquet(p)
 
 
+# Test-only seam (mirrors publish.CRASH_POINTS): called after the fold
+# takes its file snapshot, so tests can drive a takedown landing exactly
+# inside the fold window. Production never sets it.
+_TOMBSTONE_FOLD_HOOK = None
+
+
 def compact_dedup_bands(
     spark, band_dirs: list[str], out_dir: str, tombstone_dir: str | None = None
 ) -> None:
@@ -858,12 +864,18 @@ def compact_dedup_bands(
     FOLD the tombstone side-table against the published generation:
     only rows whose _id is ABSENT from the generation are cleared
     (provably folded — an anti-join on an absent id is a no-op), while
-    rows whose _id survives in the generation are KEPT. That makes the
-    clear safe under every retry/append interleaving (r13 ADVICE
-    medium): a tombstone appended between the generation write and the
-    clear (a takedown landing in the crash window), or after an earlier
-    call already published out_dir (publish_artifact_dir's idempotent
-    no-op retry), still guards the generation instead of being
+    rows whose _id survives in the generation are KEPT. The fold is
+    FILE-SNAPSHOT scoped (r14 ADVICE low closed the last window): it
+    reads a fixed list of the side-table's parquet files, appends the
+    kept rows as NEW files, then removes exactly the snapshot files —
+    a tombstone appended at ANY point during the fold lands in a file
+    outside the snapshot and is never touched, and a crash between the
+    append and the remove leaves harmless duplicate tombstone rows
+    (probes anti-join on distinct ids). That makes the clear safe under
+    every retry/append interleaving: a takedown landing in the crash
+    window, after an earlier call already published out_dir
+    (publish_artifact_dir's idempotent no-op retry), or concurrently
+    with the fold itself, still guards the generation instead of being
     truncated and resurrecting the deleted doc in later probes.
 
     `tombstone_dir` defaults to band_dirs[0]'s conventional sibling.
@@ -911,21 +923,43 @@ def compact_dedup_bands(
     # survives in out_dir — it was not folded and must keep guarding
     # probes; rows absent from out_dir are folded (or never existed)
     # and clearing them is a no-op for anti-join semantics.
+    #
+    # The fold operates on a FILE SNAPSHOT of the side-table, never the
+    # whole directory: append the kept rows as new files FIRST, then
+    # remove only the snapshot files. A takedown appended after the
+    # snapshot lives in a file the fold never lists; a crash between
+    # append and remove leaves duplicate kept rows (distinct-ed by
+    # every probe). The old in-place mode("overwrite") truncated any
+    # tombstone that landed between its read and its write.
     if os.path.exists(os.path.join(ts_dir, "_SUCCESS")):
-        kept = (
-            spark.read.parquet(ts_dir)
-            .select("_id")
-            .distinct()
-            .join(
-                spark.read.parquet(out_dir).select("_id").distinct(),
-                "_id",
-                "left_semi",
-            )
-            # materialize off ts_dir's files before overwriting them —
-            # a lazy self-overwrite would read its own truncation
-            .localCheckpoint()
+        snap = sorted(
+            os.path.join(ts_dir, f)
+            for f in os.listdir(ts_dir)
+            if f.endswith(".parquet")
         )
-        kept.write.mode("overwrite").parquet(ts_dir)
+        if _TOMBSTONE_FOLD_HOOK is not None:
+            _TOMBSTONE_FOLD_HOOK()  # test seam: append-during-fold races
+        if snap:
+            kept = (
+                spark.read.parquet(*snap)
+                .select("_id")
+                .distinct()
+                .join(
+                    spark.read.parquet(out_dir).select("_id").distinct(),
+                    "_id",
+                    "left_semi",
+                )
+                # materialize off the snapshot files before removing
+                # them — a lazy self-read would see its own removal
+                .localCheckpoint()
+            )
+            kept.write.mode("append").parquet(ts_dir)
+            for f in snap:
+                for victim in (f, os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")):
+                    try:
+                        os.remove(victim)
+                    except FileNotFoundError:
+                        pass
 
 
 def incremental_dedup_pairs(

@@ -126,13 +126,28 @@ def unpin_artifact(table: str, root: str | None = None) -> None:
         pass
 
 
-def durable_pins(root: str | None = None) -> set[str]:
+def durable_pins(
+    root: str | None = None, max_age_sec: float | None = None
+) -> set[str]:
     """All pinned locations that still exist on disk (normalized).
-    Pin files whose location vanished are pruned as they're read."""
+    Pin files whose location vanished are pruned as they're read.
+
+    `max_age_sec` is the pin RETENTION window (r14 ADVICE medium —
+    without it, superseded durable homes stay vacuum-exempt forever):
+    a pin whose file mtime is older than the window is IGNORED, not
+    deleted — every publish and every attach refreshes the pin's mtime
+    (write_pin atomically replaces the file), so an expired pin means
+    no session has published or attached the artifact within the
+    window. Ignoring it lets vacuum reclaim the data directory; once
+    the directory is gone, the vanished-location prune above removes
+    the pin file itself on the next read. Never deleting by age alone
+    keeps this race-free against a concurrent attach refresh.
+    None (the default) = pins never expire."""
     d = pins_dir(root)
     locs: set[str] = set()
     if not os.path.isdir(d):
         return locs
+    cutoff = time.time() - max_age_sec if max_age_sec is not None else None
     for entry in os.listdir(d):
         full = os.path.join(d, entry)
         try:
@@ -141,6 +156,12 @@ def durable_pins(root: str | None = None) -> set[str]:
         except (OSError, ValueError):
             continue
         if loc and os.path.exists(loc):
+            if cutoff is not None:
+                try:
+                    if os.path.getmtime(full) < cutoff:
+                        continue  # expired: ignore, don't delete
+                except OSError:
+                    continue
             locs.add(os.path.abspath(loc))
         elif loc:
             try:
@@ -210,13 +231,30 @@ def _sweep_stale_builds(spark, table: str, path: str) -> None:
     location: after any successful publish the final table's data lives
     at a `<path>__build_<token>` directory (the swap renames catalog
     entries, never moves bytes), so matching on the name alone would
-    delete the serving artifact's bytes out from under it."""
-    live = (
-        _table_location(spark, table)
-        if spark.catalog.tableExists(table)
-        else None
-    )
-    live = os.path.abspath(live) if live else None
+    delete the serving artifact's bytes out from under it.
+
+    "Live" is resolved from THREE sources, not just this session's
+    catalog (r14 ADVICE medium): a FRESH session republishing to an
+    existing naming base has tableExists=false, but the durable pointer
+    still names the generation foreign sessions are serving through
+    attach — sweeping it would break the build-at-ingest/serve-from-
+    any-session contract (and a crash mid-build would leave the pointer
+    dangling). The pointer's location and every durably pinned location
+    are spared exactly as vacuum spares them."""
+    spare: set[str] = set()
+    if spark.catalog.tableExists(table):
+        live = _table_location(spark, table)
+        if live:
+            spare.add(os.path.abspath(live))
+    ptr_file = pointer_path(path)
+    try:
+        with open(ptr_file) as fh:
+            loc = json.load(fh).get("location")
+        if loc:
+            spare.add(os.path.abspath(loc))
+    except (OSError, ValueError):
+        pass
+    spare |= durable_pins()
     for t in spark.catalog.listTables():
         if t.name.startswith(f"{table}{BUILD_SUFFIX}".lower()):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
@@ -226,7 +264,7 @@ def _sweep_stale_builds(spark, table: str, path: str) -> None:
             full = os.path.join(parent, entry)
             if (
                 entry.startswith(f"{base}{BUILD_SUFFIX}")
-                and os.path.abspath(full) != live
+                and not _pinned(full, spare)
             ):
                 shutil.rmtree(full, ignore_errors=True)
 
@@ -305,6 +343,26 @@ def publish_artifact(
     _atomic_write_json(os.path.join(tmp_path, MANIFEST_NAME), manifest)
     _maybe_crash("after_stamp")
 
+    # Durable pointer + vacuum pin BEFORE the swap (r14 ADVICE low —
+    # writing them after left a crash window in which the new live
+    # generation carried no durable pin and appeared in no catalog, so
+    # a cron'd vacuum in a fresh session could sweep the serving bytes):
+    # a pin/pointer for a complete-but-not-yet-swapped build dir is
+    # harmless — the manifest's completion marker is already verified,
+    # so a foreign attach that races ahead of the swap serves the full
+    # new generation, and a crash here is repaired by re-running the
+    # publish (the sweep spares the pointed-to/pinned location).
+    _atomic_write_json(
+        pointer_path(path),
+        {
+            "table": table,
+            "location": os.path.abspath(tmp_path),
+            "build_id": stamped["cellbase.build_id"],
+        },
+    )
+    write_pin(table, tmp_path)
+    _maybe_crash("after_pointer")
+
     old_loc = None
     if spark.catalog.tableExists(table):
         old_loc = _table_location(spark, table)
@@ -317,21 +375,6 @@ def publish_artifact(
         spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
     _tblprops_cache(spark).pop(table, None)
     _tblprops_cache(spark).pop(tmp_table, None)
-    # Durable pointer + vacuum pin AFTER the swap (the artifact is live
-    # now): `<path>.live.json` lets a foreign session find the current
-    # generation's bytes; the pin keeps a cron'd vacuum in a FRESH
-    # session from sweeping the serving directory once its mtimes age
-    # past the retention window (r13 ADVICE medium — the in-memory
-    # catalog pin covers the publishing session only).
-    _atomic_write_json(
-        pointer_path(path),
-        {
-            "table": table,
-            "location": os.path.abspath(tmp_path),
-            "build_id": stamped["cellbase.build_id"],
-        },
-    )
-    write_pin(table, tmp_path)
     if old_loc and os.path.isdir(old_loc) and os.path.abspath(old_loc) != os.path.abspath(tmp_path):
         # Reclaim the superseded artifact's bytes (same lifecycle as the
         # previous in-place overwrite, paid after the swap instead of
@@ -486,18 +529,27 @@ def attach_artifact(spark, table: str, path: str) -> str:
     return table
 
 
-def publish_dir_pointer(final_dir: str) -> None:
+def publish_dir_pointer(final_dir: str, home: str | None = None) -> None:
     """Durable pointer for the PATH face (bare-parquet generations):
     call after publish_artifact_dir landed `final_dir` to advertise it
     to foreign sessions (foreign_ingest waits on exactly this pointer).
     The dir face needs no manifest — the generation directory is
     self-validating (atomic rename means it exists iff complete, and
-    the parquet _SUCCESS marker travels with it)."""
+    the parquet _SUCCESS marker travels with it).
+
+    `home` is the artifact's stable naming base for roll-forward flows
+    where each generation lands under a NEW directory: the pin is keyed
+    by the home, so publishing generation N+1 atomically REPLACES
+    generation N's pin instead of accumulating one immortal pin per
+    generation (r14 ADVICE medium) — the superseded generation then
+    ages out through vacuum's pin_retention_sec window. Defaults to
+    `final_dir` itself (the publish-in-place flows, where re-publishing
+    the same dir already replaces the pin)."""
     _atomic_write_json(
         pointer_path(final_dir),
         {"location": os.path.abspath(final_dir), "build_id": uuid.uuid4().hex},
     )
-    write_pin(f"dir:{os.path.abspath(final_dir)}", final_dir)
+    write_pin(f"dir:{os.path.abspath(home or final_dir)}", final_dir)
 
 
 def attached_dir(final_dir: str) -> str:
@@ -531,8 +583,15 @@ def foreign_ingest(
 
     An O_EXCL lock file serializes concurrent ingests of the same home
     (publish's stale-build sweep is single-publisher by contract); a
-    waiter returns as soon as the winner's pointer lands; a lock older
-    than `timeout` is treated as a dead holder and taken over."""
+    waiter returns as soon as the winner's pointer lands. Dead-holder
+    takeover (r14 ADVICE low — the old remove+recreate let two waiters
+    both "take over" one stale lock and run two concurrent ingests):
+    the lock records its holder's pid; a lock is only considered dead
+    when it is older than `timeout` AND its holder pid is gone (so a
+    legitimately slow ingest whose caller is alive is never usurped),
+    and the takeover itself is an atomic os.rename of the lock to a
+    unique trash name — exactly one racer wins the rename, everyone
+    else loops back to the O_EXCL acquire."""
     import subprocess
     import sys
 
@@ -541,17 +600,42 @@ def foreign_ingest(
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(
+                    fd,
+                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                )
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
             try:
-                stale = time.time() - os.path.getmtime(lock) > timeout
-            except OSError:
-                continue  # lock released between exists-check and stat
-            if stale:  # holder died: take over
+                age = time.time() - os.path.getmtime(lock)
+                with open(lock) as fh:
+                    holder_pid = json.load(fh).get("pid")
+            except (OSError, ValueError):
+                continue  # lock released/rewritten underneath us: retry
+            holder_alive = False
+            if isinstance(holder_pid, int):
                 try:
-                    os.remove(lock)
-                except FileNotFoundError:
+                    os.kill(holder_pid, 0)
+                    holder_alive = True
+                except ProcessLookupError:
+                    holder_alive = False
+                except PermissionError:
+                    holder_alive = True  # exists, different uid
+                except OSError:
+                    holder_alive = False
+            if age > timeout and not holder_alive:
+                # dead holder: atomic single-winner takeover
+                trash = f"{lock}.stale_{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock, trash)
+                except OSError:
+                    continue  # another waiter won the takeover
+                try:
+                    os.remove(trash)
+                except OSError:
                     pass
                 continue
             time.sleep(2.0)
@@ -572,11 +656,16 @@ def foreign_ingest(
             capture_output=True,
             text=True,
         )
-        if proc.returncode != 0 or not os.path.exists(pointer_path(home)):
+        if not os.path.exists(pointer_path(home)):
             raise RuntimeError(
                 f"foreign ingest of {home!r} failed "
                 f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
             )
+        # rc != 0 with the pointer present is SUCCESS (r14 ADVICE low):
+        # the publish landed — the child died after it (e.g. during
+        # teardown), or a lost takeover racer's child collided with the
+        # winner's already-published generation. The artifact is valid
+        # either way; attach validates it independently.
     finally:
         try:
             os.remove(lock)
@@ -633,6 +722,7 @@ def vacuum(
     older_than_sec: float,
     scratch_root: str | None = None,
     keep: tuple = (),
+    pin_retention_sec: float | None = None,
 ) -> list[str]:
     """Retention sweep for the engine's on-disk leftovers (round 13,
     r12 verdict #6). Publish sweeps its own `__build_*` temps at the
@@ -658,11 +748,25 @@ def vacuum(
     - anything with a file newer than the cutoff (crash-window safety:
       an in-flight build is young by construction).
 
+    `pin_retention_sec` bounds how long a DURABLE pin protects an
+    artifact nobody touches (r14 ADVICE medium): every publish and
+    attach refreshes the pin's mtime, so a pin older than the window
+    marks an artifact no session has served within it — superseded
+    source-signature homes, retired dir-face generations — and its
+    location becomes sweepable under the normal age rule. None (the
+    default) = pins never expire, the conservative standalone-janitor
+    behavior; a cron'd deployment passes e.g. 30 days. Must be >> the
+    longest gap between attaches of a still-wanted artifact.
+
     Returns the list of deleted paths (for the caller's audit log).
     """
     root = scratch_root or tempfile.gettempdir()
     cutoff = time.time() - older_than_sec
-    live_locs = _catalog_locations(spark) | durable_pins(root) | durable_pins()
+    live_locs = (
+        _catalog_locations(spark)
+        | durable_pins(root, pin_retention_sec)
+        | durable_pins(max_age_sec=pin_retention_sec)
+    )
     keep_abs = {os.path.abspath(k) for k in keep}
     own_suffix = f"_{os.getpid()}"
     deleted: list[str] = []

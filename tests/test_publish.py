@@ -775,3 +775,365 @@ publish_dir_pointer(home)
     assert not errs, errs
     assert len(os.listdir(counter)) == 1, "ingest ran more than once"
     assert attached_dir(home) == os.path.abspath(home)
+
+
+# ---- round 15: pin retention, sweep sparing, pre-swap pin, lock races -------
+
+
+def _pin_file(table):
+    import hashlib
+
+    from cellbase_spark.operators.publish import pins_dir
+
+    return os.path.join(
+        pins_dir(), f"pin_{hashlib.sha1(table.encode()).hexdigest()[:16]}.json"
+    )
+
+
+def test_vacuum_pin_retention_expires_untouched_pins(spark, tmp_path):
+    """r14 ADVICE medium: a durable pin nobody refreshes (no publish, no
+    attach within the retention window) must stop protecting its
+    location — superseded signature homes age out instead of living
+    forever. Default (no retention) keeps today's conservative
+    behavior."""
+    from cellbase_spark.operators.publish import unpin_artifact, vacuum
+
+    t, p = "vac_ret_t", str(tmp_path / "ret_art")
+
+    def w(tt, tp):
+        spark.range(4).write.mode("overwrite").option("path", tp).format(
+            "parquet"
+        ).saveAsTable(tt)
+
+    publish_artifact(spark, t, p, w, {})
+    loc = publish.artifact_location(spark, t)
+    spark.sql(f"DROP TABLE {t}")  # fresh-session simulation
+    _age(loc)
+    _age(_pin_file(t), sec=7200)  # pin last refreshed 2h ago
+
+    # no retention window: pin protects regardless of age
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=str(tmp_path))
+    assert os.path.exists(loc)
+
+    # retention window shorter than the pin's age: location sweepable
+    deleted = vacuum(
+        spark, older_than_sec=3600, scratch_root=str(tmp_path),
+        pin_retention_sec=3600,
+    )
+    assert loc in deleted and not os.path.exists(loc)
+    # vanished-location pin file is pruned on the next read
+    from cellbase_spark.operators.publish import durable_pins
+
+    durable_pins()
+    assert not os.path.exists(_pin_file(t))
+    unpin_artifact(t)
+
+
+def test_pin_refresh_inside_retention_window_protects(spark, tmp_path):
+    """The flip side: an artifact ATTACHED within the window keeps its
+    protection — attach refreshes the pin mtime, so only truly
+    untouched artifacts expire."""
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        unpin_artifact,
+        vacuum,
+    )
+
+    t, p = "vac_ret_fresh_t", str(tmp_path / "ret_fresh_art")
+
+    def w(tt, tp):
+        spark.range(4).write.mode("overwrite").option("path", tp).format(
+            "parquet"
+        ).saveAsTable(tt)
+
+    publish_artifact(spark, t, p, w, {})
+    loc = publish.artifact_location(spark, t)
+    spark.sql(f"DROP TABLE {t}")
+    _age(loc)
+    att = attach_artifact(spark, t, p)  # refreshes the pin's mtime
+    spark.sql(f"DROP TABLE {att}")
+
+    vacuum(
+        spark, older_than_sec=3600, scratch_root=str(tmp_path),
+        pin_retention_sec=3600,
+    )
+    assert os.path.exists(loc), "freshly attached artifact was swept"
+    unpin_artifact(t)
+
+
+def test_sweep_stale_builds_spares_pointer_location(spark, tmp_path):
+    """r14 ADVICE medium: a FRESH session republishing to an existing
+    naming base (tableExists false) must not rmtree the generation the
+    durable pointer names — foreign sessions are serving it via attach,
+    and a crash mid-build would otherwise leave a dangling pointer."""
+    import json
+
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        pointer_path,
+        unpin_artifact,
+    )
+
+    t, base = "sweep_ptr_t", str(tmp_path / "sweep_art")
+
+    def writer(n):
+        def w(tt, tp):
+            spark.range(n).write.mode("overwrite").option("path", tp).format(
+                "parquet"
+            ).saveAsTable(tt)
+        return w
+
+    publish_artifact(spark, t, base, writer(5), {})
+    gen1 = json.load(open(pointer_path(base)))["location"]
+    spark.sql(f"DROP TABLE {t}")  # simulate: republisher is a fresh session
+    unpin_artifact(t)  # isolate the POINTER spare (no pin assist)
+
+    CRASH_POINTS.add("after_build")
+    with pytest.raises(InjectedCrash):
+        publish_artifact(spark, t, base, writer(9), {})
+    CRASH_POINTS.clear()
+
+    assert os.path.isdir(gen1), (
+        "sweep deleted the pointer-named serving generation"
+    )
+    att = attach_artifact(spark, "sweep_ptr_att", base)
+    assert spark.table(att).count() == 5  # still serving gen1 in full
+    spark.sql(f"DROP TABLE {att}")
+
+    # the completed republish supersedes gen1 normally
+    publish_artifact(spark, t, base, writer(9), {})
+    att = attach_artifact(spark, "sweep_ptr_att", base)
+    assert spark.table(att).count() == 9
+    spark.sql(f"DROP TABLE {att}")
+    spark.sql(f"DROP TABLE {t}")
+    unpin_artifact(t)
+
+
+def test_publish_pin_and_pointer_land_before_swap(spark, tmp_path):
+    """r14 ADVICE low: the new generation must NEVER be live-but-
+    unpinned. Crash after the pointer/pin write but before the swap:
+    the pointer names the complete new generation (attach serves it),
+    the pin protects it from a fresh-session vacuum, and re-running the
+    publish repairs the catalog."""
+    import json
+
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        pointer_path,
+        unpin_artifact,
+        vacuum,
+    )
+
+    t, base = "preswap_t", str(tmp_path / "preswap_art")
+
+    def writer(n):
+        def w(tt, tp):
+            spark.range(n).write.mode("overwrite").option("path", tp).format(
+                "parquet"
+            ).saveAsTable(tt)
+        return w
+
+    publish_artifact(spark, t, base, writer(5), {})
+    CRASH_POINTS.add("after_pointer")
+    with pytest.raises(InjectedCrash):
+        publish_artifact(spark, t, base, writer(9), {})
+    CRASH_POINTS.clear()
+
+    # in-session catalog still serves the OLD generation (swap never ran)
+    assert spark.table(t).count() == 5
+    # the pointer + pin name the NEW complete generation
+    gen2 = json.load(open(pointer_path(base)))["location"]
+    att = attach_artifact(spark, "preswap_att", base)
+    assert spark.table(att).count() == 9
+    spark.sql(f"DROP TABLE {att}")
+    # fresh-session vacuum cannot sweep the pre-swap generation: pinned
+    _age(gen2)
+    deleted = vacuum(spark, older_than_sec=3600, scratch_root=str(tmp_path))
+    assert gen2 not in deleted and os.path.exists(gen2)
+
+    # re-running the publish repairs end-to-end
+    publish_artifact(spark, t, base, writer(9), {})
+    assert spark.table(t).count() == 9
+    spark.sql(f"DROP TABLE {t}")
+    unpin_artifact(t)
+
+
+def test_dir_pointer_home_keyed_pin_supersedes_generations(tmp_path):
+    """r14 ADVICE medium: roll-forward dir-face generations publishing
+    under one home must REPLACE the home's pin, not accumulate one
+    immortal pin per generation."""
+    from cellbase_spark.operators.publish import (
+        durable_pins,
+        publish_dir_pointer,
+        unpin_artifact,
+    )
+
+    home = str(tmp_path / "roll_home")
+    gens = []
+    for i in (1, 2):
+        g = os.path.join(str(tmp_path), f"roll_gen{i}")
+        os.makedirs(g)
+        open(os.path.join(g, "_SUCCESS"), "w").write("")
+        publish_dir_pointer(g, home=home)
+        gens.append(os.path.abspath(g))
+
+    pins = durable_pins()
+    assert gens[1] in pins
+    assert gens[0] not in pins, "superseded generation's pin survived"
+    unpin_artifact(f"dir:{os.path.abspath(home)}")
+
+
+def test_foreign_ingest_failed_child_with_pointer_is_success(tmp_path):
+    """r14 ADVICE low: a child that PUBLISHED the pointer and then died
+    (teardown crash, or a lost-takeover racer colliding with the
+    winner's generation) is a success — the artifact is valid and
+    attach validates it independently."""
+    from cellbase_spark.operators.publish import attached_dir, foreign_ingest
+
+    home = str(tmp_path / "dies_home" / "gen1")
+    script = """
+import os, sys
+home = sys.argv[1]
+os.makedirs(home)
+open(os.path.join(home, "_SUCCESS"), "w").write("")
+from cellbase_spark.operators.publish import publish_dir_pointer
+publish_dir_pointer(home)
+sys.exit(3)
+"""
+    foreign_ingest(home, script, [home], timeout=120)  # must not raise
+    assert attached_dir(home) == os.path.abspath(home)
+
+
+def test_foreign_ingest_live_holder_never_usurped(tmp_path):
+    """r14 ADVICE low: a lock older than `timeout` whose HOLDER is still
+    alive (legitimately slow ingest) must not be taken over — the
+    waiter keeps waiting and returns via the winner's pointer."""
+    import json as _json
+    import threading
+    import time as _time
+
+    from cellbase_spark.operators.publish import foreign_ingest, pointer_path
+
+    home = str(tmp_path / "slow_home" / "gen1")
+    os.makedirs(os.path.dirname(home))
+    lock = f"{home}.ingest_lock"
+    with open(lock, "w") as fh:
+        _json.dump({"pid": os.getpid(), "ts": _time.time()}, fh)
+    os.utime(lock, (_time.time() - 9999, _time.time() - 9999))  # "old"
+
+    counter = str(tmp_path / "usurp_runs")
+    os.makedirs(counter)
+    script = """
+import os, sys, uuid
+home, counter = sys.argv[1], sys.argv[2]
+open(os.path.join(counter, uuid.uuid4().hex), "w").write("run")
+os.makedirs(home, exist_ok=True)
+open(os.path.join(home, "_SUCCESS"), "w").write("")
+from cellbase_spark.operators.publish import publish_dir_pointer
+publish_dir_pointer(home)
+"""
+    errs: list = []
+
+    def call():
+        try:
+            foreign_ingest(home, script, [home, counter], timeout=5)
+        except Exception as e:
+            errs.append(e)
+
+    th = threading.Thread(target=call)
+    th.start()
+    _time.sleep(4.0)  # several wait cycles past `timeout` age
+    assert th.is_alive(), "waiter should still be waiting on a live holder"
+    assert os.listdir(counter) == [], "live holder's lock was usurped"
+    # the slow holder finishes: lands the artifact, pointer, drops lock
+    os.makedirs(home, exist_ok=True)
+    open(os.path.join(home, "_SUCCESS"), "w").write("")
+    from cellbase_spark.operators.publish import publish_dir_pointer
+
+    publish_dir_pointer(home)
+    os.remove(lock)
+    th.join(30)
+    assert not th.is_alive() and not errs, errs
+    assert os.listdir(counter) == []  # waiter never ran its own child
+
+
+def test_foreign_ingest_dead_holder_taken_over_once(tmp_path):
+    """A lock whose recorded pid is dead AND older than `timeout` is
+    taken over (atomically — the rename admits exactly one winner)."""
+    import json as _json
+    import subprocess
+    import sys
+    import time as _time
+
+    from cellbase_spark.operators.publish import attached_dir, foreign_ingest
+
+    # a pid that existed and is now gone
+    dead = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True,
+    )
+    dead_pid = int(dead.stdout.strip())
+
+    home = str(tmp_path / "dead_home" / "gen1")
+    os.makedirs(os.path.dirname(home))
+    lock = f"{home}.ingest_lock"
+    with open(lock, "w") as fh:
+        _json.dump({"pid": dead_pid, "ts": _time.time() - 9999}, fh)
+    os.utime(lock, (_time.time() - 9999, _time.time() - 9999))
+
+    counter = str(tmp_path / "dead_runs")
+    os.makedirs(counter)
+    script = """
+import os, sys, uuid
+home, counter = sys.argv[1], sys.argv[2]
+open(os.path.join(counter, uuid.uuid4().hex), "w").write("run")
+os.makedirs(home, exist_ok=True)
+open(os.path.join(home, "_SUCCESS"), "w").write("")
+from cellbase_spark.operators.publish import publish_dir_pointer
+publish_dir_pointer(home)
+"""
+    foreign_ingest(home, script, [home, counter], timeout=60)
+    assert len(os.listdir(counter)) == 1
+    assert attached_dir(home) == os.path.abspath(home)
+
+
+def test_tombstone_appended_during_fold_survives(spark, tmp_path):
+    """r14 ADVICE low, the last fold window: a takedown landing AFTER
+    the fold snapshots the side-table's files (mid-fold) must survive
+    the clear — the old in-place overwrite truncated it."""
+    from cellbase_spark.operators import dedup as dd
+    from cellbase_spark.operators.dedup import (
+        compact_dedup_bands,
+        delete_from_dedup_index,
+        read_dedup_tombstones,
+    )
+
+    band_dir = str(tmp_path / "bands_g1")
+    spark.range(20).select(
+        F.col("id").alias("_id"),
+        (F.col("id") % 4).alias("band_idx"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+    ).write.parquet(band_dir)
+    delete_from_dedup_index(spark, band_dir, [3])  # folded by the compact
+
+    def _late_takedown():
+        dd._TOMBSTONE_FOLD_HOOK = None  # fire once
+        delete_from_dedup_index(spark, band_dir, [5])
+
+    dd._TOMBSTONE_FOLD_HOOK = _late_takedown
+    try:
+        gen2 = str(tmp_path / "bands_g2")
+        compact_dedup_bands(spark, [band_dir], gen2)
+    finally:
+        dd._TOMBSTONE_FOLD_HOOK = None
+
+    # doc 3 was excluded from the generation and its tombstone folded;
+    # doc 5's tombstone landed mid-fold and MUST still guard probes
+    kept = read_dedup_tombstones(spark, band_dir)
+    ids = sorted(r._id for r in kept.select("_id").distinct().collect())
+    assert ids == [5], f"mid-fold takedown truncated: {ids}"
+    visible = spark.read.parquet(gen2).join(
+        kept.select("_id").distinct(), "_id", "left_anti"
+    )
+    assert visible.where("_id = 5").count() == 0
+    assert visible.count() == 18
