@@ -12,70 +12,64 @@ keys so far). The full battery always runs locally regardless of order
 (scripts/check_oracle.py).
 """
 
-# Round-14 gate priority (VERDICT r13 task #4, derived by
-# scripts/derive_gate_rotation.py). Order: (z) the 4 new round-14 keys
-# at the head (the three attach keys + q_facade_edit) PLUS the 2 sketch keys
-# whose contract changed from rows-only to full-hash this round (their
-# old driver rows certify the retired weaker check, so they re-earn a
-# row under the new contract); then (a) ALL 34 keys whose newest
-# official green row is r8-vintage — sampling them lifts the registry's
-# minimum vintage to r9; (b) the 12 stalest r9-vintage keys
-# (alphabetical). The two r9 keys the head insertions displace
-# (q_pipeline_e2e_neardup, q_pq_eval_trained, q_stream_dedup, q_stream_run_dedup,
-# q_stream_run_join) stay r9-vintage — inside the
-# >= r9 floor this rotation establishes. The full battery always runs
-# locally (check_oracle.py).
+# Round-15 gate priority (VERDICT r14 task #2, derived by
+# scripts/derive_gate_rotation.py). Order: (a) ALL 41 keys whose newest
+# official green row is r9-vintage — sampling them lifts the registry's
+# minimum vintage to r10; (b) the 9 stalest r10-vintage keys
+# (alphabetical). No new keys this round yet; any round-15 additions go
+# to the head when they land. The full battery always runs locally
+# (check_oracle.py).
 GATE_PRIORITY = [
-    "q_dedup_incremental_attach",
-    "q_point_lookup_attach",
-    "q_bm25_index_attach",
-    "q_ann_index_attach",
-    "q_facade_edit",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    "q_embed_neardup",
-    "q_embed_outliers",
-    "q_embed_project",
-    "q_ewma",
-    "q_gap_fill",
-    "q_ivf_train",
-    "q_join_asof",
-    "q_k_anonymity",
-    "q_k_suppress",
-    "q_knn_join",
-    "q_knn_join_smj",
-    "q_lateral_topk",
-    "q_lm_perplexity",
-    "q_pagerank_bucketed",
-    "q_partitioned_write",
-    "q_pipeline_e2e",
-    "q_pq_eval",
-    "q_pq_train",
-    "q_quality_percentile_gate",
-    "q_roundtrip_write",
-    "q_scan_csv",
-    "q_scan_excel",
-    "q_scan_jsonl",
-    "q_scan_workbook",
-    "q_scd2_intervals",
-    "q_sim_topk",
-    "q_snapshot_diff",
-    "q_span_runs",
-    "q_stream_run_ann",
-    "q_subquery_correlated",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_unpivot",
-    "q_ann_index_trained",
-    "q_ann_ivfpq_rerank",
-    "q_ann_ivfpq_trained",
-    "q_embed_quantize",
-    "q_fingerprint",
-    "q_fuzzy_name_match",
-    "q_kl_source_drift",
-    "q_lang_id",
-    "q_phonetic_key",
+    "q_pipeline_e2e_neardup",
+    "q_pq_eval_trained",
+    "q_stream_dedup",
+    "q_stream_run_dedup",
+    "q_stream_run_join",
+    "q_stream_run_join_interval",
+    "q_stream_run_late",
+    "q_stream_run_replay",
+    "q_stream_run_session",
+    "q_stream_run_sink",
+    "q_stream_run_sliding",
+    "q_stream_run_stateful",
+    "q_stream_run_tumbling",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_quality",
+    "q_text_tokenfreq",
+    "q_tfidf",
+    "q_token_count",
+    "q_token_entropy",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_udaf_grouped",
+    "q_udf_pandas",
+    "q_udf_scalar",
+    "q_udtf_bigrams",
+    "q_window_range_frame",
+    "q_window_running_sum",
+    "q_ann_index_update_trained",
+    "q_ann_lsh",
+    "q_bm25",
+    "q_boilerplate",
+    "q_bucketed_join",
+    "q_chunk_cdc",
+    "q_contain_fuzzy",
+    "q_copurchase_lift",
+    "q_dedup_near",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)
