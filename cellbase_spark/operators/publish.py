@@ -572,7 +572,8 @@ def attached_dir(final_dir: str) -> str:
 
 
 def foreign_ingest(
-    home: str, script: str, args: list[str], timeout: float = 900.0
+    home: str, script: str, args: list[str], timeout: float = 900.0,
+    force: bool = False,
 ) -> None:
     """Run a publish-producing ingest in a SEPARATE fresh interpreter
     and wait for its durable pointer at `pointer_path(home)` — the
@@ -580,6 +581,13 @@ def foreign_ingest(
     job builds at write time; every serving session only attaches.
     `script` is the child's `python -c` source; `args` arrive as its
     sys.argv[1:]; the repo root is prepended to the child's PYTHONPATH.
+
+    `force=True` is the GENERATION-ROTATION verb: an existing pointer
+    normally short-circuits the ingest (build-once semantics); force
+    skips those early returns and runs the child regardless, so a
+    scheduled re-ingest can publish generation N+1 over a home whose
+    pointer still names generation N. The lock still serializes — two
+    concurrent forced rotations of one home run one at a time.
 
     An O_EXCL lock file serializes concurrent ingests of the same home
     (publish's stale-build sweep is single-publisher by contract); a
@@ -639,11 +647,18 @@ def foreign_ingest(
                     pass
                 continue
             time.sleep(2.0)
-            if os.path.exists(pointer_path(home)):
+            if not force and os.path.exists(pointer_path(home)):
                 return  # another ingest finished while we waited
     try:
-        if os.path.exists(pointer_path(home)):
+        if not force and os.path.exists(pointer_path(home)):
             return  # raced: published between our check and the lock
+        prev_build = None
+        if force:
+            try:
+                with open(pointer_path(home)) as fh:
+                    prev_build = json.load(fh).get("build_id")
+            except (OSError, ValueError):
+                prev_build = None
         import cellbase_spark as _pkg
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
@@ -656,7 +671,16 @@ def foreign_ingest(
             capture_output=True,
             text=True,
         )
-        if not os.path.exists(pointer_path(home)):
+        ok = os.path.exists(pointer_path(home))
+        if ok and force and proc.returncode != 0:
+            # the pre-existing pointer cannot vouch for a failed forced
+            # rotation — require the pointer to have actually MOVED
+            try:
+                with open(pointer_path(home)) as fh:
+                    ok = json.load(fh).get("build_id") != prev_build
+            except (OSError, ValueError):
+                ok = False
+        if not ok:
             raise RuntimeError(
                 f"foreign ingest of {home!r} failed "
                 f"(rc={proc.returncode}): {proc.stderr[-2000:]}"

@@ -1137,3 +1137,116 @@ def test_tombstone_appended_during_fold_survives(spark, tmp_path):
     )
     assert visible.where("_id = 5").count() == 0
     assert visible.count() == 18
+
+
+_ROTATION_INGEST_SCRIPT = """
+import os, sys, time
+home, table, tag, do_vacuum = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("cellbase-rotation-ingest")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+from cellbase_spark.operators.publish import publish_artifact, vacuum
+
+
+def writer(tt, tp):
+    (
+        spark.range(4000)
+        .select("id", F.lit(tag).alias("gen"))
+        .repartition(96)
+        .write.mode("overwrite")
+        .option("path", tp)
+        .format("parquet")
+        .saveAsTable(tt)
+    )
+
+
+publish_artifact(spark, table, home, writer, {"cellbase.kind": "rotation"})
+if do_vacuum == "1":
+    # the ingest job's janitor step: this child's catalog serves N+1,
+    # the durable pin + pointer moved to N+1 at publish — generation N
+    # is unprotected and past the (zero) retention age, so it sweeps.
+    time.sleep(0.2)
+    deleted = vacuum(spark, older_than_sec=0, scratch_root=os.path.dirname(home))
+    print("VACUUMED:", deleted)
+spark.stop()
+"""
+
+
+def test_cross_process_generation_rotation_witness(spark, tmp_path):
+    """r14 verdict task #3: session A is attached and MID-PROBE on
+    generation N when a SEPARATE ingest process force-publishes N+1 and
+    its vacuum retires N's bytes. A's in-flight probe must either
+    complete one generation's FULL result or fail loudly
+    (ignoreMissingFiles=false contract) — never silently short/mixed —
+    and A's NEXT probe after re-attach must serve N+1."""
+    import threading
+    import time
+
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        foreign_ingest,
+        unpin_artifact,
+    )
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "false"
+    ), "engine must not silently skip deleted files"
+
+    home = str(tmp_path / "rot_home" / "rot_art")
+    table = "rot_att_t"
+
+    # generation N: built by a separate interpreter, attached by A
+    foreign_ingest(home, _ROTATION_INGEST_SCRIPT, [home, table, "g1", "0"])
+    t = attach_artifact(spark, table, home)
+    base = spark.table(t)
+
+    def slow(batches):
+        for b in batches:
+            time.sleep(10.0)
+            yield b
+
+    slow_df = base.mapInPandas(slow, base.schema)
+    outcome: dict = {}
+
+    def run():
+        try:
+            outcome["rows"] = slow_df.collect()
+        except Exception as e:  # loud failure is a VALID outcome
+            outcome["err"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    time.sleep(2.0)  # A's probe underway, partitions pending
+
+    # the rotation: a second interpreter publishes N+1 over the same
+    # home (force — the pointer exists) and its janitor vacuum retires
+    # N's bytes, all while A is mid-probe
+    foreign_ingest(
+        home, _ROTATION_INGEST_SCRIPT, [home, table, "g2", "1"], force=True
+    )
+
+    th.join(300)
+    assert not th.is_alive(), "reader hung across the rotation"
+    if "rows" in outcome:
+        rows = outcome["rows"]
+        assert len(rows) == 4000, f"silently short read: {len(rows)} rows"
+        gens = {r.gen for r in rows}
+        assert gens == {"g1"}, f"mixed/foreign generations mid-probe: {gens}"
+    else:
+        assert outcome["err"] is not None  # loud, never short
+
+    # A's NEXT probe re-attaches and serves N+1
+    t2 = attach_artifact(spark, table, home)
+    assert t2 == t
+    fresh = spark.table(t2)
+    assert fresh.count() == 4000
+    assert {r.gen for r in fresh.select("gen").distinct().collect()} == {"g2"}
+    spark.sql(f"DROP TABLE {t2}")
+    unpin_artifact(table)
