@@ -125,7 +125,12 @@ def generate(sf: float, out: Path, only: set[str] | None = None) -> None:
     }))
     _write(out, "nation", pa.table({
         "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i:02d}" for i in range(25)],
+        # unpadded, matching the driver testdata ("NATION_7"): query
+        # literals like TPC-H Q21's n_name filter must hit the same rows
+        # at every sf — the zero-padded form made Q21 vacuously empty on
+        # locally generated data (r15 finding; parity pinned in
+        # tests/test_gen_testdata.py)
+        "n_name": [f"NATION_{i}" for i in range(25)],
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
     }))
     if want("supplier"):

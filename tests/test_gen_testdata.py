@@ -71,3 +71,29 @@ def test_value_domains(gen_dir):
     assert len(first) == 64
     norm = sum(x * x for x in first) ** 0.5
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_categorical_values_match_driver(gen_dir):
+    """Schema parity is not enough: query LITERALS (Q21's
+    n_name = 'NATION_7', Q3's c_mktsegment = 'BUILDING', Q9's p_name
+    LIKE '%red%') must select the same rows on generated data as on the
+    driver's — the r15 finding was a zero-padded NATION_00 naming that
+    made every local-sf Q21 timing vacuously empty."""
+    import pyarrow.parquet as pq
+
+    ours_n = pq.read_table(gen_dir / "nation.parquet")["n_name"].to_pylist()
+    theirs_n = pq.read_table(DRIVER_SF / "nation.parquet")["n_name"].to_pylist()
+    assert sorted(ours_n) == sorted(theirs_n)
+    assert "NATION_7" in ours_n
+
+    ours_r = pq.read_table(gen_dir / "region.parquet")["r_name"].to_pylist()
+    theirs_r = pq.read_table(DRIVER_SF / "region.parquet")["r_name"].to_pylist()
+    assert sorted(ours_r) == sorted(theirs_r)
+
+    ours_seg = set(
+        pq.read_table(gen_dir / "customer.parquet")["c_mktsegment"].to_pylist()
+    )
+    theirs_seg = set(
+        pq.read_table(DRIVER_SF / "customer.parquet")["c_mktsegment"].to_pylist()
+    )
+    assert theirs_seg <= ours_seg, "driver mktsegment values missing locally"
