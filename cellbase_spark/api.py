@@ -808,7 +808,11 @@ class CellBase:
         process's own scratch, and anything still being written.
         Artifacts retired outside the publish path (bare DROP TABLE)
         should be unpinned via publish.unpin_artifact or passed to a
-        later vacuum's keep= audit. Returns the deleted paths."""
+        later vacuum's keep= audit. Pass pin_retention_sec (e.g. 30
+        days) so pins nobody refreshes — superseded signature homes,
+        retired generations — eventually release their bytes; publish
+        and attach refresh the pin, so anything actually served within
+        the window stays protected. Returns the deleted paths."""
         from cellbase_spark.operators.publish import vacuum
 
         return vacuum(self.spark, older_than_sec, **kw)
