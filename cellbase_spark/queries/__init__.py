@@ -20,6 +20,7 @@ keys so far). The full battery always runs locally regardless of order
 # to the head when they land. The full battery always runs locally
 # (check_oracle.py).
 GATE_PRIORITY = [
+    "q_tpch_q3_bucketed_attach",  # new in r15 (S26): gate head
     "q_pipeline_e2e_neardup",
     "q_pq_eval_trained",
     "q_stream_dedup",
@@ -69,7 +70,6 @@ GATE_PRIORITY = [
     "q_chunk_cdc",
     "q_contain_fuzzy",
     "q_copurchase_lift",
-    "q_dedup_near",
 ]
 
 # Import order populates the registry; GATE_PRIORITY (not import order)

@@ -561,3 +561,126 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+# ---- cross-session attach of the denormalized fact layout (round 15) —
+# the FIFTH persisted-artifact family: the quartet's bucketed layout was
+# (process, sf)-keyed scratch, so every fresh session re-paid the full
+# denorm build before its first layout query. ---------------------------
+
+
+_FACT_LAYOUT_INGEST_SCRIPT = """
+import sys
+sf_dir, n_buckets, t_l, t_o, home_l, home_o, scratch = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6], sys.argv[7],
+)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("cellbase-ingest-factlayout")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", str(n_buckets))
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from cellbase_spark.session import configure_session
+configure_session(spark)
+from cellbase_spark.operators.factlayout import build_staged_fact_layout
+
+build_staged_fact_layout(
+    spark, sf_dir, n_buckets, t_l, t_o, scratch,
+    publish=True, home_l=home_l, home_o=home_o,
+)
+spark.stop()
+"""
+
+
+def _fact_bucketed_layout_attached(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[str, str]:
+    """Cross-session twin of _fact_bucketed_layout: the denormalized
+    bucketed fact pair as DURABLE published artifacts — built once per
+    (sf, source signature) by a separate ingest interpreter via the
+    STAGED single-fact-shuffle build (operators/factlayout.py), then
+    ATTACHED by every serving session. The manifests record the bucket
+    specs, so the foreign catalog recreates the layout's whole cost
+    model: bucket-hash partitioning elides the quartet's fact
+    exchanges, SelectedBucketsCount pruning survives, and the one-file-
+    per-bucket sortBy trust holds. The child publishes orders FIRST and
+    lineitem LAST, so lineitem's pointer (the one foreign_ingest waits
+    on) implies the whole layout is serveable."""
+    import os as _os
+
+    from cellbase_spark.io import durable_path, source_signature
+    from cellbase_spark.operators.publish import (
+        attach_artifact,
+        foreign_ingest,
+        pointer_path,
+    )
+
+    sig = source_signature(sf_dir, "lineitem", "orders", "customer")
+    home_l = durable_path(sf_dir, sig, f"factlayout_l_{n_buckets}")
+    home_o = durable_path(sf_dir, sig, f"factlayout_o_{n_buckets}")
+    t_l = f"cb_factb_att_l_{n_buckets}_{sig}"
+    t_o = f"cb_factb_att_o_{n_buckets}_{sig}"
+    if not _os.path.exists(pointer_path(home_l)):
+        foreign_ingest(
+            home_l,
+            _FACT_LAYOUT_INGEST_SCRIPT,
+            [sf_dir, str(n_buckets), t_l, t_o, home_l, home_o,
+             _os.path.dirname(home_l)],
+        )
+    attach_artifact(spark, t_o, home_o)
+    attach_artifact(spark, t_l, home_l)
+    return t_l, t_o
+
+
+@register(
+    "q_tpch_q3_bucketed_attach",
+    family="join",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3_bucketed_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 on an ATTACHED denormalized fact layout built by a
+    DIFFERENT process — the cross-session attach mechanism applied to
+    the FIFTH persisted-artifact family (after the ANN index, BM25
+    postings, dedup band table, and single-table bucketed layouts): the
+    quartet's shared layout itself. A fresh serving session pays
+    catalog registration only (pointer read + manifest validation +
+    CREATE with the recorded bucket spec), then Q3 runs exactly as
+    q_tpch_q3_bucketed: a pure scan-aggregate — all three predicates
+    pushed into the one bucketed scan, the (l_orderkey, o_orderdate)
+    agg satisfied by the recreated bucket hash partitioning (ZERO
+    shuffle exchanges, plan-pinned in tests/test_plans.py), top-10 as
+    TakeOrderedAndProject. Same oracle as q_tpch_q3 — attach must lose
+    nothing. At 100 TB this is the serving model: the 278 s staged
+    ingest (sf100, BASELINE round-15) is paid once; every session
+    thereafter reads the fact in place."""
+    t_l, _ = _fact_bucketed_layout_attached(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    bl = spark.table(t_l).where(
+        (F.col("l_shipdate") > cutoff)
+        & (F.col("o_orderdate") < cutoff)
+        & (F.col("c_mktsegment") == "BUILDING")
+    )
+    return (
+        bl.groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

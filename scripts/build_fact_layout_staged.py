@@ -33,15 +33,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from cellbase_spark.io import load_table  # noqa: E402
 from cellbase_spark.session import get_spark  # noqa: E402
 
 KEYS = [
@@ -61,92 +57,29 @@ def main() -> None:
     spark = get_spark("cellbase-staged-layout", shuffle_partitions=n_buckets)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from cellbase_spark.operators.factlayout import build_staged_fact_layout
     from cellbase_spark.queries.scans import scratch_path, scratch_table
 
     base = scratch_path(sf_dir, "factbucketed")
     t_l = scratch_table(sf_dir, "cb_factb_lineitem")
     t_o = scratch_table(sf_dir, "cb_factb_orders")
-    oc_t = scratch_table(sf_dir, "cb_factb_oc_stage")
 
     def free_gb() -> float:
         st = os.statvfs("/")
         return st.f_bavail * st.f_frsize / 1e9
 
-    def bucketed_write(df, name: str, key: str, pre_partitioned: bool) -> None:
+    print(f"free before build: {free_gb():.1f} GB", flush=True)
+    t0 = time.perf_counter()
+    build_staged_fact_layout(spark, sf_dir, n_buckets, t_l, t_o, base)
+    build_s = time.perf_counter() - t0
+    for name in (t_l, t_o):
         path = os.path.join(base, name)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(path, ignore_errors=True)
-        w = df if pre_partitioned else df.repartition(n_buckets, F.col(key))
-        (
-            w.write.mode("overwrite")
-            .bucketBy(n_buckets, key)
-            .sortBy(key)
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(name)
-        )
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         print(
             f"{name}: {len(files)} files / {n_buckets} buckets, "
-            f"{sum(os.path.getsize(os.path.join(path, f)) for f in files)/1e9:.2f} GB,"
-            f" free {free_gb():.1f} GB",
+            f"{sum(os.path.getsize(os.path.join(path, f)) for f in files)/1e9:.2f} GB",
             flush=True,
         )
-        if pre_partitioned and len(files) > n_buckets:
-            raise RuntimeError(
-                f"{name}: {len(files)} files > {n_buckets} buckets — the "
-                "join partitioning did not align with the bucket spec "
-                "(sortBy trust would be silently lost)"
-            )
-
-    print(f"free before build: {free_gb():.1f} GB", flush=True)
-    t0 = time.perf_counter()
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
-    )
-    t1 = time.perf_counter()
-    bucketed_write(orders, t_o, "o_orderkey", pre_partitioned=False)
-    print(f"stage 1 (bucketed orders): {time.perf_counter()-t1:.1f}s", flush=True)
-
-    t1 = time.perf_counter()
-    oc = (
-        orders.join(
-            load_table(spark, sf_dir, "customer").select(
-                "c_custkey", "c_mktsegment", "c_nationkey"
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .select(
-            "o_orderkey", "o_orderdate", "o_orderstatus",
-            "c_mktsegment", "c_nationkey",
-        )
-    )
-    bucketed_write(oc, oc_t, "o_orderkey", pre_partitioned=False)
-    print(f"stage 2 (staged oc): {time.perf_counter()-t1:.1f}s", flush=True)
-
-    t1 = time.perf_counter()
-    # AQE off for the big write: coalescing/skew-split would break the
-    # exact one-partition-per-bucket alignment the shuffle elision needs
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        wide = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-            "l_extendedprice", "l_discount", "l_shipdate",
-        )
-        wide = wide.join(
-            spark.table(oc_t).withColumnRenamed("o_orderkey", "_ok"),
-            wide.l_orderkey == F.col("_ok"),
-        ).drop("_ok")
-        bucketed_write(wide, t_l, "l_orderkey", pre_partitioned=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    print(f"stage 3 (denorm lineitem): {time.perf_counter()-t1:.1f}s", flush=True)
-
-    # vacuum the transient staged table before benching
-    spark.sql(f"DROP TABLE IF EXISTS {oc_t}")
-    shutil.rmtree(os.path.join(base, oc_t), ignore_errors=True)
-    build_s = time.perf_counter() - t0
     print(f"staged layout build total: {build_s:.1f}s, free {free_gb():.1f} GB",
           flush=True)
 

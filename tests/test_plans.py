@@ -1448,3 +1448,45 @@ def test_dedup_incremental_attach_probes_attached_bands_only(spark, sf_dir):
     assert "bandtable_corpus" in plan
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan)) == 0
+
+
+def test_tpch_q3_bucketed_attach_zero_shuffle_foreign_plan(spark, sf_dir, monkeypatch):
+    """Round 15 (S26): Q3 on an ATTACHED denorm fact layout must keep
+    the exact cost model of the in-process layout — a pure ZERO-exchange
+    scan-aggregate with bucket pruning available (the manifest's
+    recorded CLUSTERED BY spec recreates the bucket hash partitioning in
+    the foreign catalog) — with BOTH build paths forbidden: a fresh
+    session pays catalog registration only, never the denorm build."""
+    import re
+
+    from cellbase_spark.io import source_signature
+    from cellbase_spark.queries import joins as qj
+
+    # first call ingests (separate process) iff the durable layout is
+    # absent, then attaches
+    rows1 = [tuple(r) for r in qj.q_tpch_q3_bucketed_attach(spark, sf_dir).collect()]
+
+    # simulate a fresh/foreign session: empty the catalog of the
+    # attachment and forbid every build path
+    sig = source_signature(sf_dir, "lineitem", "orders", "customer")
+    spark.sql(f"DROP TABLE IF EXISTS cb_factb_att_l_16_{sig}")
+    spark.sql(f"DROP TABLE IF EXISTS cb_factb_att_o_16_{sig}")
+
+    def _forbid(*a, **k):
+        raise AssertionError("attach path attempted a layout rebuild")
+
+    import cellbase_spark.operators.factlayout as fl
+
+    monkeypatch.setattr(fl, "build_staged_fact_layout", _forbid)
+    monkeypatch.setattr(qj, "_fact_bucketed_layout", _forbid)
+
+    df = qj.q_tpch_q3_bucketed_attach(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert "TakeOrderedAndProject" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert "PushedFilters: []" not in plan
+    rows2 = [tuple(r) for r in df.collect()]
+    assert rows1 == rows2  # attach loses nothing, hash-identical
