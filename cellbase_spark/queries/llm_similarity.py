@@ -2829,6 +2829,8 @@ spark = (
     SparkSession.builder.master("local[8]")
     .appName("cellbase-ingest-attach")
     .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory",
+            __import__("os").environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     .config("spark.sql.shuffle.partitions", "8")
     .getOrCreate()
 )

@@ -1490,3 +1490,35 @@ def test_tpch_q3_bucketed_attach_zero_shuffle_foreign_plan(spark, sf_dir, monkey
     assert "PushedFilters: []" not in plan
     rows2 = [tuple(r) for r in df.collect()]
     assert rows1 == rows2  # attach loses nothing, hash-identical
+
+
+def test_attached_fact_pair_joins_bucket_to_bucket(spark, sf_dir):
+    """The attached layout must keep bucket⋈bucket locality ACROSS
+    tables: joining the attached denorm lineitem to the attached orders
+    on the shared bucket key must plan with ZERO shuffle exchanges —
+    both recreated bucket specs report the same HashPartitioning, so
+    the SMJ is bucket-local (the S12/S13 cost model surviving process
+    death on both sides at once)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cellbase_spark.queries.joins import _fact_bucketed_layout_attached
+
+    t_l, t_o = _fact_bucketed_layout_attached(spark, sf_dir)
+    joined = (
+        spark.table(t_l)
+        .select("l_orderkey", "l_quantity")
+        .join(
+            # merge hint: at test scale the tiny orders side would
+            # auto-broadcast, hiding the bucket-locality property under
+            # pin; the hint forces the SMJ the 100 TB plan would pick
+            spark.table(t_o).select("o_orderkey", "o_orderstatus").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
+    assert "SortMergeJoin" in plan
+    n = joined.count()
+    assert n > 0
