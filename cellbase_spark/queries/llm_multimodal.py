@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cellbase_spark.io import load_table
+from cellbase_spark.io import fan_out, load_table
 from cellbase_spark.operators.multimodal import (
     decode_assets,
     extract_features,
@@ -76,7 +76,9 @@ def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id").mapInPandas(author, "doc_id long, payload binary")
+    assets = fan_out(d.select("doc_id")).mapInPandas(
+        author, "doc_id long, payload binary"
+    )
     return decode_images_to_stats(assets)
 
 
@@ -132,7 +134,7 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -200,7 +202,7 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -303,7 +305,7 @@ def q_mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -355,7 +357,7 @@ def q_mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -415,7 +417,7 @@ def q_mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         "doc_id long, n_samples int, sample_rate int,"
         " samp_sum long, samp_min int, samp_max int",
@@ -481,7 +483,7 @@ def q_mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         "doc_id long, frame_idx int, y_sum long, u_sum long, v_sum long",
     )
@@ -698,7 +700,9 @@ def q_mm_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id").mapInPandas(author, "doc_id long, payload binary")
+    assets = fan_out(d.select("doc_id")).mapInPandas(
+        author, "doc_id long, payload binary"
+    )
     return assets.mapInPandas(
         process, "doc_id long, modality string, n_values long, val_sum long"
     )
@@ -865,7 +869,7 @@ def q_mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -923,7 +927,7 @@ def q_mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -1051,7 +1055,7 @@ def q_mm_decode_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         "doc_id long, n_frames int, width int, height int, px_sum long",
     )
@@ -1118,7 +1122,7 @@ def q_mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -1235,7 +1239,7 @@ def q_mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -1342,7 +1346,7 @@ def q_mm_decode_adpcm_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         "doc_id long, n_samples int, ch0_sum long, ch1_sum long",
     )
@@ -1395,7 +1399,7 @@ def q_mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, n_samples int, sample_sum long"
     )
 
@@ -1448,7 +1452,7 @@ def q_mm_decode_wav_float(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, n_samples int, sum_x2 long"
     )
 
@@ -1521,7 +1525,7 @@ def q_mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, n_samples int, n_channels int, sample_sum long"
     )
 
@@ -1597,7 +1601,7 @@ def q_mm_decode_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, n_samples int, law string, sample_sum long"
     )
 
@@ -1667,7 +1671,7 @@ def q_mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -1744,7 +1748,7 @@ def q_mm_decode_tiff16(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, width int, height int, px_sum long"
     )
 
@@ -1801,7 +1805,7 @@ def q_mm_decode_wav24(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel, "doc_id long, n_frames int, n_channels int, sample_sum long"
     )
 
@@ -1878,7 +1882,7 @@ def q_mm_decode_y4m420(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         "doc_id long, n_frames int, width int, height int, px_sum long",
     )
