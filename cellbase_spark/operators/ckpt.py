@@ -75,8 +75,23 @@ def registry_build():
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """``df.localCheckpoint(eager=True)``; record the block handle when
     inside a registry build (API-created checkpoints are never recorded —
-    see module docstring)."""
+    see module docstring).
+
+    The checkpointed frame also carries the SOURCE plan's semanticHash
+    (``_cb_semantic_hash``): a checkpoint scans a fresh RDD, so its own
+    semanticHash changes on every build, which silently defeated any
+    plan-keyed statistics cache downstream (the dedup vocab probes re-ran
+    their 2-3 driver actions on every execution — optimization r15).
+    Chained checkpoints propagate the original hash."""
+    src_hash = getattr(df, "_cb_semantic_hash", None)
+    if src_hash is None:
+        try:
+            src_hash = df.semanticHash()
+        except Exception:  # analysis failure: leave the cache key unstable
+            src_hash = None
     out = df.localCheckpoint(eager=True)
+    if src_hash is not None:
+        out._cb_semantic_hash = src_hash
     if _IN_REGISTRY_BUILD.get():
         try:  # best-effort: failing to record must never fail the query
             _LIVE.append(out._jdf.queryExecution().analyzed().rdd())

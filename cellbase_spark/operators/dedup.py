@@ -138,7 +138,12 @@ _VOCAB_STATS_MAX = 256
 
 def _cached_probe(df: DataFrame, extra_key: tuple, compute):
     try:
-        key = (df.semanticHash(),) + extra_key
+        # A checkpointed input carries its SOURCE plan's hash (see
+        # ckpt.eager_checkpoint) — the checkpoint RDD itself re-hashes
+        # differently on every build, which made this cache miss always.
+        key = (
+            getattr(df, "_cb_semantic_hash", None) or df.semanticHash(),
+        ) + extra_key
     except Exception:  # analysis failure: just run the probe uncached
         return compute()
     if key not in _VOCAB_STATS:
@@ -561,7 +566,14 @@ def connected_components(
     # iterative min-label/path-halving loop below runs unchanged; the
     # two paths are result-identical (same min-id canonical labels) and
     # the iterative path stays covered by tests at limit=0.
-    n_edges = e.count()
+    # One action decides the path AND delivers the driver-path edges:
+    # limit(cap+1).collect() on the checkpointed edges replaces the former
+    # count()-then-collect() pair (two jobs; the count bought nothing the
+    # bounded collect doesn't prove). At or under the cap the limit is the
+    # whole edge set, so the union-find sees every edge; over the cap the
+    # probe rows are discarded and the iterative path runs unchanged.
+    _probe = e.limit(driver_cc_limit + 1).collect()
+    n_edges = len(_probe)
     if n_edges <= driver_cc_limit:
         parent: dict = {}
 
@@ -573,7 +585,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for u, v in e.collect():
+        for u, v in _probe:
             if u is None or v is None:
                 # null endpoints carry no connectivity (the iterative
                 # path's equi-joins drop them too) and would break
