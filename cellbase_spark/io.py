@@ -85,6 +85,33 @@ def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
+def fan_out_barrier(df: DataFrame) -> DataFrame:
+    """fan_out plus a pipeline BARRIER for narrow inputs feeding heavy
+    per-row compute (tokenize, md5 minhashing, codec folds).
+
+    Catalyst pushes deterministic projections through a round-robin
+    Repartition, so `fan_out(scan).select(expensive_expr)` executes the
+    expensive expression BELOW the exchange — on however many partitions
+    the scan had (one, for a small single-file table) — and then ships
+    the derived arrays. Measured on q_ngram_jaccard at sf0.1: the trigram
+    transform ran 1.8 s on the single scan task with 31 cores idle
+    (optimization r15). Eagerly checkpointing the repartitioned RAW rows
+    pins the exchange below any later projection: downstream per-row
+    compute starts from the 32-way RDD scan.
+
+    No-op on an already-wide input — a real corpus scan never pays the
+    checkpoint. Use plain fan_out for keyed fan-outs (the checkpoint
+    would erase the hash partitioning downstream operators reuse) and for
+    mid-pipeline frames where materializing rows is not worth it."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if _scan_partitions(df) >= target:
+        return df
+    from cellbase_spark.operators.ckpt import eager_checkpoint
+
+    return eager_checkpoint(df.repartition(target))
+
+
 def ensure_bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int = 16
 ) -> str:

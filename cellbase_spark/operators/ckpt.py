@@ -52,6 +52,43 @@ from pyspark.sql import DataFrame
 # other's handles; don't do that.
 _LIVE: list = []
 
+# rdd id -> stable key of the plan the checkpoint replaced. Lets a
+# statistics cache recognise "the same logical input, checkpointed again
+# on a later build" without trusting the checkpoint RDD's identity.
+RDD_SOURCE_HASH: dict[int, object] = {}
+_RDD_SOURCE_HASH_MAX = 1024
+
+
+def stable_plan_key(df: DataFrame):
+    """A cache key for df's logical plan that is stable across repeated
+    builds of the same query, including plans that sit ON TOP of an eager
+    checkpoint (whose LogicalRDD leaf re-identifies on every build and so
+    poisons a raw semanticHash).
+
+    Shape: (normalized analyzed-plan text, per-LogicalRDD source keys).
+    Expression ids are normalized out of the text; every LogicalRDD leaf
+    is resolved through RDD_SOURCE_HASH to the stable key of the plan its
+    checkpoint replaced — recursively, so a pipeline of chained
+    checkpoints still keys on the original scans. An RDD leaf this engine
+    did not checkpoint keeps its raw (per-build) rdd id in the key: an
+    unknown input degrades to cache-miss, never to a collision, because a
+    wrong hit could mis-size a bitmap, not just mis-pick a strategy."""
+    import re
+
+    h = getattr(df, "_cb_semantic_hash", None)
+    if h is not None:
+        return h
+    analyzed = df._jdf.queryExecution().analyzed()
+    txt = re.sub(r"#\d+", "#", analyzed.toString())
+    leaves = analyzed.collectLeaves()
+    resolved = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.nodeName() == "LogicalRDD":
+            rid = int(leaf.rdd().id())
+            resolved.append(RDD_SOURCE_HASH.get(rid, ("rdd", rid)))
+    return (txt, tuple(resolved))
+
 # True only while a registry-wrapped query build is executing in THIS
 # thread/context; set via registry_build(). eager_checkpoint records
 # handles only in that scope. ContextVar (not a module global) so a
@@ -83,15 +120,24 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     plan-keyed statistics cache downstream (the dedup vocab probes re-ran
     their 2-3 driver actions on every execution — optimization r15).
     Chained checkpoints propagate the original hash."""
-    src_hash = getattr(df, "_cb_semantic_hash", None)
-    if src_hash is None:
-        try:
-            src_hash = df.semanticHash()
-        except Exception:  # analysis failure: leave the cache key unstable
-            src_hash = None
+    try:
+        src_key = stable_plan_key(df)
+    except Exception:  # analysis failure: leave the cache key unstable
+        src_key = None
     out = df.localCheckpoint(eager=True)
-    if src_hash is not None:
-        out._cb_semantic_hash = src_hash
+    if src_key is not None:
+        out._cb_semantic_hash = src_key
+        try:
+            # Register rdd-id -> source key so plans DERIVED from this
+            # checkpoint (which only see an anonymous LogicalRDD leaf) can
+            # still build a build-stable statistics-cache key — see
+            # operators/dedup._cached_probe.
+            if len(RDD_SOURCE_HASH) >= _RDD_SOURCE_HASH_MAX:
+                RDD_SOURCE_HASH.clear()
+            rid = out._jdf.queryExecution().analyzed().rdd().id()
+            RDD_SOURCE_HASH[int(rid)] = src_key
+        except Exception:  # pragma: no cover - py4j accessor drift
+            pass
     if _IN_REGISTRY_BUILD.get():
         try:  # best-effort: failing to record must never fail the query
             _LIVE.append(out._jdf.queryExecution().analyzed().rdd())

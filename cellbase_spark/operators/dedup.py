@@ -20,6 +20,7 @@ Scale design:
 from __future__ import annotations
 
 from cellbase_spark.operators.ckpt import eager_checkpoint as _ckpt
+from cellbase_spark.operators.ckpt import stable_plan_key
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -138,12 +139,10 @@ _VOCAB_STATS_MAX = 256
 
 def _cached_probe(df: DataFrame, extra_key: tuple, compute):
     try:
-        # A checkpointed input carries its SOURCE plan's hash (see
-        # ckpt.eager_checkpoint) — the checkpoint RDD itself re-hashes
-        # differently on every build, which made this cache miss always.
-        key = (
-            getattr(df, "_cb_semantic_hash", None) or df.semanticHash(),
-        ) + extra_key
+        # Build-stable plan key (ckpt.stable_plan_key): survives the
+        # per-build re-identification of checkpoint RDD leaves that made
+        # a raw semanticHash key miss on every execution.
+        key = (stable_plan_key(df),) + extra_key
     except Exception:  # analysis failure: just run the probe uncached
         return compute()
     if key not in _VOCAB_STATS:

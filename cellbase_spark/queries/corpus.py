@@ -642,14 +642,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     same map passes, the 100 TB BPE recipe (real trainers batch
     non-interacting merges per pass; one merge per pass is the exact
     textbook rule)."""
-    from cellbase_spark.io import fan_out
+    from cellbase_spark.io import fan_out_barrier
 
     d = load_table(spark, sf_dir, "documents")
     # fan the corpus out to full parallelism BEFORE the CPU-heavy
     # char-split/pair-explode maps: documents.parquet arrives in ~15
     # splits with skewed text mass, and the straggler task dominated the
     # sf10 wall (measured: one (14+1)/15 task per stage, 270 s total)
-    words = fan_out(d.select("text")).select(
+    words = fan_out_barrier(d.select("text")).select(
         F.explode(F.split("text", " ")).alias("t")
     ).where(F.length("t") >= 2)
     s0 = words.select(F.concat_ws(_BPE_US, F.split("t", "")).alias("s"))
@@ -722,10 +722,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the two merge winners are 1-row config collects; the
     encode is a narrow map (two string replaces); the report is one
     per-source agg whose exchange is bounded by source count."""
-    from cellbase_spark.io import fan_out
+    from cellbase_spark.io import fan_out_barrier
 
     d = load_table(spark, sf_dir, "documents")
-    words = fan_out(d.select("source", "text")).select(
+    words = fan_out_barrier(d.select("source", "text")).select(
         "source", F.explode(F.split("text", " ")).alias("t")
     ).where(F.length("t") >= 2)
     s0 = words.select("source", F.concat_ws(_BPE_US, F.split("t", "")).alias("s"))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cellbase_spark.io import fan_out, load_table
+from cellbase_spark.io import fan_out_barrier, load_table
 from cellbase_spark.operators.dedup import (
     blocked_bitmap_jaccard_pairs,
     connected_components,
@@ -69,7 +69,7 @@ HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.9
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-Jaccard near-dup pairs, blocked by source (metadata
     blocking bounds the pair space; the global-scale path is MinHash)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
     return jaccard_pairs(
         t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.9
@@ -105,7 +105,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard. Candidate generation is an equi-join on band keys
     — bucket-sized shuffle, never all-pairs. Fully oracle-checked because
     the min-hashes are md5-derived (deterministic in both engines)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -155,7 +155,7 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive the moment any bucket is hot: 2.8 s vs 10.7 s at sf0.01,
     4.7 s vs 37.3 s at sf1 (8x). Deterministic: the cap is a pure count
     filter, so both engines keep exactly the same buckets."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -184,9 +184,12 @@ FROM t
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document + low 16-bit band key (hamming-LSH
-    bucketing: near-identical docs collide on a band). Per-row fold, no
-    shuffle; oracle recomputes the identical md5-derived bit votes."""
-    d = load_table(spark, sf_dir, "documents")
+    bucketing: near-identical docs collide on a band). Per-row fold —
+    the only exchange is fan_out_barrier's parallelism repartition of the
+    narrow local scan (a no-op on a wide corpus scan, where this stays a
+    pure shuffle-free map); oracle recomputes the identical md5-derived
+    bit votes."""
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     return t.select(
         "doc_id",
@@ -222,7 +225,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares a prefix gram) — the blocked bitmap all-pairs operator is the
     right plan here (see blocked_bitmap_jaccard_pairs for the adaptive
     fallback to prefix filtering on big vocabularies)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     # raw (possibly duplicated) grams: the bitmap operator dedups via
     # bit_or, and its jaccard_pairs fallback array_distincts internally —
     # never pay array_distinct's quadratic string path here
@@ -282,7 +285,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same clusters with a recursive-CTE transitive closure — feasible at
     oracle scale, while the Spark side is the iterative label-propagation
     loop that scales (operators/dedup.connected_components)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -331,7 +334,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a total order (n_docs desc, n_occ desc, hash asc). At 100 TB
     the span-hash agg is the same shape as exact dedup — state per key
     is one row."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("ws"))
     # sequence(1, 0) descends in Spark — guard short docs explicitly
     spans = F.expr(
@@ -390,7 +393,7 @@ def q_minhash_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding). Same 16-hash/2-band geometry and the same banded
     equi-join plan as q_dedup_minhash; only the set elements change.
     Docs under 5 words have no shingle and drop out (both engines)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = (
         d.select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= 5)
@@ -428,7 +431,7 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     blast radius of a bad threshold. Two tiny aggs on top of the cluster
     labels (cluster-keyed count, then size-keyed count) — the heavy
     lifting is the same banded LSH + CC pipeline as q_dedup_clusters."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -517,7 +520,7 @@ def q_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline costs ~117 s on a 21.5M-edge pair graph; this composition
     reduces the SAME corpus to ~17k star + capped-pair edges and runs
     end-to-end in ~6 s (measured round 5, BASELINE.md)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     npairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -558,7 +561,7 @@ def q_cc_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     (differentially tested in tests/test_properties.py); registering both
     gives the iterative branch its own oracle-verified row instead of
     only toy-scale unit coverage."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -768,7 +771,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_chars desc, doc_id asc)."""
     from pyspark.sql.window import Window as W
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -839,7 +842,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — and folded in as a literal map, so the corpus is scanned
     exactly twice (totals job + pairs job) instead of once per join
     branch."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("source", F.split("text", " ").alias("ws"))
     spans = F.expr(
         "case when size(ws) >= 8 then transform(sequence(1, size(ws) - 7),"
@@ -1479,7 +1482,7 @@ def q_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-domain blowup."""
     from pyspark.sql import Window
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("ws"))
     s = (
         t.select(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cellbase_spark.io import fan_out, load_table
+from cellbase_spark.io import fan_out_barrier, load_table
 from cellbase_spark.operators.text import (
     LANG_MARKERS,
     lang_id,
@@ -824,7 +824,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct bigrams per doc, not occurrences). At 100 TB the LM tables
     are ingest-time artifacts shared by every scoring batch — the
     per-batch cost is one map + two vocab-keyed joins."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 2)
     pairs = (
         t.select(
