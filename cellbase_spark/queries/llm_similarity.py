@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cellbase_spark.io import load_table
+from cellbase_spark.io import fan_out_barrier, load_table
 from cellbase_spark.operators.similarity import (
     cosine_expr,
     cosine_topk,
@@ -381,7 +381,7 @@ def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are 20-row broadcast joins and 1-row aggs. Everything
     integer/formula-derived, so the oracle re-derives identical scores,
     buckets, and centroids."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out_barrier(load_table(spark, sf_dir, "embeddings"))
     exact = cosine_topk(e, k=20).select("vec_id")
     # query-to-centroid distances: 8-row frame, ranked once, reused per nprobe
     d2q = (
@@ -1323,7 +1323,9 @@ def q_ann_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     512-value config collect re-entered as literals); the per-nprobe
     candidate sets are filters over ONE materialized assignment;
     metrics are 20-row joins and 1-row aggs."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = fan_out_barrier(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     exact = cosine_topk(e, k=20).select("vec_id")
     by_j = _learned_centroid_arrays(spark, sf_dir)
     js = sorted(by_j)
@@ -2053,7 +2055,7 @@ def q_pq_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (rows x 8) decimal-sum agg — offline-eval cost, linear in corpus.
     The codebook is a config-sized collect re-entered as a broadcast
     relation."""
-    from cellbase_spark.io import fan_out
+    from cellbase_spark.io import fan_out_barrier
     from cellbase_spark.operators.similarity import (
         pq_adc_expr,
         pq_codes_expr,
@@ -2061,7 +2063,7 @@ def q_pq_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebook,
     )
 
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    e = fan_out_barrier(load_table(spark, sf_dir, "embeddings"))
     qv = F.expr(qvec_expr())
     exact = (
         e.withColumn("qv", qv)
