@@ -1027,6 +1027,11 @@ def incremental_dedup_pairs(
     CellTable.dedup_incremental (api.py)."""
     from pyspark.sql.window import Window as W
 
+    # NOTE (optimization r15): fan_out_barrier on the batch/corpus fetch
+    # sides was A/B'd here and reverted — the barrier's checkpoint job
+    # costs more than the serial band-key map it parallelizes at batch
+    # sizes this verb sees (work is O(|batch|), deliberately small), and
+    # on a wide deployment batch the barrier is a no-op anyway.
     probe = batch.select(
         F.col(id_col).alias("_id"),
         F.posexplode(lsh_band_keys_fused(tokens_col, n_hashes, bands)).alias(
