@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cellbase_spark.functions.exact import dsum, dsum_sql
-from cellbase_spark.io import load_table
+from cellbase_spark.io import fan_out_barrier, load_table
 from cellbase_spark.registry import register
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -54,7 +54,11 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(returnflag, linestatus): all 2^2 grouping sets in one pass."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out_barrier(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        )
+    )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_items"),
