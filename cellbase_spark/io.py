@@ -85,6 +85,31 @@ def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
+# Upper bound (bytes, Catalyst size estimate) above which fan_out_barrier
+# degrades to a plain repartition instead of checkpointing: localCheckpoint
+# blocks are the ONLY copy of the data and cannot be evicted, so
+# checkpointing a mid-size table (wider than one split but narrower than
+# the core count — e.g. documents arrives in ~15 splits at sf10) would
+# pin the whole table in block storage (the GC-lock pressure
+# operators/ckpt.py documents; r15 ADVICE medium). Above the gate the
+# exchange still fans the heavy map out — Catalyst may push cheap
+# projections below it onto the scan's own splits, which at that width is
+# already parallel enough to not matter. Env-tunable for deployments.
+BARRIER_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BARRIER_MAX_BYTES", str(2 * 1024**3))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for df (bytes), None when unavailable.
+    For a column-pruned parquet scan this is file size scaled by the
+    pruned-column ratio — exactly the bytes a checkpoint would pin."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def fan_out_barrier(df: DataFrame) -> DataFrame:
     """fan_out plus a pipeline BARRIER for narrow inputs feeding heavy
     per-row compute (tokenize, md5 minhashing, codec folds).
@@ -100,13 +125,23 @@ def fan_out_barrier(df: DataFrame) -> DataFrame:
     compute starts from the 32-way RDD scan.
 
     No-op on an already-wide input — a real corpus scan never pays the
-    checkpoint. Use plain fan_out for keyed fan-outs (the checkpoint
-    would erase the hash partitioning downstream operators reuse) and for
-    mid-pipeline frames where materializing rows is not worth it."""
+    checkpoint — and degrades to a checkpoint-free repartition when the
+    input's size estimate exceeds BARRIER_MAX_BYTES (non-evictable block
+    pressure, see the constant above). Callers should SELECT the columns
+    the downstream map consumes before the barrier (plain attribute
+    projections push below the repartition into the scan, so pruning is
+    preserved and the checkpoint pins only needed bytes — r15 VERDICT
+    task #3); only expensive derived expressions must stay above. Use
+    plain fan_out for keyed fan-outs (the checkpoint would erase the hash
+    partitioning downstream operators reuse) and for mid-pipeline frames
+    where materializing rows is not worth it."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if _scan_partitions(df) >= target:
         return df
+    size = _plan_size_bytes(df)
+    if size is not None and size > BARRIER_MAX_BYTES:
+        return df.repartition(target)
     from cellbase_spark.operators.ckpt import eager_checkpoint
 
     return eager_checkpoint(df.repartition(target))

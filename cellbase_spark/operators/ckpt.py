@@ -52,11 +52,25 @@ from pyspark.sql import DataFrame
 # other's handles; don't do that.
 _LIVE: list = []
 
-# rdd id -> stable key of the plan the checkpoint replaced. Lets a
-# statistics cache recognise "the same logical input, checkpointed again
-# on a later build" without trusting the checkpoint RDD's identity.
-RDD_SOURCE_HASH: dict[int, object] = {}
+# (application id, rdd id) -> stable key of the plan the checkpoint
+# replaced. Lets a statistics cache recognise "the same logical input,
+# checkpointed again on a later build" without trusting the checkpoint
+# RDD's identity. The application-id half of the key is load-bearing
+# (r15 ADVICE medium): RDD ids restart from 0 when a SparkContext is
+# replaced, so a bare rdd-id key could resolve a NEW context's
+# checkpoint to the OLD source's stable key and return a stale vocab
+# size — which mis-sizes the Jaccard bitmap, a correctness failure, not
+# a strategy one. With the app id in the key, entries from a dead
+# context can never match; they age out via the size-capped clear().
+RDD_SOURCE_HASH: dict[tuple[str, int], object] = {}
 _RDD_SOURCE_HASH_MAX = 1024
+
+
+def _app_id(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:  # pragma: no cover - context already stopped
+        return ""
 
 
 def stable_plan_key(df: DataFrame):
@@ -65,14 +79,18 @@ def stable_plan_key(df: DataFrame):
     checkpoint (whose LogicalRDD leaf re-identifies on every build and so
     poisons a raw semanticHash).
 
-    Shape: (normalized analyzed-plan text, per-LogicalRDD source keys).
-    Expression ids are normalized out of the text; every LogicalRDD leaf
-    is resolved through RDD_SOURCE_HASH to the stable key of the plan its
-    checkpoint replaced — recursively, so a pipeline of chained
-    checkpoints still keys on the original scans. An RDD leaf this engine
-    did not checkpoint keeps its raw (per-build) rdd id in the key: an
-    unknown input degrades to cache-miss, never to a collision, because a
-    wrong hit could mis-size a bitmap, not just mis-pick a strategy."""
+    Shape: (sha1 of normalized analyzed-plan text, per-LogicalRDD source
+    keys). Expression ids are normalized out of the text before hashing
+    (the digest bounds per-entry memory — r15 VERDICT noted multi-KB plan
+    strings piling up in _VOCAB_STATS); every LogicalRDD leaf is resolved
+    through RDD_SOURCE_HASH to the stable key of the plan its checkpoint
+    replaced — recursively, so a pipeline of chained checkpoints still
+    keys on the original scans. An RDD leaf this engine did not
+    checkpoint keeps its raw (application id, per-build rdd id) in the
+    key: an unknown input degrades to cache-miss, never to a collision,
+    because a wrong hit could mis-size a bitmap, not just mis-pick a
+    strategy."""
+    import hashlib
     import re
 
     h = getattr(df, "_cb_semantic_hash", None)
@@ -80,14 +98,15 @@ def stable_plan_key(df: DataFrame):
         return h
     analyzed = df._jdf.queryExecution().analyzed()
     txt = re.sub(r"#\d+", "#", analyzed.toString())
+    app = _app_id(df)
     leaves = analyzed.collectLeaves()
     resolved = []
     for i in range(leaves.size()):
         leaf = leaves.apply(i)
         if leaf.nodeName() == "LogicalRDD":
             rid = int(leaf.rdd().id())
-            resolved.append(RDD_SOURCE_HASH.get(rid, ("rdd", rid)))
-    return (txt, tuple(resolved))
+            resolved.append(RDD_SOURCE_HASH.get((app, rid), ("rdd", app, rid)))
+    return (hashlib.sha1(txt.encode()).hexdigest(), tuple(resolved))
 
 # True only while a registry-wrapped query build is executing in THIS
 # thread/context; set via registry_build(). eager_checkpoint records
@@ -109,10 +128,19 @@ def registry_build():
         _IN_REGISTRY_BUILD.reset(token)
 
 
-def eager_checkpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint(eager=True)``; record the block handle when
+def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager=eager)``; record the block handle when
     inside a registry build (API-created checkpoints are never recorded —
     see module docstring).
+
+    ``eager=False`` defers materialization to the caller's FIRST action
+    on the returned frame — lineage truncation, block recording and the
+    stable-key registration are identical, but the materialization job
+    and that first action collapse into one (used by the iterative CC
+    loop, whose per-round convergence agg is exactly such an action:
+    one job per round instead of checkpoint-job + agg-job — r15 VERDICT
+    task #5). Callers must guarantee an action follows promptly, or the
+    checkpoint stays a plan.
 
     The checkpointed frame also carries the SOURCE plan's semanticHash
     (``_cb_semantic_hash``): a checkpoint scans a fresh RDD, so its own
@@ -124,7 +152,7 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
         src_key = stable_plan_key(df)
     except Exception:  # analysis failure: leave the cache key unstable
         src_key = None
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     if src_key is not None:
         out._cb_semantic_hash = src_key
         try:
@@ -135,7 +163,7 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
             if len(RDD_SOURCE_HASH) >= _RDD_SOURCE_HASH_MAX:
                 RDD_SOURCE_HASH.clear()
             rid = out._jdf.queryExecution().analyzed().rdd().id()
-            RDD_SOURCE_HASH[int(rid)] = src_key
+            RDD_SOURCE_HASH[(_app_id(out), int(rid))] = src_key
         except Exception:  # pragma: no cover - py4j accessor drift
             pass
     if _IN_REGISTRY_BUILD.get():

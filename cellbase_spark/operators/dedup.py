@@ -637,12 +637,18 @@ def connected_components(
 
     def halve(stepped: DataFrame) -> DataFrame:
         # path halving: resolve each label one more hop (labels are node
-        # ids, so join the step result onto itself)
+        # ids, so join the step result onto itself). The checkpoint is
+        # LAZY (r16, guide §2 — fewer jobs per round): the convergence
+        # agg right after each halve is the round's first action, so it
+        # materializes the checkpoint blocks AND computes the label sum
+        # in ONE job — the loop pays one job per round instead of a
+        # checkpoint job followed by an agg job (r15 profile: ~6 jobs
+        # per halving round on q_cc_iterative).
         hop = stepped.select(F.col("_u").alias("_k"), F.col("_mid").alias("_kl"))
         return (
             stepped.join(hop, stepped["_mid"] == hop["_k"], "left")
             .select(F.col("_u").alias("_id"), F.coalesce("_kl", "_mid").alias("_lbl"))
-            .transform(_ckpt)
+            .transform(lambda f: _ckpt(f, eager=False))
         )
 
     # Round 1 specialized: the initial labeling is the identity, so
@@ -1068,6 +1074,18 @@ def incremental_dedup_pairs(
         )
         .select(F.col("a._id").alias("id_new"), F.col("b._id").alias("id_corpus"))
         .distinct()
+        # Explicit round-robin fan-out of the candidate ids before the
+        # verify joins (r16, guide §2.5 synthetic-parallelism note): AQE
+        # coalesces the distinct's exchange by BYTES, and candidate rows
+        # are two longs — profiled on q_dedup_band_delete, the entire
+        # verify (two broadcast lookups + array_intersect per pair) ran
+        # as 2 tasks / 6.7 CPU-s with 30 cores idle. The per-row verify
+        # cost is invisible to AQE's sizing; a keyless repartition to
+        # cluster parallelism pins it wide. Cost: one extra exchange of
+        # id pairs (16 bytes/row). AQE leaves user repartitions alone,
+        # and at 100 TB candidates are O(batch) so cluster-width
+        # parallelism is the right size, not a constant.
+        .repartition(batch.sparkSession.sparkContext.defaultParallelism)
     )
     ta = batch.select(
         F.col(id_col).alias("id_new"), F.col(tokens_col).alias("_ta")

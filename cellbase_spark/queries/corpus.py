@@ -292,7 +292,9 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate set joins back WITHOUT a forced broadcast (its size is
     corpus-dependent; size-based planning/AQE decide). Per-doc regroup
     ships (doc_id, flag) only."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     g = d.select(
         "doc_id",
         F.explode(
@@ -370,7 +372,9 @@ def q_contain_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose row count is bounded by matched-token pairs. At 100 TB the
     eval broadcast is the decontamination pattern of record (the same
     inverted-index shape every corpus pipeline ships)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     ev = (
         t.where(F.col("doc_id") % 50 == 0)

@@ -69,7 +69,9 @@ HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.9
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-Jaccard near-dup pairs, blocked by source (metadata
     blocking bounds the pair space; the global-scale path is MinHash)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     t = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
     return jaccard_pairs(
         t, id_col="doc_id", tokens_col="toks", block_col="source", threshold=0.9
@@ -105,7 +107,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard. Candidate generation is an equi-join on band keys
     — bucket-sized shuffle, never all-pairs. Fully oracle-checked because
     the min-hashes are md5-derived (deterministic in both engines)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -155,7 +159,9 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive the moment any bucket is hot: 2.8 s vs 10.7 s at sf0.01,
     4.7 s vs 37.3 s at sf1 (8x). Deterministic: the cap is a pure count
     filter, so both engines keep exactly the same buckets."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -189,7 +195,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow local scan (a no-op on a wide corpus scan, where this stays a
     pure shuffle-free map); oracle recomputes the identical md5-derived
     bit votes."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     return t.select(
         "doc_id",
@@ -225,7 +233,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares a prefix gram) — the blocked bitmap all-pairs operator is the
     right plan here (see blocked_bitmap_jaccard_pairs for the adaptive
     fallback to prefix filtering on big vocabularies)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     # raw (possibly duplicated) grams: the bitmap operator dedups via
     # bit_or, and its jaccard_pairs fallback array_distincts internally —
     # never pay array_distinct's quadratic string path here
@@ -285,7 +295,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same clusters with a recursive-CTE transitive closure — feasible at
     oracle scale, while the Spark side is the iterative label-propagation
     loop that scales (operators/dedup.connected_components)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -334,7 +346,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a total order (n_docs desc, n_occ desc, hash asc). At 100 TB
     the span-hash agg is the same shape as exact dedup — state per key
     is one row."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("ws"))
     # sequence(1, 0) descends in Spark — guard short docs explicitly
     spans = F.expr(
@@ -393,7 +407,9 @@ def q_minhash_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding). Same 16-hash/2-band geometry and the same banded
     equi-join plan as q_dedup_minhash; only the set elements change.
     Docs under 5 words have no shingle and drop out (both engines)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = (
         d.select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= 5)
@@ -431,7 +447,9 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     blast radius of a bad threshold. Two tiny aggs on top of the cluster
     labels (cluster-keyed count, then size-keyed count) — the heavy
     lifting is the same banded LSH + CC pipeline as q_dedup_clusters."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -520,7 +538,9 @@ def q_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline costs ~117 s on a 21.5M-edge pair graph; this composition
     reduces the SAME corpus to ~17k star + capped-pair edges and runs
     end-to-end in ~6 s (measured round 5, BASELINE.md)."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     npairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -561,7 +581,9 @@ def q_cc_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     (differentially tested in tests/test_properties.py); registering both
     gives the iterative branch its own oracle-verified row instead of
     only toy-scale unit coverage."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -633,19 +655,28 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of exact integer counts."""
     from cellbase_spark.operators.dedup import lsh_band_keys_fused
 
-    d = load_table(spark, sf_dir, "documents")
+    # barrier below the sample filter (r16, guide §2): the filter and
+    # the 2-column projection push through the repartition into the
+    # parquet scan, so the checkpoint pins only the 20% sample's
+    # (doc_id, text); the tokenize + 16-seed banding that previously ran
+    # on the single scan split now start from the 32-way RDD scan.
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents")
+        .where(
+            F.expr(
+                "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+                " as bigint), 5) = 0"
+            )
+        )
+        .select("doc_id", "text")
+    )
     # deterministic 20% hash sample: LSH quality is ESTIMATED on a
     # sample because the exact ground truth (token self-join) is
     # near-quadratic on dense-vocab corpora — the very cost LSH exists
     # to avoid. The sample is md5-bucketed (repartition-stable, same
     # rows in both engines); measured: full-corpus truth at sf0.1 costs
     # ~108 s, the 20% sample ~4 s, with the same geometry verdict.
-    t = d.where(
-        F.expr(
-            "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
-            " as bigint), 5) = 0"
-        )
-    ).select(
+    t = d.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
@@ -771,7 +802,8 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_chars desc, doc_id asc)."""
     from pyspark.sql.window import Window as W
 
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    doc = load_table(spark, sf_dir, "documents")
+    d = fan_out_barrier(doc.select("doc_id", "text"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = minhash_lsh_pairs(
         t, id_col="doc_id", tokens_col="toks", n_hashes=16, bands=2, threshold=0.95,
@@ -780,7 +812,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         d.select("doc_id"), pairs, id_col="doc_id"
     ).select("doc_id", "cluster_id")
-    g = d.select("doc_id", "n_chars", "lang", "source").join(
+    # metadata comes from a second PRUNED scan of the table (no text),
+    # not through the barrier: the checkpoint pins only (doc_id, text)
+    # for the tokenize, and the metadata join reads 4 light columns
+    g = doc.select("doc_id", "n_chars", "lang", "source").join(
         clusters, "doc_id"
     )
     w = W.partitionBy("cluster_id").orderBy(
@@ -842,7 +877,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — and folded in as a literal map, so the corpus is scanned
     exactly twice (totals job + pairs job) instead of once per join
     branch."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     t = d.select("source", F.split("text", " ").alias("ws"))
     spans = F.expr(
         "case when size(ws) >= 8 then transform(sequence(1, size(ws) - 7),"
@@ -977,7 +1014,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.operators.dedup import incremental_dedup_pairs
 
     band_tab = _corpus_band_table(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    # shared-tokenize barrier (r16, guide §2 — see q_dedup_band_delete):
+    # one 32-way checkpoint of (doc_id, text) feeds the batch bands and
+    # both verify fetch sides; without it the broadcast-build tokenize
+    # runs on the raw scan's 1-2 splits
+    docs = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
@@ -1129,7 +1172,13 @@ def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.operators.dedup import incremental_dedup_pairs
 
     band_tab = _corpus_band_table(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    # shared-tokenize barrier (r16, guide §2 — see q_dedup_band_delete):
+    # one 32-way checkpoint of (doc_id, text) feeds the batch bands and
+    # both verify fetch sides; without it the broadcast-build tokenize
+    # runs on the raw scan's 1-2 splits
+    docs = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
@@ -1241,7 +1290,13 @@ def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     band_tab = _corpus_band_table(spark, sf_dir)
     fp_tab = _corpus_fp_table(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    # shared-tokenize barrier (r16, guide §2 — see q_dedup_band_delete):
+    # one 32-way checkpoint of (doc_id, text) feeds the batch bands and
+    # both verify fetch sides; without it the broadcast-build tokenize
+    # runs on the raw scan's 1-2 splits
+    docs = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
@@ -1286,7 +1341,13 @@ def _generation_probe(spark: SparkSession, sf_dir: str, day: int) -> DataFrame:
     )
     from cellbase_spark.queries.scans import scratch_path
 
-    docs = load_table(spark, sf_dir, "documents")
+    # shared-tokenize barrier (r16, guide §2 — see q_dedup_band_delete):
+    # one 32-way checkpoint of (doc_id, text) feeds the batch bands and
+    # both verify fetch sides; without it the broadcast-build tokenize
+    # runs on the raw scan's 1-2 splits
+    docs = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
@@ -1482,7 +1543,9 @@ def q_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-domain blowup."""
     from pyspark.sql import Window
 
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("ws"))
     s = (
         t.select(
@@ -1590,7 +1653,17 @@ def q_dedup_band_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     band_dir = _ensure_band_tombstones(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    # barrier the shared tokenize feeding BOTH probe sides (r16, guide
+    # §2): profiled, the verify stage (tokenize + array_intersect over
+    # the candidate fetches) ran on the raw documents scan's 2 splits —
+    # 6.8 CPU-s on 2 tasks with 30 cores idle — because the broadcast
+    # verify join streams the scan side. One 32-way checkpoint of
+    # (doc_id, text) feeds batch bands AND both verify fetches. (The r15
+    # revert in incremental_dedup_pairs concerned per-side barriers
+    # inside the operator; this is one shared barrier above it.)
+    docs = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),
@@ -1711,7 +1784,13 @@ def q_dedup_incremental_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cellbase_spark.operators.dedup import incremental_dedup_pairs
 
     band_tab = _corpus_band_table_attached(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    # shared-tokenize barrier (r16, guide §2 — see q_dedup_band_delete):
+    # one 32-way checkpoint of (doc_id, text) feeds the batch bands and
+    # both verify fetch sides; without it the broadcast-build tokenize
+    # runs on the raw scan's 1-2 splits
+    docs = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = docs.select(
         F.col("doc_id").alias("_id"),
         F.array_distinct(F.split("text", " ")).alias("_toks"),

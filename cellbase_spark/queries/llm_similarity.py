@@ -381,7 +381,9 @@ def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are 20-row broadcast joins and 1-row aggs. Everything
     integer/formula-derived, so the oracle re-derives identical scores,
     buckets, and centroids."""
-    e = fan_out_barrier(load_table(spark, sf_dir, "embeddings"))
+    e = fan_out_barrier(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     exact = cosine_topk(e, k=20).select("vec_id")
     # query-to-centroid distances: 8-row frame, ranked once, reused per nprobe
     d2q = (
@@ -2063,7 +2065,9 @@ def q_pq_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebook,
     )
 
-    e = fan_out_barrier(load_table(spark, sf_dir, "embeddings"))
+    e = fan_out_barrier(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     qv = F.expr(qvec_expr())
     exact = (
         e.withColumn("qv", qv)

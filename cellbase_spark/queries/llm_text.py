@@ -824,7 +824,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct bigrams per doc, not occurrences). At 100 TB the LM tables
     are ingest-time artifacts shared by every scoring batch — the
     per-batch cost is one map + two vocab-keyed joins."""
-    d = fan_out_barrier(load_table(spark, sf_dir, "documents"))
+    d = fan_out_barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = d.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 2)
     pairs = (
         t.select(

@@ -1006,6 +1006,35 @@ def _run_ann_stream(
         .load()
     )
 
+    # Materialize the probe-relevant index COLUMNS once per stream run
+    # (optimization r16, guide §2/§1 — r15 VERDICT task #4): profiled at
+    # sf0.1, every micro-batch's foreachBatch SQL re-listed and
+    # re-scanned the index's ~630 one-file leaf directories (2.1 s for
+    # batch 0, ~1.0 s each after — the hive layout that is pure pruning
+    # win at 100 TB is pure scheduling overhead on a toy corpus). One
+    # size-gated eager checkpoint of the four probe columns turns that
+    # into one scan + four in-memory probes, and per-batch planning
+    # drops to a LogicalRDD. The checkpoint is INSIDE the timed build —
+    # every run re-reads the parquet index; nothing persists across
+    # runs. Above the gate (a real 100 TB index) the checkpoint is
+    # skipped and each batch keeps the partition-pruned catalog scan.
+    from cellbase_spark.io import BARRIER_MAX_BYTES, _plan_size_bytes
+    from cellbase_spark.operators.ckpt import eager_checkpoint
+
+    base = spark.table(index_table).select(
+        "vec_id", "centroid_id", "embedding", "nrm"
+    )
+    size = _plan_size_bytes(base)
+    if size is not None and size <= BARRIER_MAX_BYTES:
+        # coalesce the ~630 one-file leaf splits into core-count
+        # partitions BEFORE checkpointing (narrow, no shuffle): a
+        # LogicalRDD keeps its partition count forever — checkpointing
+        # the raw scan would re-schedule 630 near-empty tasks per batch,
+        # where the catalog scan at least got AQE file-packing
+        base = eager_checkpoint(
+            base.coalesce(spark.sparkContext.defaultParallelism)
+        )
+
     def probe(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
         q = (
@@ -1022,11 +1051,13 @@ def _run_ann_stream(
         )
         # logical deletes apply to STREAMED serving too: a takedown
         # (delete_from_ann_index) must vanish from the next micro-batch
-        # on — same cached-props check + broadcast anti-join as the
-        # batch probes (apply_tombstones is a no-op on a clean index)
+        # on — the cached-props check + broadcast anti-join runs inside
+        # EVERY batch against the materialized rows (apply_tombstones is
+        # a no-op on a clean index), so the once-per-run checkpoint does
+        # not change per-batch delete visibility
         from cellbase_spark.operators.similarity import apply_tombstones
 
-        idx = apply_tombstones(s, index_table, s.table(index_table))
+        idx = apply_tombstones(s, index_table, base)
         cand = idx.join(
             F.broadcast(q),
             (idx.centroid_id == q.qc) & (idx.vec_id != q.query_id),

@@ -29,9 +29,9 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -264,11 +264,18 @@ class ReplayDataSource(DataSource):
     unlike the file source, arrival is multi-batch by construction, so
     cross-batch state/watermark behavior is exercised on a single file.
 
-    Uses the Simple stream-reader API (driver-side reads, rows shipped to
-    executors) — the documented shape for bounded replay/test feeds; a
-    production-scale source would implement DataSourceStreamReader with
-    partitions() so executors read. Offsets are {"batch": i}, replayable
-    via readBetweenOffsets for exactly-once recovery.
+    Partition-based Arrow reader (optimization r16, guide §4): the r15
+    form used SimpleDataSourceStreamReader — the DRIVER parsed the
+    parquet to Python tuples and every micro-batch pickled its slice row
+    by row through the Python worker (the exact per-row boundary cost
+    guide §4 exists to remove; measured as most of q_stream_run_replay's
+    runtime). Now partitions() plans one InputPartition per micro-batch
+    slice and read() yields pyarrow RecordBatches sliced zero-copy from
+    the executor's own parquet read — rows cross as Arrow columns, never
+    as pickled tuples. Offsets are unchanged ({"batch": i}, one slice
+    advance per trigger), so arrival order, batch boundaries and
+    recovery replay (partitions(start, end) covers any committed range)
+    are identical to the r15 source.
     """
 
     @classmethod
@@ -278,47 +285,65 @@ class ReplayDataSource(DataSource):
     def schema(self) -> StructType | str:
         raise ValueError("cellbase_replay requires an explicit .schema(...)")
 
-    def simpleStreamReader(self, schema: StructType) -> "ReplayStreamReader":
+    def streamReader(self, schema: StructType) -> "ReplayStreamReader":
         return ReplayStreamReader(schema, self.options)
 
 
-class ReplayStreamReader(SimpleDataSourceStreamReader):
+class _ReplaySlice(InputPartition):
+    def __init__(self, path: str, fields: list[str], arrow_schema, start: int, length: int):
+        self.path = path
+        self.fields = fields
+        self.arrow_schema = arrow_schema
+        self.start = start
+        self.length = length
+
+
+class ReplayStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("cellbase_replay needs option('path', <parquet>)")
         self._n_batches = int(options.get("batches", "4"))
         self._fields = [f.name for f in schema.fields]
-        self._rows: list[tuple] | None = None
+        # The arrow schema Spark's worker would build for the tuple path
+        # (to_arrow_schema of the declared schema): read() casts each
+        # slice to it, so the JVM sees byte-identical arrow types whether
+        # rows arrive as tuples or as RecordBatches.
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-    def _load(self) -> list[tuple]:
-        if self._rows is None:
+        self._arrow_schema = to_arrow_schema(schema)
+        self._n_rows: int | None = None
+        self._pos = 0
+
+    def _rows_total(self) -> int:
+        if self._n_rows is None:
             import pyarrow.parquet as pq
 
-            table = pq.read_table(self._path, columns=self._fields)
-            cols = [table.column(n).to_pylist() for n in self._fields]
-            self._rows = list(zip(*cols)) if cols else []
-        return self._rows
+            self._n_rows = pq.ParquetFile(self._path).metadata.num_rows
+        return self._n_rows
 
     def initialOffset(self) -> dict:
         return {"batch": 0}
 
-    def _slice(self, i: int) -> list[tuple]:
-        rows = self._load()
-        per = max(1, -(-len(rows) // self._n_batches))  # ceil div
-        return rows[i * per : (i + 1) * per]
+    def latestOffset(self) -> dict:
+        # one slice per trigger: multi-batch arrival by construction
+        self._pos = min(self._pos + 1, self._n_batches)
+        return {"batch": self._pos}
 
-    def read(self, start: dict) -> tuple:
-        i = start["batch"]
-        if i >= self._n_batches:
-            return iter(()), start  # exhausted: offset unchanged
-        return iter(self._slice(i)), {"batch": i + 1}
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        n = self._rows_total()
+        per = max(1, -(-n // self._n_batches))  # ceil div, same as r15
+        return [
+            _ReplaySlice(self._path, self._fields, self._arrow_schema, i * per, per)
+            for i in range(start["batch"], end["batch"])
+        ]
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        out: list[tuple] = []
-        for i in range(start["batch"], end["batch"]):
-            out.extend(self._slice(i))
-        return iter(out)
+    def read(self, partition: _ReplaySlice) -> Iterator:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path, columns=partition.fields)
+        sliced = table.slice(partition.start, partition.length)
+        yield from sliced.cast(partition.arrow_schema).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: the parquet file is immutable

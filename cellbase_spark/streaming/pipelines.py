@@ -26,7 +26,7 @@ import contextlib
 
 
 @contextlib.contextmanager
-def state_sized_shuffle(spark: SparkSession):
+def state_sized_shuffle(spark: SparkSession, target: int | str | None = None):
     """Scope a stream's shuffle-partition count to its STATE volume.
 
     A stateful streaming query instantiates one state-store provider per
@@ -46,11 +46,25 @@ def state_sized_shuffle(spark: SparkSession):
     for wide state. The state partition count is baked into a NEW
     checkpoint at first batch; restarts from an existing checkpoint keep
     the checkpointed count regardless, so scoping the conf to the start
-    site is both sufficient and safe."""
+    site is both sufficient and safe.
+
+    `target` is the per-FAMILY override (r15 VERDICT task #1): state
+    shape differs by operator family — windowed aggs want few stores,
+    a stream-stream join instantiates FOUR stores per partition — so a
+    start site may size itself instead of riding the env default. The
+    env still wins the default; an explicit target wins outright.
+
+    SINGLE-THREADED ASSUMPTION (same contract as operators/ckpt.py): the
+    conf is session-global, so any batch query planned concurrently in
+    the same session during the stream's run would silently inherit the
+    reduced partition count, and nested/concurrent uses could restore a
+    clobbered value. Every engine surface (driver contract, bench,
+    check_oracle, tests) starts and awaits streams sequentially."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    target = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    if target is None:
+        target = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", target)
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -101,7 +115,10 @@ def read_events_stream(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_shuffle: int | str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over its (bounded)
     source and return the materialized result: availableNow trigger +
@@ -113,7 +130,7 @@ def run_stream_to_memory(
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    with state_sized_shuffle(spark):
+    with state_sized_shuffle(spark, state_shuffle):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)

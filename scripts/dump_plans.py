@@ -35,7 +35,7 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown keys: {unknown}")
 
-    out_dir = _REPO / "plans" / "r15"
+    out_dir = _REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
     out_dir.mkdir(parents=True, exist_ok=True)
     for key in keys:
         df = qs[key](spark, SF_DIR)
