@@ -519,6 +519,23 @@ def blocked_bitmap_jaccard_pairs(
     return pairs.select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
 
 
+def _cached_rdd_bytes(df: DataFrame) -> int | None:
+    """Cached bytes (memory + disk) of an eager-checkpointed frame's
+    RDD, from the block manager's storage info — driver-side metadata,
+    no job. None when the frame is not a materialized LogicalRDD (or
+    any accessor drifts), letting callers fall back to a job-based
+    probe."""
+    try:
+        rid = int(df._jdf.queryExecution().analyzed().rdd().id())
+        sc = df.sparkSession.sparkContext
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if int(info.id()) == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        pass
+    return None
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -565,14 +582,30 @@ def connected_components(
     # iterative min-label/path-halving loop below runs unchanged; the
     # two paths are result-identical (same min-id canonical labels) and
     # the iterative path stays covered by tests at limit=0.
-    # One action decides the path AND delivers the driver-path edges:
-    # limit(cap+1).collect() on the checkpointed edges replaces the former
-    # count()-then-collect() pair (two jobs; the count bought nothing the
-    # bounded collect doesn't prove). At or under the cap the limit is the
-    # whole edge set, so the union-find sees every edge; over the cap the
-    # probe rows are discarded and the iterative path runs unchanged.
-    _probe = e.limit(driver_cc_limit + 1).collect()
-    n_edges = len(_probe)
+    # The probe decides the path AND delivers the driver-path edges,
+    # sized from FREE driver-side metadata (r16): the edges are already
+    # eager-checkpointed, so the block manager knows their cached bytes
+    # (getRDDStorageInfo) without running a job.
+    #  - small cached bytes: plain collect() — one full-scan job over
+    #    the cached blocks, no CollectLimit take-ladder (the r15
+    #    limit(cap+1).collect() ran a 1/4/11-task incremental ladder;
+    #    measured ~2x slower than the straight collect at bench scale);
+    #  - large cached bytes: a count() job decides FIRST, so the
+    #    over-cap path never ships millions of rows to the driver only
+    #    to discard them (r15 ADVICE low);
+    #  - metadata unavailable (never-materialized or foreign RDD): the
+    #    r15 bounded limit+collect, unchanged.
+    nbytes = _cached_rdd_bytes(e)
+    probe_gate = min(128 * 1024 * 1024, max(driver_cc_limit, 1) * 64)
+    if nbytes is not None and nbytes <= probe_gate:
+        _probe = e.collect()
+        n_edges = len(_probe)
+    elif nbytes is not None:
+        n_edges = e.count()
+        _probe = e.collect() if n_edges <= driver_cc_limit else []
+    else:
+        _probe = e.limit(driver_cc_limit + 1).collect()
+        n_edges = len(_probe)
     if n_edges <= driver_cc_limit:
         parent: dict = {}
 
