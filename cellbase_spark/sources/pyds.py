@@ -331,6 +331,12 @@ class ReplayStreamReader(DataSourceStreamReader):
         return {"batch": self._pos}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Restart ratchet (defensive — every engine key starts this
+        # source fresh): a reader resumed against an existing checkpoint
+        # sees the committed offset here as `start`; advancing _pos to it
+        # keeps the next latestOffset() monotonic instead of re-reporting
+        # already-committed batches as "no new data".
+        self._pos = max(self._pos, int(end.get("batch", 0)))
         n = self._rows_total()
         per = max(1, -(-n // self._n_batches))  # ceil div, same as r15
         return [
